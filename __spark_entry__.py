@@ -15,8 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Semantic top-k search (the reference's ``POST /search``): stub-embed
+    a query, L2-normalize+pad, negative-inner-product distance over the
+    embeddings table, exact top-k, broadcast-join document text, snippet
+    per hit.
+    """
+    from crawler_spark.plans.search_api import semantic_search
+
+    return semantic_search(
+        spark, "/root/testdata/sf0.001", "fast hash join merge", k=5,
+        similarity_threshold=0.0,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,91 @@
+"""Pluggable embedder interface + deterministic stub.
+
+The reference calls an Ollama model server for text (llama3.2) and
+vision (llava) embeddings (reference backend/src/embeddings.py:12-43).
+That is a serving concern, not an engine concern: here the engine takes
+an ``Embedder`` and wraps it in an Arrow-batched pandas UDF. The
+default ``StubEmbedder`` is fully deterministic (seeded SHA-256 →
+floats), so the whole pipeline is hermetically testable — the same way
+the reference's own tests mock the model calls
+(reference backend/tests/test_tasks.py:6-15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+DEFAULT_DIMS = 64  # testdata embedding dimensionality; reference uses 1024
+
+
+class StubEmbedder:
+    """Deterministic text/vision embedder: SHA-256 counter-mode floats
+    in [-1, 1], L2-normalized. Same text → same vector, any process."""
+
+    def __init__(self, dims: int = DEFAULT_DIMS, salt: str = "crawler_spark"):
+        self.dims = dims
+        self.salt = salt
+
+    def _raw(self, key: str) -> list[float]:
+        out: list[float] = []
+        counter = 0
+        while len(out) < self.dims:
+            h = hashlib.sha256(f"{self.salt}|{key}|{counter}".encode()).digest()
+            # 8 uint32 per digest → floats in [-1, 1]
+            for (u,) in struct.iter_unpack(">I", h):
+                out.append(u / 2147483647.5 - 1.0)
+                if len(out) == self.dims:
+                    break
+            counter += 1
+        return out
+
+    def embed_text(self, text: str) -> list[float]:
+        v = self._raw("text:" + (text or ""))
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+    def embed_vision(self, url: str) -> list[float]:
+        v = self._raw("vision:" + (url or ""))
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+
+def normalize_pad(vec: Sequence[float], dims: int) -> list[float]:
+    """Driver-side mirror of V2∘V3: L2-normalize then truncate/pad —
+    applied to query vectors before building the distance expression
+    (reference backend/src/search.py:79-86)."""
+    v = list(vec)
+    n = math.sqrt(sum(x * x for x in v))
+    if n:
+        v = [x / n for x in v]
+    if len(v) >= dims:
+        return v[:dims]
+    return v + [0.0] * (dims - len(v))
+
+
+def text_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIMS):
+    """Arrow-batched pandas UDF: content → embedding (V6)."""
+    emb = embedder or StubEmbedder(dims)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: emb.embed_text(t) if t is not None else None)
+
+    return _embed
+
+
+def vision_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIMS):
+    """Arrow-batched pandas UDF: image url → embedding (V7)."""
+    emb = embedder or StubEmbedder(dims)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _embed(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: emb.embed_vision(u) if u is not None else None)
+
+    return _embed

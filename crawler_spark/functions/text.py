@@ -1,0 +1,119 @@
+"""Text expression builders: tokenization, full-text match, snippets,
+token statistics, fingerprints.
+
+All pure Column expressions (JVM-side, codegen-friendly). Semantics
+mirror the reference engine's Postgres/Python text path:
+  * tokenize    = ``re.findall(r"\\w+", s.lower())``
+                  (reference backend/src/search.py:103)
+  * ts_match    = Postgres ``to_tsvector(...) @@ to_tsquery(...)`` with
+                  plain user terms — AND over query tokens, stemming
+                  intentionally off for oracle parity (SURVEY.md §7.2)
+                  (reference backend/src/search.py:61-62)
+  * snippet     = window of ±max_len/2 chars around the first query
+                  term hit, else a content prefix
+                  (reference backend/src/search.py:102-112)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: ColumnOrName) -> Column:
+    """Lowercased ``\\w+`` tokens as array<string> (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(_c(col)), r"\W+"), lambda t: t != "")
+
+
+def ts_match(col: ColumnOrName, query: str) -> Column:
+    """True iff every ``\\w+`` token of ``query`` appears as a token of
+    the target string (AND semantics of single-term to_tsquery)."""
+    import re
+
+    terms = [t for t in re.findall(r"\w+", query.lower()) if t]
+    if not terms:
+        return F.lit(True)
+    toks = tokenize(col)
+    return F.forall(F.array(*[F.lit(t) for t in terms]),
+                    lambda t: F.array_contains(toks, t))
+
+
+def snippet(content: ColumnOrName, query: str, max_len: int = 200) -> Column:
+    """Reference snippet rule: find the first query term in the lowered
+    content; emit "... <±max_len/2 window> ..."; if no term hits, emit
+    the first max_len chars + "..." (search.py:102-112)."""
+    import re
+
+    c = _c(content)
+    half = max_len // 2
+    terms = [t for t in re.findall(r"\w+", query.lower()) if t]
+    if terms:
+        # 1-based position of the first term that occurs, else NULL
+        pos = F.coalesce(
+            *[F.nullif(F.locate(t, F.lower(c)), F.lit(0)) for t in terms]
+        )
+    else:
+        pos = F.lit(None).cast("int")
+    start = F.greatest(pos - half, F.lit(1))
+    windowed = F.concat(F.lit("... "), F.trim(F.substring(c, start, max_len)), F.lit(" ..."))
+    fallback = F.concat(F.substring(c, 1, max_len), F.lit("..."))
+    return F.when(pos.isNotNull(), windowed).otherwise(fallback)
+
+
+def token_count(col: ColumnOrName) -> Column:
+    """Whitespace-delimited token count."""
+    return F.size(F.filter(F.split(_c(col), r"\s+"), lambda t: t != ""))
+
+
+def word_token_count(col: ColumnOrName) -> Column:
+    """``\\w+`` token count (a BPE-ish proxy: words + numbers)."""
+    return F.size(tokenize(col))
+
+
+def fingerprint(col: ColumnOrName) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text. Identical output in DuckDB (md5 hex lowercase)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " ")))
+
+
+def char_ngrams(col: ColumnOrName, n: int) -> Column:
+    """All character n-grams of the string as array<string> (may repeat)."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+        lambda i: F.substr(c, i, F.lit(n)),
+    )
+
+
+def word_shingles(col: ColumnOrName, k: int) -> Column:
+    """All k-word shingles (space-joined) of the tokenized string."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def quality_stats(col: ColumnOrName) -> dict[str, Column]:
+    """Simple quality-scoring signals over a text column (length, token
+    count, mean token length, punctuation and whitespace ratios)."""
+    c = _c(col)
+    n_chars = F.length(c)
+    n_ws = n_chars - F.length(F.regexp_replace(c, r"\s", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    toks = token_count(col)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "mean_token_len": (n_chars - n_ws).cast("double") / F.greatest(toks, F.lit(1)),
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "ws_ratio": n_ws.cast("double") / F.greatest(n_chars, F.lit(1)),
+    }

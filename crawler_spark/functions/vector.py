@@ -1,0 +1,88 @@
+"""Vector/embedding expression builders.
+
+Everything here is a pure Column expression over ``array<float|double>``
+built from SQL higher-order functions — JVM-side, participates in
+whole-stage codegen, needs no Python round-trip. This is deliberately
+NOT a pandas UDF: at 100 TB the hot path (distance scans over billions
+of vectors) must stay inside Tungsten; Arrow transfer would dominate.
+
+Semantics follow the reference engine's vector pipeline:
+  * distance   = negative inner product, pgvector's ``<#>`` operator
+                 (reference backend/src/db.py:80-84)
+  * normalize  = L2 with zero-vector passthrough
+                 (reference backend/src/embeddings.py:65-71)
+  * truncate_or_pad to a fixed dimensionality
+                 (reference backend/src/embeddings.py:52-56)
+Stored vectors are normalized+padded at ingest; queries are normalized
++padded at query time, so for unit vectors -dot == -cosine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double_array(col: ColumnOrName) -> Column:
+    """Cast array<float> → array<double> so all arithmetic is IEEE f64."""
+    return _c(col).cast("array<double>")
+
+
+def vector_lit(values: Sequence[float]) -> Column:
+    """A literal array<double> column from driver-side floats."""
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def dot(a: ColumnOrName, b: ColumnOrName | Column) -> Column:
+    """Inner product via zip_with + aggregate (left-to-right fold —
+    deterministic, matches a sequential oracle computation exactly)."""
+    return F.aggregate(
+        F.zip_with(to_double_array(a), b if isinstance(b, Column) else to_double_array(b),
+                   lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(col: ColumnOrName) -> Column:
+    return F.sqrt(
+        F.aggregate(to_double_array(col), F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x * x)
+    )
+
+
+def l2_normalize(col: ColumnOrName) -> Column:
+    """v / ||v||2 with zero-vector passthrough (reference embeddings.py:65-71)."""
+    arr = to_double_array(col)
+    nrm = l2_norm(col)
+    return F.when(nrm == 0.0, arr).otherwise(F.transform(arr, lambda x: x / nrm))
+
+
+def truncate_or_pad(col: ColumnOrName, dims: int) -> Column:
+    """v[:dims] if len(v) >= dims else v ++ zeros (reference embeddings.py:52-56)."""
+    arr = to_double_array(col)
+    padded = F.concat(arr, F.array_repeat(F.lit(0.0).cast("double"), dims - F.size(arr)))
+    return F.when(F.size(arr) >= dims, F.slice(arr, 1, dims)).otherwise(padded)
+
+
+def neg_dot(col: ColumnOrName, query: Column) -> Column:
+    """pgvector ``<#>``: distance = -(e . q); ascending distance ==
+    descending similarity (reference db.py:80-84)."""
+    return -dot(col, query)
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName | Column) -> Column:
+    bcol = (b if isinstance(b, Column) else _c(b)).cast("array<double>")
+    bn = F.sqrt(
+        F.aggregate(bcol, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    denom = l2_norm(a) * bn
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, bcol) / denom)

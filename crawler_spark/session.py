@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+One place to encode the execution-model decisions that matter at scale:
+AQE on (runtime re-plan, skew-join handling, partition coalescing),
+Arrow on (vectorized Python interop for the few pandas-UDF operators),
+UTC session timezone (oracle comparability — DuckDB timestamps are
+UTC-naive), and shuffle partitions sized to the machine rather than the
+Spark default of 200 (wrong in both directions: over-parallelized
+locally, under-parallelized on a 1000-executor cluster — production
+deployments should raise it alongside AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "crawler_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    In local mode there is a single JVM, so ``spark.driver.memory`` is
+    the only memory knob; on a real cluster the same configs apply per
+    executor. Shuffle partitions default to the core count — AQE's
+    ``coalescePartitions`` then shrinks small shuffles further at runtime.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Unit tests for the vector expression builders (SURVEY.md §2.8),
+mirroring the reference's embedding-function tests
+(backend/tests/test_tasks.py pad/normalize invariants)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import vector as V
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),
+            (3, [1.0, 0.0]),
+        ],
+        "id long, v array<double>",
+    )
+
+
+def test_l2_normalize_unit_norm(spark, vec_df):
+    rows = vec_df.select("id", V.l2_normalize("v").alias("n")).orderBy("id").collect()
+    assert rows[0].n == pytest.approx([0.6, 0.8])
+    # zero vector passes through unchanged (reference embeddings.py:68-69)
+    assert rows[1].n == [0.0, 0.0]
+
+
+def test_truncate_or_pad(spark, vec_df):
+    rows = (
+        vec_df.select("id", V.truncate_or_pad("v", 4).alias("p4"),
+                      V.truncate_or_pad("v", 1).alias("p1"))
+        .orderBy("id").collect()
+    )
+    assert rows[0].p4 == [3.0, 4.0, 0.0, 0.0]
+    assert rows[0].p1 == [3.0]
+
+
+def test_dot_and_neg_dot(spark, vec_df):
+    q = V.vector_lit([1.0, 1.0])
+    rows = vec_df.select("id", V.dot("v", q).alias("d"),
+                         V.neg_dot("v", q).alias("nd")).orderBy("id").collect()
+    assert rows[0].d == 7.0 and rows[0].nd == -7.0
+    assert rows[1].d == 0.0
+
+
+def test_cosine_similarity(spark, vec_df):
+    q = V.vector_lit([4.0, 3.0])
+    rows = vec_df.select("id", V.cosine_similarity("v", q).alias("c")).orderBy("id").collect()
+    assert rows[0].c == pytest.approx(24.0 / 25.0)
+    assert rows[1].c == 0.0  # zero-vector guard
+    assert rows[2].c == pytest.approx(0.8)
+
+
+def test_stub_embedder_deterministic():
+    from crawler_spark.functions.embedding import StubEmbedder, normalize_pad
+
+    e = StubEmbedder(dims=64)
+    a, b = e.embed_text("hello"), e.embed_text("hello")
+    assert a == b and len(a) == 64
+    assert e.embed_text("world") != a
+    n = math.sqrt(sum(x * x for x in a))
+    assert n == pytest.approx(1.0)
+    assert normalize_pad([3.0, 4.0], 4) == [0.6, 0.8, 0.0, 0.0]
+    assert normalize_pad([0.0], 2) == [0.0, 0.0]
