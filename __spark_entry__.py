@@ -34,16 +34,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Backed by the central registry (crawler_spark/plans/registry.py).
     """
-    return {}
+    from crawler_spark.plans import registry
+
+    registry.load_all()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (same parquet tables,
+    pre-registered views). Queries absent here are rows-only checks
+    (non-SQL-expressible ops)."""
+    from crawler_spark.plans import registry
+
+    registry.load_all()
+    return dict(registry.ORACLE)

@@ -85,21 +85,27 @@ def fingerprint(col: ColumnOrName) -> Column:
 
 
 def char_ngrams(col: ColumnOrName, n: int) -> Column:
-    """All character n-grams of the string as array<string> (may repeat)."""
+    """All character n-grams of the string as array<string> (may repeat).
+
+    Guarded: Spark's ``sequence(1, stop)`` DESCENDS when stop < 1, so a
+    too-short string must short-circuit to an empty array."""
     c = _c(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
         lambda i: F.substr(c, i, F.lit(n)),
     )
+    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: ColumnOrName, k: int) -> Column:
-    """All k-word shingles (space-joined) of the tokenized string."""
+    """All k-word shingles (space-joined) of the tokenized string.
+    Same descending-sequence guard as char_ngrams."""
     toks = tokenize(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
+    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
 def quality_stats(col: ColumnOrName) -> dict[str, Column]:

@@ -52,21 +52,50 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """All pairs (a < b) with cosine similarity >= threshold.
+    """All pairs (a < b) with cosine similarity >= threshold — exact.
 
-    Exact O(n²) self-join — the correctness baseline. At 100 TB use
-    ``operators.dedup.embedding_near_dup_lsh`` (bucketed candidates)
-    instead; this form exists for oracle parity and small dims/tables.
-    The join condition ``a.id < b.id`` halves the pair space before the
-    distance computation runs.
+    Physical strategy: broadcast the normalized matrix (n×d float64) to
+    every executor, then one vectorized ``mapInPandas`` pass computes
+    each partition's block × full-matrix product with BLAS and emits
+    only the above-threshold pairs. No O(n²)-row shuffle ever
+    materializes — the quadratic work happens inside matmul, the output
+    is only the surviving pairs.
+
+    Scale ceiling is the broadcast (n×d×8 bytes): fine to ~10M×64 dims
+    (~5 GB) per executor; past that use the LSH-bucketed variant
+    (operators/dedup.py) which prunes candidate pairs first.
     """
-    a = df.select(F.col(id_col).alias("id_a"),
-                  V.l2_normalize(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  V.l2_normalize(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = V.dot("va", F.col("vb"))
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    norm = df.select(F.col(id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
+    # one collect of the (already reduced) id+vector projection
+    local = norm.collect()
+    ids = np.array([r.id for r in local], dtype=np.int64)
+    mat = np.array([r.v for r in local], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold)
+
+    def block_pairs(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        pos = {int(i): p for p, i in enumerate(all_ids)}
+        for pdf in batches:
+            rows = pdf["id"].to_numpy()
+            block = np.array([pos[int(i)] for i in rows])
+            sims = all_mat[block] @ all_mat.T  # (b, n) BLAS block product
+            out_a, out_b, out_s = [], [], []
+            for bi, p in enumerate(block):
+                js = np.nonzero(sims[bi] >= thr)[0]
+                js = js[all_ids[js] > all_ids[p]]  # pair order a < b
+                out_a.extend([all_ids[p]] * len(js))
+                out_b.extend(all_ids[js])
+                out_s.extend(sims[bi, js])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+
+    return norm.select("id").mapInPandas(
+        block_pairs, schema="id_a long, id_b long, cosine double"
     )

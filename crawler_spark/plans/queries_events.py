@@ -1,0 +1,172 @@
+"""Event-time analytics over the ``events`` table (SURVEY.md §2.11 and
+§7 M5): tumbling windows, sessionization, JSON extraction. These are
+the batch twins of the Structured Streaming operators in
+``crawler_spark/streaming/`` — same semantics, so the streaming path
+can be validated against the oracle-checked batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --- tumbling 1-hour window aggregate -------------------------------------
+@register(
+    "ev_tumbling_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window via ``F.window`` — identical semantics to
+    date_trunc for 1-hour tumble; written with window() so the same
+    expression lifts to Structured Streaming unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- sliding 1-hour window, 30-min slide ----------------------------------
+@register(
+    "ev_sliding_hourly",
+    oracle="""
+        WITH slides AS (
+            SELECT value,
+                   time_bucket(INTERVAL '30 minutes', ts)
+                       - s.off * INTERVAL 1 MINUTE AS win_start
+            FROM events e, (SELECT unnest([0, 30]) AS off) s
+        )
+        SELECT win_start, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM slides GROUP BY 1
+    """,
+)
+def ev_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in 2
+    windows. ``F.window(ts, '1 hour', '30 minutes')`` explodes to the
+    matching windows natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("win_start"), "n", "total_value")
+    )
+
+
+# --- sessionization: 30-min-gap sessions per user -------------------------
+@register(
+    "ev_sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id.
+    The streaming twin is ``session_window(ts, gap)`` (streaming/)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us),
+        1,
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- JSON extraction from the props column --------------------------------
+@register(
+    "ev_json_extract",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint") % 10
+    return ev.groupBy(k.alias("k_bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- D6-ish: per-type daily funnel (state-machine counts over time) -------
+@register(
+    "ev_daily_funnel",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+        FROM events GROUP BY 1
+    """,
+)
+def ev_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass conditional aggregation — the engine's version of the
+    reference dashboard's four separate status-count queries
+    (reference search.py:20-44) generalized to a funnel."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        # count(CASE WHEN ...) — BIGINT in both engines (DuckDB's SUM of
+        # INTEGER would come back HUGEINT and fail the schema compare)
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    # day as a plain string: DATE columns round-trip differently through
+    # the two engines' pandas bridges (DuckDB promotes to datetime64)
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("signup").alias("signups"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+    )

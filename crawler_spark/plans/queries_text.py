@@ -1,0 +1,160 @@
+"""Text-analysis and dedup queries over ``documents`` (SURVEY.md §7 M5
+/ the training-data-pipeline extensions): token statistics, document
+fingerprinting, exact dedup, n-gram Jaccard near-dup pairs.
+
+MinHash/SimHash/LSH live in ``operators/dedup.py``; the ones here are
+fully SQL-expressible, so each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+# --- token statistics per document ----------------------------------------
+@register(
+    "txt_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n_ws_tokens,
+               len({_TOKENS_SQL}) AS n_word_tokens,
+               len(list_distinct({_TOKENS_SQL})) AS n_unique_tokens
+        FROM documents
+    """,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.word_token_count("text").alias("n_word_tokens"),
+        F.size(F.array_distinct(X.tokenize("text"))).alias("n_unique_tokens"),
+    )
+
+
+# --- quality signals (length/whitespace ratios) ---------------------------
+@register(
+    "txt_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               round(CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+                          AS DOUBLE) / greatest(length(text), 1), 6) AS ws_ratio,
+               round(CAST(length(text) AS DOUBLE) /
+                     greatest(len({_TOKENS_SQL}), 1), 6) AS chars_per_token
+        FROM documents
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_ws = n_chars - F.length(F.regexp_replace("text", r"\s", ""))
+    n_tok = X.word_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        F.round(n_ws.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("ws_ratio"),
+        F.round(n_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+        .alias("chars_per_token"),
+    )
+
+
+# --- document fingerprint (md5 of normalized text) ------------------------
+@register(
+    "txt_fingerprint",
+    oracle=f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# --- exact dedup: canonical id per fingerprint group ----------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS canonical_id,
+               (count(*) OVER (PARTITION BY {_FP_SQL})) > 1 AS is_duplicate
+        FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content fingerprint: every
+    row mapped to the minimum doc_id of its fingerprint class. At scale
+    this is one shuffle on the (high-cardinality, uniform) fingerprint —
+    no skew, map-side combine applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_duplicate"),
+    )
+
+
+# --- n-gram Jaccard near-dup pairs ----------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            )) AS g
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Jaccard over distinct 3-word shingles.
+
+    Scale path: the shingle⨝shingle equi-join only pairs documents that
+    SHARE a shingle — sparse, shuffle keyed on the shingle string. A
+    hot shingle (stopword run) would skew; at 100 TB you'd pre-filter
+    shingles with document frequency above a cap (they carry no dedup
+    signal). Testdata shingles are well distributed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.word_shingles("text", 3))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

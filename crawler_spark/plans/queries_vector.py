@@ -1,0 +1,198 @@
+"""Vector operator queries (SURVEY.md §2.8): k-NN top-k, distance
+filters, normalize/pad invariants, exact cosine near-dup pairs.
+
+The query vector is produced by the deterministic StubEmbedder at
+import time and embedded as a literal in BOTH the Spark plan and the
+oracle SQL — float literals round-trip exactly through repr(), so the
+two engines compute over bit-identical inputs. Outputs are rounded to
+6 decimals (ordering/filters always use the unrounded value plus an
+id tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import vector as V
+from crawler_spark.functions.embedding import DEFAULT_DIMS, StubEmbedder, normalize_pad
+from crawler_spark.operators.similarity import cosine_pairs_exact, knn_topk
+from crawler_spark.plans.registry import register
+
+_EMB = StubEmbedder(DEFAULT_DIMS)
+QUERY_TEXT = "fast hash join merge"
+QUERY_VEC = normalize_pad(_EMB.embed_text(QUERY_TEXT), DEFAULT_DIMS)
+_QV_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]::DOUBLE[]"
+
+# normalized stored vector, as SQL (zero-norm guard matches V.l2_normalize)
+_NORM_V_SQL = """
+    CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+         THEN embedding::DOUBLE[]
+         ELSE list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+    END
+"""
+
+
+# --- O3+V1: exact top-k by negative-inner-product distance ----------------
+@register(
+    "o3_knn_topk",
+    oracle=f"""
+        SELECT vec_id, round(distance, 6) AS distance FROM (
+            SELECT vec_id,
+                   -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+            FROM embeddings
+        ) ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def o3_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.sources import load_table
+
+    top = knn_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --- P3+V1: vector-distance range predicate (db.py:82) --------------------
+@register(
+    "p3_distance_filter",
+    oracle=f"""
+        SELECT vec_id, round(distance, 6) AS distance FROM (
+            SELECT vec_id,
+                   -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+            FROM embeddings
+        ) WHERE distance <= -0.2
+    """,
+)
+def p3_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist = V.neg_dot(V.l2_normalize("embedding"), V.vector_lit(QUERY_VEC))
+    return (
+        emb.select("vec_id", dist.alias("distance"))
+        .filter(F.col("distance") <= -0.2)
+        .select("vec_id", F.round("distance", 6).alias("distance"))
+    )
+
+
+# --- V2: L2 normalize invariant -------------------------------------------
+@register(
+    "v2_l2_normalize",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                   AS raw_norm,
+               round(CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                          THEN embedding[1]::DOUBLE
+                          ELSE embedding[1]::DOUBLE /
+                               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     END, 6) AS first_elem_normalized
+        FROM embeddings
+    """,
+)
+def v2_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("raw_norm"),
+        F.round(F.element_at(V.l2_normalize("embedding"), 1), 6)
+        .alias("first_elem_normalized"),
+    )
+
+
+# --- V3/V4: truncate-or-pad invariant -------------------------------------
+@register(
+    "v3_truncate_or_pad",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   CASE WHEN len(embedding) >= 128 THEN (embedding::DOUBLE[])[1:128]
+                        ELSE list_concat(embedding::DOUBLE[],
+                                 list_transform(generate_series(1, 128 - len(embedding)),
+                                                x -> 0.0))
+                   END AS padded,
+                   (embedding::DOUBLE[])[1:16] AS trunc
+            FROM embeddings
+        )
+        SELECT vec_id,
+               len(padded) AS padded_len,
+               round(list_sum(padded), 6) AS checksum,
+               len(trunc) AS truncated_len,
+               round(list_sum(trunc), 6) AS trunc_checksum
+        FROM v
+    """,
+)
+def v3_truncate_or_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def checksum(col: F.Column) -> F.Column:
+        return F.round(
+            F.aggregate(col, F.lit(0.0).cast("double"), lambda a, x: a + x), 6
+        )
+
+    padded = V.truncate_or_pad("embedding", 128)
+    trunc = V.truncate_or_pad("embedding", 16)
+    return emb.select(
+        "vec_id",
+        F.size(padded).alias("padded_len"),
+        checksum(padded).alias("checksum"),
+        F.size(trunc).alias("truncated_len"),
+        checksum(trunc).alias("trunc_checksum"),
+    )
+
+
+# --- near-dup pairs by exact cosine (correctness baseline for ANN) --------
+@register(
+    "simsearch_cosine_pairs",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, {_NORM_V_SQL} AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) >= 0.35
+    """,
+)
+def simsearch_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# --- k-NN per label group (top-k within partition, windowed) --------------
+@register(
+    "knn_topk_per_label",
+    oracle=f"""
+        SELECT label, vec_id, round(distance, 6) AS distance FROM (
+            SELECT label, vec_id, distance,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY distance, vec_id) AS rn
+            FROM (
+                SELECT label, vec_id,
+                       -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+                FROM embeddings
+            )
+        ) WHERE rn <= 3
+    """,
+)
+def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist = V.neg_dot(V.l2_normalize("embedding"), V.vector_lit(QUERY_VEC))
+    w = Window.partitionBy("label").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        emb.select("label", "vec_id", dist.alias("distance"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", F.round("distance", 6).alias("distance"))
+    )

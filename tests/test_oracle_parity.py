@@ -1,0 +1,99 @@
+"""Local replica of the driver's t2 correctness gate: run every
+registered query on Spark AND its DuckDB oracle over the same parquet,
+then compare row count, column names, and values (order-insensitive,
+exact equality — the engines are expected to produce bit-identical
+results per the determinism rules in plans/registry.py).
+
+Runs at sf0.001 by default for speed; set PARITY_SF_DIR=/root/testdata/sf0.01
+to mirror the driver exactly.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+_QUERIES = E.queries()
+_ORACLE = E.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(v):
+    """Canonicalize a cell so equal values get equal (and sortable) forms."""
+    if v is None:
+        return None
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _sorted_rows(records, cols):
+    rows = [tuple(_canon(r[c]) for c in cols) for r in records]
+    return sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_oracle_parity(spark, con, name):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    ddf = con.execute(_ORACLE[name]).df()
+    duck_cols = list(ddf.columns)
+    assert spark_cols == duck_cols, (
+        f"{name}: columns {spark_cols} vs oracle {duck_cols}"
+    )
+
+    duck_rows = ddf.to_dict("records")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+
+    s = _sorted_rows(spark_rows, spark_cols)
+    d = _sorted_rows(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)}/{len(s)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
