@@ -70,22 +70,30 @@ def normalize_pad(vec: Sequence[float], dims: int) -> list[float]:
 
 
 def text_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIMS):
-    """Arrow-batched pandas UDF: content → embedding (V6)."""
+    """Arrow-batched pandas UDF: content → embedding (V6), already
+    normalized+padded (V2∘V3) — applied Python-side exactly like the
+    reference's ingest (tasks.py:87-88); Spark can't nest a Python UDF
+    result inside higher-order-function lambdas anyway."""
     emb = embedder or StubEmbedder(dims)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: emb.embed_text(t) if t is not None else None)
+        return texts.map(
+            lambda t: normalize_pad(emb.embed_text(t), dims) if t is not None else None
+        )
 
     return _embed
 
 
 def vision_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIMS):
-    """Arrow-batched pandas UDF: image url → embedding (V7)."""
+    """Arrow-batched pandas UDF: image url → embedding (V7),
+    normalized+padded like text_embed_udf."""
     emb = embedder or StubEmbedder(dims)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _embed(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: emb.embed_vision(u) if u is not None else None)
+        return urls.map(
+            lambda u: normalize_pad(emb.embed_vision(u), dims) if u is not None else None
+        )
 
     return _embed

@@ -1,0 +1,54 @@
+"""Pluggable page fetcher (SURVEY.md §2.1 S5-S7).
+
+The engine never talks to the network in tests — exactly as the
+reference's unit tests mock requests (backend/tests/test_file_handler.py).
+``StubFetcher`` serves an in-memory site; an HTTP fetcher can be slotted
+in for real crawls (it would run inside mapInPandas on executors, with
+per-row error capture feeding the dead-letter branch instead of failing
+the task — reference retry/dead-letter semantics, celery_app.py:25-34).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+
+class Fetcher(Protocol):
+    def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        """Return (content_type, body, error). Exactly one of body/error
+        is non-None."""
+
+
+class StubFetcher:
+    """Deterministic in-memory fetcher over {url: (content_type, body)}."""
+
+    def __init__(self, site: dict[str, tuple[str, bytes]]):
+        self.site = dict(site)
+
+    def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        hit = self.site.get(url)
+        if hit is None:
+            return None, None, "404: not in stub site"
+        ctype, body = hit
+        return ctype, body, None
+
+
+class HttpFetcher:
+    """Real HTTP fetcher (urllib, 30 s timeout like the reference's PDF
+    path — file_handler.py:17). Not used by tests; provided for
+    completeness of the S5 source."""
+
+    def __init__(self, timeout_sec: float = 30.0, user_agent: str = "crawler-spark/0.1"):
+        self.timeout = timeout_sec
+        self.user_agent = user_agent
+
+    def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                ctype = resp.headers.get("Content-Type", "")
+                return ctype, resp.read(), None
+        except Exception as exc:
+            return None, None, f"{type(exc).__name__}: {exc}"

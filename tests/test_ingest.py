@@ -1,0 +1,193 @@
+"""Ingest-pipeline tests mirroring the reference's unit suites
+(backend/tests/test_tasks.py, test_file_handler.py, test_pipelines.py):
+HTML extraction rules, content-type dispatch, PDF drop rules, image
+metadata rows, embed dispatch + 64-pad invariant, upsert idempotence,
+job state machine, feature flags."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from crawler_spark.functions.html import domain_allowed, parse_html, url_domain
+from crawler_spark.sources.fetch import StubFetcher
+from crawler_spark.sources.file_handlers import (
+    STUB_PDF_MAGIC,
+    classify_content_type,
+    extract_pdf_text,
+)
+
+FIXTURE_HTML = b"""<!doctype html>
+<html><head>
+  <title> Fixture Page </title>
+  <meta name="description" content="a test page">
+  <meta property="og:type" content="article">
+  <meta name="keywords" content="spark,crawler">
+  <style>body { color: red }</style>
+  <script>var hidden = "SCRIPT_TEXT";</script>
+</head><body>
+  <p>Visible   text one.</p>
+  <noscript>NOSCRIPT_TEXT</noscript>
+  <template>TEMPLATE_TEXT</template>
+  <svg><text>SVG_TEXT</text></svg>
+  <div>Visible <b>two</b></div>
+  <a href="/page2">next</a>
+  <a href="https://other.org/x">offsite</a>
+  <img src="/logo.png">
+</body></html>"""
+
+
+class TestHtmlParse:
+    def test_extraction_rules(self):
+        page = parse_html(FIXTURE_HTML.decode(), base_url="https://site.test/start")
+        assert page.title == "Fixture Page"
+        assert page.meta_description == "a test page"
+        assert page.meta_tags["og:type"] == "article"
+        assert page.meta_tags["keywords"] == "spark,crawler"
+        # script/style/noscript/template/svg subtrees excluded
+        for banned in ["SCRIPT_TEXT", "NOSCRIPT_TEXT", "TEMPLATE_TEXT", "SVG_TEXT", "color: red"]:
+            assert banned not in (page.content or "")
+        assert "Visible text one." in page.content
+        assert "Visible two" in page.content
+        # links absolutized, both <a href> and <img src>
+        assert "https://site.test/page2" in page.links
+        assert "https://other.org/x" in page.links
+        assert "https://site.test/logo.png" in page.links
+
+    def test_broken_html_salvages(self):
+        page = parse_html("<title>ok</title><p>text<unclosed", base_url=None)
+        assert page.title == "ok"
+        assert "text" in page.content
+
+    def test_domain_helpers(self):
+        assert url_domain("https://a.b.c/path") == "a.b.c"
+        assert domain_allowed("https://sub.site.test/x", ["site.test"])
+        assert not domain_allowed("https://evil.test/x", ["site.test"])
+        assert domain_allowed("https://anything/x", None)
+
+
+class TestFileHandlers:
+    def test_content_type_dispatch(self):
+        assert classify_content_type("text/html; charset=utf-8") == "html"
+        assert classify_content_type("application/pdf") == "pdf"
+        assert classify_content_type("image/png") == "image"
+        assert classify_content_type("application/json") is None
+        assert classify_content_type(None) is None
+
+    def test_pdf_stub_roundtrip(self):
+        assert extract_pdf_text(STUB_PDF_MAGIC + b"hello pdf text") == "hello pdf text"
+        # empty-text PDFs are dropped (reference file_handler.py:29-32)
+        assert extract_pdf_text(STUB_PDF_MAGIC + b"   ") is None
+        assert extract_pdf_text(None) is None
+        assert extract_pdf_text(b"\x00notpdf") is None
+
+
+SITE = {
+    "https://site.test/start": ("text/html", FIXTURE_HTML),
+    "https://site.test/doc.pdf": ("application/pdf", STUB_PDF_MAGIC + b"pdf body text"),
+    "https://site.test/empty.pdf": ("application/pdf", STUB_PDF_MAGIC + b""),
+    "https://site.test/logo.png": ("image/png", b"\x89PNG fake bytes"),
+    "https://site.test/data.json": ("application/json", b"{}"),
+}
+
+
+@pytest.fixture(scope="module")
+def ingested(spark):
+    from crawler_spark.plans.ingest import ingest_batch
+
+    fetcher = StubFetcher(SITE)
+    urls = list(SITE) + ["https://site.test/missing"]
+    pages, dead = ingest_batch(spark, fetcher, urls)
+    return pages.cache(), dead.cache()
+
+
+class TestIngestBatch:
+    def test_pages_and_dead_letter_split(self, ingested):
+        pages, dead = ingested
+        by_url = {r.url: r for r in pages.collect()}
+        assert set(by_url) == {
+            "https://site.test/start",
+            "https://site.test/doc.pdf",
+            "https://site.test/logo.png",
+        }
+        errs = {r.url: r.error for r in dead.collect()}
+        assert "fetch" in errs["https://site.test/missing"]
+        assert "unsupported" in errs["https://site.test/data.json"]
+        assert "pdf" in errs["https://site.test/empty.pdf"]
+
+    def test_html_row_shape(self, ingested):
+        pages, _ = ingested
+        row = pages.filter("url = 'https://site.test/start'").collect()[0]
+        assert row.file_type == "html" and row.embedding_type == "text"
+        assert row.domain == "site.test"
+        assert row.title == "Fixture Page"
+        assert row.meta_tags["description"] == "a test page"
+        assert row.last_crawled is not None
+
+    def test_image_row_is_vision_with_null_content(self, ingested):
+        pages, _ = ingested
+        row = pages.filter("url = 'https://site.test/logo.png'").collect()[0]
+        assert row.file_type == "image" and row.embedding_type == "vision"
+        assert row.content is None
+        assert row.embedding is not None  # vision embeds the url
+
+    def test_embedding_invariant_unit_norm_padded(self, ingested):
+        pages, _ = ingested
+        for row in pages.collect():
+            assert len(row.embedding) == 64
+            norm = math.sqrt(sum(x * x for x in row.embedding))
+            assert norm == pytest.approx(1.0)
+
+    def test_upsert_incoming_wins(self, spark, ingested):
+        from crawler_spark.plans.ingest import ingest_batch
+
+        pages, _ = ingested
+        updated_site = dict(SITE)
+        updated_site["https://site.test/start"] = (
+            "text/html",
+            FIXTURE_HTML.replace(b"Fixture Page", b"Updated Title"),
+        )
+        pages2, _ = ingest_batch(
+            spark, StubFetcher(updated_site), ["https://site.test/start"],
+            existing_pages=pages,
+        )
+        rows = pages2.filter("url = 'https://site.test/start'").collect()
+        assert len(rows) == 1
+        assert rows[0].title == "Updated Title"
+        assert pages2.count() == pages.count()  # no dup keys introduced
+
+
+class TestJobsAndFlags:
+    def test_job_lifecycle(self, spark):
+        from crawler_spark.plans.jobs import (
+            create_job,
+            delete_job,
+            empty_jobs,
+            jobs_page,
+            transition_job,
+        )
+
+        jobs = empty_jobs(spark)
+        jobs, jid = create_job(spark, jobs, {"domain": "site.test", "depth": 1})
+        assert jobs.filter(f"id = '{jid}'").collect()[0].status == "pending"
+        jobs = transition_job(jobs, jid, "running")
+        jobs = transition_job(jobs, jid, "completed", result={"pages": 3})
+        row = jobs.filter(f"id = '{jid}'").collect()[0]
+        assert row.status == "completed" and '"pages": 3' in row.result
+        assert jobs_page(jobs).count() == 1
+        assert delete_job(jobs, jid).count() == 0
+
+    def test_invalid_status_rejected(self, spark):
+        from crawler_spark.plans.jobs import empty_jobs, transition_job
+
+        with pytest.raises(ValueError):
+            transition_job(empty_jobs(spark), "x", "exploded")
+
+    def test_flags(self, spark):
+        from crawler_spark.plans.jobs import default_flags, is_feature_enabled
+
+        flags = default_flags(spark)
+        assert is_feature_enabled(flags, "chat_ui")
+        assert not is_feature_enabled(flags, "structured_data_extraction")
+        assert not is_feature_enabled(flags, "nonexistent")
