@@ -1,0 +1,64 @@
+"""Pipeline operators surfaced as rows-only registry queries (not
+SQL-expressible: crawl loop, HTML parse UDFs, stub model calls —
+SURVEY.md §2.10, §5). The driver records rows-only checks for these;
+value-level coverage lives in tests/test_crawl.py, test_ingest.py,
+test_streaming.py.
+
+Each runs a deterministic in-memory fixture site through the real
+distributed pipeline (same code paths as a cluster crawl; only the
+Fetcher is a stub, exactly as the reference's tests mock requests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.registry import register
+from crawler_spark.sources.fetch import StubFetcher
+from crawler_spark.sources.file_handlers import STUB_PDF_MAGIC
+
+
+def _page(title: str, body: str, links: list[str]) -> tuple[str, bytes]:
+    anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+    return ("text/html",
+            f"<title>{title}</title><body>{body} {anchors}</body>".encode())
+
+
+FIXTURE_SITE = {
+    "https://fixture.test/": _page("home", "fast hash join engines", ["/a", "/b"]),
+    "https://fixture.test/a": _page("alpha", "sort merge shuffle", ["/b", "/doc.pdf"]),
+    "https://fixture.test/b": _page("beta", "vector scan filter", ["/img.png"]),
+    "https://fixture.test/doc.pdf": ("application/pdf", STUB_PDF_MAGIC + b"pdf corpus text"),
+    "https://fixture.test/img.png": ("image/png", b"\x89PNG fake"),
+    "https://fixture.test/bad.bin": ("application/octet-stream", b"\x00"),
+}
+
+
+@register("crawl_ingest_e2e")  # rows-only: crawl loop + parse/embed UDFs
+def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 crawl of the fixture site → full ingest → pages table.
+    Deterministic apart from last_crawled, which is dropped here."""
+    from crawler_spark.plans.crawl import crawl
+    from crawler_spark.plans.ingest import embed_stage, finalize_pages
+
+    items, _dead = crawl(
+        spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
+        allowed_domains=["fixture.test"], depth_limit=2, obey_robots=True,
+    )
+    pages = finalize_pages(embed_stage(items))
+    return pages.select(
+        "url", "domain", "title", "file_type", "embedding_type",
+        F.size("embedding").alias("embedding_dims"),
+    ).orderBy("url")
+
+
+@register("ingest_dead_letter")  # rows-only: D5 error branch
+def ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows that the pipeline rejects (fetch errors, unsupported types)
+    landing in the dead-letter branch instead of failing the job."""
+    from crawler_spark.plans.ingest import ingest_batch
+
+    urls = list(FIXTURE_SITE) + ["https://fixture.test/missing"]
+    _pages, dead = ingest_batch(spark, StubFetcher(FIXTURE_SITE), urls)
+    return dead.orderBy("url")

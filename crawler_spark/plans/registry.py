@@ -49,6 +49,7 @@ def load_all() -> None:
     """Import every query module so their @register calls run."""
     from crawler_spark.plans import (  # noqa: F401
         queries_events,
+        queries_pipeline,
         queries_reference,
         queries_text,
         queries_tpch,

@@ -1,0 +1,89 @@
+"""Structured Streaming over event streams (SURVEY.md §2.11, §7 M5).
+
+The reference's "streaming" is a Celery task queue with no event-time
+semantics; these operators are the engine's genuine stream-processing
+surface, and each mirrors an oracle-checked batch query in
+plans/queries_events.py so streaming results can be validated against
+the batch path (same expressions → same semantics).
+
+All sources are file streams here (the test/bench environment has no
+Kafka); swapping ``readStream.parquet`` for ``readStream.format("kafka")``
+changes nothing downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream (parquet drops into ``dir_path``)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``ev_tumbling_hourly``: 1-hour tumbling window
+    per event_type with a late-data watermark. In append mode a window
+    emits once the watermark passes its end — exactly-once counts with
+    bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``ev_sessionize``: native session_window with
+    the same 30-minute gap. State per open session, closed by
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query over whatever files already exist and
+    stop — the synchronous smoke path (processAllAvailable)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,90 @@
+"""BFS crawl tests (SURVEY.md §2.10 D1-D3, P6, P8): depth limiting,
+domain filtering, frontier dedup, robots.txt, and crawl→ingest
+integration."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.plans.crawl import crawl
+from crawler_spark.sources.fetch import StubFetcher
+
+
+def page(title: str, links: list[str]) -> tuple[str, bytes]:
+    anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+    return ("text/html", f"<title>{title}</title><body>{title} text {anchors}</body>".encode())
+
+
+SITE = {
+    "https://site.test/": page("root", ["/a", "/b", "https://other.org/x"]),
+    "https://site.test/a": page("a", ["/b", "/c"]),          # /b linked twice
+    "https://site.test/b": page("b", ["/"]),                  # cycle back to root
+    "https://site.test/c": page("c", []),
+    "https://site.test/private/secret": page("secret", []),
+    "https://other.org/x": page("offsite", []),
+}
+
+ROBOTS = {
+    "https://site.test/robots.txt": (
+        "text/plain",
+        b"User-agent: *\nDisallow: /private/\n",
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def fetcher():
+    return StubFetcher({**SITE, **ROBOTS})
+
+
+class TestCrawl:
+    def test_depth_zero_fetches_only_seeds(self, spark, fetcher):
+        items, dead = crawl(spark, fetcher, ["https://site.test/"],
+                            allowed_domains=["site.test"], depth_limit=0)
+        assert {r.url for r in items.collect()} == {"https://site.test/"}
+        assert dead.count() == 0
+
+    def test_depth_one_follows_links_within_domain(self, spark, fetcher):
+        items, _ = crawl(spark, fetcher, ["https://site.test/"],
+                         allowed_domains=["site.test"], depth_limit=1)
+        urls = {r.url for r in items.collect()}
+        assert urls == {"https://site.test/", "https://site.test/a", "https://site.test/b"}
+        assert "https://other.org/x" not in urls  # P6 offsite filter
+
+    def test_depth_two_reaches_c_and_dedups_cycle(self, spark, fetcher):
+        items, _ = crawl(spark, fetcher, ["https://site.test/"],
+                         allowed_domains=["site.test"], depth_limit=2)
+        urls = sorted(r.url for r in items.collect())
+        # root is NOT refetched despite the /b -> / cycle (D3 dedup)
+        assert urls == [
+            "https://site.test/", "https://site.test/a",
+            "https://site.test/b", "https://site.test/c",
+        ]
+
+    def test_robots_disallow(self, spark, fetcher):
+        items, _ = crawl(
+            spark, fetcher,
+            ["https://site.test/", "https://site.test/private/secret"],
+            allowed_domains=["site.test"], depth_limit=0, obey_robots=True,
+        )
+        urls = {r.url for r in items.collect()}
+        assert "https://site.test/private/secret" not in urls
+        assert "https://site.test/" in urls
+
+    def test_robots_ignored_when_disabled(self, spark, fetcher):
+        items, _ = crawl(
+            spark, fetcher, ["https://site.test/private/secret"],
+            allowed_domains=["site.test"], depth_limit=0, obey_robots=False,
+        )
+        assert {r.url for r in items.collect()} == {"https://site.test/private/secret"}
+
+    def test_crawl_feeds_ingest(self, spark, fetcher):
+        from crawler_spark.plans.ingest import embed_stage, finalize_pages
+
+        items, _ = crawl(spark, fetcher, ["https://site.test/"],
+                         allowed_domains=["site.test"], depth_limit=1)
+        pages = finalize_pages(embed_stage(items))
+        rows = pages.collect()
+        assert len(rows) == 3
+        assert all(r.embedding is not None and len(r.embedding) == 64 for r in rows)
+        assert all(r.domain == "site.test" for r in rows)

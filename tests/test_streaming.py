@@ -1,0 +1,118 @@
+"""Structured Streaming tests: event-time windows validated against
+the oracle-checked batch twins, and the streaming ingest pipeline's
+idempotent merge (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas
+from crawler_spark.sources import load_table
+from crawler_spark.sources.file_handlers import STUB_PDF_MAGIC
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """sf0.001 events re-written as two parquet slices (two triggers)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+class TestEventStreams:
+    def test_tumbling_matches_batch(self, spark, event_dir):
+        from crawler_spark.streaming.event_stream import (
+            read_event_stream,
+            run_to_memory_sink,
+            tumbling_hourly,
+        )
+
+        stream = tumbling_hourly(read_event_stream(spark, event_dir))
+        q = run_to_memory_sink(stream, "tumbling_out", output_mode="complete")
+        try:
+            got = {
+                (r.bucket_start, r.event_type): (r.n, r.total_value)
+                for r in spark.sql("SELECT * FROM tumbling_out").collect()
+            }
+        finally:
+            q.stop()
+
+        batch = (
+            spark.read.parquet(event_dir)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"))
+            .select(F.col("window.start").alias("b"), "event_type", "n", "v")
+        )
+        want = {(r.b, r.event_type): (r.n, r.v) for r in batch.collect()}
+        assert got == want
+
+    def test_session_windows_respect_gap(self, spark, event_dir):
+        from crawler_spark.streaming.event_stream import (
+            read_event_stream,
+            run_to_memory_sink,
+            session_windows,
+        )
+
+        stream = session_windows(read_event_stream(spark, event_dir))
+        q = run_to_memory_sink(stream, "sessions_out", output_mode="complete")
+        try:
+            rows = spark.sql("SELECT * FROM sessions_out").collect()
+        finally:
+            q.stop()
+        assert len(rows) > 0
+        assert all(r.session_start <= r.session_end and r.n_events >= 1 for r in rows)
+
+
+class TestIngestStream:
+    def test_stream_merges_idempotently(self, spark, tmp_path):
+        from crawler_spark.streaming.ingest_stream import (
+            read_fetched_stream,
+            start_ingest_stream,
+        )
+
+        src = str(tmp_path / "fetched")
+        pages_dir = str(tmp_path / "pages")
+        dead_dir = str(tmp_path / "dead")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def fetched_batch(rows):
+            spark.createDataFrame(rows, schemas.FETCHED).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        # batch 1: two pages
+        fetched_batch([
+            ("https://s.test/a", "text/html", b"<title>A v1</title><body>alpha</body>", None),
+            ("https://s.test/p", "application/pdf", STUB_PDF_MAGIC + b"pdf text", None),
+        ])
+        # batch 2: /a updated + one bad row (dead letter)
+        fetched_batch([
+            ("https://s.test/a", "text/html", b"<title>A v2</title><body>alpha two</body>", None),
+            ("https://s.test/broken", None, None, "boom"),
+        ])
+
+        q = start_ingest_stream(
+            read_fetched_stream(spark, src), pages_dir, dead_dir, ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        pages = spark.read.parquet(pages_dir)
+        by_url = {r.url: r for r in pages.collect()}
+        assert set(by_url) == {"https://s.test/a", "https://s.test/p"}
+        assert by_url["https://s.test/a"].title == "A v2"  # later batch won
+        assert len(by_url["https://s.test/a"].embedding) == 64
+
+        dead = spark.read.parquet(dead_dir)
+        assert {r.url for r in dead.collect()} == {"https://s.test/broken"}
