@@ -1,0 +1,135 @@
+"""Search-API parity queries (SURVEY.md §2.13, §2.9 F3/F10-F11): the
+reference's POST /search pipeline end-to-end, snippet extraction, and
+structured-data extraction through from_json — all under the DuckDB
+value-level oracle (the extraction stub is a pure function of content,
+mirrored 1:1 in SQL).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.functions.extraction import extract_udf, parse_structured
+from crawler_spark.plans.queries_vector import _NORM_V_SQL, _QV_SQL, QUERY_TEXT
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+_SNIPPET_QUERY = "fast hash join"
+
+
+def _snippet_sql(text_col: str, query: str, max_len: int = 200) -> str:
+    """DuckDB twin of functions.text.snippet (reference search.py:102-112)."""
+    half = max_len // 2
+    terms = [t for t in re.findall(r"\w+", query.lower()) if t]
+    pos = "coalesce(" + ", ".join(
+        f"nullif(strpos(lower({text_col}), '{t}'), 0)" for t in terms
+    ) + ")"
+    return f"""
+        CASE WHEN {pos} IS NOT NULL
+             THEN '... ' || trim(substr({text_col}, greatest({pos} - {half}, 1), {max_len}))
+                      || ' ...'
+             ELSE substr({text_col}, 1, {max_len}) || '...'
+        END
+    """
+
+
+# --- F3: snippet extraction over every document ---------------------------
+@register(
+    "f3_snippet",
+    oracle=f"""
+        SELECT doc_id, {_snippet_sql('text', _SNIPPET_QUERY)} AS snippet
+        FROM documents
+    """,
+)
+def f3_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.snippet("text", _SNIPPET_QUERY).alias("snippet"))
+
+
+# --- F11: structured extraction (stub LLM → from_json → fields) -----------
+@register(
+    "f11_extract_ecommerce",
+    oracle="""
+        SELECT doc_id,
+               'product-' || substr(md5(text), 1, 8) AS product_name,
+               (length(text) * 7 % 9000) / 100.0 + 10.0 AS price,
+               'USD' AS currency,
+               upper(substr(md5(text), 9, 8)) AS sku,
+               substr(text, 1, 40) AS description,
+               (['electronics','clothing','home','sports','books'])[length(text) % 5 + 1]
+                   AS category
+        FROM documents
+    """,
+)
+def f11_extract_ecommerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real pipeline path: extraction UDF emits a JSON string,
+    from_json parses it against the declared StructType, fields
+    projected out (reference structured_data.py:57-109)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_structured(extract_udf("ecommerce")(F.col("text")), "ecommerce")
+    return docs.select("doc_id", parsed.alias("sd")).select(
+        "doc_id", "sd.product_name", "sd.price", "sd.currency",
+        "sd.sku", "sd.description", "sd.category",
+    )
+
+
+@register(
+    "f11_extract_blog",
+    oracle="""
+        SELECT doc_id,
+               'post-' || substr(md5(text), 1, 8) AS post_title,
+               'author-' || substr(md5(text), 9, 4) AS author,
+               '20' || lpad(CAST(length(text) % 25 AS VARCHAR), 2, '0') || '-01-01'
+                   AS publication_date,
+               substr(text, 1, 40) AS summary
+        FROM documents
+    """,
+)
+def f11_extract_blog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_structured(extract_udf("blog")(F.col("text")), "blog")
+    return docs.select("doc_id", parsed.alias("sd")).select(
+        "doc_id", "sd.post_title", "sd.author", "sd.publication_date", "sd.summary"
+    )
+
+
+# --- §2.13 POST /search end-to-end ---------------------------------------
+@register(
+    "search_api_semantic",
+    oracle=f"""
+        WITH knn AS (
+            SELECT vec_id, distance FROM (
+                SELECT vec_id,
+                       -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+                FROM embeddings
+            ) WHERE distance <= 1.0
+            ORDER BY distance, vec_id LIMIT 5
+        )
+        SELECT d.doc_id, round(k.distance, 6) AS distance,
+               d.source AS url,
+               {_snippet_sql('d.text', QUERY_TEXT)} AS snippet
+        FROM documents d JOIN knn k ON d.doc_id = k.vec_id
+    """,
+)
+def search_api_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full semantic search pipeline: stub-embed the query text,
+    normalize+pad, exact k-NN, broadcast-join document text, snippet —
+    the flagship entry() with the distance rounded for the oracle."""
+    from crawler_spark.plans.search_api import semantic_search
+
+    hits = semantic_search(spark, sf_dir, QUERY_TEXT, k=5, similarity_threshold=0.0)
+    return hits.select(
+        "doc_id", F.round("distance", 6).alias("distance"), "url", "snippet"
+    )
+
+
+# --- §2.13 POST /api/chat: RAG retrieval + context + stub answer ----------
+@register("rag_chat_pipeline")  # rows-only: answer generation is out-of-engine
+def rag_chat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.plans.search_api import rag_chat
+
+    return rag_chat(spark, sf_dir, QUERY_TEXT, k=5)

@@ -51,6 +51,7 @@ def load_all() -> None:
         queries_events,
         queries_pipeline,
         queries_reference,
+        queries_search,
         queries_text,
         queries_tpch,
         queries_vector,

@@ -53,6 +53,54 @@ def semantic_search(
     )
 
 
+def rag_chat(
+    spark: SparkSession,
+    sf_dir: str,
+    question: str,
+    k: int = 5,
+    flags: DataFrame | None = None,
+) -> DataFrame:
+    """``POST /api/chat`` (D10, reference search.py:115-170): retrieve
+    top-k context by semantic search, assemble the RAG prompt (A5 + F10
+    — "URL: ...\\nContent: ..." blocks joined by blank lines, ordered by
+    relevance), and produce an answer. Generation is out-of-engine (the
+    reference streams from Ollama); the stub answer is a deterministic
+    digest of the prompt so the pipeline is hermetically testable.
+
+    Flag-gated by ``chat_ui`` exactly like the reference (main.py:222):
+    disabled ⇒ empty result with the same schema.
+    """
+    from crawler_spark.plans.jobs import is_feature_enabled
+
+    out_schema = "question string, context string, prompt string, answer string"
+    if flags is not None and not is_feature_enabled(flags, "chat_ui"):
+        return spark.createDataFrame([], out_schema)
+
+    hits = semantic_search(spark, sf_dir, question, k=k, similarity_threshold=0.0)
+    entry = F.struct(
+        "distance", "doc_id",
+        F.concat(F.lit("URL: "), F.col("url"), F.lit("\nContent: "),
+                 F.col("snippet")).alias("block"),
+    )
+    ctx = hits.agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["block"]),
+            "\n\n",
+        ).alias("context")
+    )
+    prompt = F.concat(
+        F.lit("Answer using only the context below.\n\nContext:\n"),
+        F.col("context"),
+        F.lit(f"\n\nQuestion: {question}\nAnswer:"),
+    )
+    return ctx.select(
+        F.lit(question).alias("question"),
+        "context",
+        prompt.alias("prompt"),
+        F.concat(F.lit("stub-answer-"), F.substring(F.md5(prompt), 1, 12)).alias("answer"),
+    )
+
+
 def dashboard_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GET /dashboard-analytics``: total pages, distinct domains, and
     status-filtered job counts, as ONE single-pass aggregate rather than

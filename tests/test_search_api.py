@@ -1,0 +1,85 @@
+"""Search-API facade tests (SURVEY.md §2.13): extraction schemas,
+RAG chat assembly + flag gating, web_pages pagination with FTS."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+class TestExtraction:
+    def test_stub_extractor_deterministic_and_schema_conformant(self):
+        from crawler_spark.functions.extraction import (
+            EXTRACTION_SCHEMAS,
+            StubExtractor,
+            extraction_prompt,
+        )
+
+        ext = StubExtractor()
+        a = json.loads(ext.extract("ecommerce", "some product page text"))
+        b = json.loads(ext.extract("ecommerce", "some product page text"))
+        assert a == b
+        assert set(a) == {f.name for f in EXTRACTION_SCHEMAS["ecommerce"].fields}
+        assert a["currency"] == "USD" and isinstance(a["price"], float)
+        blog = json.loads(ext.extract("blog", "a blog post body"))
+        assert set(blog) == {f.name for f in EXTRACTION_SCHEMAS["blog"].fields}
+        # unknown schema and None content degrade to {}
+        assert ext.extract("nope", "x") == "{}"
+        assert ext.extract("ecommerce", None) == "{}"
+        assert "product_name" in extraction_prompt("ecommerce", "abc")
+
+    def test_malformed_json_degrades_to_null_struct(self, spark):
+        from crawler_spark.functions.extraction import parse_structured
+
+        df = spark.createDataFrame(
+            [("ok", '{"product_name":"x","price":1.5}'), ("bad", "{not json")],
+            "id string, raw string",
+        )
+        rows = {r.id: r for r in df.select(
+            "id", parse_structured("raw", "ecommerce").alias("sd")).collect()}
+        assert rows["ok"].sd.product_name == "x"
+        assert rows["ok"].sd.price == 1.5
+        assert rows["bad"].sd is None or all(
+            v is None for v in rows["bad"].sd.asDict().values()
+        )
+
+
+class TestRagChat:
+    def test_chat_assembles_context_and_answer(self, spark):
+        from crawler_spark.plans.search_api import rag_chat
+
+        row = rag_chat(spark, "/root/testdata/sf0.001", "fast hash join").collect()[0]
+        assert row.question == "fast hash join"
+        assert row.context.count("URL: ") == 5  # k=5 context blocks
+        assert "Question: fast hash join" in row.prompt
+        assert row.answer.startswith("stub-answer-")
+        # deterministic
+        row2 = rag_chat(spark, "/root/testdata/sf0.001", "fast hash join").collect()[0]
+        assert row2.answer == row.answer
+
+    def test_chat_flag_gated(self, spark):
+        from crawler_spark.plans.jobs import default_flags
+        from crawler_spark.plans.search_api import rag_chat
+        from pyspark.sql import functions as F
+
+        flags = default_flags(spark).withColumn(
+            "is_enabled",
+            F.when(F.col("name") == "chat_ui", F.lit(False)).otherwise(F.col("is_enabled")),
+        )
+        out = rag_chat(spark, "/root/testdata/sf0.001", "q", flags=flags)
+        assert out.count() == 0
+        assert out.columns == ["question", "context", "prompt", "answer"]
+
+
+class TestWebPages:
+    def test_fts_pagination(self, spark):
+        from crawler_spark.plans.search_api import web_pages
+
+        page = web_pages(
+            spark, "/root/testdata/sf0.001", limit=5, offset=0,
+            sort_by="n_chars", sort_order="desc", query="fast hash join",
+        ).collect()
+        assert 0 < len(page) <= 5
+        sizes = [r.n_chars for r in page]
+        assert sizes == sorted(sizes, reverse=True)
