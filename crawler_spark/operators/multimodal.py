@@ -1,0 +1,181 @@
+"""Multimodal (image/audio/video) column processing (SURVEY.md §7 M5 /
+training-data-pipeline extensions).
+
+Media travel as opaque ``binary`` columns with typed metadata — the
+only sane representation at 100 TB (no row-level Python objects, Arrow
+moves bytes zero-copy into the decode UDFs). All heavy stages are
+``mapInPandas`` over binary batches so decode/resize/sample run
+vectorized per partition with no shuffle.
+
+DECODE IS STUBBED: this container has no PIL/ffmpeg, so the decoders
+parse a deterministic fake format (``FAKE<kind>:`` header). The Spark
+plumbing — schemas, batch iteration, per-row error capture, explode
+shapes — is real and tested; swapping ``_decode_fake`` for
+PIL/libav calls is a function-body change only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_IMAGE_MAGIC = b"FAKEIMG:"
+FAKE_VIDEO_MAGIC = b"FAKEVID:"
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, payload binary, source_url string"
+)
+DECODED_SCHEMA = (
+    "media_id long, media_type string, width int, height int, n_frames int, "
+    "format string, decode_error string"
+)
+
+
+def fake_image(width: int, height: int, seed: str) -> bytes:
+    """Deterministic stand-in for encoded image bytes."""
+    body = hashlib.sha256(seed.encode()).digest()
+    return FAKE_IMAGE_MAGIC + f"{width}x{height}:".encode() + body
+
+
+def fake_video(width: int, height: int, n_frames: int, seed: str) -> bytes:
+    body = hashlib.sha256(seed.encode()).digest()
+    return FAKE_VIDEO_MAGIC + f"{width}x{height}x{n_frames}:".encode() + body
+
+
+def _decode_fake(payload: bytes) -> dict:
+    """Stub decoder. Real deployments replace this body with
+    PIL.Image.open / av.open; everything around it stays."""
+    if payload.startswith(FAKE_IMAGE_MAGIC):
+        head = payload[len(FAKE_IMAGE_MAGIC):].split(b":", 1)[0].decode()
+        w, h = (int(x) for x in head.split("x"))
+        return {"width": w, "height": h, "n_frames": 1, "format": "fakeimg"}
+    if payload.startswith(FAKE_VIDEO_MAGIC):
+        head = payload[len(FAKE_VIDEO_MAGIC):].split(b":", 1)[0].decode()
+        w, h, n = (int(x) for x in head.split("x"))
+        return {"width": w, "height": h, "n_frames": n, "format": "fakevid"}
+    raise NotImplementedError(
+        "real media decode requires PIL/libav, not present in this image"
+    )
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Decode stage: binary payload → typed metadata, per-row errors
+    captured into decode_error (dead-letter discipline, never a task
+    failure)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                base = {"media_id": r.media_id, "media_type": r.media_type,
+                        "width": None, "height": None, "n_frames": None,
+                        "format": None, "decode_error": None}
+                try:
+                    base.update(_decode_fake(bytes(r.payload)))
+                except Exception as exc:
+                    base["decode_error"] = f"{type(exc).__name__}: {exc}"
+                out.append(base)
+            yield pd.DataFrame(out, columns=[
+                "media_id", "media_type", "width", "height", "n_frames",
+                "format", "decode_error",
+            ])
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def media_features(media: DataFrame, dims: int = 64) -> DataFrame:
+    """Feature-extract stage: payload → embedding (stub: SHA-256
+    counter floats, normalized — same recipe as the vision embedder)."""
+    from crawler_spark.functions.embedding import StubEmbedder
+
+    emb = StubEmbedder(dims)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "embedding": [
+                    emb.embed_vision(hashlib.sha256(bytes(p)).hexdigest())
+                    for p in pdf["payload"]
+                ],
+            })
+
+    return media.mapInPandas(run, schema="media_id long, embedding array<double>")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage (stub: rewrites the fake header; real impl calls
+    PIL thumbnail and re-encodes). Binary in → binary out, streaming
+    through Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                p = bytes(r.payload)
+                if p.startswith(FAKE_IMAGE_MAGIC):
+                    body = p.split(b":", 2)[2]
+                    p = FAKE_IMAGE_MAGIC + f"{width}x{height}:".encode() + body
+                out.append({"media_id": r.media_id, "media_type": r.media_type,
+                            "payload": p, "source_url": r.source_url})
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload",
+                                             "source_url"])
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stage for video rows: one output row per sampled
+    frame (frame payloads stubbed as fake images derived from the video
+    payload + frame index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                p = bytes(r.payload)
+                try:
+                    meta = _decode_fake(p)
+                except Exception:
+                    continue
+                if meta["format"] != "fakevid":
+                    continue
+                for fi in range(0, meta["n_frames"], every_n):
+                    out.append({
+                        "media_id": r.media_id,
+                        "frame_index": fi,
+                        "frame": fake_image(meta["width"], meta["height"],
+                                            f"{hashlib.sha256(p).hexdigest()}|{fi}"),
+                    })
+            yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame"])
+
+    return media.mapInPandas(run, schema="media_id long, frame_index int, frame binary")
+
+
+def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table (the
+    testdata has no binary columns): doc_id % 3 picks image/video/junk
+    so decode, sampling, and the error branch all get exercised."""
+    img = F.udf(lambda d, t: fake_image(64 + d % 256, 64 + d % 128, t), "binary")
+    vid = F.udf(lambda d, t: fake_video(32 + d % 64, 32 + d % 64, 30 + d % 60, t), "binary")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, img(F.col("doc_id"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, vid(F.col("doc_id"), F.col("text")))
+        .otherwise(F.encode(F.substring("text", 1, 16), "utf-8"))
+    )
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        payload.alias("payload"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/m/"), F.col("doc_id"))
+        .alias("source_url"),
+    )

@@ -1,0 +1,193 @@
+"""Scale-path dedup / ANN / multimodal / text-analysis queries
+(SURVEY.md §7 M5). LSH-based operators are rows-only for the driver
+(approximation ≠ SQL), with recall-vs-exact covered in
+tests/test_dedup.py; the text-analysis scalars are oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+# ------------------------------------------------------------- LSH dedup
+@register("dedup_minhash_lsh")  # rows-only: banded-LSH candidate generation
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, est_threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_pairs")  # rows-only: 64-bit simhash + banding
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+@register("simsearch_lsh_pairs")  # rows-only: hyperplane-LSH ANN pairs
+def simsearch_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_lsh_pairs(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------------------ multimodal
+@register("multimodal_decode")  # rows-only: binary decode plumbing (stubbed codec)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.multimodal import (
+        decode_metadata,
+        synthesize_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    return decode_metadata(media).orderBy("media_id")
+
+
+@register("multimodal_frame_sample")  # rows-only: video → sampled frame rows
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    frames = sample_frames(media, every_n=10)
+    return frames.select("media_id", "frame_index", F.length("frame").alias("frame_bytes")).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+@register("multimodal_features")  # rows-only: binary → embedding features
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.multimodal import (
+        media_features,
+        synthesize_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    feats = media_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("sq_norm"),
+    ).orderBy("media_id")
+
+
+# ------------------------------------------------------- text analysis
+_PROFILES = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+
+
+def _score_sql(lang: str) -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+    lst = "[" + ", ".join(f"'{w}'" for w in _PROFILES[lang]) + "]"
+    return f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+
+
+@register(
+    "txt_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {_score_sql('en')} AS s_en, {_score_sql('de')} AS s_de,
+                   {_score_sql('es')} AS s_es, {_score_sql('fr')} AS s_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_guess,
+               s_en + s_de + s_es + s_fr AS stopword_hits
+        FROM scored
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language hit counts over the
+    token stream, deterministic argmax (ties break en>de>es>fr). Pure
+    expressions — no UDF, scales as a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+
+    def score(lang: str) -> F.Column:
+        prof = F.array(*[F.lit(w) for w in _PROFILES[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+
+    s_en, s_de, s_es, s_fr = (score(l) for l in ["en", "de", "es", "fr"])
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr), "en")
+        .when((s_de >= s_es) & (s_de >= s_fr), "de")
+        .when(s_es >= s_fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        (s_en + s_de + s_es + s_fr).alias("stopword_hits"),
+    )
+
+
+@register(
+    "txt_bpe_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count: word runs + individual punctuation
+    marks (the usual byte-level BPE split shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"),
+                                    F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "txt_rolling_hash",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, length(substr(text, 1, 64))),
+                                      i -> unicode(substr(text, i, 1))::BIGINT)),
+                   (a, c) -> (a * 31 + c) % 2147483647
+               ) AS rhash
+        FROM documents
+    """,
+)
+def txt_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Karp-Rabin shape) over the first 64
+    chars, as a pure left fold — identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 64)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(prefix)),
+        lambda i: F.ascii(F.substr(F.col("text"), i, F.lit(1))).cast("long"),
+    )
+    rhash = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, c: (a * 31 + c) % 2147483647
+    )
+    return docs.select("doc_id", rhash.alias("rhash"))
