@@ -55,5 +55,6 @@ def load_all() -> None:
         queries_search,
         queries_text,
         queries_tpch,
+        queries_tpch2,
         queries_vector,
     )
