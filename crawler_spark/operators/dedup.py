@@ -117,8 +117,15 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash long): 64-bit bit-majority over xxhash64 of the
-    doc's tokens — pure expressions, one pass, no UDF. For each bit i,
-    the signature bit is 1 iff more tokens have bit i set than not."""
+    doc's tokens — pure expressions, no UDF. For each bit i, the
+    signature bit is 1 iff more tokens have bit i set than not.
+
+    Single traversal: ONE aggregate folds the token-hash array into 64
+    bit-counters (an array<int> accumulator updated with zip_with per
+    hash), then the counters zip against a bit-mask literal to
+    majority-vote the signature. The previous shape (64 independent
+    F.filter passes) traversed the array 64× — this is the whole
+    per-row cost of simhash, so the fold matters at 100 TB."""
     toks = X.tokenize(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(hashes)
@@ -127,20 +134,20 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         # bit 63 is the sign bit of a signed long
         return (1 << i) if i < 63 else -(1 << 63)
 
-    # per bit: count of hashes with bit set, folded into the signature
-    # (factory closure — a 2-arg lambda would be read by F.filter as
-    # (element, index))
-    def bit_term(i: int) -> F.Column:
-        mask = bit_mask(i)
-        set_count = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0)
-        )
-        return F.when(set_count * 2 > n, F.lit(mask)).otherwise(F.lit(0).cast("long"))
-
-    bit_terms = [bit_term(i) for i in range(64)]
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig.bitwiseOR(t)
+    masks = F.array(*[F.lit(bit_mask(i)).cast("long") for i in range(64)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != F.lit(0), 1).otherwise(0),
+        ),
+    )
+    terms = F.zip_with(
+        counts, masks,
+        lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a.bitwiseOR(t))
     return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
@@ -153,7 +160,10 @@ def simhash_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Candidates from 4×16-bit band buckets (pigeonhole: ≤3 differing
-    bits can't touch all 4 bands), verified by bit_count(a xor b)."""
+    bits can't touch all 4 bands), verified by bit_count(a xor b).
+    The hamming filter runs BEFORE the pair-dedup so the distinct's
+    shuffle carries only surviving pairs (the verification is a few
+    bit ops; the shuffle is the scale cost)."""
     sig = simhash(docs, text_col, id_col).cache()
     banded = sig.select(
         "id", "simhash",
@@ -174,8 +184,8 @@ def simhash_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 ham.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -194,23 +204,32 @@ def embedding_lsh_pairs(
 
     The scale path for simsearch_cosine_pairs: the full pair space is
     never touched; shuffle is keyed by (band, bucket). Recall depends on
-    threshold vs num_planes/bands (sign-bit agreement prob = 1-θ/π)."""
-    import numpy as np
+    threshold vs num_planes/bands (sign-bit agreement falls with angle).
 
+    The hyperplanes are derived per-component from xxhash64(seed, plane,
+    dim-index) — symmetric pseudo-random entries in [-1, 1) computed
+    INSIDE the expression, so the plan needs no dims probe (no eager
+    ``first()`` job at build time), no numpy matrix, no broadcast, and
+    adapts to whatever dimensionality each row has."""
     from crawler_spark.functions import vector as V
 
-    rng = np.random.default_rng(seed)
-    dims = len(df.select(vec_col).first()[0])
-    planes = rng.standard_normal((num_planes, dims))
     rows_per_band = num_planes // bands
 
+    def plane_component(plane: int, j: F.Column) -> F.Column:
+        """Deterministic pseudo-random plane entry u(plane, j) ∈ [-1, 1)."""
+        h = F.xxhash64(F.concat(F.lit(f"plane|{seed}|{plane}|"), j.cast("string")))
+        return F.pmod(h, F.lit(1_000_003)).cast("double") / F.lit(500_001.5) - F.lit(1.0)
+
+    def sign_bit(plane: int) -> F.Column:
+        proj = F.aggregate(
+            F.transform("v", lambda x, j: x * plane_component(plane, j)),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        )
+        return (proj >= 0).cast("int").alias(f"b{plane}")
+
     norm = df.select(F.col(id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
-    # sign bit per plane as an expression over the plane literal
-    bits = [
-        (V.dot("v", V.vector_lit(planes[i].tolist())) >= 0).cast("int").alias(f"b{i}")
-        for i in range(num_planes)
-    ]
-    sig = norm.select("id", "v", *bits)
+    sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
     banded = sig.select(
         "id", "v",
         F.explode(F.array(*[
@@ -231,8 +250,8 @@ def embedding_lsh_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 cos.alias("cosine"))
-        .distinct()
         .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .distinct()
     )
 
 

@@ -13,6 +13,7 @@ distance LIMIT k (reference backend/src/db.py:78-87, search.py:77-99).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -51,51 +52,77 @@ def cosine_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold — exact.
 
-    Physical strategy: broadcast the normalized matrix (n×d float64) to
-    every executor, then one vectorized ``mapInPandas`` pass computes
-    each partition's block × full-matrix product with BLAS and emits
-    only the above-threshold pairs. No O(n²)-row shuffle ever
-    materializes — the quadratic work happens inside matmul, the output
-    is only the surviving pairs.
+    Physical strategy: block-nested-loop matrix product. Rows hash into
+    B blocks; each block is packed into ONE row (ids + matrix) by a
+    groupBy; the B(B+1)/2 block pairs come from a tiny self-join of the
+    B packed rows (the small side broadcast); a vectorized mapInPandas
+    computes each block-pair's BLAS product and emits only the
+    above-threshold pairs. No O(n²)-row shuffle ever materializes, no
+    driver collect, no full-matrix broadcast — the plan is lazy
+    (constructing it triggers zero Spark jobs) and every stage is
+    distributed. Each block's data is replicated B times through the
+    join, the unavoidable cost of exact all-pairs.
 
-    Scale ceiling is the broadcast (n×d×8 bytes): fine to ~10M×64 dims
-    (~5 GB) per executor; past that use the LSH-bucketed variant
-    (operators/dedup.py) which prunes candidate pairs first.
+    Memory per task = two blocks (2·(n/B)·d·8 bytes) plus a chunked
+    similarity tile; B defaults to √(2·parallelism) so the block-pair
+    count matches the cluster. ``id_col`` must cast to long (testdata
+    ids are ints); hash string ids to longs first if needed. For data
+    too large even blocked, the LSH variant (operators/dedup.py) prunes
+    candidates instead of touching the full pair space.
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    norm = df.select(F.col(id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
-    # one collect of the (already reduced) id+vector projection
-    local = norm.collect()
-    ids = np.array([r.id for r in local], dtype=np.int64)
-    mat = np.array([r.v for r in local], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     thr = float(threshold)
+    if num_blocks is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(2, int(math.isqrt(2 * par)))
+    B = num_blocks
 
-    def block_pairs(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        pos = {int(i): p for p, i in enumerate(all_ids)}
+    norm = df.select(
+        F.col(id_col).cast("long").alias("id"), V.l2_normalize(vec_col).alias("v")
+    )
+    packed = (
+        norm.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    block_pairs = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+    # spread the B(B+1)/2 block-pair rows across tasks
+    block_pairs = block_pairs.repartition(B * (B + 1) // 2)
+
+    def product(batches):
         for pdf in batches:
-            rows = pdf["id"].to_numpy()
-            block = np.array([pos[int(i)] for i in rows])
-            sims = all_mat[block] @ all_mat.T  # (b, n) BLAS block product
-            out_a, out_b, out_s = [], [], []
-            for bi, p in enumerate(block):
-                js = np.nonzero(sims[bi] >= thr)[0]
-                js = js[all_ids[js] > all_ids[p]]  # pair order a < b
-                out_a.extend([all_ids[p]] * len(js))
-                out_b.extend(all_ids[js])
-                out_s.extend(sims[bi, js])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.fromiter((r["id"] for r in rows_a), dtype=np.int64)
+                ids_b = np.fromiter((r["id"] for r in rows_b), dtype=np.int64)
+                mat_a = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                mat_b = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                # tile rows of A so the sims buffer stays bounded
+                for lo in range(0, len(ids_a), 4096):
+                    hi = lo + 4096
+                    sims = mat_a[lo:hi] @ mat_b.T
+                    ii, jj = np.nonzero(sims >= thr)
+                    ida, idb = ids_a[lo:hi][ii], ids_b[jj]
+                    cos = sims[ii, jj]
+                    if same:
+                        keep = ida < idb  # in-block: drop self + mirror
+                        ida, idb, cos = ida[keep], idb[keep], cos[keep]
+                    else:  # cross-block: each pair once, normalize order
+                        swap = ida > idb
+                        ida2 = np.where(swap, idb, ida)
+                        idb = np.where(swap, ida, idb)
+                        ida = ida2
+                    yield pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": cos})
 
-    return norm.select("id").mapInPandas(
-        block_pairs, schema="id_a long, id_b long, cosine double"
+    return block_pairs.mapInPandas(
+        product, schema="id_a long, id_b long, cosine double"
     )

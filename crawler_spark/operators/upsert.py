@@ -30,16 +30,19 @@ def merge_by_key(
     key: str,
     recency_col: str | None = None,
 ) -> DataFrame:
-    """Keep one row per key: the incoming row beats the existing one;
-    among multiple incoming rows for a key, the most recent
-    ``recency_col`` wins (ties broken toward later batch position is
-    not needed — callers stamp distinct timestamps)."""
+    """Keep one row per key: the incoming row beats the existing one
+    unconditionally (the reference's ``INSERT ... ON CONFLICT DO
+    UPDATE`` always overwrites — backend/src/db.py:42-58); only among
+    multiple *incoming* rows for the same key does the most recent
+    ``recency_col`` pick the winner. Priority therefore sorts ABOVE
+    recency — an existing row with a future-dated timestamp must still
+    lose to the incoming row."""
     ex = existing.withColumn(_PRIO, F.lit(0))
     inc = incoming.withColumn(_PRIO, F.lit(1))
     merged = ex.unionByName(inc, allowMissingColumns=True)
     order = [F.col(_PRIO).desc()]
     if recency_col is not None:
-        order.insert(0, F.col(recency_col).desc_nulls_last())
+        order.append(F.col(recency_col).desc_nulls_last())
     w = Window.partitionBy(key).orderBy(*order)
     return (
         merged.withColumn(_RN, F.row_number().over(w))

@@ -4,26 +4,34 @@ The reference crawls with a Scrapy CrawlSpider: LinkExtractor over
 ('a','img') restricted to allowed domains, DEPTH_LIMIT waves, request
 dupefilter + unique(url) upsert (dynamic_spider.py:13-25,
 settings.py:10, models.py:26). Here each wave is one distributed
-fetch+parse pass; the frontier and the visited set are DataFrames, so
-at cluster scale a wave of billions of urls shuffles/dedups with
-ordinary joins rather than a driver-side set. The loop itself is
-driver-side — depth is small (reference default 1), so the plan stays
-shallow.
+fetch+parse pass, and BOTH the frontier and the visited set are
+DataFrames end-to-end: the next wave's frontier is
+``links.left_anti(visited)`` — a distributed join, never a driver-side
+Python set — so a frontier of billions of links dedups on the cluster.
+The only thing that ever reaches the driver is the *bounded* per-wave
+fetch list (≤ ``max_urls_per_wave`` rows), which the driver needs
+anyway to hand the fetcher its work. Frontier overflow beyond the cap
+is NOT lost and NOT marked visited: it carries into the next wave's
+frontier, and the truncation is surfaced through ``on_truncate``.
+
+Per-wave ``localCheckpoint`` keeps the visited/frontier plans shallow
+across waves (lineage would otherwise grow linearly with depth).
 
 robots.txt (P8, settings.py:7): per-domain robots fetched through the
 same pluggable fetcher and enforced with stdlib robotparser before a
-wave is fetched.
+wave is fetched — one fetch per distinct origin in the (bounded) wave.
 """
 
 from __future__ import annotations
 
+import warnings
+from collections.abc import Callable
 from urllib import robotparser
 from urllib.parse import urlsplit, urlunsplit
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.html import domain_allowed
 from crawler_spark.plans.ingest import (
     fetch_frontier,
     parse_stage,
@@ -32,10 +40,22 @@ from crawler_spark.plans.ingest import (
 from crawler_spark.sources.fetch import Fetcher
 
 
+def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None) -> Column:
+    """Scrapy OffsiteMiddleware rule as a pure expression: host equals
+    an allowed domain or is a subdomain of one (dynamic_spider.py:16).
+    No domains configured ⇒ everything allowed. Runs JVM-side so the
+    frontier filter is distributed (P6)."""
+    if not allowed_domains:
+        return F.lit(True)
+    host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+    arr = F.array(*[F.lit(d.lower()) for d in allowed_domains])
+    return F.exists(arr, lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)))
+
+
 def _robots_disallowed(fetcher: Fetcher, urls: list[str], user_agent: str = "*") -> set[str]:
     """urls disallowed by their domain's robots.txt (missing/unfetchable
     robots.txt ⇒ everything allowed, like Scrapy's default)."""
-    parsers: dict[str, robotparser.RobotFileParser | None] = {}
+    parsers: dict[tuple[str, str], robotparser.RobotFileParser | None] = {}
     out: set[str] = set()
     for url in urls:
         parts = urlsplit(url)
@@ -63,48 +83,80 @@ def crawl(
     depth_limit: int = 1,
     obey_robots: bool = True,
     max_urls_per_wave: int = 100_000,
+    on_truncate: Callable[[int, int], None] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
 
     items = parsed PAGE_ITEM rows for every fetched page across all
     waves (callers feed them to embed_stage/finalize_pages/merge —
     plans/ingest.py). Wave n+1's frontier = links of wave n, domain-
-    filtered (P6), deduped against every url already visited (D3).
+    filtered (P6), minus every url already attempted (D3), plus any
+    overflow truncated off wave n by ``max_urls_per_wave``.
+
+    ``on_truncate(wave_size, cap)`` fires when a wave exceeds the cap
+    (default: a warning) — silent frontier loss is a correctness bug at
+    scale, so truncation is always surfaced and the overflow is kept.
     """
-    visited: set[str] = set()
-    frontier = [u for u in dict.fromkeys(seed_urls)
-                if domain_allowed(u, allowed_domains)]
+    allowed = domain_allowed_col("url", allowed_domains)
+    frontier = (
+        spark.createDataFrame([(u,) for u in dict.fromkeys(seed_urls)], "url string")
+        .filter(allowed)
+    )
+    visited = spark.createDataFrame([], "url string")
     waves_items: list[DataFrame] = []
     waves_dead: list[DataFrame] = []
 
     for _depth in range(depth_limit + 1):
-        if not frontier:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
+        if n_frontier > max_urls_per_wave:
+            if on_truncate is not None:
+                on_truncate(n_frontier, max_urls_per_wave)
+            else:
+                warnings.warn(
+                    f"crawl wave truncated: {n_frontier} urls > cap "
+                    f"{max_urls_per_wave}; overflow carried to next wave",
+                    stacklevel=2,
+                )
+            wave = frontier.orderBy("url").limit(max_urls_per_wave)
+            overflow = frontier.join(wave, "url", "left_anti")
+        else:
+            wave, overflow = frontier, None
+        # the ONE bounded driver materialization: the fetcher's work list
+        wave_urls = [r.url for r in wave.collect()]
+        fetch_urls = wave_urls
         if obey_robots:
-            blocked = _robots_disallowed(fetcher, frontier)
-            frontier = [u for u in frontier if u not in blocked]
-        if not frontier:
-            break
-        visited.update(frontier)
+            blocked = _robots_disallowed(fetcher, wave_urls)
+            fetch_urls = [u for u in wave_urls if u not in blocked]
+        # every attempted url (robots-blocked included) is visited: never retried
+        visited = visited.unionByName(wave).localCheckpoint(eager=False)
 
-        fetched = fetch_frontier(spark, fetcher, frontier[:max_urls_per_wave])
-        items = parse_stage(fetched)
-        ok, dead = split_dead_letter(items)
-        ok = ok.cache()  # consumed twice: results + next frontier
-        waves_items.append(ok)
-        waves_dead.append(dead)
+        if fetch_urls:
+            fetched = fetch_frontier(spark, fetcher, fetch_urls)
+            items = parse_stage(fetched)
+            ok, dead = split_dead_letter(items)
+            ok = ok.cache()  # consumed twice: results + next frontier
+            waves_items.append(ok)
+            waves_dead.append(dead)
+        else:
+            ok = None
 
         if _depth == depth_limit:
             break
-        # next frontier: explode links, filter allowed domains, dedup
-        links = [
-            r.link
-            for r in ok.select(F.explode("links").alias("link")).distinct().collect()
-        ]
-        frontier = [
-            u for u in dict.fromkeys(links)
-            if u not in visited and domain_allowed(u, allowed_domains)
-        ]
+        # next frontier: explode links, domain-filter, anti-join visited —
+        # all distributed; overflow from this wave rejoins the frontier
+        if ok is not None:
+            links = (
+                ok.select(F.explode("links").alias("url"))
+                .filter(allowed)
+                .distinct()
+            )
+        else:
+            links = spark.createDataFrame([], "url string")
+        if overflow is not None:
+            links = links.unionByName(overflow).distinct()
+        frontier = links.join(visited, "url", "left_anti").localCheckpoint(eager=False)
 
     if not waves_items:
         from crawler_spark import schemas

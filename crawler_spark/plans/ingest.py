@@ -47,7 +47,8 @@ def fetch_frontier(spark: SparkSession, fetcher: Fetcher, urls: list[str]) -> Da
                 )
             yield pd.DataFrame(rows, columns=["url", "content_type", "body", "fetch_error"])
 
-    return frontier.repartition(max(1, min(len(urls), 32))).mapInPandas(
+    par = spark.sparkContext.defaultParallelism
+    return frontier.repartition(max(1, min(len(urls), par))).mapInPandas(
         do_fetch, schema=schemas.FETCHED
     )
 

@@ -49,10 +49,24 @@ def transition_job(
     jobs: DataFrame, job_id: str, new_status: str, result: dict | None = None
 ) -> DataFrame:
     """D6/S11: move a job along the state machine, stamping updated_at;
-    invalid target states raise (the reference would silently write —
-    we enforce the machine the reference implies)."""
+    invalid target states AND invalid transitions raise (the reference
+    would silently write — we enforce the machine the reference
+    implies: pending → queued/running → completed|failed,
+    main.py:142-166, tasks.py:26-48).
+
+    The current-status lookup is one driver action over the (tiny,
+    reference-scale) jobs table — the same read-before-write the
+    reference's UPDATE ... WHERE id does."""
     if new_status not in schemas.JOB_STATES:
         raise ValueError(f"unknown status {new_status!r}")
+    current = jobs.filter(F.col("id") == job_id).select("status").collect()
+    if not current:
+        raise ValueError(f"unknown job {job_id!r}")
+    cur_status = current[0]["status"]
+    if new_status not in VALID_TRANSITIONS[cur_status]:
+        raise ValueError(
+            f"invalid transition {cur_status!r} -> {new_status!r} for job {job_id!r}"
+        )
     updates: dict[str, object] = {"status": new_status}
     if result is not None:
         updates["result"] = json.dumps(result)

@@ -78,6 +78,31 @@ class TestCrawl:
         )
         assert {r.url for r in items.collect()} == {"https://site.test/private/secret"}
 
+    def test_wave_cap_surfaces_truncation_and_keeps_overflow(self, spark):
+        """A wave larger than max_urls_per_wave is truncated loudly and
+        the overflow is fetched by LATER waves — never silently lost,
+        never marked visited before being fetched (ADVICE crawl.py:88)."""
+        wide = {
+            "https://wide.test/": page("root", ["/a", "/b", "/c", "/d"]),
+            "https://wide.test/a": page("a", []),
+            "https://wide.test/b": page("b", []),
+            "https://wide.test/c": page("c", []),
+            "https://wide.test/d": page("d", []),
+        }
+        truncations: list[tuple[int, int]] = []
+        items, _ = crawl(
+            spark, StubFetcher(wide), ["https://wide.test/"],
+            allowed_domains=["wide.test"], depth_limit=3, obey_robots=False,
+            max_urls_per_wave=2,
+            on_truncate=lambda n, cap: truncations.append((n, cap)),
+        )
+        urls = sorted(r.url for r in items.collect())
+        assert urls == [
+            "https://wide.test/", "https://wide.test/a", "https://wide.test/b",
+            "https://wide.test/c", "https://wide.test/d",
+        ]
+        assert truncations == [(4, 2)]
+
     def test_crawl_feeds_ingest(self, spark, fetcher):
         from crawler_spark.plans.ingest import embed_stage, finalize_pages
 

@@ -125,6 +125,26 @@ class TestEmbeddingLSH:
         assert got[1] == 1 and got[5] == 1 and got[7] == 2 and got[11] == 11
 
 
+class TestLazyPlanBuild:
+    def test_pair_plans_trigger_no_jobs_at_build(self, spark):
+        """Constructing the exact-cosine and LSH pair plans must run ZERO
+        Spark jobs — r1 did an eager collect()/first() at build time."""
+        from crawler_spark.operators.dedup import embedding_lsh_pairs
+        from crawler_spark.operators.similarity import cosine_pairs_exact
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        sc = spark.sparkContext
+        sc.setJobGroup("plan-build-probe", "lazy-construction check")
+        try:
+            cosine_pairs_exact(emb, threshold=0.5)
+            embedding_lsh_pairs(emb, threshold=0.5)
+            jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
+        finally:
+            sc.setJobGroup(None, None)
+        assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+
+
 class TestMultimodal:
     def test_decode_and_error_branch(self, spark):
         from crawler_spark.operators.multimodal import (
