@@ -85,15 +85,66 @@ def text_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIM
     return _embed
 
 
-def vision_embed_udf(embedder: StubEmbedder | None = None, dims: int = DEFAULT_DIMS):
+def vision_embed_udf(
+    embedder: StubEmbedder | None = None,
+    dims: int = DEFAULT_DIMS,
+    fetcher=None,
+):
     """Arrow-batched pandas UDF: image url → embedding (V7),
-    normalized+padded like text_embed_udf."""
+    normalized+padded like text_embed_udf.
+
+    With a ``fetcher`` this is the reference's full vision chain
+    (embeddings.py:18-43): GET the image bytes, base64-encode them
+    (F8, embeddings.py:29-31 — the PIL re-encode step is where a real
+    deployment decodes/JPEGs; the stub passes bytes straight to
+    base64), and embed the base64 payload. A fetch failure yields a
+    NULL embedding — the row survives, matching the reference's
+    None-propagation. Without a fetcher the stub embeds the url
+    directly (hermetic default for tests)."""
+    import base64 as b64mod
+
     emb = embedder or StubEmbedder(dims)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _embed(urls: pd.Series) -> pd.Series:
-        return urls.map(
-            lambda u: normalize_pad(emb.embed_vision(u), dims) if u is not None else None
-        )
+        def go(u):
+            if u is None:
+                return None
+            if fetcher is None:
+                return normalize_pad(emb.embed_vision(u), dims)
+            _ctype, body, err = fetcher.fetch(u)
+            if err is not None or body is None:
+                return None
+            payload = b64mod.b64encode(body).decode("utf-8")
+            return normalize_pad(emb.embed_vision(payload), dims)
+
+        return urls.map(go)
 
     return _embed
+
+
+class RetryingEmbedder:
+    """D4 app-level retry around any Embedder (reference tasks.py:20-25:
+    autoretry_for=(Exception,), max_retries=3): bounded re-attempts
+    before the row's embedding degrades to an error/None. No sleeping
+    inside executors by default (the reference's 60 s countdown is a
+    queue-level delay Spark has no analogue for)."""
+
+    def __init__(self, inner, max_retries: int = 3):
+        self.inner = inner
+        self.max_retries = max_retries
+
+    def _retry(self, fn, *args):
+        last_exc: Exception | None = None
+        for _ in range(self.max_retries + 1):
+            try:
+                return fn(*args)
+            except Exception as exc:  # noqa: BLE001 — retry semantics
+                last_exc = exc
+        raise last_exc
+
+    def embed_text(self, text: str) -> list[float]:
+        return self._retry(self.inner.embed_text, text)
+
+    def embed_vision(self, url: str) -> list[float]:
+        return self._retry(self.inner.embed_vision, url)

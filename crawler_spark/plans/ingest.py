@@ -128,35 +128,66 @@ def embed_stage(
     items: DataFrame,
     embedder: StubEmbedder | None = None,
     dims: int = schemas.EMBEDDING_DIMS,
+    fetcher: Fetcher | None = None,
 ) -> DataFrame:
-    """V8 dispatch: text items embed content, image items embed the url
-    via the vision model. The ingest invariant V2∘V3 (normalize +
+    """V8 dispatch: text items embed content, image items embed through
+    the vision chain. With a ``fetcher`` the vision chain is the full
+    reference path — GET image bytes → base64 (F8, reference
+    embeddings.py:29-31) → vision model; without one the stub embeds
+    the url directly. The ingest invariant V2∘V3 (normalize +
     truncate/pad — reference tasks.py:79-88) is applied inside the
     Arrow-batched UDFs."""
     from crawler_spark.functions.embedding import text_embed_udf, vision_embed_udf
 
     text_udf = text_embed_udf(embedder, dims)
-    vision_udf = vision_embed_udf(embedder, dims)
+    vision_udf = vision_embed_udf(embedder, dims, fetcher)
     embedding = F.when(
         F.col("embedding_type") == "vision", vision_udf(F.col("url"))
     ).otherwise(text_udf(F.col("content")))
     return items.withColumn("embedding", embedding)
 
 
-def finalize_pages(items: DataFrame) -> DataFrame:
+def finalize_pages(
+    items: DataFrame,
+    flags: DataFrame | None = None,
+    extraction_schema: str = "ecommerce",
+    extractor=None,
+) -> DataFrame:
     """Shape embedded items into the web_pages schema: derive domain
-    (F1), stamp last_crawled (F12), project canonical columns."""
+    (F1), stamp last_crawled (F12), serialize meta_tags to JSON (F9),
+    and — when the ``structured_data_extraction`` flag is on — run
+    structured extraction over the content (F11), exactly where the
+    reference does it in its ingest worker (tasks.py:92). Flag off (the
+    reference's seeded default) ⇒ structured_data stays NULL.
+
+    F9 note: the reference's ``json.dumps(list(meta_tags))``
+    (db.py:35-40) serializes only the KEYS — a reference bug we don't
+    replicate; we serialize the full map, '{}' when absent.
+    """
+    if flags is not None:
+        from crawler_spark.plans.jobs import is_feature_enabled
+
+        extraction_on = is_feature_enabled(flags, "structured_data_extraction")
+    else:
+        extraction_on = False
+    if extraction_on:
+        from crawler_spark.functions.extraction import extract_udf
+
+        structured = extract_udf(extraction_schema, extractor)(F.col("content"))
+    else:
+        structured = F.lit(None).cast("string")
     return items.select(
         "url",
         F.parse_url("url", F.lit("HOST")).alias("domain"),
         "title",
         "meta_description",
         "meta_tags",
+        F.coalesce(F.to_json("meta_tags"), F.lit("{}")).alias("meta_tags_json"),
         "content",
         "embedding",
         "file_type",
         "embedding_type",
-        F.lit(None).cast("string").alias("structured_data"),
+        structured.alias("structured_data"),
         F.current_timestamp().alias("last_crawled"),
     )
 
@@ -168,18 +199,27 @@ def ingest_batch(
     existing_pages: DataFrame | None = None,
     embedder: StubEmbedder | None = None,
     dims: int = schemas.EMBEDDING_DIMS,
+    flags: DataFrame | None = None,
+    extraction_schema: str = "ecommerce",
+    extractor=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full batch ingest of a url list.
 
     Returns (pages, dead_letter): pages = existing merged with the new
     wave keyed by url (S9 upsert semantics), dead_letter = error rows.
+    ``flags`` gates structured extraction (D7 + F11, reference
+    tasks.py:92) and is consulted once, driver-side, like the
+    reference's lru_cached flag read.
     """
     from crawler_spark.operators.upsert import merge_by_key
 
     fetched = fetch_frontier(spark, fetcher, urls)
     items = parse_stage(fetched)
     ok, dead = split_dead_letter(items)
-    pages = finalize_pages(embed_stage(ok, embedder, dims))
+    pages = finalize_pages(
+        embed_stage(ok, embedder, dims, fetcher=None),
+        flags=flags, extraction_schema=extraction_schema, extractor=extractor,
+    )
     if existing_pages is not None:
         pages = merge_by_key(existing_pages, pages, key="url", recency_col="last_crawled")
     return pages, dead.select("url", "error")

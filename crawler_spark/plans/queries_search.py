@@ -97,6 +97,55 @@ def f11_extract_blog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F11 through the ingest path, flag-gated (reference tasks.py:92) ------
+@register(
+    "f11_extract_ingest",
+    oracle="""
+        SELECT 'https://' || source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+               'product-' || substr(md5(text), 1, 8) AS product_name,
+               (length(text) * 7 % 9000) / 100.0 + 10.0 AS price,
+               'USD' AS currency,
+               upper(substr(md5(text), 9, 8)) AS sku,
+               substr(text, 1, 40) AS description,
+               (['electronics','clothing','home','sports','books'])[length(text) % 5 + 1]
+                   AS category
+        FROM documents
+    """,
+)
+def f11_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 wired where the reference runs it — inside ingest, behind the
+    ``structured_data_extraction`` flag (tasks.py:92): PAGE_ITEM rows
+    built from documents run embed→finalize with the flag ON; the
+    stored JSON string is parsed back out, so the flag wiring sits
+    under the value-level oracle end-to-end."""
+    from crawler_spark import schemas as S
+    from crawler_spark.plans.ingest import embed_stage, finalize_pages
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("meta_description"),
+        F.lit(None).cast("map<string,string>").alias("meta_tags"),
+        F.col("text").alias("content"),
+        F.lit("html").alias("file_type"),
+        F.lit("text").alias("embedding_type"),
+        F.lit(None).cast("array<string>").alias("links"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    flags = spark.createDataFrame(
+        [(1, "structured_data_extraction", True, "enabled for this query")],
+        S.FEATURE_FLAGS,
+    )
+    pages = finalize_pages(embed_stage(items), flags=flags)
+    sd = parse_structured(F.col("structured_data"), "ecommerce")
+    return pages.select("url", sd.alias("sd")).select(
+        "url", "sd.product_name", "sd.price", "sd.currency", "sd.sku",
+        "sd.description", "sd.category",
+    )
+
+
 # --- §2.13 POST /search end-to-end ---------------------------------------
 @register(
     "search_api_semantic",
@@ -124,6 +173,49 @@ def search_api_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = semantic_search(spark, sf_dir, QUERY_TEXT, k=5, similarity_threshold=0.0)
     return hits.select(
         "doc_id", F.round("distance", 6).alias("distance"), "url", "snippet"
+    )
+
+
+# --- §2.13 GET /dashboard-analytics facade --------------------------------
+@register(
+    "dashboard_analytics",
+    oracle="""
+        SELECT (SELECT count(*) FROM documents) AS total_pages,
+               (SELECT count(DISTINCT source) FROM documents) AS total_domains,
+               (SELECT count(*) FROM events WHERE event_type = 'view') AS running_jobs,
+               (SELECT count(*) FROM events WHERE event_type = 'purchase')
+                   AS completed_jobs
+    """,
+)
+def dashboard_analytics_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's four independent dashboard queries
+    (search.py:20-44) as one facade call — under the value-level gate
+    so the whole §2.13 HTTP surface is oracle-backed."""
+    from crawler_spark.plans.search_api import dashboard_analytics
+
+    return dashboard_analytics(spark, sf_dir)
+
+
+# --- §2.13 GET /web-pages facade (filter + sort + paginate) ---------------
+@register(
+    "web_pages_listing",
+    oracle="""
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE list_has_all(
+            list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> ''),
+            ['data'])
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 5
+    """,
+)
+def web_pages_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /web-pages with every knob exercised at once: FTS filter
+    (P4), dynamic sort column/direction (O1), offset pagination, and
+    the doc_id tie-break that makes pages deterministic."""
+    from crawler_spark.plans.search_api import web_pages
+
+    return web_pages(
+        spark, sf_dir, limit=10, offset=5,
+        sort_by="n_chars", sort_order="desc", query="data",
     )
 
 

@@ -78,6 +78,22 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
+# --- F8: base64 encode (reference embeddings.py:29-31) --------------------
+@register(
+    "f8_base64_content",
+    oracle="SELECT doc_id, base64(encode(substr(text, 1, 32))) AS b64 FROM documents",
+)
+def f8_base64_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 as the built-in codegen expression: bytes → base64 string —
+    the same packaging step the reference's vision path applies to
+    image bytes (the UDF-side twin lives in vision_embed_udf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("b64"),
+    )
+
+
 # --- exact dedup: canonical id per fingerprint group ----------------------
 @register(
     "dedup_exact",
@@ -103,6 +119,58 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard near-dup pairs ----------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over distinct k-word shingles.
+
+    Scale path: the shingle⨝shingle equi-join only pairs documents that
+    SHARE a shingle — sparse, shuffle keyed on the shingle string.
+
+    ``max_shingle_df`` is the hot-shingle cap: shingles whose document
+    frequency exceeds it are dropped from the self-join. A stopword-run
+    shingle appearing in d documents contributes d² join rows while
+    carrying no dedup signal — at 100 TB one hot key skews the whole
+    shuffle. The hot set is tiny by construction (few shingles exceed
+    any sane cap), so it broadcasts into a left_anti. Document sizes
+    keep the UNCAPPED shingle counts, so for pairs that shared a
+    dropped shingle the score is a (slight) lower bound on true
+    Jaccard; pairs sharing only sub-cap shingles score identically.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.word_shingles("text", shingle_k))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = grams
+    if max_shingle_df is not None:
+        hot = (
+            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("g")
+        )
+        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -128,33 +196,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by Jaccard over distinct 3-word shingles.
-
-    Scale path: the shingle⨝shingle equi-join only pairs documents that
-    SHARE a shingle — sparse, shuffle keyed on the shingle string. A
-    hot shingle (stopword run) would skew; at 100 TB you'd pre-filter
-    shingles with document frequency above a cap (they carry no dedup
-    signal). Testdata shingles are well distributed.
-    """
+    """Exact baseline: no cap, so the score is true Jaccard and the
+    DuckDB oracle matches value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(X.word_shingles("text", 3))).alias("g"),
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+
+
+@register("dedup_ngram_jaccard_capped")  # rows-only: the 100 TB skew-safe variant
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: identical to dedup_ngram_jaccard except shingles
+    with document frequency > 50 never enter the self-join (hot-key
+    skew guard). tests/test_dedup.py proves pair-identity with the
+    exact query on the testdata (no shingle is that hot there)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, max_shingle_df=50)
+        .orderBy("id_a", "id_b")
     )

@@ -19,6 +19,7 @@ WEB_PAGES = T.StructType(
         T.StructField("title", T.StringType(), True),
         T.StructField("meta_description", T.StringType(), True),
         T.StructField("meta_tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("meta_tags_json", T.StringType(), True),  # F9 storage contract
         T.StructField("content", T.StringType(), True),
         T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
         T.StructField("file_type", T.StringType(), False),       # html|pdf|image

@@ -33,6 +33,33 @@ class StubFetcher:
         return ctype, body, None
 
 
+class RetryingFetcher:
+    """D4 app-level retry (reference tasks.py:20-25: Celery
+    autoretry_for=(Exception,), max_retries=3) around any Fetcher:
+    bounded re-attempts before a row dead-letters. Spark's
+    task.maxFailures re-runs crashed TASKS, not rows that *returned*
+    an error row — this wrapper is the row-level analogue. No sleep by
+    default (an executor thread shouldn't block 60 s like the
+    reference's queue countdown); ``backoff_sec`` opts in."""
+
+    def __init__(self, inner: Fetcher, max_retries: int = 3, backoff_sec: float = 0.0):
+        self.inner = inner
+        self.max_retries = max_retries
+        self.backoff_sec = backoff_sec
+
+    def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        import time
+
+        last: tuple[str | None, bytes | None, str | None] = (None, None, "no attempt")
+        for attempt in range(self.max_retries + 1):
+            last = self.inner.fetch(url)
+            if last[2] is None:
+                return last
+            if self.backoff_sec and attempt < self.max_retries:
+                time.sleep(self.backoff_sec * (attempt + 1))
+        return last
+
+
 class HttpFetcher:
     """Real HTTP fetcher (urllib, 30 s timeout like the reference's PDF
     path — file_handler.py:17). Not used by tests; provided for

@@ -6,18 +6,55 @@ delivery + upsert-on-url idempotence — celery_app.py:23, tasks.py:24-25,
 db.py:48) as a Structured Streaming job: the file/Kafka source replays
 give at-least-once, and ``foreachBatch`` + merge-by-url makes the sink
 idempotent, so the pipeline is effectively exactly-once on the pages
-table. Dead-letter rows append to a separate sink (D5).
+table.
+
+Scale design — the pages table is PARTITIONED by a stable domain-hash
+bucket, and each micro-batch:
+  1. computes the (small) set of buckets its urls touch,
+  2. reads ONLY those partitions of the existing table (partition
+     pruning on the directory layout),
+  3. merges, and rewrites ONLY those partitions via dynamic partition
+     overwrite.
+A batch therefore costs O(touched partitions), not O(table) — the r1
+implementation re-read and rewrote the whole table every batch. A url
+always lands in the same bucket (bucket = f(domain), domain = f(url)),
+so the per-url merge never needs to look outside its partition. With
+Delta on the classpath this becomes ``MERGE INTO`` with file-level
+pruning; the call sites are unchanged.
+
+Dead-letter rows (D5) are written into an ``epoch_id=`` partition via
+dynamic overwrite: a REPLAYED micro-batch overwrites its own epoch's
+partition instead of appending duplicates, so the dead-letter sink is
+idempotent under at-least-once replay too.
+
+Atomicity note: dynamic partition overwrite stages files per-partition
+through Spark's commit protocol; on a local filesystem a crash mid-
+commit can leave one partition renamed and another not (object stores
+with atomic rename per file have the same window). This is strictly
+narrower than r1's rmtree+rename window, which could lose the WHOLE
+table; Delta's transaction log is the full fix.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.functions.embedding import StubEmbedder
 from crawler_spark.plans.ingest import embed_stage, finalize_pages, parse_stage, split_dead_letter
+
+DEFAULT_NUM_BUCKETS = 16
+
+
+def domain_bucket(domain_col: str | Column, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Column:
+    """Stable partition key: hash-bucket of the page's domain. Domains
+    are the natural locality key for crawl data (a recrawl touches few
+    domains → few partitions) while hashing keeps bucket sizes even
+    when one domain dominates a corpus."""
+    return F.pmod(F.xxhash64(domain_col), F.lit(num_buckets)).cast("int")
 
 
 def read_fetched_stream(
@@ -33,6 +70,57 @@ def read_fetched_stream(
     )
 
 
+def make_batch_processor(
+    pages_dir: str,
+    dead_dir: str,
+    embedder: StubEmbedder | None = None,
+    dims: int = schemas.EMBEDDING_DIMS,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+):
+    """The foreachBatch body, exposed so tests can drive a micro-batch
+    (and REPLAY one with the same epoch_id) without a running stream."""
+    from crawler_spark.operators.upsert import merge_by_key
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        items = parse_stage(batch_df)
+        ok, dead = split_dead_letter(items)
+        pages = finalize_pages(embed_stage(ok, embedder, dims)).withColumn(
+            "bucket", domain_bucket("domain", num_buckets)
+        )
+        table_exists = os.path.isdir(pages_dir) and any(
+            not f.startswith((".", "_")) for f in os.listdir(pages_dir)
+        )
+        if table_exists:
+            # the buckets this batch touches — bounded by batch size
+            touched = [r["bucket"] for r in pages.select("bucket").distinct().collect()]
+            existing = spark.read.parquet(pages_dir).filter(
+                F.col("bucket").isin(touched)  # prunes to touched partitions
+            )
+            pages = merge_by_key(existing, pages, key="url", recency_col="last_crawled")
+        # break lineage so the write doesn't read the path it overwrites;
+        # materializes only the touched partitions' merged rows
+        pages = pages.localCheckpoint(eager=True)
+        (
+            pages.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(pages_dir)
+        )
+        # epoch-keyed dead-letter: replayed batches overwrite their own
+        # partition instead of appending duplicates
+        (
+            dead.select("url", "error")
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(dead_dir)
+        )
+
+    return process_batch
+
+
 def start_ingest_stream(
     fetched_stream: DataFrame,
     pages_dir: str,
@@ -40,42 +128,15 @@ def start_ingest_stream(
     checkpoint_dir: str,
     embedder: StubEmbedder | None = None,
     dims: int = schemas.EMBEDDING_DIMS,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
 ):
     """Run parse→validate→embed per micro-batch and MERGE into the
-    pages table via foreachBatch.
-
-    The merge re-reads the current pages parquet, window-dedups against
-    the batch keyed by url, and rewrites — the no-Delta merge rewrite
-    (operators/upsert.py). With Delta on the classpath this becomes
-    ``MERGE INTO`` and stops rewriting unmatched files; call sites are
-    unchanged. Checkpointing makes replayed batches converge to the
-    same table state (idempotent merge), so failures don't duplicate
-    pages.
-    """
-    from crawler_spark.operators.upsert import merge_by_key
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        items = parse_stage(batch_df)
-        ok, dead = split_dead_letter(items)
-        pages = finalize_pages(embed_stage(ok, embedder, dims))
-        if os.path.isdir(pages_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(pages_dir)
-        ):
-            existing = spark.read.parquet(pages_dir)
-            pages = merge_by_key(existing, pages, key="url", recency_col="last_crawled")
-        # rewrite atomically-enough for local fs: write then swap
-        tmp = pages_dir.rstrip("/") + ".tmp"
-        pages.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.isdir(pages_dir):
-            shutil.rmtree(pages_dir)
-        os.replace(tmp, pages_dir)
-        dead.select("url", "error").write.mode("append").parquet(dead_dir)
-
+    bucket-partitioned pages table via foreachBatch (see module
+    docstring for the partition-pruned merge discipline)."""
     return (
-        fetched_stream.writeStream.foreachBatch(process_batch)
+        fetched_stream.writeStream.foreachBatch(
+            make_batch_processor(pages_dir, dead_dir, embedder, dims, num_buckets)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -125,6 +125,38 @@ class TestEmbeddingLSH:
         assert got[1] == 1 and got[5] == 1 and got[7] == 2 and got[11] == 11
 
 
+class TestHotShingleCap:
+    def test_cap_identity_when_no_hot_shingles(self, spark):
+        """With a cap above the corpus's max shingle document-frequency
+        the capped query returns EXACTLY the exact query's pairs."""
+        from crawler_spark.plans.queries_text import ngram_jaccard_pairs
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        grams_max_df = (
+            docs.select(F.explode(F.array_distinct(
+                __import__("crawler_spark.functions.text", fromlist=["text"])
+                .word_shingles("text", 3))).alias("g"))
+            .groupBy("g").count().agg(F.max("count")).collect()[0][0]
+        )
+        exact = {(r.id_a, r.id_b, r.jaccard)
+                 for r in ngram_jaccard_pairs(docs).collect()}
+        capped = {(r.id_a, r.id_b, r.jaccard)
+                  for r in ngram_jaccard_pairs(
+                      docs, max_shingle_df=grams_max_df + 1).collect()}
+        assert capped == exact and exact
+
+    def test_tiny_cap_only_loses_pairs_never_invents(self, spark):
+        from crawler_spark.plans.queries_text import ngram_jaccard_pairs
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in ngram_jaccard_pairs(docs, max_shingle_df=1).collect()}
+        assert capped <= exact
+
+
 class TestLazyPlanBuild:
     def test_pair_plans_trigger_no_jobs_at_build(self, spark):
         """Constructing the exact-cosine and LSH pair plans must run ZERO

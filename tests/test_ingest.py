@@ -158,6 +158,145 @@ class TestIngestBatch:
         assert pages2.count() == pages.count()  # no dup keys introduced
 
 
+class TestExtractionFlagWiring:
+    """F11 inside ingest behind structured_data_extraction (reference
+    tasks.py:92) — flag off ⇒ NULL passthrough, flag on ⇒ stored JSON."""
+
+    def test_flag_off_null_passthrough(self, spark, ingested):
+        pages, _ = ingested  # module fixture ran with no flags (off default)
+        assert all(r.structured_data is None for r in pages.collect())
+
+    def test_flag_on_stores_extraction_json(self, spark):
+        import json
+
+        from crawler_spark import schemas
+        from crawler_spark.functions.extraction import StubExtractor
+        from crawler_spark.plans.ingest import ingest_batch
+
+        flags = spark.createDataFrame(
+            [(1, "structured_data_extraction", True, "")], schemas.FEATURE_FLAGS
+        )
+        pages, _ = ingest_batch(
+            spark, StubFetcher(SITE), ["https://site.test/start"], flags=flags
+        )
+        row = pages.collect()[0]
+        got = json.loads(row.structured_data)
+        expected = json.loads(StubExtractor().extract("ecommerce", row.content))
+        assert got == expected
+        assert got["product_name"].startswith("product-")
+
+    def test_meta_tags_json_serialized(self, ingested):
+        import json
+
+        pages, _ = ingested
+        row = pages.filter("url = 'https://site.test/start'").collect()[0]
+        parsed = json.loads(row.meta_tags_json)
+        assert parsed["description"] == "a test page"  # F9 storage contract
+        pdf = pages.filter("url = 'https://site.test/doc.pdf'").collect()[0]
+        assert pdf.meta_tags_json == "{}"  # absent map degrades to empty JSON
+
+
+class TestVisionBase64Chain:
+    def test_vision_embeds_base64_of_fetched_bytes(self, spark):
+        """F8: with a fetcher the vision path is url → bytes → base64 →
+        model (reference embeddings.py:18-43), not url-keyed."""
+        import base64
+
+        from crawler_spark.functions.embedding import StubEmbedder, normalize_pad
+        from crawler_spark.plans.ingest import embed_stage
+
+        items = spark.createDataFrame(
+            [("https://site.test/logo.png", None, None, None, None,
+              "image", "vision", None, None)],
+            "url string, title string, meta_description string, "
+            "meta_tags map<string,string>, content string, file_type string, "
+            "embedding_type string, links array<string>, error string",
+        )
+        emb = StubEmbedder(64)
+        row = embed_stage(items, emb, 64, fetcher=StubFetcher(SITE)).collect()[0]
+        b64 = base64.b64encode(SITE["https://site.test/logo.png"][1]).decode()
+        assert row.embedding == normalize_pad(emb.embed_vision(b64), 64)
+
+    def test_vision_fetch_failure_yields_null_embedding(self, spark):
+        from crawler_spark.plans.ingest import embed_stage
+
+        items = spark.createDataFrame(
+            [("https://site.test/missing.png", None, None, None, None,
+              "image", "vision", None, None)],
+            "url string, title string, meta_description string, "
+            "meta_tags map<string,string>, content string, file_type string, "
+            "embedding_type string, links array<string>, error string",
+        )
+        row = embed_stage(items, None, 64, fetcher=StubFetcher(SITE)).collect()[0]
+        assert row.embedding is None  # reference None-propagation
+
+
+def _make_flaky(inner, fail_n: int):
+    """Fetcher failing the first ``fail_n`` attempts per url. Defined as
+    a LOCAL class so cloudpickle ships it by value into executor tasks
+    (the tests package isn't importable on Spark workers)."""
+
+    class Flaky:
+        def __init__(self):
+            self.inner = inner
+            self.fail_n = fail_n
+            self.calls: dict[str, int] = {}
+
+        def fetch(self, url):
+            n = self.calls.get(url, 0)
+            self.calls[url] = n + 1
+            if n < self.fail_n:
+                return None, None, f"transient failure #{n + 1}"
+            return self.inner.fetch(url)
+
+    return Flaky()
+
+
+class TestRetry:
+    def test_retrying_fetcher_recovers_transient_failures(self):
+        from crawler_spark.sources.fetch import RetryingFetcher
+
+        flaky = _make_flaky(StubFetcher(SITE), fail_n=2)
+        ctype, body, err = RetryingFetcher(flaky, max_retries=3).fetch(
+            "https://site.test/start"
+        )
+        assert err is None and body == FIXTURE_HTML and ctype == "text/html"
+        assert flaky.calls["https://site.test/start"] == 3  # 2 failures + 1 ok
+
+    def test_retries_exhausted_dead_letters(self, spark):
+        from crawler_spark.plans.ingest import ingest_batch
+        from crawler_spark.sources.fetch import RetryingFetcher
+
+        flaky = _make_flaky(StubFetcher(SITE), fail_n=10)
+        pages, dead = ingest_batch(
+            spark, RetryingFetcher(flaky, max_retries=2), ["https://site.test/start"]
+        )
+        assert pages.count() == 0
+        errs = [r.error for r in dead.collect()]
+        assert len(errs) == 1 and "transient failure #3" in errs[0]
+
+    def test_retrying_embedder(self):
+        from crawler_spark.functions.embedding import RetryingEmbedder, StubEmbedder
+
+        class Flaky:
+            def __init__(self):
+                self.n = 0
+
+            def embed_text(self, t):
+                self.n += 1
+                if self.n < 3:
+                    raise RuntimeError("transient")
+                return StubEmbedder(8).embed_text(t)
+
+            def embed_vision(self, u):
+                return StubEmbedder(8).embed_vision(u)
+
+        assert RetryingEmbedder(Flaky(), max_retries=3).embed_text("x") == \
+            StubEmbedder(8).embed_text("x")
+        with pytest.raises(RuntimeError):
+            RetryingEmbedder(Flaky(), max_retries=1).embed_text("x")
+
+
 class TestJobsAndFlags:
     def test_job_lifecycle(self, spark):
         from crawler_spark.plans.jobs import (

@@ -116,3 +116,77 @@ class TestIngestStream:
 
         dead = spark.read.parquet(dead_dir)
         assert {r.url for r in dead.collect()} == {"https://s.test/broken"}
+
+    def test_untouched_partition_not_rewritten(self, spark, tmp_path):
+        """A batch touching only domain A's bucket must leave domain B's
+        partition files byte-identical — the partition-pruned merge."""
+        import hashlib
+
+        from crawler_spark.streaming.ingest_stream import (
+            domain_bucket,
+            make_batch_processor,
+        )
+
+        pages_dir = str(tmp_path / "pages")
+        dead_dir = str(tmp_path / "dead")
+
+        # two domains that land in different buckets
+        buckets = {
+            r.d: r.b
+            for r in spark.createDataFrame(
+                [("a.test",), ("b.test",)], "d string"
+            ).select("d", domain_bucket("d").alias("b")).collect()
+        }
+        assert buckets["a.test"] != buckets["b.test"]
+
+        def snapshot(bucket: int) -> dict[str, str]:
+            part = os.path.join(pages_dir, f"bucket={bucket}")
+            return {
+                f: hashlib.md5(open(os.path.join(part, f), "rb").read()).hexdigest()
+                for f in sorted(os.listdir(part))
+                if not f.startswith((".", "_"))
+            }
+
+        process = make_batch_processor(pages_dir, dead_dir)
+        process(
+            spark.createDataFrame(
+                [
+                    ("https://a.test/1", "text/html", b"<title>a1</title><body>x</body>", None),
+                    ("https://b.test/1", "text/html", b"<title>b1</title><body>y</body>", None),
+                ],
+                schemas.FETCHED,
+            ),
+            0,
+        )
+        before = snapshot(buckets["b.test"])
+        process(
+            spark.createDataFrame(
+                [("https://a.test/2", "text/html", b"<title>a2</title><body>z</body>", None)],
+                schemas.FETCHED,
+            ),
+            1,
+        )
+        assert snapshot(buckets["b.test"]) == before  # byte-identical
+        urls = {r.url for r in spark.read.parquet(pages_dir).collect()}
+        assert urls == {"https://a.test/1", "https://a.test/2", "https://b.test/1"}
+
+    def test_dead_letter_replay_idempotent(self, spark, tmp_path):
+        """Re-running a micro-batch with the SAME epoch_id (at-least-once
+        replay) must not duplicate dead-letter rows."""
+        from crawler_spark.streaming.ingest_stream import make_batch_processor
+
+        pages_dir = str(tmp_path / "pages")
+        dead_dir = str(tmp_path / "dead")
+        process = make_batch_processor(pages_dir, dead_dir)
+        batch = spark.createDataFrame(
+            [
+                ("https://s.test/ok", "text/html", b"<title>t</title><body>x</body>", None),
+                ("https://s.test/bad", None, None, "boom"),
+            ],
+            schemas.FETCHED,
+        )
+        process(batch, 7)
+        process(batch, 7)  # replay
+        dead = spark.read.parquet(dead_dir).collect()
+        assert [r.url for r in dead] == ["https://s.test/bad"]
+        assert spark.read.parquet(pages_dir).count() == 1
