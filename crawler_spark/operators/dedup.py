@@ -203,22 +203,36 @@ def embedding_lsh_pairs(
     band buckets → exact cosine re-rank inside buckets only.
 
     The scale path for simsearch_cosine_pairs: the full pair space is
-    never touched; shuffle is keyed by (band, bucket). Recall depends on
-    threshold vs num_planes/bands (sign-bit agreement falls with angle).
+    never touched. Shuffle is ONE groupBy on (band, bucket); inside
+    each bucket a vectorized BLAS product (applyInPandas) emits only
+    the above-threshold pairs — candidates never materialize as rows,
+    so there is no candidate join and no post-hoc distinct over them.
+    A pair found by several bands is deduped by a final groupBy over
+    the (tiny) surviving pair set. Recall depends on threshold vs
+    num_planes/bands (sign-bit agreement falls with angle).
 
-    The hyperplanes are derived per-component from xxhash64(seed, plane,
+    The hyperplanes are derived per-component from hash(seed, plane,
     dim-index) — symmetric pseudo-random entries in [-1, 1) computed
     INSIDE the expression, so the plan needs no dims probe (no eager
     ``first()`` job at build time), no numpy matrix, no broadcast, and
-    adapts to whatever dimensionality each row has."""
+    adapts to whatever dimensionality each row has.
+
+    Skew note: a bucket of near-identical vectors concentrates in one
+    group; its cost is quadratic in bucket size. At extreme scale,
+    split oversized buckets by salting them with an extra plane.
+    """
+    import numpy as np
+    import pandas as pd
+
     from crawler_spark.functions import vector as V
 
     rows_per_band = num_planes // bands
+    thr = float(threshold)
 
     def plane_component(plane: int, j: F.Column) -> F.Column:
         """Deterministic pseudo-random plane entry u(plane, j) ∈ [-1, 1)."""
-        h = F.xxhash64(F.concat(F.lit(f"plane|{seed}|{plane}|"), j.cast("string")))
-        return F.pmod(h, F.lit(1_000_003)).cast("double") / F.lit(500_001.5) - F.lit(1.0)
+        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
+        return h.cast("double") / F.lit(2147483648.0)
 
     def sign_bit(plane: int) -> F.Column:
         proj = F.aggregate(
@@ -228,31 +242,41 @@ def embedding_lsh_pairs(
         )
         return (proj >= 0).cast("int").alias(f"b{plane}")
 
-    norm = df.select(F.col(id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
+    norm = df.select(F.col(id_col).cast("long").alias("id"),
+                     V.l2_normalize(vec_col).alias("v"))
     sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
     banded = sig.select(
         "id", "v",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("", *[F.col(f"b{b * rows_per_band + r}")
-                                  for r in range(rows_per_band)]).alias("bucket"),
+                sum(
+                    F.col(f"b{b * rows_per_band + r}") * (1 << r)
+                    for r in range(rows_per_band)
+                ).alias("bucket"),
             )
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "v", "bb.band", "bb.bucket")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cos = V.dot(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                cos.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .distinct()
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64),
+                                 "cosine": np.array([], dtype=np.float64)})
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["v"]).astype(np.float64, copy=False)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+        ida, idb = ids[ii], ids[jj]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+
+    pairs = banded.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, cosine double"
     )
+    # dedupe pairs found by several bands (cosine identical per pair)
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def canonical_assignment(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:

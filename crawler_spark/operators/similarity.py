@@ -90,22 +90,32 @@ def cosine_pairs_exact(
         norm.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        # unzip struct list into parallel arrays: Arrow hands the UDF
+        # numeric numpy arrays directly (no per-row dict extraction)
+        .select(
+            "blk",
+            F.transform("rows", lambda r: r["id"]).alias("ids"),
+            F.transform("rows", lambda r: r["v"]).alias("vecs"),
+        )
     )
-    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                      F.col("vecs").alias("vecs_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                      F.col("vecs").alias("vecs_b"))
     block_pairs = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
     # spread the B(B+1)/2 block-pair rows across tasks
     block_pairs = block_pairs.repartition(B * (B + 1) // 2)
 
     def product(batches):
         for pdf in batches:
-            for rows_a, rows_b, same in zip(
-                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            for row_ids_a, row_vecs_a, row_ids_b, row_vecs_b, same in zip(
+                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"],
+                pdf["blk_a"] == pdf["blk_b"],
             ):
-                ids_a = np.fromiter((r["id"] for r in rows_a), dtype=np.int64)
-                ids_b = np.fromiter((r["id"] for r in rows_b), dtype=np.int64)
-                mat_a = np.array([r["v"] for r in rows_a], dtype=np.float64)
-                mat_b = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                ids_a = np.asarray(row_ids_a, dtype=np.int64)
+                ids_b = np.asarray(row_ids_b, dtype=np.int64)
+                mat_a = np.stack(row_vecs_a).astype(np.float64, copy=False)
+                mat_b = np.stack(row_vecs_b).astype(np.float64, copy=False)
                 # tile rows of A so the sims buffer stays bounded
                 for lo in range(0, len(ids_a), 4096):
                     hi = lo + 4096

@@ -93,9 +93,11 @@ def crawl(
     filtered (P6), minus every url already attempted (D3), plus any
     overflow truncated off wave n by ``max_urls_per_wave``.
 
-    ``on_truncate(wave_size, cap)`` fires when a wave exceeds the cap
-    (default: a warning) — silent frontier loss is a correctness bug at
-    scale, so truncation is always surfaced and the overflow is kept.
+    ``on_truncate(observed, cap)`` fires when a wave exceeds the cap
+    (default: a warning); ``observed`` is a lower bound (cap+1) — the
+    frontier is never fully counted just to report the excess. Silent
+    frontier loss is a correctness bug at scale, so truncation is
+    always surfaced and the overflow is kept.
     """
     allowed = domain_allowed_col("url", allowed_domains)
     frontier = (
@@ -107,24 +109,27 @@ def crawl(
     waves_dead: list[DataFrame] = []
 
     for _depth in range(depth_limit + 1):
-        n_frontier = frontier.count()
-        if n_frontier == 0:
+        # the ONE bounded driver materialization per wave: the fetcher's
+        # work list, capped at max_urls_per_wave (+1 row to detect
+        # truncation without a separate count job)
+        head = frontier.limit(max_urls_per_wave + 1).collect()
+        if not head:
             break
-        if n_frontier > max_urls_per_wave:
+        if len(head) > max_urls_per_wave:
             if on_truncate is not None:
-                on_truncate(n_frontier, max_urls_per_wave)
+                on_truncate(len(head), max_urls_per_wave)
             else:
                 warnings.warn(
-                    f"crawl wave truncated: {n_frontier} urls > cap "
-                    f"{max_urls_per_wave}; overflow carried to next wave",
+                    f"crawl wave truncated: > {max_urls_per_wave} urls in "
+                    "frontier; overflow carried to next wave",
                     stacklevel=2,
                 )
-            wave = frontier.orderBy("url").limit(max_urls_per_wave)
+            head = head[:max_urls_per_wave]
+            wave = spark.createDataFrame(head, "url string")
             overflow = frontier.join(wave, "url", "left_anti")
         else:
             wave, overflow = frontier, None
-        # the ONE bounded driver materialization: the fetcher's work list
-        wave_urls = [r.url for r in wave.collect()]
+        wave_urls = [r.url for r in head]
         fetch_urls = wave_urls
         if obey_robots:
             blocked = _robots_disallowed(fetcher, wave_urls)

@@ -140,26 +140,54 @@ def ngram_jaccard_pairs(
     dropped shingle the score is a (slight) lower bound on true
     Jaccard; pairs sharing only sub-cap shingles score identically.
     """
+    # shingles join/shuffle on their xxhash64, not the string — longs
+    # shuffle and compare far cheaper than 20-30 byte shingle strings,
+    # and a 64-bit collision (≈(distinct shingles)²/2⁶⁵) is negligible
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(X.word_shingles("text", shingle_k))).alias("g"),
+        F.explode(
+            F.transform(
+                F.array_distinct(X.word_shingles("text", shingle_k)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    joinable = grams
-    if max_shingle_df is not None:
-        hot = (
-            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("g")
+    if max_shingle_df is None:
+        # exact baseline: self-join on the shingle hash. A hot shingle
+        # with df=d contributes d² join rows — the capped variant below
+        # is the skew-safe shape.
+        a = grams.alias("a")
+        b = grams.alias("b")
+        common = (
+            a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    else:
+        # capped: ONE groupBy packs each shingle's doc list; lists over
+        # the cap are dropped whole (hot shingles carry no dedup
+        # signal), which also bounds the k² in-group pair explosion at
+        # cap² — so grams is scanned twice total (sizes + groups)
+        # instead of 4× with a join + anti-join shape.
+        groups = (
+            grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+        )
+        pair_arr = F.filter(
+            F.flatten(F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(
+                    x.alias("a"), y.alias("b"))),
+            )),
+            lambda p: p["a"] < p["b"],
+        )
+        common = (
+            groups.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
