@@ -21,6 +21,7 @@ recall against them.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,6 +75,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).cache()
 
+    # candidate generation: ONE groupBy(band, bucket) packs each
+    # bucket's ids (only the ids — signatures would bloat the shuffle
+    # ×bands); singleton buckets — the overwhelming majority under a
+    # 64-bit bucket hash — are dropped JVM-side before any pair work.
+    # No banded self-join, no distinct over a candidate blow-up.
     banded = sig.select(
         "id",
         F.explode(
@@ -92,13 +98,22 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.filter(
+        F.flatten(F.transform(
+            "ids", lambda x: F.transform("ids", lambda y: F.struct(
+                x.alias("id_a"), y.alias("id_b"))),
+        )),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()  # over surviving pairs only, not the banded blow-up
     )
 
     sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
@@ -117,38 +132,36 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash long): 64-bit bit-majority over xxhash64 of the
-    doc's tokens — pure expressions, no UDF. For each bit i, the
-    signature bit is 1 iff more tokens have bit i set than not.
+    doc's tokens. For each bit i, the signature bit is 1 iff more
+    tokens have bit i set than not.
 
-    Single traversal: ONE aggregate folds the token-hash array into 64
-    bit-counters (an array<int> accumulator updated with zip_with per
-    hash), then the counters zip against a bit-mask literal to
-    majority-vote the signature. The previous shape (64 independent
-    F.filter passes) traversed the array 64× — this is the whole
-    per-row cost of simhash, so the fold matters at 100 TB."""
-    toks = X.tokenize(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    Tokenization and hashing stay JVM-side (codegen); the 64-counter
+    majority vote runs as an Arrow-batched numpy kernel
+    (unpackbits → column sums → packbits). A pure-expression fold was
+    tried twice — 64 array-filter passes, then a single zip_with
+    aggregate — and both were dominated not by runtime but by
+    whole-stage-codegen COMPILING the 64-wide expression (~10 s one-off
+    per plan); the vectorized kernel beats them on both axes, and the
+    bit layout (bit i == 1<<i of the signed long, little-endian) is
+    identical."""
+    import numpy as np
+    from pyspark.sql.types import LongType
 
-    def bit_mask(i: int) -> int:
-        # bit 63 is the sign bit of a signed long
-        return (1 << i) if i < 63 else -(1 << 63)
+    @F.pandas_udf(LongType())
+    def _majority_sig(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for h in hash_arrays:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            a = np.asarray(h, dtype=np.int64).view(np.uint8)
+            bits = np.unpackbits(a, bitorder="little").reshape(len(h), 64)
+            maj = bits.sum(axis=0) * 2 > len(h)
+            out.append(int(np.packbits(maj, bitorder="little").view(np.int64)[0]))
+        return pd.Series(out, dtype="int64")
 
-    masks = F.array(*[F.lit(bit_mask(i)).cast("long") for i in range(64)])
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc, masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != F.lit(0), 1).otherwise(0),
-        ),
-    )
-    terms = F.zip_with(
-        counts, masks,
-        lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
-    )
-    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a.bitwiseOR(t))
-    return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    hashes = F.transform(X.tokenize(text_col), lambda t: F.xxhash64(t))
+    return docs.select(F.col(id_col).alias("id"), _majority_sig(hashes).alias("simhash"))
 
 
 def simhash_pairs(
@@ -161,9 +174,18 @@ def simhash_pairs(
 
     Candidates from 4×16-bit band buckets (pigeonhole: ≤3 differing
     bits can't touch all 4 bands), verified by bit_count(a xor b).
-    The hamming filter runs BEFORE the pair-dedup so the distinct's
-    shuffle carries only surviving pairs (the verification is a few
-    bit ops; the shuffle is the scale cost)."""
+
+    Pair generation is ONE groupBy(band, bucket) that packs each
+    bucket's (id, simhash) rows and explodes the in-bucket pairs with
+    pure expressions — no banded self-join, no distinct over candidate
+    rows; the final dedup groupBy runs over surviving pairs only.
+    Bucket sizes are tiny by construction (65536 buckets per band)
+    except for genuine duplicate clusters, whose pairs are the output
+    anyway.
+
+    ``sig`` is cached: without the materialization boundary Catalyst
+    collapses the projection and re-evaluates the (large) signature
+    fold once per band bucket expression — 5× the per-row cost."""
     sig = simhash(docs, text_col, id_col).cache()
     banded = sig.select(
         "id", "simhash",
@@ -176,16 +198,24 @@ def simhash_pairs(
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    groups = banded.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("rows")
+    ).filter(F.size("rows") >= 2)
+    pair_arr = F.filter(
+        F.flatten(F.transform(
+            "rows",
+            lambda x: F.transform("rows", lambda y: F.struct(
+                x["id"].alias("id_a"), y["id"].alias("id_b"),
+                F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+            )),
+        )),
+        lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= F.lit(max_hamming)),
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 

@@ -268,13 +268,19 @@ def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_no_orders",
     oracle="""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
 )
 def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (S12 delete shape): customers with no RECENT orders —
+    every testdata customer has some order, so the unscoped variant
+    matched zero rows and proved nothing."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
 

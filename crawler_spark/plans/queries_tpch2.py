@@ -138,7 +138,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
               AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-              AND r_name = 'REGION_0' AND s_nationkey = n2.n_nationkey
+              AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
               AND p_type = 'ECONOMY'
@@ -152,7 +152,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part filter, supplier→nation, customer→nation→region) broadcasts,
     so the plan is one lineitem⨝orders shuffle + a tiny agg."""
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
@@ -206,7 +206,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM part, supplier, lineitem, orders, nation
             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-              AND p_name LIKE '%1%'
+              AND p_name LIKE '%gear%'
         ) profit
         GROUP BY n_name, o_year
         ORDER BY nation, o_year
@@ -223,7 +223,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "n_name")
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%1%"))
+        .filter(F.col("p_name").like("%gear%"))
         .select("p_partkey", "p_retailprice")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -513,22 +513,28 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                                     / COUNT(*)
                            FROM customer c2 WHERE c2.c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: scalar-subquery threshold (global avg of positive
-    balances, broadcast 1-row cross join) + anti-join on orders."""
+    balances, broadcast 1-row cross join) + anti-join on orders.
+    "Idle" = no orders since 2000 (the testdata has no multi-year
+    order gap, so a plain no-orders-ever anti-join matches nothing —
+    Q22's own spirit is customers inactive for years)."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg((F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
               / F.count(F.lit(1))).alias("avg_bal"))
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return (
         cust.join(F.broadcast(avg_bal))
