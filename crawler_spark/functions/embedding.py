@@ -123,6 +123,69 @@ def vision_embed_udf(
     return _embed
 
 
+class OllamaEmbedder:
+    """HTTP implementation of the Embedder interface against an Ollama
+    model server — the reference's real path (backend/src/
+    embeddings.py:12-43, config.py:5-7): POST /api/embeddings
+    ``{model, prompt}`` for text; the vision model additionally gets
+    the base64 image payload via ``images`` (the payload our
+    vision_embed_udf chain produces). The engine only ever sees the
+    Embedder interface, so swapping the StubEmbedder for this changes
+    no plan — exactly SURVEY.md §7 decision 4.
+
+    ``transport`` is an injectable ``(url, json_payload) -> dict`` so
+    unit tests exercise request construction hermetically; the default
+    is urllib with a bounded timeout. Executors each build their own
+    connection (the instance pickles into the UDF closure). Wrap in
+    RetryingEmbedder for the reference's D4 retry semantics."""
+
+    def __init__(
+        self,
+        base_url: str = "http://localhost:11434",
+        text_model: str = "llama3.2:latest",
+        vision_model: str = "llava",
+        timeout_sec: float = 60.0,
+        transport=None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.text_model = text_model
+        self.vision_model = vision_model
+        self.timeout = timeout_sec
+        self.transport = transport
+
+    def _post(self, path: str, payload: dict) -> dict:
+        url = self.base_url + path
+        if self.transport is not None:
+            return self.transport(url, payload)
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def embed_text(self, text: str) -> list[float]:
+        out = self._post(
+            "/api/embeddings", {"model": self.text_model, "prompt": text or ""}
+        )
+        return [float(x) for x in out["embedding"]]
+
+    def embed_vision(self, image_b64: str) -> list[float]:
+        out = self._post(
+            "/api/embeddings",
+            {
+                "model": self.vision_model,
+                "prompt": "Describe this image",
+                "images": [image_b64 or ""],
+            },
+        )
+        return [float(x) for x in out["embedding"]]
+
+
 class RetryingEmbedder:
     """D4 app-level retry around any Embedder (reference tasks.py:20-25:
     autoretry_for=(Exception,), max_retries=3): bounded re-attempts

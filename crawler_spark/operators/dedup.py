@@ -309,11 +309,60 @@ def embedding_lsh_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
+def canonical_closure(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Full transitive closure: every id maps to the MINIMUM id of its
+    connected component in the near-dup pair graph — the complete
+    union-find, not the 1-hop approximation below.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (duplicate clusters are shallow in
+    practice — a handful of rounds). Per-round ``localCheckpoint``
+    truncates lineage so the plan stays flat; the convergence check is
+    one count per round over a changed-rows anti-pattern join. This is
+    the simplified form of the large-star/small-star connected-
+    components algorithm and shuffles only (edges + labels) per round —
+    no driver-side graph state."""
+    edges_fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        edges_fwd.unionByName(
+            edges_fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=False)
+    )
+    labels = all_ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _round in range(max_iterations):
+        nb = edges.join(labels, edges.v == labels.id).select(
+            F.col("u").alias("id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("canonical_id"))
+
+
 def canonical_assignment(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Map every id to a canonical representative: min id among its
-    near-dup neighbors (single-hop union-find approximation — adequate
-    when duplicate clusters are small; iterate to convergence for full
-    transitive closure)."""
+    near-dup neighbors (single-hop union-find approximation — cheaper
+    than ``canonical_closure`` when duplicate clusters are known to be
+    pairs/triangles; use the closure when chains matter)."""
     neighbors = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionByName(
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
     )

@@ -230,6 +230,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
 
 
+# --- canonical ids over the near-dup graph (full transitive closure) ------
+@register(
+    "dedup_canonical",
+    oracle=f"""
+        WITH RECURSIVE grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            )) AS g
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        )
+        SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical id per document over the n-gram near-dup graph, full
+    transitive closure (iterative min-label propagation — an
+    iterative distributed algorithm matched value-for-value against a
+    DuckDB RECURSIVE CTE oracle)."""
+    from crawler_spark.operators.dedup import canonical_closure
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    return canonical_closure(pairs, docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "canonical_id"
+    )
+
+
 @register("dedup_ngram_jaccard_capped")  # rows-only: the 100 TB skew-safe variant
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: identical to dedup_ngram_jaccard except shingles

@@ -124,6 +124,20 @@ class TestEmbeddingLSH:
                for r in canonical_assignment(pairs, ids, "vec_id").collect()}
         assert got[1] == 1 and got[5] == 1 and got[7] == 2 and got[11] == 11
 
+    def test_canonical_closure_follows_chains(self, spark):
+        """Multi-hop chains resolve to the component minimum — where the
+        1-hop approximation stops short (9's neighbors are only 5)."""
+        from crawler_spark.operators.dedup import canonical_closure
+
+        pairs = spark.createDataFrame(
+            [(5, 9), (1, 5), (9, 11), (2, 7)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 5, 7, 9, 11, 20]],
+                                    "vec_id long")
+        got = {r.id: r.canonical_id
+               for r in canonical_closure(pairs, ids, "vec_id").collect()}
+        assert got == {1: 1, 5: 1, 9: 1, 11: 1, 2: 2, 7: 2, 20: 20}
+
 
 class TestHotShingleCap:
     def test_cap_identity_when_no_hot_shingles(self, spark):

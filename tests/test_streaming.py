@@ -170,6 +170,51 @@ class TestIngestStream:
         urls = {r.url for r in spark.read.parquet(pages_dir).collect()}
         assert urls == {"https://a.test/1", "https://a.test/2", "https://b.test/1"}
 
+    def test_stateful_streaming_dedup_first_seen_wins(self, spark, tmp_path):
+        """applyInPandasWithState exact dedup: a fingerprint repeated
+        within and ACROSS micro-batches emits exactly once; distinct
+        content still flows through."""
+        from crawler_spark.streaming.stateful import streaming_exact_dedup
+
+        src = str(tmp_path / "pages_src")
+        os.makedirs(src)
+        schema = "url string, content string"
+
+        def slice_(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        slice_([("u1", "alpha beta"), ("u2", "alpha  beta"),  # same normalized fp
+                ("u3", "gamma delta")])
+        slice_([("u4", "alpha beta"),  # cross-batch duplicate
+                ("u5", "epsilon zeta")])
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM dedup_out").collect()
+        finally:
+            q.stop()
+        by_content = {r.content for r in rows}
+        assert len(rows) == 3  # one per distinct fingerprint
+        assert "gamma delta" in by_content and "epsilon zeta" in by_content
+        # the alpha-beta family emitted exactly once, from its first batch
+        assert sum(1 for r in rows if "alpha" in r.content) == 1
+        assert {r.url for r in rows if "alpha" in r.content} <= {"u1", "u2"}
+
     def test_dead_letter_replay_idempotent(self, spark, tmp_path):
         """Re-running a micro-batch with the SAME epoch_id (at-least-once
         replay) must not duplicate dead-letter rows."""
