@@ -220,6 +220,59 @@ def simhash_pairs(
 
 
 # ------------------------------------------------- Embedding LSH (ANN path)
+def hyperplane_bands(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, v, band, bucket) rows: random-hyperplane sign bits grouped
+    into ``bands`` integer buckets, one output row per (vector, band).
+
+    Plane components derive from hash(seed, plane, dim-index) —
+    symmetric pseudo-random entries in [-1, 1) computed INSIDE the
+    expression, so the plan needs no dims probe (no eager ``first()``
+    job at build time), no numpy matrix, no broadcast, and adapts to
+    whatever dimensionality each row has. Shared by the pair search
+    (embedding_lsh_pairs) and the top-k query search (knn_topk_lsh) —
+    both sides of a lookup MUST use identical (num_planes, bands,
+    seed) for buckets to align."""
+    from crawler_spark.functions import vector as V
+
+    rows_per_band = num_planes // bands
+
+    def plane_component(plane: int, j: F.Column) -> F.Column:
+        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
+        return h.cast("double") / F.lit(2147483648.0)
+
+    def sign_bit(plane: int) -> F.Column:
+        proj = F.aggregate(
+            F.transform("v", lambda x, j: x * plane_component(plane, j)),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        )
+        return (proj >= 0).cast("int").alias(f"b{plane}")
+
+    norm = df.select(F.col(id_col).cast("long").alias("id"),
+                     V.l2_normalize(vec_col).alias("v"))
+    sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
+    return sig.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.col(f"b{b * rows_per_band + r}") * (1 << r)
+                    for r in range(rows_per_band)
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bucket")
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -254,40 +307,8 @@ def embedding_lsh_pairs(
     import numpy as np
     import pandas as pd
 
-    from crawler_spark.functions import vector as V
-
-    rows_per_band = num_planes // bands
     thr = float(threshold)
-
-    def plane_component(plane: int, j: F.Column) -> F.Column:
-        """Deterministic pseudo-random plane entry u(plane, j) ∈ [-1, 1)."""
-        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
-        return h.cast("double") / F.lit(2147483648.0)
-
-    def sign_bit(plane: int) -> F.Column:
-        proj = F.aggregate(
-            F.transform("v", lambda x, j: x * plane_component(plane, j)),
-            F.lit(0.0).cast("double"),
-            lambda a, x: a + x,
-        )
-        return (proj >= 0).cast("int").alias(f"b{plane}")
-
-    norm = df.select(F.col(id_col).cast("long").alias("id"),
-                     V.l2_normalize(vec_col).alias("v"))
-    sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
-    banded = sig.select(
-        "id", "v",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    F.col(f"b{b * rows_per_band + r}") * (1 << r)
-                    for r in range(rows_per_band)
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bucket")
+    banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -25,14 +25,19 @@ from pyspark.sql import functions as F
 
 FAKE_IMAGE_MAGIC = b"FAKEIMG:"
 FAKE_VIDEO_MAGIC = b"FAKEVID:"
+FAKE_AUDIO_MAGIC = b"FAKEAUD:"
 
 MEDIA_SCHEMA = (
     "media_id long, media_type string, payload binary, source_url string"
 )
 DECODED_SCHEMA = (
     "media_id long, media_type string, width int, height int, n_frames int, "
-    "format string, decode_error string"
+    "sample_rate int, n_samples int, format string, decode_error string"
 )
+_DECODED_COLS = [
+    "media_id", "media_type", "width", "height", "n_frames",
+    "sample_rate", "n_samples", "format", "decode_error",
+]
 
 
 def fake_image(width: int, height: int, seed: str) -> bytes:
@@ -46,9 +51,15 @@ def fake_video(width: int, height: int, n_frames: int, seed: str) -> bytes:
     return FAKE_VIDEO_MAGIC + f"{width}x{height}x{n_frames}:".encode() + body
 
 
+def fake_audio(sample_rate: int, n_samples: int, seed: str) -> bytes:
+    body = hashlib.sha256(seed.encode()).digest()
+    return FAKE_AUDIO_MAGIC + f"{sample_rate}x{n_samples}:".encode() + body
+
+
 def _decode_fake(payload: bytes) -> dict:
     """Stub decoder. Real deployments replace this body with
-    PIL.Image.open / av.open; everything around it stays."""
+    PIL.Image.open / av.open / soundfile.read; everything around it
+    stays."""
     if payload.startswith(FAKE_IMAGE_MAGIC):
         head = payload[len(FAKE_IMAGE_MAGIC):].split(b":", 1)[0].decode()
         w, h = (int(x) for x in head.split("x"))
@@ -57,8 +68,12 @@ def _decode_fake(payload: bytes) -> dict:
         head = payload[len(FAKE_VIDEO_MAGIC):].split(b":", 1)[0].decode()
         w, h, n = (int(x) for x in head.split("x"))
         return {"width": w, "height": h, "n_frames": n, "format": "fakevid"}
+    if payload.startswith(FAKE_AUDIO_MAGIC):
+        head = payload[len(FAKE_AUDIO_MAGIC):].split(b":", 1)[0].decode()
+        sr, n = (int(x) for x in head.split("x"))
+        return {"sample_rate": sr, "n_samples": n, "format": "fakeaud"}
     raise NotImplementedError(
-        "real media decode requires PIL/libav, not present in this image"
+        "real media decode requires PIL/libav/soundfile, not present in this image"
     )
 
 
@@ -73,16 +88,14 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 base = {"media_id": r.media_id, "media_type": r.media_type,
                         "width": None, "height": None, "n_frames": None,
+                        "sample_rate": None, "n_samples": None,
                         "format": None, "decode_error": None}
                 try:
                     base.update(_decode_fake(bytes(r.payload)))
                 except Exception as exc:
                     base["decode_error"] = f"{type(exc).__name__}: {exc}"
                 out.append(base)
-            yield pd.DataFrame(out, columns=[
-                "media_id", "media_type", "width", "height", "n_frames",
-                "format", "decode_error",
-            ])
+            yield pd.DataFrame(out, columns=_DECODED_COLS)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -128,6 +141,31 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Resample stage for audio rows (stub: rewrites the fake header
+    with the target rate and the proportionally scaled sample count;
+    real impl calls soxr/librosa). Non-audio payloads pass through
+    untouched — the same binary-in/binary-out Arrow shape as
+    resize_images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                p = bytes(r.payload)
+                if p.startswith(FAKE_AUDIO_MAGIC):
+                    head, body = p[len(FAKE_AUDIO_MAGIC):].split(b":", 1)
+                    sr, n = (int(x) for x in head.decode().split("x"))
+                    n_new = max(1, round(n * target_rate / sr)) if sr else 0
+                    p = FAKE_AUDIO_MAGIC + f"{target_rate}x{n_new}:".encode() + body
+                out.append({"media_id": r.media_id, "media_type": r.media_type,
+                            "payload": p, "source_url": r.source_url})
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload",
+                                             "source_url"])
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling stage for video rows: one output row per sampled
     frame (frame payloads stubbed as fake images derived from the video
@@ -158,18 +196,22 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents table (the
-    testdata has no binary columns): doc_id % 3 picks image/video/junk
-    so decode, sampling, and the error branch all get exercised."""
+    testdata has no binary columns): doc_id % 4 picks
+    image/video/audio/junk so decode, frame sampling, resampling, and
+    the error branch all get exercised."""
     img = F.udf(lambda d, t: fake_image(64 + d % 256, 64 + d % 128, t), "binary")
     vid = F.udf(lambda d, t: fake_video(32 + d % 64, 32 + d % 64, 30 + d % 60, t), "binary")
+    aud = F.udf(lambda d, t: fake_audio(8000 * (1 + d % 6), 16000 + d % 48000, t), "binary")
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, img(F.col("doc_id"), F.col("text")))
-        .when(F.col("doc_id") % 3 == 1, vid(F.col("doc_id"), F.col("text")))
+        F.when(F.col("doc_id") % 4 == 0, img(F.col("doc_id"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, vid(F.col("doc_id"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2, aud(F.col("doc_id"), F.col("text")))
         .otherwise(F.encode(F.substring("text", 1, 16), "utf-8"))
     )
     mtype = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("video"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("video"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("audio"))
         .otherwise(F.lit("unknown"))
     )
     return docs.select(

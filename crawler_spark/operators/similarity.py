@@ -47,6 +47,56 @@ def knn_topk(
     return out.orderBy(*order).limit(k)
 
 
+def knn_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by negative-inner-product distance: the LSH
+    scale path for ``knn_topk``. The query's hyperplane band buckets
+    (computed IN the plan from a 1-row DataFrame — no driver-side
+    replication of Spark's hash) broadcast-join against the table's
+    banded rows; only candidates sharing ≥1 band bucket get the exact
+    distance and enter the TakeOrderedAndProject.
+
+    At 100 TB the exact scan reads every vector; this prunes the scan
+    to ~bands/2^(planes/bands) of the table (band-bucket selectivity)
+    at the cost of recall — candidates can miss true neighbors whose
+    every band differs. Same knobs and seed MUST match any precomputed
+    banding. Recall vs the exact path is measured in tests.
+    """
+    from crawler_spark.operators.dedup import hyperplane_bands
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(0, list(map(float, query_vec)))],
+                                f"qid long, {vec_col} array<double>")
+    q_bands = hyperplane_bands(qdf, vec_col, "qid", num_planes, bands, seed)
+    q_keys = q_bands.select("band", "bucket",
+                            F.col("v").alias("qv"))  # ≤ bands rows
+
+    banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
+    candidates = (
+        banded.join(F.broadcast(q_keys), ["band", "bucket"])
+        .select("id", "v", "qv")
+        .dropDuplicates(["id"])  # a candidate may match several bands
+    )
+    dist = -F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda a, x: a + x,
+    )
+    return (
+        candidates.select(F.col("id").alias(id_col), dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

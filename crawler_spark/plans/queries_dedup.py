@@ -69,6 +69,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_resample")  # rows-only: audio resample plumbing (stub codec)
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.multimodal import (
+        decode_metadata,
+        resample_audio,
+        synthesize_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    return (
+        decode_metadata(resample_audio(media, 16000))
+        .filter(F.col("format") == "fakeaud")
+        .select("media_id", "sample_rate", "n_samples")
+        .orderBy("media_id")
+    )
+
+
 @register("multimodal_features")  # rows-only: binary → embedding features
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.multimodal import (

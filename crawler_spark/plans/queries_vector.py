@@ -52,6 +52,19 @@ def o3_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+# --- O3 scale path: LSH-pruned approximate top-k --------------------------
+@register("o3_knn_topk_lsh")  # rows-only: approximate (band-bucket pruned) top-k
+def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for POST /search: hyperplane band buckets prune
+    the scan before the exact distance re-rank (recall measured against
+    the exact knn in tests/test_vector_functions.py)."""
+    from crawler_spark.operators.similarity import knn_topk_lsh
+    from crawler_spark.sources import load_table
+
+    top = knn_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
 @register(
     "p3_distance_filter",

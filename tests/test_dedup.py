@@ -205,9 +205,26 @@ class TestMultimodal:
         bad = decoded.filter(F.col("decode_error").isNotNull())
         assert ok.filter(F.col("format") == "fakeimg").count() > 0
         assert ok.filter(F.col("format") == "fakevid").count() > 0
-        # doc_id % 3 == 2 rows are junk payloads → NotImplementedError branch
+        auds = ok.filter(F.col("format") == "fakeaud").collect()
+        assert auds and all(r.sample_rate > 0 and r.n_samples > 0 for r in auds)
+        # doc_id % 4 == 3 rows are junk payloads → NotImplementedError branch
         assert bad.count() > 0
         assert all("NotImplementedError" in r.decode_error for r in bad.collect())
+
+    def test_audio_resample(self, spark):
+        from crawler_spark.operators.multimodal import (
+            decode_metadata,
+            resample_audio,
+            synthesize_media_from_documents,
+        )
+        from crawler_spark.sources import load_table
+
+        media = synthesize_media_from_documents(load_table(spark, SF, "documents"))
+        resampled = decode_metadata(resample_audio(media, 16000))
+        auds = resampled.filter(F.col("format") == "fakeaud").collect()
+        assert auds and all(r.sample_rate == 16000 for r in auds)
+        # non-audio rows pass through untouched
+        assert resampled.filter(F.col("format") == "fakeimg").count() > 0
 
     def test_resize_and_frame_sampling(self, spark):
         from crawler_spark.operators.multimodal import (
