@@ -1,0 +1,148 @@
+"""Training-data preparation queries (the north-star LLM-pipeline
+extensions beyond SURVEY.md §2): exact percentile aggregates,
+deterministic (reproducible) sampling, stratified sampling, and a
+C4-style corpus-cleaning composite. All value-level oracle-backed —
+the sampling primitives use md5-prefix ordering, which both engines
+compute identically, instead of engine-local RNGs (Spark's
+``df.sample`` and DuckDB's ``USING SAMPLE`` can never agree and are
+not reproducible across cluster sizes; hash sampling is, which is why
+real corpus pipelines use it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+# --- exact percentiles per group ------------------------------------------
+@register(
+    "ev_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB swap for
+    ``approx_percentile`` — same plan shape, t-digest partial-merge
+    instead of a full sort per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- deterministic hash sampling ------------------------------------------
+_HASH_KEY = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr({_HASH_KEY}, 1, 2) < '1a'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample: keep rows whose md5(doc_id) prefix
+    falls under a fixed threshold ('1a' = 26/256). Identical members
+    on any engine, any cluster size, any partitioning — the property
+    RNG-based sampling can't give a multi-stage corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return docs.filter(F.substring(key, 1, 2) < "1a").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# --- stratified sampling (equal per-group quota) --------------------------
+@register(
+    "sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY {_HASH_KEY}, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-quota per-language sample, deterministically ordered by
+    content-free hash so the quota is unbiased w.r.t. document order:
+    one shuffle on lang (the window), no RNG state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# --- C4-style corpus cleaning composite -----------------------------------
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text, n_chars,
+                   len({_TOKENS_SQL}) AS n_tokens,
+                   min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS canonical_id
+            FROM documents
+        )
+        SELECT doc_id, n_tokens FROM scored
+        WHERE n_chars >= 200
+          AND n_tokens >= 30
+          AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0
+          AND canonical_id = doc_id
+        ORDER BY doc_id
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite a real pretraining pipeline runs: length floor,
+    token floor, chars-per-token ceiling (gibberish guard), and exact
+    dedup survivorship — one scan, one window over the fingerprint,
+    everything else a projection. Each ingredient is itself an
+    oracle-checked query (txt_token_stats, txt_quality_score,
+    dedup_exact); this proves they compose."""
+    from crawler_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text"))
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        X.word_token_count("text").alias("n_tokens"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_chars") >= 200)
+            & (F.col("n_tokens") >= 30)
+            & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0)
+            & (F.col("canonical_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )

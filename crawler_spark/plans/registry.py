@@ -50,6 +50,7 @@ def load_all() -> None:
     from crawler_spark.plans import (  # noqa: F401
         queries_dedup,
         queries_events,
+        queries_mlprep,
         queries_pipeline,
         queries_reference,
         queries_search,
