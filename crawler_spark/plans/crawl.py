@@ -19,15 +19,15 @@ across waves (lineage would otherwise grow linearly with depth).
 
 robots.txt (P8, settings.py:7): per-domain robots fetched through the
 same pluggable fetcher and enforced with stdlib robotparser before a
-wave is fetched — one fetch per distinct origin in the (bounded) wave.
+wave is fetched — checked ON THE EXECUTORS, partitioned by host so
+each origin's robots.txt resolves once per partition
+(ingest.robots_filter); the driver never loops over domains.
 """
 
 from __future__ import annotations
 
 import warnings
 from collections.abc import Callable
-from urllib import robotparser
-from urllib.parse import urlsplit, urlunsplit
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from crawler_spark.plans.ingest import (
     fetch_frontier,
     parse_stage,
+    robots_filter,
     split_dead_letter,
 )
 from crawler_spark.sources.fetch import Fetcher
@@ -50,29 +51,6 @@ def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None)
     host = F.lower(F.parse_url(url_col, F.lit("HOST")))
     arr = F.array(*[F.lit(d.lower()) for d in allowed_domains])
     return F.exists(arr, lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)))
-
-
-def _robots_disallowed(fetcher: Fetcher, urls: list[str], user_agent: str = "*") -> set[str]:
-    """urls disallowed by their domain's robots.txt (missing/unfetchable
-    robots.txt ⇒ everything allowed, like Scrapy's default)."""
-    parsers: dict[tuple[str, str], robotparser.RobotFileParser | None] = {}
-    out: set[str] = set()
-    for url in urls:
-        parts = urlsplit(url)
-        origin = (parts.scheme, parts.netloc)
-        if origin not in parsers:
-            robots_url = urlunsplit((parts.scheme, parts.netloc, "/robots.txt", "", ""))
-            _, body, err = fetcher.fetch(robots_url)
-            if err is not None or body is None:
-                parsers[origin] = None
-            else:
-                rp = robotparser.RobotFileParser()
-                rp.parse(body.decode("utf-8", errors="replace").splitlines())
-                parsers[origin] = rp
-        rp = parsers[origin]
-        if rp is not None and not rp.can_fetch(user_agent, url):
-            out.add(url)
-    return out
 
 
 def crawl(
@@ -132,8 +110,11 @@ def crawl(
         wave_urls = [r.url for r in head]
         fetch_urls = wave_urls
         if obey_robots:
-            blocked = _robots_disallowed(fetcher, wave_urls)
-            fetch_urls = [u for u in wave_urls if u not in blocked]
+            fetch_urls = [
+                r.url
+                for r in robots_filter(spark, fetcher, wave_urls)
+                .filter("allowed").collect()
+            ]
         # every attempted url (robots-blocked included) is visited: never retried
         visited = visited.unionByName(wave).localCheckpoint(eager=False)
 

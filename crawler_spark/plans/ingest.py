@@ -53,6 +53,53 @@ def fetch_frontier(spark: SparkSession, fetcher: Fetcher, urls: list[str]) -> Da
     )
 
 
+def robots_filter(
+    spark: SparkSession, fetcher: Fetcher, urls: list[str], user_agent: str = "*"
+) -> DataFrame:
+    """P8 at scale: (url, allowed) computed ON THE EXECUTORS. Urls
+    repartition by host so each partition resolves each origin's
+    robots.txt once (memoized per batch); a missing/unfetchable
+    robots.txt allows everything, like Scrapy's default. The r1
+    implementation fetched robots serially on the driver — O(#domains)
+    HTTP round-trips through one machine, a real bottleneck on a
+    100k-url wave over many domains."""
+    from urllib import robotparser
+    from urllib.parse import urlsplit, urlunsplit
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parsers: dict[tuple[str, str], robotparser.RobotFileParser | None] = {}
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                parts = urlsplit(url)
+                origin = (parts.scheme, parts.netloc)
+                if origin not in parsers:
+                    robots_url = urlunsplit(
+                        (parts.scheme, parts.netloc, "/robots.txt", "", "")
+                    )
+                    _, body, err = fetcher.fetch(robots_url)
+                    if err is not None or body is None:
+                        parsers[origin] = None
+                    else:
+                        rp = robotparser.RobotFileParser()
+                        rp.parse(body.decode("utf-8", errors="replace").splitlines())
+                        parsers[origin] = rp
+                rp = parsers[origin]
+                out.append(
+                    {"url": url,
+                     "allowed": rp is None or rp.can_fetch(user_agent, url)}
+                )
+            yield pd.DataFrame(out, columns=["url", "allowed"])
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        df.repartition(max(1, min(len(urls), par)), F.parse_url("url", F.lit("HOST")))
+        .mapInPandas(check, schema="url string, allowed boolean")
+    )
+
+
 def parse_stage(fetched: DataFrame) -> DataFrame:
     """P5 dispatch + F4-F7 extraction → PAGE_ITEM rows.
 

@@ -71,6 +71,18 @@ class TestCrawl:
         assert "https://site.test/private/secret" not in urls
         assert "https://site.test/" in urls
 
+    def test_robots_filter_runs_distributed(self, spark, fetcher):
+        """P8 as an executor-side stage: per-origin robots memoized in
+        the partition; origins without robots.txt allow everything."""
+        from crawler_spark.plans.ingest import robots_filter
+
+        urls = ["https://site.test/", "https://site.test/private/secret",
+                "https://other.org/x"]
+        got = {r.url: r.allowed for r in robots_filter(spark, fetcher, urls).collect()}
+        assert got == {"https://site.test/": True,
+                       "https://site.test/private/secret": False,
+                       "https://other.org/x": True}
+
     def test_robots_ignored_when_disabled(self, spark, fetcher):
         items, _ = crawl(
             spark, fetcher, ["https://site.test/private/secret"],
