@@ -170,3 +170,64 @@ def ev_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("purchase").alias("purchases"),
         cnt("error").alias("errors"),
     )
+
+
+# --- pivot: wide daily counts per event type ------------------------------
+@register(
+    "ev_pivot_daily_counts",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_pivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT long→wide: one row per day, one column per event type.
+    The value list is passed explicitly, which (a) skips the extra
+    distinct-values job Spark otherwise runs at plan time and (b) pins
+    the output schema — both mandatory habits at 100 TB (a pivot over
+    unvalidated distinct values is an unbounded-width schema bomb).
+    Physically this is the same single Expand+aggregate as the
+    conditional-sum form the oracle uses."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .orderBy("day")
+    )
+    # pivot yields nullable counts (a day with zero signups) — the
+    # conditional-sum oracle yields 0; align on 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )
+
+
+@register(
+    "ev_unpivot_roundtrip",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide→long: the inverse of ev_pivot_daily_counts,
+    proving the pair round-trips back to the plain long aggregate the
+    oracle computes directly. Zero-count cells are dropped on the way
+    back (the long form has no row for a day×type that never
+    happened)."""
+    wide = ev_pivot_daily_counts(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot("day", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )

@@ -340,6 +340,48 @@ def w2_running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- W3: analytic functions — lag gaps, percent_rank, ntile ---------------
+@register(
+    "w3_order_gaps_and_ranks",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               coalesce(date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate), -1) AS gap_days,
+               round(percent_rank() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice, o_orderkey), 6)
+                   AS price_pct,
+               CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                   AS quartile
+        FROM orders
+    """,
+)
+def w3_order_gaps_and_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function coverage beyond ranking/frames: lag + date
+    arithmetic (days since the customer's previous order), percent_rank
+    and ntile over a tie-broken price ordering — two window specs, one
+    shuffle on o_custkey (both windows share the partition key, so
+    Catalyst evaluates them in one Window node pair without a second
+    exchange)."""
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.coalesce(
+                F.datediff("o_orderdate", F.lag("o_orderdate").over(by_date)),
+                F.lit(-1),
+            ).cast("bigint").alias("gap_days"),  # -1 = first order (NULL lag)
+            F.round(F.percent_rank().over(by_price), 6).alias("price_pct"),
+            F.ntile(4).over(by_price).cast("bigint").alias("quartile"),
+        )
+    )
+
+
 # --- rollup: order counts by priority/status hierarchy --------------------
 @register(
     "rollup_order_counts",
