@@ -35,10 +35,15 @@ from pyspark.sql import functions as F
 from crawler_spark.plans.ingest import (
     fetch_frontier,
     parse_stage,
+    robots_allowed_map,
     robots_filter,
     split_dead_letter,
 )
 from crawler_spark.sources.fetch import Fetcher
+
+# waves at or below this size check robots driver-side — launching a
+# Spark stage to vet a handful of urls costs more than the check
+_ROBOTS_DISTRIBUTED_MIN = 1024
 
 
 def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None) -> Column:
@@ -110,11 +115,15 @@ def crawl(
         wave_urls = [r.url for r in head]
         fetch_urls = wave_urls
         if obey_robots:
-            fetch_urls = [
-                r.url
-                for r in robots_filter(spark, fetcher, wave_urls)
-                .filter("allowed").collect()
-            ]
+            if len(wave_urls) <= _ROBOTS_DISTRIBUTED_MIN:
+                robots_ok = robots_allowed_map(fetcher, wave_urls)
+                fetch_urls = [u for u in wave_urls if robots_ok[u]]
+            else:
+                fetch_urls = [
+                    r.url
+                    for r in robots_filter(spark, fetcher, wave_urls)
+                    .filter("allowed").collect()
+                ]
         # every attempted url (robots-blocked included) is visited: never retried
         visited = visited.unionByName(wave).localCheckpoint(eager=False)
 

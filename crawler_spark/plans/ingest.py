@@ -53,45 +53,56 @@ def fetch_frontier(spark: SparkSession, fetcher: Fetcher, urls: list[str]) -> Da
     )
 
 
+def robots_allowed_map(
+    fetcher: Fetcher, urls, user_agent: str = "*", parsers: dict | None = None
+) -> dict[str, bool]:
+    """url → allowed under its origin's robots.txt, one robots fetch
+    per origin (memoized in ``parsers``, which callers may share across
+    calls); a missing/unfetchable robots.txt allows everything, like
+    Scrapy's default. Plain Python — runs driver-side for small batches
+    and inside the distributed stage's partitions."""
+    from urllib import robotparser
+    from urllib.parse import urlsplit, urlunsplit
+
+    if parsers is None:
+        parsers = {}
+    out: dict[str, bool] = {}
+    for url in urls:
+        parts = urlsplit(url)
+        origin = (parts.scheme, parts.netloc)
+        if origin not in parsers:
+            robots_url = urlunsplit((parts.scheme, parts.netloc, "/robots.txt", "", ""))
+            _, body, err = fetcher.fetch(robots_url)
+            if err is not None or body is None:
+                parsers[origin] = None
+            else:
+                rp = robotparser.RobotFileParser()
+                rp.parse(body.decode("utf-8", errors="replace").splitlines())
+                parsers[origin] = rp
+        rp = parsers[origin]
+        out[url] = rp is None or rp.can_fetch(user_agent, url)
+    return out
+
+
 def robots_filter(
     spark: SparkSession, fetcher: Fetcher, urls: list[str], user_agent: str = "*"
 ) -> DataFrame:
     """P8 at scale: (url, allowed) computed ON THE EXECUTORS. Urls
     repartition by host so each partition resolves each origin's
-    robots.txt once (memoized per batch); a missing/unfetchable
-    robots.txt allows everything, like Scrapy's default. The r1
-    implementation fetched robots serially on the driver — O(#domains)
-    HTTP round-trips through one machine, a real bottleneck on a
-    100k-url wave over many domains."""
-    from urllib import robotparser
-    from urllib.parse import urlsplit, urlunsplit
-
+    robots.txt once (memoized per batch). The r1 implementation fetched
+    robots serially on the driver — O(#domains) HTTP round-trips
+    through one machine, a real bottleneck on a 100k-url wave over many
+    domains. (For small waves the crawl loop calls robots_allowed_map
+    directly — a Spark stage per wave isn't worth it under ~1k urls.)"""
     df = spark.createDataFrame([(u,) for u in urls], "url string")
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parsers: dict[tuple[str, str], robotparser.RobotFileParser | None] = {}
+        cache: dict = {}  # per-partition: origins survive across batches
         for pdf in batches:
-            out = []
-            for url in pdf["url"]:
-                parts = urlsplit(url)
-                origin = (parts.scheme, parts.netloc)
-                if origin not in parsers:
-                    robots_url = urlunsplit(
-                        (parts.scheme, parts.netloc, "/robots.txt", "", "")
-                    )
-                    _, body, err = fetcher.fetch(robots_url)
-                    if err is not None or body is None:
-                        parsers[origin] = None
-                    else:
-                        rp = robotparser.RobotFileParser()
-                        rp.parse(body.decode("utf-8", errors="replace").splitlines())
-                        parsers[origin] = rp
-                rp = parsers[origin]
-                out.append(
-                    {"url": url,
-                     "allowed": rp is None or rp.can_fetch(user_agent, url)}
-                )
-            yield pd.DataFrame(out, columns=["url", "allowed"])
+            allowed = robots_allowed_map(fetcher, pdf["url"], user_agent, cache)
+            yield pd.DataFrame(
+                {"url": pdf["url"], "allowed": [allowed[u] for u in pdf["url"]]}
+            )
 
     par = spark.sparkContext.defaultParallelism
     return (
