@@ -297,6 +297,19 @@ class TestRetry:
             RetryingEmbedder(Flaky(), max_retries=1).embed_text("x")
 
 
+class TestPagesSchemaContract:
+    def test_finalize_output_matches_web_pages_schema(self, ingested):
+        """finalize_pages must produce exactly the canonical WEB_PAGES
+        columns, in order, with matching types — drift here silently
+        breaks the storage contract every downstream query assumes."""
+        from crawler_spark import schemas
+
+        pages, _ = ingested
+        got = [(f.name, f.dataType.simpleString()) for f in pages.schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in schemas.WEB_PAGES.fields]
+        assert got == want
+
+
 class TestJobsAndFlags:
     def test_job_lifecycle(self, spark):
         from crawler_spark.plans.jobs import (

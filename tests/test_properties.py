@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure scalar kernels —
+the invariants the reference's behavior implies must hold for ANY
+input, not just fixtures: normalize/pad algebra (V2-V4), fingerprint
+whitespace-invariance, snippet bounds, stub determinism."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.functions.embedding import StubEmbedder, normalize_pad
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+vectors = st.lists(finite_floats, min_size=0, max_size=40)
+
+
+class TestNormalizePadProperties:
+    @given(vectors, st.integers(min_value=1, max_value=64))
+    @settings(max_examples=200, deadline=None)
+    def test_output_length_always_dims(self, v, dims):
+        assert len(normalize_pad(v, dims)) == dims
+
+    @given(vectors.filter(lambda v: any(abs(x) > 1e-6 for x in v)),
+           st.integers(min_value=1, max_value=64))
+    @settings(max_examples=200, deadline=None)
+    def test_norm_at_most_one(self, v, dims):
+        """Normalize-then-pad: unit norm when nothing is truncated,
+        ≤ 1 when truncation drops components — never > 1."""
+        out = normalize_pad(v, dims)
+        n = math.sqrt(sum(x * x for x in out))
+        assert n <= 1.0 + 1e-9
+        if len(v) <= dims:
+            assert n == pytest_approx(1.0)
+
+    @given(st.integers(min_value=1, max_value=64))
+    @settings(max_examples=50, deadline=None)
+    def test_zero_vector_passthrough(self, dims):
+        assert normalize_pad([0.0] * 3, dims) == [0.0] * dims
+
+    @given(vectors, st.integers(min_value=1, max_value=64))
+    @settings(max_examples=100, deadline=None)
+    def test_idempotent_when_not_truncating(self, v, dims):
+        """normalize_pad(normalize_pad(x)) == normalize_pad(x) whenever
+        the input fits in dims — the ingest case (model dims == stored
+        dims, pad only). Truncation genuinely breaks idempotence
+        (normalize-THEN-truncate drops norm; re-normalizing rescales —
+        reference order, embeddings.py:52-56 after :65-71), so the
+        property is scoped to the invariant the pipeline relies on."""
+        if len(v) > dims:
+            v = v[:dims]
+        once = normalize_pad(v, dims)
+        twice = normalize_pad(once, dims)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(once, twice))
+
+
+class TestStubEmbedderProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic_and_unit(self, text):
+        e = StubEmbedder(dims=16)
+        a, b = e.embed_text(text), e.embed_text(text)
+        assert a == b and len(a) == 16
+        n = math.sqrt(sum(x * x for x in a))
+        assert abs(n - 1.0) < 1e-9
+
+
+class TestFingerprintProperties:
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                   max_size=300))
+    @settings(max_examples=15, deadline=None)  # each example is a Spark job
+    def test_whitespace_runs_do_not_change_fingerprint(self, spark, text):
+        """The dedup fingerprint md5(trim(collapse_ws(lower(t)))) must be
+        invariant under doubling every space — the normalization the
+        oracle SQL mirrors."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions import text as X
+
+        doubled = text.replace(" ", "  ")
+        df = spark.createDataFrame([(text, doubled)], "a string, b string")
+        row = df.select(
+            X.fingerprint("a").alias("fa"),
+            X.fingerprint("b").alias("fb"),
+            (F.lower(F.trim(F.regexp_replace("a", r"\s+", " "))) ==
+             F.lower(F.trim(F.regexp_replace("b", r"\s+", " ")))).alias("same_norm"),
+        ).collect()[0]
+        assert (row.fa == row.fb) == bool(row.same_norm)
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=1e-9)
