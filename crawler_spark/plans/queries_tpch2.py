@@ -598,3 +598,120 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, o_orderstatus
         """
     )
+
+
+# --- Q4-adapted: priority counts for orders with a late lineitem ----------
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's decorrelated-EXISTS shape (commitdate/receiptdate absent:
+    'late' = shipped >60 days after order date). The correlated EXISTS
+    becomes a LEFT SEMI join on orderkey with the lateness predicate in
+    the join condition — one shuffle, no duplicate-orders blowup the
+    inner-join form would need a distinct to repair."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q11-adapted: part types holding an outsized share of stock value -----
+@register(
+    "q11_important_stock",
+    oracle="""
+        WITH typed AS (
+            SELECT p_type,
+                   SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS type_value
+            FROM part GROUP BY p_type
+        )
+        SELECT p_type, CAST(type_value AS DOUBLE) AS value
+        FROM typed
+        WHERE CAST(type_value AS DOUBLE) >
+              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               FROM part) * 0.15
+        ORDER BY value DESC, p_type
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING-against-scalar-subquery shape without partsupp:
+    per-type value filtered by a fraction of the global total. The
+    scalar total is a 1-row aggregate cross-joined (broadcast) into the
+    grouped result — both aggregates come from ONE scan via Spark's
+    reused exchange."""
+    part = load_table(spark, sf_dir, "part")
+    typed = part.groupBy("p_type").agg(
+        F.sum(_money("p_retailprice")).alias("type_value")
+    )
+    total = part.agg(
+        F.sum(_money("p_retailprice")).cast("double").alias("total_value")
+    )
+    return (
+        typed.join(F.broadcast(total))
+        .filter(F.col("type_value").cast("double") > F.col("total_value") * 0.15)
+        .select("p_type", F.col("type_value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "p_type")
+    )
+
+
+# --- Q16-adapted: supplier breadth per part type with exclusion -----------
+@register(
+    "q16_supplier_breadth",
+    oracle="""
+        SELECT p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_type <> 'PROMO'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < -900.0)
+        GROUP BY p.p_type
+        ORDER BY supplier_cnt DESC, p.p_type
+    """,
+)
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape from lineitem instead of partsupp: distinct-supplier
+    counts per part type, excluding a (broadcast anti-joined) supplier
+    blacklist. COUNT(DISTINCT) forces the classic two-phase expand —
+    the partial distinct runs map-side before the type shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    ).select("p_partkey", "p_type")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -900.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type")
+    )
