@@ -46,6 +46,20 @@ from crawler_spark.sources.fetch import Fetcher
 _ROBOTS_DISTRIBUTED_MIN = 1024
 
 
+def _save_state(df: DataFrame, path: str) -> None:
+    """Durable crawl state: write-then-rename so a crash mid-save keeps
+    the previous state intact (the df is eagerly checkpointed, so the
+    write never reads the path it replaces)."""
+    import os
+    import shutil
+
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
 def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None) -> Column:
     """Scrapy OffsiteMiddleware rule as a pure expression: host equals
     an allowed domain or is a subdomain of one (dynamic_spider.py:16).
@@ -67,6 +81,8 @@ def crawl(
     obey_robots: bool = True,
     max_urls_per_wave: int = 100_000,
     on_truncate: Callable[[int, int], None] | None = None,
+    state_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
 
@@ -81,13 +97,39 @@ def crawl(
     frontier is never fully counted just to report the excess. Silent
     frontier loss is a correctness bug at scale, so truncation is
     always surfaced and the overflow is kept.
+
+    ``state_dir`` makes the crawl crash-resumable: after every wave the
+    visited and next-frontier DataFrames persist as parquet, and
+    ``resume=True`` restarts from that state instead of the seeds
+    (already-attempted urls are never refetched — the reference's
+    dupefilter semantics across restarts). Resume restores FRONTIER
+    state only; completed waves' items were already handed to the
+    caller (or the streaming sink) — a restarted call returns items
+    from the remaining waves.
     """
+    import os
+
     allowed = domain_allowed_col("url", allowed_domains)
-    frontier = (
-        spark.createDataFrame([(u,) for u in dict.fromkeys(seed_urls)], "url string")
-        .filter(allowed)
-    )
-    visited = spark.createDataFrame([], "url string")
+    visited_path = state_dir and os.path.join(state_dir, "visited")
+    frontier_path = state_dir and os.path.join(state_dir, "frontier")
+    if resume and state_dir and os.path.isdir(frontier_path):
+        visited = (
+            spark.read.parquet(visited_path)
+            if os.path.isdir(visited_path)
+            else spark.createDataFrame([], "url string")
+        )
+        # saved frontier may include urls attempted just before the
+        # crash — never refetch an attempted url
+        frontier = spark.read.parquet(frontier_path).join(
+            visited, "url", "left_anti"
+        )
+    else:
+        frontier = (
+            spark.createDataFrame(
+                [(u,) for u in dict.fromkeys(seed_urls)], "url string"
+            ).filter(allowed)
+        )
+        visited = spark.createDataFrame([], "url string")
     waves_items: list[DataFrame] = []
     waves_dead: list[DataFrame] = []
 
@@ -124,8 +166,15 @@ def crawl(
                     for r in robots_filter(spark, fetcher, wave_urls)
                     .filter("allowed").collect()
                 ]
-        # every attempted url (robots-blocked included) is visited: never retried
-        visited = visited.unionByName(wave).localCheckpoint(eager=False)
+        # every attempted url (robots-blocked included) is visited: never
+        # retried. With durable state the checkpoint is eager so the
+        # parquet save below reads materialized partitions, not the
+        # state file it is about to overwrite.
+        visited = visited.unionByName(wave).localCheckpoint(
+            eager=state_dir is not None
+        )
+        if state_dir:
+            _save_state(visited, visited_path)
 
         if fetch_urls:
             fetched = fetch_frontier(spark, fetcher, fetch_urls)
@@ -137,10 +186,13 @@ def crawl(
         else:
             ok = None
 
-        if _depth == depth_limit:
+        last_wave = _depth == depth_limit
+        if last_wave and state_dir is None:
             break
         # next frontier: explode links, domain-filter, anti-join visited —
-        # all distributed; overflow from this wave rejoins the frontier
+        # all distributed; overflow from this wave rejoins the frontier.
+        # With durable state the final wave still computes and saves it,
+        # so a resumed crawl can continue one level deeper.
         if ok is not None:
             links = (
                 ok.select(F.explode("links").alias("url"))
@@ -151,7 +203,13 @@ def crawl(
             links = spark.createDataFrame([], "url string")
         if overflow is not None:
             links = links.unionByName(overflow).distinct()
-        frontier = links.join(visited, "url", "left_anti").localCheckpoint(eager=False)
+        frontier = links.join(visited, "url", "left_anti").localCheckpoint(
+            eager=state_dir is not None
+        )
+        if state_dir:
+            _save_state(frontier, frontier_path)
+        if last_wave:
+            break
 
     if not waves_items:
         from crawler_spark import schemas

@@ -116,6 +116,38 @@ class TestCrawl:
         assert len(truncations) == 1
         assert truncations[0][0] > 2 and truncations[0][1] == 2
 
+    def test_durable_state_resume_never_refetches(self, spark, tmp_path):
+        """A crawl with state_dir persists visited/frontier per wave; a
+        resumed crawl continues from the frontier and never refetches an
+        attempted url (dupefilter semantics across restarts)."""
+
+        class CountingFetcher(StubFetcher):
+            def __init__(self, site):
+                super().__init__(site)
+                self.fetched: list[str] = []
+
+            def fetch(self, url):
+                self.fetched.append(url)
+                return super().fetch(url)
+
+        state = str(tmp_path / "crawl_state")
+        f1 = CountingFetcher(SITE)
+        # first run: seeds only (depth 0), durable state written
+        items1, _ = crawl(spark, f1, ["https://site.test/"],
+                          allowed_domains=["site.test"], depth_limit=0,
+                          obey_robots=False, state_dir=state)
+        assert {r.url for r in items1.collect()} == {"https://site.test/"}
+
+        # resumed run: picks up the saved frontier (root's links), and
+        # the root itself is never refetched
+        f2 = CountingFetcher(SITE)
+        items2, _ = crawl(spark, f2, ["https://site.test/ignored-on-resume"],
+                          allowed_domains=["site.test"], depth_limit=0,
+                          obey_robots=False, state_dir=state, resume=True)
+        got = {r.url for r in items2.collect()}
+        assert got == {"https://site.test/a", "https://site.test/b"}
+        assert "https://site.test/" not in f2.fetched
+
     def test_crawl_feeds_ingest(self, spark, fetcher):
         from crawler_spark.plans.ingest import embed_stage, finalize_pages
 
