@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the plans we audited and want to
+KEEP (.explain('formatted') invariants). A future edit that silently
+turns a broadcast join into a sort-merge join, drops a pushed filter,
+or widens a pruned scan fails here, not in a 100 TB incident."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+_QUERIES = E.queries()
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_regional_revenue",
+                                  "q18_large_volume", "q8_market_share"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_text(_QUERIES[name](spark, SF))
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product leaked in"
+
+
+@pytest.mark.parametrize("name", ["o1_sort_paginate", "o3_knn_topk",
+                                  "web_pages_listing", "q3_shipping_priority"])
+def test_topk_is_take_ordered(spark, name):
+    plan = plan_text(_QUERIES[name](spark, SF))
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: sort+limit did not collapse to TakeOrderedAndProject"
+    )
+
+
+def test_projected_scan_prunes_columns(spark):
+    plan = plan_text(_QUERIES["s1_scan_projected"](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "text" not in read[0], (
+        "s1 projects 4 columns but the scan still reads `text`"
+    )
+
+
+def test_filter_pushed_to_scan(spark):
+    plan = plan_text(_QUERIES["p1_filter_eq"](spark, SF))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo" in ln for ln in pushed), (
+        "equality predicate not pushed into the parquet scan"
+    )
+
+
+def test_no_cartesian_anywhere_in_relational_core(spark):
+    """Every TPC-H-ish adaptation must be free of cartesian products
+    (the q11 scalar-total crossJoin broadcasts a 1-row side, which
+    Spark plans as BroadcastNestedLoopJoin — bounded, allowed)."""
+    for name in [q for q in _QUERIES if q.startswith("q")]:
+        plan = plan_text(_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} contains CartesianProduct"
