@@ -231,3 +231,59 @@ def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("day", "event_type")
     )
+
+
+# --- retention: week-over-week returning users ----------------------------
+@register(
+    "ev_weekly_retention",
+    oracle="""
+        WITH wu AS (
+            SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+                   user_id
+            FROM events
+        ),
+        cur AS (SELECT wk, count(*) AS n_users FROM wu GROUP BY wk),
+        ret AS (
+            SELECT a.wk, count(*) AS retained
+            FROM wu a JOIN wu b
+              ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+            GROUP BY a.wk
+        )
+        SELECT cur.wk AS week_start, n_users,
+               coalesce(retained, 0) AS retained,
+               round(CAST(coalesce(retained, 0) AS DOUBLE) / n_users, 6)
+                   AS retention_rate
+        FROM cur LEFT JOIN ret ON ret.wk = cur.wk
+        ORDER BY week_start
+    """,
+)
+def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of each week's distinct active users, the
+    fraction active again the following week. One distinct (week,user)
+    projection feeds both sides of a self-join shifted by 7 days —
+    shuffles on user_id (high-cardinality, uniform), then a tiny
+    per-week aggregate. The classic growth-analytics query the
+    reference's dashboard would want next."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", "ts").alias("wk"), "user_id"
+    ).distinct()
+    cur = wu.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users"))
+    nxt = wu.select((F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"), "user_id")
+    ret = (
+        wu.join(nxt, ["wk", "user_id"])
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return (
+        cur.join(ret, "wk", "left")
+        .select(
+            F.col("wk").alias("week_start"),
+            "n_users",
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+            F.round(
+                F.coalesce("retained", F.lit(0)).cast("double") / F.col("n_users"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("week_start")
+    )
