@@ -1,0 +1,111 @@
+"""Temporal joins Spark lacks as built-ins (north-star custom
+operators): as-of join and bucketed range join.
+
+Both are implemented as compositions of existing DataFrame operators —
+no UDF, no per-row Python — so they stay inside whole-stage codegen
+and scale like any window/join:
+
+* ``asof_join``: the classic distributed shape — union both sides with
+  a source marker, ONE window per key ordered by (time, marker) with
+  ``last(..., ignorenulls=True)`` carrying the most recent right-side
+  values forward, then keep only left rows. One shuffle on the key,
+  no inequality join, no per-key driver loop. pandas users know this
+  as ``merge_asof``; Flink as a temporal table join.
+
+* ``range_join_buckets``: interval join (left.t BETWEEN right.lo AND
+  right.hi) without the BroadcastNestedLoop a naive inequality join
+  plans: intervals explode into the fixed-width buckets they overlap,
+  points key into their bucket, the join is an EQUI-join on
+  (key, bucket) refined by the exact predicate. Shuffle is keyed by
+  (key, bucket) — bucket width trades replication (wide intervals hit
+  more buckets) against per-bucket fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the ``value_cols`` of the most recent
+    right row with the same ``by`` key and right.``on`` <= left.``on``
+    (direction='backward'; ties match — a right row AT the left row's
+    timestamp wins, matching DuckDB ASOF and pandas merge_asof
+    defaults). Left rows with no prior right row keep NULLs.
+
+    Only ``backward`` is implemented — forward is the same plan with
+    the window reversed.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+        F.lit(1).alias("__src"),
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in (on, by) else F.col(c)
+          for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(0).alias("__src"),
+    )
+    # right rows sort BEFORE left rows at equal timestamps (__src 0 < 1)
+    # so a tie is visible to the left row — ASOF/merge_asof semantics
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+          for c in value_cols],
+    )
+    return (
+        carried.filter(F.col("__src") == 1)
+        .select(*lcols,
+                *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols])
+    )
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_t: str,
+    lo: str,
+    hi: str,
+    by: str,
+    bucket_width_sec: int = 3600,
+) -> DataFrame:
+    """Equi-join rewrite of ``points.t BETWEEN intervals.lo AND
+    intervals.hi`` (inclusive) within a ``by`` key: each interval
+    explodes into every bucket it overlaps, points hash to one bucket,
+    and the exact BETWEEN refines after the (key, bucket) equi-join.
+    Output has every point column plus the interval's lo/hi."""
+    width = F.lit(bucket_width_sec)
+    p_bucket = (F.unix_timestamp(F.col(point_t)) / width).cast("long")
+    i_buckets = F.sequence(
+        (F.unix_timestamp(F.col(lo)) / width).cast("long"),
+        (F.unix_timestamp(F.col(hi)) / width).cast("long"),
+    )
+    p = points.withColumn("__bucket", p_bucket)
+    i = intervals.select(
+        F.col(by).alias("__by"), lo, hi, F.explode(i_buckets).alias("__bucket")
+    )
+    return (
+        p.join(i, (F.col(by) == F.col("__by")) & (p["__bucket"] == i["__bucket"]))
+        .filter((F.col(point_t) >= F.col(lo)) & (F.col(point_t) <= F.col(hi)))
+        .drop("__bucket", "__by")
+    )

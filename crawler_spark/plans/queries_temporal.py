@@ -1,0 +1,84 @@
+"""Temporal-join queries (north-star custom operators SURVEY.md §7:
+as-of join, range join). The as-of oracle uses DuckDB's NATIVE
+``ASOF LEFT JOIN`` — our union-window implementation is checked
+value-for-value against a reference engine's built-in."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+# --- as-of: most recent signup at or before each purchase -----------------
+@register(
+    "asof_last_signup",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               coalesce(s.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the timestamp of the user's most recent
+    signup at-or-before it — the attribution join every event pipeline
+    needs and Spark has no built-in for. One shuffle on user_id, one
+    window, no inequality join (operators/temporal.py)."""
+    from crawler_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on="ts", by="user_id", value_cols=["ts"])
+    # no-prior-signup rows keep NULL from the operator; the oracle-
+    # checked projection pins them to the epoch (NULL timestamps render
+    # as NaT on the pandas side of the compare)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce("asof_ts", F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .alias("asof_ts"),
+    ).orderBy("event_id")
+
+
+# --- range join: each user's events inside their first 24 hours -----------
+@register(
+    "range_first_day_events",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id AS by_user, min(ts) AS lo,
+                   min(ts) + INTERVAL 24 HOUR AS hi
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.ts, f.lo, f.hi
+        FROM events e JOIN firsts f ON e.user_id = f.by_user
+        WHERE e.ts >= f.lo AND e.ts <= f.hi
+        ORDER BY e.event_id
+    """,
+)
+def range_first_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (point BETWEEN lo AND hi) through the
+    bucketed equi-join rewrite — no BroadcastNestedLoop. Here each key
+    has one interval (a degenerate but real case: the user's first-day
+    window); the bucketing pays off when keys carry many or wide
+    intervals (ad campaigns, maintenance windows)."""
+    from crawler_spark.operators.temporal import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy(F.col("user_id").alias("by_user")).agg(
+        F.min("ts").alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL 24 HOURS")).alias("hi"),
+    )
+    joined = range_join_buckets(
+        ev.select("event_id", "user_id", "ts"),
+        firsts.withColumnRenamed("by_user", "user_id"),
+        point_t="ts", lo="lo", hi="hi", by="user_id",
+    )
+    return joined.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id")

@@ -54,6 +54,7 @@ def load_all() -> None:
         queries_pipeline,
         queries_reference,
         queries_search,
+        queries_temporal,
         queries_text,
         queries_tpch,
         queries_tpch2,

@@ -1,0 +1,101 @@
+"""Unit tests for the temporal join operators (operators/temporal.py):
+as-of tie/no-match/per-key isolation semantics, range-join bucket
+boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_pick_tie_and_no_match(self, spark):
+        from crawler_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u1", ts("2024-01-01T10:00:00")),   # after r2 → picks 09:00
+             (2, "u1", ts("2024-01-01T08:00:00")),   # tie with r1 → 08:00 matches
+             (3, "u1", ts("2024-01-01T07:00:00")),   # before all → NULL
+             (4, "u2", ts("2024-01-01T12:00:00"))],  # other key → only its own
+            "id long, user string, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u1", ts("2024-01-01T08:00:00"), 100),
+             ("u1", ts("2024-01-01T09:00:00"), 200),
+             ("u2", ts("2024-01-01T11:00:00"), 900)],
+            "user string, t timestamp, val int",
+        )
+        got = {r.id: r.asof_val for r in asof_join(
+            left, right, on="t", by="user", value_cols=["val"]).collect()}
+        assert got == {1: 200, 2: 100, 3: None, 4: 900}
+
+    def test_left_rows_and_columns_preserved(self, spark):
+        from crawler_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u1", ts("2024-01-01T10:00:00"), "extra")],
+            "id long, user string, t timestamp, note string",
+        )
+        right = spark.createDataFrame(
+            [("u1", ts("2024-01-01T09:00:00"), 7)],
+            "user string, t timestamp, val int",
+        )
+        rows = asof_join(left, right, on="t", by="user",
+                         value_cols=["val"]).collect()
+        assert len(rows) == 1
+        assert rows[0].note == "extra" and rows[0].asof_val == 7
+
+
+class TestRangeJoinBuckets:
+    def test_inclusive_bounds_and_bucket_crossing(self, spark):
+        from crawler_spark.operators.temporal import range_join_buckets
+
+        points = spark.createDataFrame(
+            [(1, "k", ts("2024-01-01T00:00:00")),   # == lo: inclusive
+             (2, "k", ts("2024-01-01T02:00:00")),   # == hi: inclusive
+             (3, "k", ts("2024-01-01T02:00:01")),   # just past hi: out
+             (4, "k", ts("2024-01-01T01:30:00")),   # inside, middle bucket
+             (5, "x", ts("2024-01-01T01:00:00"))],  # wrong key: out
+            "id long, k string, t timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("k", ts("2024-01-01T00:00:00"), ts("2024-01-01T02:00:00"))],
+            "k string, lo timestamp, hi timestamp",
+        )
+        got = sorted(
+            r.id for r in range_join_buckets(
+                points, intervals, point_t="t", lo="lo", hi="hi", by="k",
+                bucket_width_sec=3600,
+            ).collect()
+        )
+        assert got == [1, 2, 4]  # interval spans 3 buckets; bounds inclusive
+
+    def test_matches_plain_join_filter(self, spark):
+        """Bucketed rewrite ≡ the naive inequality join on real data."""
+        from crawler_spark.operators.temporal import range_join_buckets
+        from crawler_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "ts"
+        )
+        firsts = ev.groupBy("user_id").agg(
+            F.min("ts").alias("lo"),
+            (F.min("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+        )
+        bucketed = {
+            r.event_id
+            for r in range_join_buckets(ev, firsts, "ts", "lo", "hi", "user_id",
+                                        bucket_width_sec=900).collect()
+        }
+        naive = {
+            r.event_id
+            for r in ev.join(firsts, "user_id")
+            .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+            .collect()
+        }
+        assert bucketed == naive and bucketed
