@@ -290,3 +290,53 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, max_shingle_df=50)
         .orderBy("id_a", "id_b")
     )
+
+
+# --- F2: tokenization as a first-class projection -------------------------
+@register(
+    "f2_query_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               {_TOKENS_SQL}[1:5] AS first_tokens,
+               len({_TOKENS_SQL}) AS n_tokens
+        FROM documents
+    """,
+)
+def f2_query_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (reference search.py:103 re.findall(r'\\w+', lower)) surfaced
+    as its own oracle query: the token ARRAY itself is compared
+    element-for-element, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.slice(toks, 1, 5).alias("first_tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+# --- array-valued aggregation: sorted distinct sources per language -------
+@register(
+    "agg_sources_per_lang",
+    oracle="""
+        SELECT lang,
+               list_sort(list(DISTINCT source)) AS sources,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation (collect_set → sort_array): the result
+    cell is itself an ordered collection, compared element-for-element.
+    collect_set's partial aggregation dedups map-side, so the shuffle
+    carries distinct values only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
