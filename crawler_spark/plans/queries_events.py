@@ -177,11 +177,11 @@ def ev_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_pivot_daily_counts",
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+               COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
         FROM events
         GROUP BY 1 ORDER BY 1
     """,

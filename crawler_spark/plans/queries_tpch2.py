@@ -253,8 +253,8 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipping",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                        THEN 1 ELSE 0 END) AS late_count,
+               COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 END) AS late_count,
                COUNT(*) AS total_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

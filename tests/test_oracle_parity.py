@@ -41,19 +41,28 @@ def con():
 
 
 def _canon(v):
-    """Canonicalize a cell so equal values get equal (and sortable) forms."""
+    """Canonicalize a cell so equal values get equal (and sortable) forms.
+
+    Numeric kinds are TAGGED so the comparison is type-sensitive: the
+    driver's value hash distinguishes int64 from float64 (that is exactly
+    how ev_pivot_daily_counts failed in round 2 while this replica passed),
+    so 5 and 5.0 must NOT compare equal here either. Decimal maps to the
+    float tag because DuckDB's pandas bridge returns DECIMAL as float64
+    and those queries hash-pass under the driver — tagging Decimal
+    distinctly would make this gate *stronger* than the driver and fail
+    good queries."""
     if v is None:
         return None
-    if isinstance(v, np.integer):
-        return int(v)
-    if isinstance(v, np.bool_):
-        return bool(v)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
+        return ("f", "NaN") if math.isnan(v) else ("f", v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("f", float(v))
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     if isinstance(v, (datetime.datetime, datetime.date)):
