@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 from crawler_spark.functions import text as X
 
 
+def long_id(df: DataFrame, id_col: str) -> F.Column:
+    """The LONG id column these operators key on — failing fast when the
+    id type isn't integral. A silent ``cast("long")`` turns string ids
+    into NULLs, collapsing every row onto one key (or dropping them)
+    with no error; callers with string ids must derive a numeric key
+    explicitly, e.g. ``df.withColumn("id64", F.xxhash64("doc_id"))``."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"id column {id_col!r} has type {dt.simpleString()}, but this operator "
+            "keys on an integral id. Derive one first (deterministic for strings): "
+            f"df.withColumn('id64', F.xxhash64('{id_col}'))."
+        )
+    return F.col(id_col).cast("long")
+
+
 # ---------------------------------------------------------------- MinHash
 def minhash_signatures(
     docs: DataFrame,
@@ -255,7 +273,7 @@ def hyperplane_bands(
         )
         return (proj >= 0).cast("int").alias(f"b{plane}")
 
-    norm = df.select(F.col(id_col).cast("long").alias("id"),
+    norm = df.select(long_id(df, id_col).alias("id"),
                      V.l2_normalize(vec_col).alias("v"))
     sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
     return sig.select(

@@ -76,20 +76,19 @@ def knn_topk_lsh(
     qdf = spark.createDataFrame([(0, list(map(float, query_vec)))],
                                 f"qid long, {vec_col} array<double>")
     q_bands = hyperplane_bands(qdf, vec_col, "qid", num_planes, bands, seed)
-    q_keys = q_bands.select("band", "bucket",
-                            F.col("v").alias("qv"))  # ≤ bands rows
+    q_keys = q_bands.select("band", "bucket")  # ≤ bands rows
 
     banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
     candidates = (
         banded.join(F.broadcast(q_keys), ["band", "bucket"])
-        .select("id", "v", "qv")
+        .select("id", "v")
         .dropDuplicates(["id"])  # a candidate may match several bands
     )
-    dist = -F.aggregate(
-        F.zip_with("v", "qv", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda a, x: a + x,
-    )
+    # re-rank against the RAW query vector — the exact path (knn_topk)
+    # normalizes only the stored side, so using the banding's normalized
+    # query here would scale every distance by 1/||q|| and shift any
+    # max_distance-style threshold
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
     return (
         candidates.select(F.col("id").alias(id_col), dist.alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
@@ -108,24 +107,29 @@ def cosine_pairs_exact(
 
     Physical strategy: block-nested-loop matrix product. Rows hash into
     B blocks; each block is packed into ONE row (ids + matrix) by a
-    groupBy; the B(B+1)/2 block pairs come from a tiny self-join of the
-    B packed rows (the small side broadcast); a vectorized mapInPandas
-    computes each block-pair's BLAS product and emits only the
+    groupBy; each packed block then explodes to the B pair keys
+    (min(blk, partner), max(blk, partner)) it participates in, and ONE
+    groupBy on the pair key brings the (at most two) blocks of each of
+    the B(B+1)/2 block pairs into the same task, where a vectorized
+    mapInPandas computes the BLAS product and emits only the
     above-threshold pairs. No O(n²)-row shuffle ever materializes, no
-    driver collect, no full-matrix broadcast — the plan is lazy
-    (constructing it triggers zero Spark jobs) and every stage is
-    distributed. Each block's data is replicated B times through the
-    join, the unavoidable cost of exact all-pairs.
+    driver collect, and nothing is broadcast — the ×B replication of
+    each block (the unavoidable cost of exact all-pairs) travels
+    through the executor shuffle, never through driver memory or the
+    broadcast-table size ceiling. The plan is lazy (constructing it
+    triggers zero Spark jobs) and every stage is distributed.
 
     Memory per task = two blocks (2·(n/B)·d·8 bytes) plus a chunked
     similarity tile; B defaults to √(2·parallelism) so the block-pair
-    count matches the cluster. ``id_col`` must cast to long (testdata
-    ids are ints); hash string ids to longs first if needed. For data
-    too large even blocked, the LSH variant (operators/dedup.py) prunes
+    count matches the cluster. ``id_col`` must be integral (fail-fast
+    otherwise); hash string ids with xxhash64 first. For data too large
+    even blocked, the LSH variant (operators/dedup.py) prunes
     candidates instead of touching the full pair space.
     """
     import numpy as np
     import pandas as pd
+
+    from crawler_spark.operators.dedup import long_id
 
     thr = float(threshold)
     if num_blocks is None:
@@ -134,7 +138,7 @@ def cosine_pairs_exact(
     B = num_blocks
 
     norm = df.select(
-        F.col(id_col).cast("long").alias("id"), V.l2_normalize(vec_col).alias("v")
+        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
     )
     packed = (
         norm.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
@@ -148,24 +152,34 @@ def cosine_pairs_exact(
             F.transform("rows", lambda r: r["v"]).alias("vecs"),
         )
     )
-    a = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-                      F.col("vecs").alias("vecs_a"))
-    b = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-                      F.col("vecs").alias("vecs_b"))
-    block_pairs = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
-    # spread the B(B+1)/2 block-pair rows across tasks
-    block_pairs = block_pairs.repartition(B * (B + 1) // 2)
+    # Block i serves every pair key (min(i,p), max(i,p)), p ∈ [0,B) —
+    # one explode (narrow) + one shuffle on the pair key. sort_array
+    # orders the two sides by blk, so sides[0] is the ka block.
+    block_pairs = (
+        packed.select(
+            "blk", "ids", "vecs",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("p"),
+        )
+        .select(
+            F.least("blk", "p").alias("ka"),
+            F.greatest("blk", "p").alias("kb"),
+            F.struct("blk", "ids", "vecs").alias("side"),
+        )
+        .groupBy("ka", "kb")
+        .agg(F.sort_array(F.collect_list("side")).alias("sides"))
+    )
 
     def product(batches):
         for pdf in batches:
-            for row_ids_a, row_vecs_a, row_ids_b, row_vecs_b, same in zip(
-                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"],
-                pdf["blk_a"] == pdf["blk_b"],
-            ):
-                ids_a = np.asarray(row_ids_a, dtype=np.int64)
-                ids_b = np.asarray(row_ids_b, dtype=np.int64)
-                mat_a = np.stack(row_vecs_a).astype(np.float64, copy=False)
-                mat_b = np.stack(row_vecs_b).astype(np.float64, copy=False)
+            for ka, kb, sides in zip(pdf["ka"], pdf["kb"], pdf["sides"]):
+                same = ka == kb
+                if not same and len(sides) < 2:
+                    continue  # partner block hashed empty: no cross pairs
+                sa, sb = sides[0], sides[0] if same else sides[1]
+                ids_a = np.asarray(sa["ids"], dtype=np.int64)
+                ids_b = np.asarray(sb["ids"], dtype=np.int64)
+                mat_a = np.stack(sa["vecs"]).astype(np.float64, copy=False)
+                mat_b = np.stack(sb["vecs"]).astype(np.float64, copy=False)
                 # tile rows of A so the sims buffer stays bounded
                 for lo in range(0, len(ids_a), 4096):
                     hi = lo + 4096

@@ -41,23 +41,34 @@ def asof_join(
     timestamp wins, matching DuckDB ASOF and pandas merge_asof
     defaults). Left rows with no prior right row keep NULLs.
 
+    All ``value_cols`` travel as ONE struct carried by a single
+    ``last(ignorenulls=True)`` — so every output value comes from the
+    SAME matched right row. Carrying columns independently (the naive
+    form) silently mixes rows when right-side values contain NULLs: an
+    older non-NULL value would override the matched row's legitimate
+    NULL, diverging from merge_asof/DuckDB ASOF semantics.
+
     Only ``backward`` is implemented — forward is the same plan with
     the window reversed.
     """
+    from pyspark.sql.types import StructField, StructType
+
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     lcols = [c for c in left.columns]
+    r_struct = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     tagged_left = left.select(
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(r_struct).alias("__r"),
         F.lit(1).alias("__src"),
     )
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in (on, by) else F.col(c)
           for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
         F.lit(0).alias("__src"),
     )
     # right rows sort BEFORE left rows at equal timestamps (__src 0 < 1)
@@ -69,14 +80,12 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
     carried = unioned.select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-          for c in value_cols],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
     )
     return (
         carried.filter(F.col("__src") == 1)
         .select(*lcols,
-                *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols])
+                *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in value_cols])
     )
 
 

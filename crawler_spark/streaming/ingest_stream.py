@@ -83,10 +83,19 @@ def make_batch_processor(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        items = parse_stage(batch_df)
+        # parse once: both the pages chain and the dead-letter write
+        # hang off this frame, and without the boundary each action
+        # would re-run the HTML-parse UDFs
+        items = parse_stage(batch_df).localCheckpoint(eager=True)
         ok, dead = split_dead_letter(items)
-        pages = finalize_pages(embed_stage(ok, embedder, dims)).withColumn(
-            "bucket", domain_bucket("domain", num_buckets)
+        # materialize the expensive embed stage exactly ONCE, before
+        # anything consumes it — deriving `touched` from the lazy frame
+        # and checkpointing later would run the embedding UDF (HTTP
+        # calls + retries in the real path) twice per micro-batch
+        pages = (
+            finalize_pages(embed_stage(ok, embedder, dims))
+            .withColumn("bucket", domain_bucket("domain", num_buckets))
+            .localCheckpoint(eager=True)
         )
         table_exists = os.path.isdir(pages_dir) and any(
             not f.startswith((".", "_")) for f in os.listdir(pages_dir)
@@ -97,10 +106,13 @@ def make_batch_processor(
             existing = spark.read.parquet(pages_dir).filter(
                 F.col("bucket").isin(touched)  # prunes to touched partitions
             )
-            pages = merge_by_key(existing, pages, key="url", recency_col="last_crawled")
-        # break lineage so the write doesn't read the path it overwrites;
-        # materializes only the touched partitions' merged rows
-        pages = pages.localCheckpoint(eager=True)
+            # second (cheap) boundary: the merge join must not keep a
+            # lineage into the path the write below overwrites; it
+            # recomputes only the join over the checkpointed batch and
+            # the pruned existing partitions, never the embed stage
+            pages = merge_by_key(
+                existing, pages, key="url", recency_col="last_crawled"
+            ).localCheckpoint(eager=True)
         (
             pages.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -50,6 +50,27 @@ class TestAsofJoin:
         assert len(rows) == 1
         assert rows[0].note == "extra" and rows[0].asof_val == 7
 
+    def test_all_values_come_from_the_same_matched_row(self, spark):
+        """merge_asof/DuckDB ASOF semantics: the matched right row's
+        legitimate NULL must NOT be overridden by an older row's
+        non-NULL, and multiple value columns must never mix rows."""
+        from crawler_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u1", ts("2024-01-01T10:00:00"))],
+            "id long, user string, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u1", ts("2024-01-01T08:00:00"), 100, "old"),
+             ("u1", ts("2024-01-01T09:00:00"), None, "new")],
+            "user string, t timestamp, val int, tag string",
+        )
+        row = asof_join(left, right, on="t", by="user",
+                        value_cols=["val", "tag"]).collect()[0]
+        # matched row is 09:00 → val is genuinely NULL, tag is 'new';
+        # the broken per-column carry would return (100, 'new')
+        assert row.asof_val is None and row.asof_tag == "new"
+
 
 class TestRangeJoinBuckets:
     def test_inclusive_bounds_and_bucket_crossing(self, spark):
