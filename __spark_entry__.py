@@ -44,7 +44,8 @@ _NEVER_DRIVER_VERIFIED = [
     "grouping_sets_revenue", "setop_intersect", "setop_except",
     "asof_last_signup", "range_first_day_events", "agg_sources_per_lang",
     "f2_query_tokens", "f8_base64_content", "dedup_canonical",
-    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_capped", "dedup_canonical_capped",
+    "knn_index_build", "knn_probe_precomputed",
 ]
 
 

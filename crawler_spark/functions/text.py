@@ -33,15 +33,62 @@ def tokenize(col: ColumnOrName) -> Column:
     return F.filter(F.split(F.lower(_c(col)), r"\W+"), lambda t: t != "")
 
 
-def ts_match(col: ColumnOrName, query: str) -> Column:
+def _stem_token(t: Column) -> Column:
+    """Simplified Porter step-1 stemmer as a pure expression: plural
+    (sses→ss, ies→i, -s), -ing/-ed, trailing -e — enough to make
+    "joining"/"joined"/"joins" all match "join". Length guards keep
+    short tokens intact. MUST stay in lockstep with ``_stem_str``."""
+    plural = (
+        F.when(t.rlike("sses$"), F.regexp_replace(t, "sses$", "ss"))
+        .when(t.rlike("ies$"), F.regexp_replace(t, "ies$", "i"))
+        .when(t.rlike("ss$"), t)
+        .when(t.rlike("..s$"), F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
+    )
+    verb = (
+        F.when(plural.rlike("...ing$"), F.regexp_replace(plural, "ing$", ""))
+        .when(plural.rlike("...ed$"), F.regexp_replace(plural, "ed$", ""))
+        .otherwise(plural)
+    )
+    return F.when(verb.rlike("...e$"), F.regexp_replace(verb, "e$", "")).otherwise(verb)
+
+
+def _stem_str(t: str) -> str:
+    """Driver-side mirror of ``_stem_token`` for query terms."""
+    if t.endswith("sses"):
+        t = t[:-4] + "ss"
+    elif t.endswith("ies"):
+        t = t[:-3] + "i"
+    elif t.endswith("ss"):
+        pass
+    elif t.endswith("s") and len(t) >= 3:
+        t = t[:-1]
+    if t.endswith("ing") and len(t) >= 6:
+        t = t[:-3]
+    elif t.endswith("ed") and len(t) >= 5:
+        t = t[:-2]
+    if t.endswith("e") and len(t) >= 4:
+        t = t[:-1]
+    return t
+
+
+def ts_match(col: ColumnOrName, query: str, stem: bool = False) -> Column:
     """True iff every ``\\w+`` token of ``query`` appears as a token of
-    the target string (AND semantics of single-term to_tsquery)."""
+    the target string (AND semantics of single-term to_tsquery).
+
+    ``stem=True`` (SURVEY.md §7 decision 2) stems BOTH sides with the
+    simplified Porter rules above, approximating Postgres's
+    ``to_tsquery('english', ...)`` behavior; OFF by default so oracle
+    SQL stays expressible token-for-token in DuckDB."""
     import re
 
     terms = [t for t in re.findall(r"\w+", query.lower()) if t]
     if not terms:
         return F.lit(True)
     toks = tokenize(col)
+    if stem:
+        terms = [_stem_str(t) for t in terms]
+        toks = F.transform(toks, _stem_token)
     return F.forall(F.array(*[F.lit(t) for t in terms]),
                     lambda t: F.array_contains(toks, t))
 

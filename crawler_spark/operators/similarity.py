@@ -96,6 +96,87 @@ def knn_topk_lsh(
     )
 
 
+def build_banded_index(
+    df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the hyperplane-banded table ONCE, partitioned by
+    (band, bucket) — the 100 TB serving shape for ANN top-k. Query-time
+    work (``knn_topk_precomputed``) is then a partition-pruned probe of
+    ≤ ``bands`` directories plus an exact re-rank of the candidates,
+    instead of re-banding the whole table per query the way
+    ``knn_topk_lsh`` does. Partition count = bands · 2^(planes/bands)
+    (4·16 = 64 with the defaults) — coarse enough that files stay large,
+    selective enough that a probe touches ~1/16th of the data per band.
+
+    The index MUST be probed with the same (num_planes, bands, seed)."""
+    from crawler_spark.operators.dedup import hyperplane_bands
+
+    banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
+    (
+        banded.write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(index_path)
+    )
+
+
+def knn_topk_precomputed(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a ``build_banded_index`` table: compute
+    the query's ≤ ``bands`` (band, bucket) keys (a 1-row job using the
+    SAME expression-derived hyperplanes as the index), probe ONLY those
+    partitions (literal equality on the partition columns → directory-
+    level pruning at file listing), then exact re-rank against the raw
+    query vector. Identical results to ``knn_topk_lsh`` with matching
+    knobs; the per-query banding of the full table is gone."""
+    import functools
+    import operator
+
+    from crawler_spark.operators.dedup import hyperplane_bands
+
+    qdf = spark.createDataFrame(
+        [(0, list(map(float, query_vec)))], f"qid long, {vec_col} array<double>"
+    )
+    keys = (
+        hyperplane_bands(qdf, vec_col, "qid", num_planes, bands, seed)
+        .select("band", "bucket")
+        .collect()
+    )
+    cond = functools.reduce(
+        operator.or_,
+        [(F.col("band") == r.band) & (F.col("bucket") == r.bucket) for r in keys],
+    )
+    candidates = spark.read.parquet(index_path).filter(cond)
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    scored = candidates.select(F.col("id").alias(id_col), dist.alias("distance"))
+    # a candidate matching m ≤ bands buckets appears m times with an
+    # IDENTICAL (distance, id) row — take the top k·bands rows first
+    # (TakeOrderedAndProject, no shuffle of the candidate set), which
+    # must contain ≥ k distinct ids, then dedup those few rows; this
+    # replaces a dropDuplicates shuffle over the whole candidate set
+    return (
+        scored.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k * max(len(keys), 1))
+        .dropDuplicates([id_col])
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

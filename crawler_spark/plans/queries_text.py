@@ -292,6 +292,24 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_canonical_capped")  # rows-only: closure over the skew-safe pairs
+def dedup_canonical_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ``dedup_canonical`` end-to-end: the same
+    transitive closure composed over the HOT-SHINGLE-CAPPED pair
+    generator, so no stage of the pipeline carries the d²-per-hot-
+    shingle skew the exact baseline accepts for oracle parity.
+    tests/test_dedup.py proves the closure's components are identical
+    to the exact variant on the testdata (where no shingle exceeds the
+    cap, the pair sets — and hence components — coincide)."""
+    from crawler_spark.operators.dedup import canonical_closure
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, max_shingle_df=50)
+    return canonical_closure(pairs, docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "canonical_id"
+    )
+
+
 # --- F2: tokenization as a first-class projection -------------------------
 @register(
     "f2_query_tokens",

@@ -65,6 +65,60 @@ def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+# --- O3 serving shape: precomputed banded index + partition-pruned probe --
+def _ann_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf index location (params pinned in the name so
+    a knob change can't probe a stale index)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/crawler_spark_ann_index/{base}_p16_b4_s42"
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from crawler_spark.operators.similarity import build_banded_index
+    from crawler_spark.sources import load_table
+
+    path = _ann_index_path(sf_dir)
+    if not (os.path.isdir(path) and any(
+            not f.startswith((".", "_")) for f in os.listdir(path))):
+        build_banded_index(load_table(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+@register("knn_index_build")  # rows-only: the one-off banding materialization
+def knn_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or rebuild) the hyperplane-banded ANN index — the ONE-OFF
+    cost the per-query path amortizes at 100 TB. Returns per-partition
+    row counts so the bucket distribution is inspectable (skewed buckets
+    → raise num_planes or salt)."""
+    import shutil
+
+    path = _ann_index_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    _ensure_ann_index(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy("band", "bucket").count()
+        .orderBy("band", "bucket")
+    )
+
+
+@register("knn_probe_precomputed")  # rows-only: query-time serving path
+def knn_probe_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual 100 TB serving shape for POST /search: partition-pruned
+    bucket probe of the precomputed index + exact re-rank — no per-query
+    banding of the table (contrast o3_knn_topk_lsh, which bands the
+    whole table per query; results are identical for matching knobs)."""
+    from crawler_spark.operators.similarity import knn_topk_precomputed
+
+    path = _ensure_ann_index(spark, sf_dir)
+    top = knn_topk_precomputed(spark, path, QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
 @register(
     "p3_distance_filter",

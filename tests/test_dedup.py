@@ -160,6 +160,22 @@ class TestHotShingleCap:
                       docs, max_shingle_df=grams_max_df + 1).collect()}
         assert capped == exact and exact
 
+    def test_capped_closure_matches_exact_closure(self, spark):
+        """The 100 TB end-to-end shape: transitive closure over the
+        CAPPED pair generator produces identical canonical components
+        to the exact closure on the testdata (no shingle exceeds the
+        cap there, so the pair sets coincide)."""
+        from crawler_spark.plans.queries_text import (
+            dedup_canonical,
+            dedup_canonical_capped,
+        )
+
+        exact = {(r.doc_id, r.canonical_id)
+                 for r in dedup_canonical(spark, SF).collect()}
+        capped = {(r.doc_id, r.canonical_id)
+                  for r in dedup_canonical_capped(spark, SF).collect()}
+        assert capped == exact and exact
+
     def test_tiny_cap_only_loses_pairs_never_invents(self, spark):
         from crawler_spark.plans.queries_text import ngram_jaccard_pairs
         from crawler_spark.sources import load_table

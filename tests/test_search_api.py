@@ -72,6 +72,42 @@ class TestRagChat:
         assert out.columns == ["question", "context", "prompt", "answer"]
 
 
+class TestFtsStemming:
+    def test_stemmed_match_joining_matches_join(self, spark):
+        """SURVEY §7 decision 2: english stemming behind a flag, off by
+        default (oracle parity). Stemmed mode must match across
+        inflections BOTH ways; unstemmed mode must not."""
+        from crawler_spark.functions.text import ts_match
+
+        df = spark.createDataFrame(
+            [(1, "how to join two tables"),
+             (2, "joining tables quickly"),
+             (3, "merged and sorted runs"),
+             (4, "completely unrelated text")],
+            "id long, body string",
+        )
+
+        def hits(query, stem):
+            return {r.id for r in
+                    df.filter(ts_match("body", query, stem=stem)).collect()}
+
+        assert hits("joining", stem=False) == {2}
+        assert hits("joining", stem=True) == {1, 2}
+        assert hits("join", stem=True) == {1, 2}
+        assert hits("merges", stem=True) == {3}   # merges→merg, merged→merg
+        assert hits("tables joined", stem=True) == {1, 2}
+        assert hits("unrelated joins", stem=True) == set()  # AND semantics
+
+    def test_default_unstemmed_unchanged(self, spark):
+        """The default path must stay byte-identical to the oracle's
+        token logic — stemming is strictly opt-in."""
+        from crawler_spark.functions.text import ts_match
+
+        df = spark.createDataFrame([(1, "fast hash join")], "id long, body string")
+        assert df.filter(ts_match("body", "hash join")).count() == 1
+        assert df.filter(ts_match("body", "hashes")).count() == 0
+
+
 class TestWebPages:
     def test_fts_pagination(self, spark):
         from crawler_spark.plans.search_api import web_pages

@@ -88,3 +88,31 @@ def test_knn_topk_lsh_candidates_are_exact_distances(spark):
     top5 = list(exact_all)[:5]
     recall = len({r.vec_id for r in approx} & set(top5)) / 5
     assert recall >= 0.2, f"ANN recall {recall} (measured 0.4 on this corpus)"
+
+
+def test_precomputed_probe_matches_per_query_lsh(spark, tmp_path):
+    """The serving path (build_banded_index once + partition-pruned
+    probe) must return EXACTLY what the per-query-banding path returns
+    for the same knobs — same candidates, same exact re-rank."""
+    from crawler_spark.operators.similarity import (
+        build_banded_index,
+        knn_topk_lsh,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ann_index")
+    build_banded_index(emb, idx)
+
+    probe = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5)
+    # partition pruning must reach the scan: the probe's plan touches
+    # only the query's band/bucket directories, not the whole index
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band" in plan
+
+    got = [(r.vec_id, round(r.distance, 9)) for r in probe.collect()]
+    want = [(r.vec_id, round(r.distance, 9))
+            for r in knn_topk_lsh(emb, QUERY_VEC, k=5).collect()]
+    assert got == want and len(got) == 5
