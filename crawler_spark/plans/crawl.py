@@ -83,8 +83,13 @@ def crawl(
     on_truncate: Callable[[int, int], None] | None = None,
     state_dir: str | None = None,
     resume: bool = False,
+    fetch_retries: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
+
+    The fetcher gets the reference's D4 retry policy BY DEFAULT
+    (``fetch_retries`` bounded re-attempts before a url dead-letters,
+    reference tasks.py:20-25); pass ``fetch_retries=0`` to opt out.
 
     items = parsed PAGE_ITEM rows for every fetched page across all
     waves (callers feed them to embed_stage/finalize_pages/merge —
@@ -109,6 +114,9 @@ def crawl(
     """
     import os
 
+    from crawler_spark.sources.fetch import with_default_retries
+
+    fetcher = with_default_retries(fetcher, fetch_retries)
     allowed = domain_allowed_col("url", allowed_domains)
     visited_path = state_dir and os.path.join(state_dir, "visited")
     frontier_path = state_dir and os.path.join(state_dir, "frontier")

@@ -260,6 +260,7 @@ def ingest_batch(
     flags: DataFrame | None = None,
     extraction_schema: str = "ecommerce",
     extractor=None,
+    fetch_retries: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Full batch ingest of a url list.
 
@@ -268,9 +269,16 @@ def ingest_batch(
     ``flags`` gates structured extraction (D7 + F11, reference
     tasks.py:92) and is consulted once, driver-side, like the
     reference's lru_cached flag read.
+
+    The fetcher gets the reference's D4 retry policy BY DEFAULT
+    (Celery autoretry max_retries=3, tasks.py:20-25): transient
+    failures re-attempt ``fetch_retries`` times before the row
+    dead-letters. ``fetch_retries=0`` opts out.
     """
     from crawler_spark.operators.upsert import merge_by_key
+    from crawler_spark.sources.fetch import with_default_retries
 
+    fetcher = with_default_retries(fetcher, fetch_retries)
     fetched = fetch_frontier(spark, fetcher, urls)
     items = parse_stage(fetched)
     ok, dead = split_dead_letter(items)

@@ -33,6 +33,27 @@ class StubFetcher:
         return ctype, body, None
 
 
+class FlakyFetcher:
+    """Deterministic transient-failure double (like ``StubFetcher``, it
+    must live in an importable module so executors can unpickle it):
+    fails the first ``failures_per_url`` fetches of each url, then
+    delegates to the stub site. Attempt counting happens inside ONE
+    executor-side retry loop, so instance state survives pickling into
+    the task closure."""
+
+    def __init__(self, site: dict[str, tuple[str, bytes]], failures_per_url: int = 2):
+        self.inner = StubFetcher(site)
+        self.failures_per_url = failures_per_url
+        self.attempts: dict[str, int] = {}
+
+    def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        n = self.attempts.get(url, 0)
+        self.attempts[url] = n + 1
+        if n < self.failures_per_url:
+            return None, None, f"transient: attempt {n + 1}"
+        return self.inner.fetch(url)
+
+
 class RetryingFetcher:
     """D4 app-level retry (reference tasks.py:20-25: Celery
     autoretry_for=(Exception,), max_retries=3) around any Fetcher:
@@ -58,6 +79,15 @@ class RetryingFetcher:
             if self.backoff_sec and attempt < self.max_retries:
                 time.sleep(self.backoff_sec * (attempt + 1))
         return last
+
+
+def with_default_retries(fetcher: Fetcher, max_retries: int = 3) -> Fetcher:
+    """Apply the reference's D4 retry default (3 bounded re-attempts,
+    tasks.py:20-25) unless retries are disabled or already configured —
+    wrapping a RetryingFetcher again would square the attempt count."""
+    if max_retries <= 0 or isinstance(fetcher, RetryingFetcher):
+        return fetcher
+    return RetryingFetcher(fetcher, max_retries=max_retries)
 
 
 class HttpFetcher:

@@ -27,16 +27,26 @@ dynamic overwrite: a REPLAYED micro-batch overwrites its own epoch's
 partition instead of appending duplicates, so the dead-letter sink is
 idempotent under at-least-once replay too.
 
-Atomicity note: dynamic partition overwrite stages files per-partition
-through Spark's commit protocol; on a local filesystem a crash mid-
-commit can leave one partition renamed and another not (object stores
-with atomic rename per file have the same window). This is strictly
-narrower than r1's rmtree+rename window, which could lose the WHOLE
-table; Delta's transaction log is the full fix.
+Atomicity — the manifest commit protocol (a minimal Delta-style log):
+the table's live state is defined by ``_MANIFEST.json`` (bucket →
+epoch whose ``v=<epoch>/bucket=<b>/`` directory holds that bucket's
+current rows). A micro-batch writes its merged buckets into the NEW
+``v=<epoch_id>/`` directory — never touching live data — and then
+commits with ONE atomic ``os.replace`` of the manifest. A crash at any
+earlier point leaves the manifest (and therefore every reader) on the
+previous consistent state, and the epoch replay rewrites ``v=<epoch>``
+in place (deterministic source offsets ⇒ same rows) before committing.
+This closes the multi-partition rename window dynamic partition
+overwrite has. On object stores swap ``os.replace`` for a
+conditional-put of the manifest key; with Delta on the classpath the
+whole protocol collapses into ``MERGE INTO``. Readers go through
+``read_pages_table``; superseded version directories are reclaimed by
+``vacuum_pages_table``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -47,6 +57,81 @@ from crawler_spark.functions.embedding import StubEmbedder
 from crawler_spark.plans.ingest import embed_stage, finalize_pages, parse_stage, split_dead_letter
 
 DEFAULT_NUM_BUCKETS = 16
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_path(pages_dir: str) -> str:
+    return os.path.join(pages_dir, MANIFEST_NAME)
+
+
+def read_manifest(pages_dir: str) -> dict[int, int]:
+    """bucket → epoch of the directory holding its live rows; empty
+    dict = the table does not exist yet."""
+    p = _manifest_path(pages_dir)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def commit_manifest(pages_dir: str, manifest: dict[int, int]) -> None:
+    """THE commit point: one atomic rename publishes the new table
+    state. Everything before this is invisible to readers."""
+    os.makedirs(pages_dir, exist_ok=True)
+    p = _manifest_path(pages_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(b): e for b, e in sorted(manifest.items())}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def _bucket_paths(pages_dir: str, manifest: dict[int, int]) -> list[str]:
+    return [
+        os.path.join(pages_dir, f"v={e}", f"bucket={b}")
+        for b, e in sorted(manifest.items())
+    ]
+
+
+def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
+    """Manifest-aware reader: loads exactly each bucket's live version
+    directory (``v``/``bucket`` come back as partition columns from the
+    paths; the internal ``v`` is dropped). None if the table doesn't
+    exist yet."""
+    manifest = read_manifest(pages_dir)
+    if not manifest:
+        return None
+    return (
+        spark.read.option("basePath", pages_dir)
+        .parquet(*_bucket_paths(pages_dir, manifest))
+        .drop("v")
+    )
+
+
+def vacuum_pages_table(pages_dir: str) -> int:
+    """Remove version/bucket directories no longer referenced by the
+    manifest (a superseded bucket keeps its old files until vacuumed —
+    the price of never mutating live data). Returns dirs removed."""
+    import shutil
+
+    manifest = read_manifest(pages_dir)
+    live = {(e, b) for b, e in manifest.items()}
+    removed = 0
+    for vdir in os.listdir(pages_dir):
+        if not vdir.startswith("v="):
+            continue
+        e = int(vdir[2:])
+        vpath = os.path.join(pages_dir, vdir)
+        for bdir in os.listdir(vpath):
+            if not bdir.startswith("bucket="):
+                continue
+            if (e, int(bdir[7:])) not in live:
+                shutil.rmtree(os.path.join(vpath, bdir))
+                removed += 1
+        if not any(d.startswith("bucket=") for d in os.listdir(vpath)):
+            shutil.rmtree(vpath)
+    return removed
 
 
 def domain_bucket(domain_col: str | Column, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Column:
@@ -97,28 +182,38 @@ def make_batch_processor(
             .withColumn("bucket", domain_bucket("domain", num_buckets))
             .localCheckpoint(eager=True)
         )
-        table_exists = os.path.isdir(pages_dir) and any(
-            not f.startswith((".", "_")) for f in os.listdir(pages_dir)
-        )
-        if table_exists:
-            # the buckets this batch touches — bounded by batch size
-            touched = [r["bucket"] for r in pages.select("bucket").distinct().collect()]
-            existing = spark.read.parquet(pages_dir).filter(
-                F.col("bucket").isin(touched)  # prunes to touched partitions
+        # the buckets this batch touches — bounded by batch size
+        touched = [r["bucket"] for r in pages.select("bucket").distinct().collect()]
+        manifest = read_manifest(pages_dir)
+        live_touched = {b: manifest[b] for b in touched if b in manifest}
+        if live_touched:
+            # read ONLY the touched buckets' live version directories
+            existing = (
+                spark.read.option("basePath", pages_dir)
+                .parquet(*_bucket_paths(pages_dir, live_touched))
+                .drop("v")
             )
-            # second (cheap) boundary: the merge join must not keep a
-            # lineage into the path the write below overwrites; it
-            # recomputes only the join over the checkpointed batch and
-            # the pruned existing partitions, never the embed stage
-            pages = merge_by_key(
-                existing, pages, key="url", recency_col="last_crawled"
-            ).localCheckpoint(eager=True)
+            pages = merge_by_key(existing, pages, key="url",
+                                 recency_col="last_crawled")
+            if any(e == int(epoch_id) for e in live_touched.values()):
+                # replay of an epoch that already committed (crash fell
+                # between manifest commit and checkpoint commit): the
+                # merge reads the very v=<epoch> directory the write
+                # below rewrites — break lineage so the read finishes
+                # before the overwrite
+                pages = pages.localCheckpoint(eager=True)
+        # stage into the NEW v=<epoch> directory — live data is never
+        # mutated, so no lineage break is needed (the merge reads old
+        # versions, the write targets a fresh one) and a crash here
+        # leaves the manifest on the previous consistent state; an
+        # epoch replay overwrites this directory deterministically
         (
             pages.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
-            .parquet(pages_dir)
+            .parquet(os.path.join(pages_dir, f"v={epoch_id}"))
         )
+        commit_manifest(pages_dir, {**manifest,
+                                    **{b: int(epoch_id) for b in touched}})
         # epoch-keyed dead-letter: replayed batches overwrite their own
         # partition instead of appending duplicates
         (

@@ -11,7 +11,7 @@ import math
 import pytest
 
 from crawler_spark.functions.html import domain_allowed, parse_html, url_domain
-from crawler_spark.sources.fetch import StubFetcher
+from crawler_spark.sources.fetch import FlakyFetcher, StubFetcher
 from crawler_spark.sources.file_handlers import (
     STUB_PDF_MAGIC,
     classify_content_type,
@@ -100,6 +100,45 @@ def ingested(spark):
     urls = list(SITE) + ["https://site.test/missing"]
     pages, dead = ingest_batch(spark, fetcher, urls)
     return pages.cache(), dead.cache()
+
+
+class TestRetryDefault:
+    def test_transient_failures_recover_by_default(self, spark):
+        """D4 is the DEFAULT path (reference autoretry max_retries=3):
+        a url failing twice then succeeding lands in pages, not dead."""
+        from crawler_spark.plans.ingest import ingest_batch
+
+        url = "https://site.test/start"
+        pages, dead = ingest_batch(spark, FlakyFetcher(SITE, 2), [url])
+        assert [r.url for r in pages.collect()] == [url]
+        assert dead.count() == 0
+
+    def test_permanent_failure_dead_letters_after_retries(self, spark):
+        from crawler_spark.plans.ingest import ingest_batch
+
+        url = "https://site.test/start"
+        pages, dead = ingest_batch(spark, FlakyFetcher(SITE, 99), [url])
+        assert pages.count() == 0
+        errs = {r.url: r.error for r in dead.collect()}
+        assert "transient" in errs[url]
+
+    def test_opt_out_disables_retries(self, spark):
+        from crawler_spark.plans.ingest import ingest_batch
+
+        url = "https://site.test/start"
+        _, dead = ingest_batch(spark, FlakyFetcher(SITE, 1), [url],
+                               fetch_retries=0)
+        assert dead.count() == 1  # one transient failure, no second try
+
+    def test_crawl_retries_by_default(self, spark):
+        from crawler_spark.plans.crawl import crawl
+
+        items, dead = crawl(
+            spark, FlakyFetcher(SITE, 2), ["https://site.test/start"],
+            allowed_domains=["site.test"], depth_limit=0, obey_robots=False,
+        )
+        assert items.filter("url = 'https://site.test/start'").count() == 1
+        assert dead.count() == 0
 
 
 class TestIngestBatch:

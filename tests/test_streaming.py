@@ -108,7 +108,9 @@ class TestIngestStream:
         finally:
             q.stop()
 
-        pages = spark.read.parquet(pages_dir)
+        from crawler_spark.streaming.ingest_stream import read_pages_table
+
+        pages = read_pages_table(spark, pages_dir)
         by_url = {r.url: r for r in pages.collect()}
         assert set(by_url) == {"https://s.test/a", "https://s.test/p"}
         assert by_url["https://s.test/a"].title == "A v2"  # later batch won
@@ -125,6 +127,8 @@ class TestIngestStream:
         from crawler_spark.streaming.ingest_stream import (
             domain_bucket,
             make_batch_processor,
+            read_manifest,
+            read_pages_table,
         )
 
         pages_dir = str(tmp_path / "pages")
@@ -140,7 +144,9 @@ class TestIngestStream:
         assert buckets["a.test"] != buckets["b.test"]
 
         def snapshot(bucket: int) -> dict[str, str]:
-            part = os.path.join(pages_dir, f"bucket={bucket}")
+            # resolve the bucket's LIVE version dir through the manifest
+            ver = read_manifest(pages_dir)[bucket]
+            part = os.path.join(pages_dir, f"v={ver}", f"bucket={bucket}")
             return {
                 f: hashlib.md5(open(os.path.join(part, f), "rb").read()).hexdigest()
                 for f in sorted(os.listdir(part))
@@ -167,7 +173,7 @@ class TestIngestStream:
             1,
         )
         assert snapshot(buckets["b.test"]) == before  # byte-identical
-        urls = {r.url for r in spark.read.parquet(pages_dir).collect()}
+        urls = {r.url for r in read_pages_table(spark, pages_dir).collect()}
         assert urls == {"https://a.test/1", "https://a.test/2", "https://b.test/1"}
 
     def test_stateful_streaming_dedup_first_seen_wins(self, spark, tmp_path):
@@ -232,6 +238,64 @@ class TestIngestStream:
         )
         process(batch, 7)
         process(batch, 7)  # replay
+        from crawler_spark.streaming.ingest_stream import read_pages_table
+
         dead = spark.read.parquet(dead_dir).collect()
         assert [r.url for r in dead] == ["https://s.test/bad"]
-        assert spark.read.parquet(pages_dir).count() == 1
+        assert read_pages_table(spark, pages_dir).count() == 1
+
+    def test_crash_between_data_write_and_commit_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash injection: kill the batch AFTER its v=<epoch> data is
+        written but BEFORE the manifest swap. Readers must still see
+        the previous consistent state; the replayed epoch then lands
+        the update exactly once."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        dead_dir = str(tmp_path / "dead")
+        process = mod.make_batch_processor(pages_dir, dead_dir)
+
+        def batch(title):
+            return spark.createDataFrame(
+                [("https://s.test/a", "text/html",
+                  f"<title>{title}</title><body>x</body>".encode(), None)],
+                schemas.FETCHED,
+            )
+
+        process(batch("v1"), 0)
+        assert {r.title for r in mod.read_pages_table(spark, pages_dir).collect()} == {"v1"}
+
+        real_commit = mod.commit_manifest
+
+        def crash(*a, **kw):
+            raise RuntimeError("injected crash before manifest commit")
+
+        monkeypatch.setattr(mod, "commit_manifest", crash)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            process(batch("v2"), 1)
+        # data for epoch 1 exists on disk, but the table is untouched
+        assert os.path.isdir(os.path.join(pages_dir, "v=1"))
+        assert {r.title for r in mod.read_pages_table(spark, pages_dir).collect()} == {"v1"}
+
+        monkeypatch.setattr(mod, "commit_manifest", real_commit)
+        process(batch("v2"), 1)  # the at-least-once replay
+        rows = mod.read_pages_table(spark, pages_dir).collect()
+        assert [r.title for r in rows] == ["v2"]
+
+    def test_vacuum_reclaims_superseded_versions(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(pages_dir, str(tmp_path / "dead"))
+        mk = lambda t: spark.createDataFrame(
+            [("https://s.test/a", "text/html",
+              f"<title>{t}</title><body>x</body>".encode(), None)],
+            schemas.FETCHED,
+        )
+        process(mk("v1"), 0)
+        process(mk("v2"), 1)  # supersedes the bucket's v=0 directory
+        assert mod.vacuum_pages_table(pages_dir) == 1
+        assert not os.path.isdir(os.path.join(pages_dir, "v=0"))
+        assert {r.title for r in mod.read_pages_table(spark, pages_dir).collect()} == {"v2"}
