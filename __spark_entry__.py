@@ -45,7 +45,7 @@ _NEVER_DRIVER_VERIFIED = [
     "asof_last_signup", "range_first_day_events", "agg_sources_per_lang",
     "f2_query_tokens", "f8_base64_content", "dedup_canonical",
     "dedup_ngram_jaccard_capped", "dedup_canonical_capped",
-    "knn_index_build", "knn_probe_precomputed",
+    "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
 ]
 
 

@@ -366,14 +366,27 @@ def canonical_closure(
     one count per round over a changed-rows anti-pattern join. This is
     the simplified form of the large-star/small-star connected-
     components algorithm and shuffles only (edges + labels) per round —
-    no driver-side graph state."""
+    no driver-side graph state.
+
+    The iteration runs over the NEAR-DUP SUBGRAPH only — nodes that
+    appear in no pair are singleton components by definition and join
+    back (label = own id) after convergence. At corpus scale the dup
+    subgraph is orders of magnitude smaller than the corpus, so each
+    round shuffles O(edges) instead of O(all ids)."""
     edges_fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = (
         edges_fwd.unionByName(
             edges_fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=False)
     )
-    labels = all_ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    # seed labels with the 1-hop minimum (saves a full propagation
+    # round) over ONLY the nodes that occur in some edge
+    labels = (
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("nb_min"))
+        .select("id", F.least("id", "nb_min").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
     for _round in range(max_iterations):
         nb = edges.join(labels, edges.v == labels.id).select(
             F.col("u").alias("id"), "lbl"
@@ -394,7 +407,12 @@ def canonical_closure(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("id", F.col("lbl").alias("canonical_id"))
+    # singletons (no edges) rejoin with their own id as the label
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("lbl", F.col("id")).alias("canonical_id"))
+    )
 
 
 def canonical_assignment(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,6 +173,132 @@ def knn_topk_precomputed(
         scored.orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k * max(len(keys), 1))
         .dropDuplicates([id_col])
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    max_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer for the IVF ANN path: k-means (Lloyd) over a
+    BOUNDED deterministic hash-sample of the normalized vectors.
+
+    The sample — not the table — comes to the driver (``max_sample``
+    rows hard cap, selected by xxhash64(id) so the same rows train the
+    same centroids on any cluster size or partitioning; the repo's
+    sampling queries use the same reproducibility rule). Training a
+    coarse quantizer on a sample is the standard IVF recipe (FAISS
+    trains on ~30-256 points per centroid); the full table never
+    leaves the executors."""
+    import numpy as np
+
+    from crawler_spark.operators.dedup import long_id
+
+    n = df.count()
+    frac_denom = 1_000_000
+    keep = min(frac_denom, max(1, int(frac_denom * max_sample / max(n, 1))))
+    sample = (
+        df.select(long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
+        .filter(F.pmod(F.xxhash64("id"), F.lit(frac_denom)) < keep)
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.stack([r.v for r in sample]).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    # kmeans++ seeding
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(1, min(n_centroids, len(x))):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)  # unit vectors: max dot = min angle
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    c[j] = m / nrm
+    return [list(map(float, row)) for row in c]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Assign every vector to its nearest centroid (max dot product on
+    normalized vectors) and write the table partitioned by ``list_id``
+    — FAISS's inverted lists as parquet directories. The assignment is
+    an Arrow-batched numpy kernel (one (batch × dims) @ (dims × C)
+    product per batch; a C-way codegen branch would compile wide and
+    run slower), broadcast of the centroid matrix is a few KB."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.operators.dedup import long_id
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _nearest(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs).astype(np.float64, copy=False)
+        return pd.Series(np.argmax(mat @ cmat.T, axis=1).astype(np.int32))
+
+    norm = df.select(
+        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
+    )
+    (
+        norm.withColumn("list_id", _nearest("v"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+
+
+def knn_topk_ivf(
+    spark,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query DRIVER-SIDE (the
+    centroid matrix is tiny), read only the ``nprobe`` nearest inverted
+    lists (directory-pruned on the partition column), exact re-rank
+    against the raw query. Recall rises with nprobe; nprobe = C scans
+    everything and equals the exact path."""
+    import functools
+    import numpy as np
+    import operator
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
+    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
+    cond = functools.reduce(
+        operator.or_, [F.col("list_id") == int(p) for p in probe]
+    )
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    return (
+        spark.read.parquet(index_path)
+        .filter(cond)
+        .select(F.col("id").alias(id_col), dist.alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -119,6 +119,48 @@ def knn_probe_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+# --- O3 alternative scale path: IVF (coarse-quantizer inverted lists) -----
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+    import json
+    import os
+
+    from crawler_spark.operators.similarity import build_ivf_index, train_ivf_centroids
+    from crawler_spark.sources import load_table
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42"
+    cent_file = path + ".centroids.json"
+    if os.path.isfile(cent_file) and os.path.isdir(path):
+        if path not in _IVF_CENTROIDS:
+            with open(cent_file) as f:
+                _IVF_CENTROIDS[path] = json.load(f)
+        return path, _IVF_CENTROIDS[path]
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    build_ivf_index(emb, path, centroids)
+    with open(cent_file, "w") as f:
+        json.dump(centroids, f)
+    _IVF_CENTROIDS[path] = centroids
+    return path, centroids
+
+
+@register("knn_topk_ivf")  # rows-only: IVF coarse-quantizer ANN (vs LSH banding)
+def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF flavor of the ANN scale path: k-means coarse quantizer
+    (trained on a bounded deterministic sample), inverted lists as
+    partition directories, query probes the nprobe nearest lists only.
+    Complements the hyperplane-LSH path — IVF adapts to the data's
+    cluster structure where LSH is data-oblivious."""
+    from crawler_spark.operators.similarity import knn_topk_ivf
+
+    path, centroids = _ensure_ivf_index(spark, sf_dir)
+    top = knn_topk_ivf(spark, path, centroids, QUERY_VEC, k=5, nprobe=4)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
 @register(
     "p3_distance_filter",

@@ -90,6 +90,43 @@ def test_knn_topk_lsh_candidates_are_exact_distances(spark):
     assert recall >= 0.2, f"ANN recall {recall} (measured 0.4 on this corpus)"
 
 
+def test_ivf_recall_and_exact_rerank(spark, tmp_path):
+    """IVF path: every returned distance is the exact distance for its
+    id; recall vs the exact top-k improves with nprobe and hits 100%
+    at nprobe = n_centroids (scanning all inverted lists ≡ exact)."""
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk,
+        knn_topk_ivf,
+        train_ivf_centroids,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    assert len(cents) == 8
+    # deterministic: same seed + same data → same centroids
+    assert train_ivf_centroids(emb, n_centroids=8, seed=42) == cents
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, cents)
+
+    exact_all = {r.vec_id: r.distance
+                 for r in knn_topk(emb, QUERY_VEC, k=500).collect()}
+    got = knn_topk_ivf(spark, idx, cents, QUERY_VEC, k=5, nprobe=2).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.distance == pytest.approx(exact_all[r.vec_id], abs=1e-12)
+
+    # full probe == exact top-k, value for value
+    full = knn_topk_ivf(spark, idx, cents, QUERY_VEC, k=5, nprobe=8).collect()
+    want = list(exact_all.items())[:5]
+    assert [(r.vec_id, round(r.distance, 9)) for r in full] == [
+        (i, round(d, 9)) for i, d in want
+    ]
+
+
 def test_precomputed_probe_matches_per_query_lsh(spark, tmp_path):
     """The serving path (build_banded_index once + partition-pruned
     probe) must return EXACTLY what the per-query-banding path returns
