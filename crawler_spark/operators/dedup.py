@@ -238,6 +238,41 @@ def simhash_pairs(
 
 
 # ------------------------------------------------- Embedding LSH (ANN path)
+def hyperplane_projections(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, v, proj array<double>) — the raw hyperplane projections the
+    sign-bit buckets derive from. Exposed separately so multi-probe can
+    rank bit flips by |projection| (margin): a projection near zero
+    means that sign bit is unreliable, making its flipped bucket the
+    best next probe. Plane components derive from hash(seed, plane,
+    dim-index) — symmetric pseudo-random in [-1, 1) computed INSIDE the
+    expression (no dims probe, no numpy matrix, no broadcast)."""
+    from crawler_spark.functions import vector as V
+
+    def plane_component(plane: int, j: F.Column) -> F.Column:
+        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
+        return h.cast("double") / F.lit(2147483648.0)
+
+    def projection(plane: int) -> F.Column:
+        return F.aggregate(
+            F.transform("v", lambda x, j: x * plane_component(plane, j)),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        )
+
+    norm = df.select(long_id(df, id_col).alias("id"),
+                     V.l2_normalize(vec_col).alias("v"))
+    return norm.select(
+        "id", "v",
+        F.array(*[projection(i) for i in range(num_planes)]).alias("proj"),
+    )
+
+
 def hyperplane_bands(
     df: DataFrame,
     vec_col: str,
@@ -257,25 +292,13 @@ def hyperplane_bands(
     (embedding_lsh_pairs) and the top-k query search (knn_topk_lsh) —
     both sides of a lookup MUST use identical (num_planes, bands,
     seed) for buckets to align."""
-    from crawler_spark.functions import vector as V
-
     rows_per_band = num_planes // bands
-
-    def plane_component(plane: int, j: F.Column) -> F.Column:
-        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
-        return h.cast("double") / F.lit(2147483648.0)
-
-    def sign_bit(plane: int) -> F.Column:
-        proj = F.aggregate(
-            F.transform("v", lambda x, j: x * plane_component(plane, j)),
-            F.lit(0.0).cast("double"),
-            lambda a, x: a + x,
-        )
-        return (proj >= 0).cast("int").alias(f"b{plane}")
-
-    norm = df.select(long_id(df, id_col).alias("id"),
-                     V.l2_normalize(vec_col).alias("v"))
-    sig = norm.select("id", "v", *[sign_bit(i) for i in range(num_planes)])
+    proj = hyperplane_projections(df, vec_col, id_col, num_planes, seed)
+    sig = proj.select(
+        "id", "v",
+        *[(F.element_at("proj", i + 1) >= 0).cast("int").alias(f"b{i}")
+          for i in range(num_planes)],
+    )
     return sig.select(
         "id", "v",
         F.explode(F.array(*[

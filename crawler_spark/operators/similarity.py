@@ -136,30 +136,53 @@ def knn_topk_precomputed(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k against a ``build_banded_index`` table: compute
-    the query's ≤ ``bands`` (band, bucket) keys (a 1-row job using the
-    SAME expression-derived hyperplanes as the index), probe ONLY those
-    partitions (literal equality on the partition columns → directory-
-    level pruning at file listing), then exact re-rank against the raw
-    query vector. Identical results to ``knn_topk_lsh`` with matching
-    knobs; the per-query banding of the full table is gone."""
+    the query's hyperplane projections (a 1-row job using the SAME
+    expression-derived hyperplanes as the index), derive its ≤ ``bands``
+    (band, bucket) keys, probe ONLY those partitions (literal equality
+    on the partition columns → directory-level pruning at file
+    listing), then exact re-rank against the raw query vector.
+    Identical results to ``knn_topk_lsh`` with matching knobs; the
+    per-query banding of the full table is gone.
+
+    ``multiprobe`` = extra buckets probed beyond the query's own: the
+    ``multiprobe`` sign bits with the SMALLEST |projection| (the
+    query's least reliable bits — a projection near zero flips with
+    the smallest perturbation) are flipped one at a time, each adding
+    its band's neighboring bucket. Recall rises monotonically with
+    ``multiprobe`` at a linear cost in partitions read — the standard
+    multi-probe LSH trade (Lv et al., VLDB'07)."""
     import functools
     import operator
 
-    from crawler_spark.operators.dedup import hyperplane_bands
+    from crawler_spark.operators.dedup import hyperplane_projections
 
     qdf = spark.createDataFrame(
         [(0, list(map(float, query_vec)))], f"qid long, {vec_col} array<double>"
     )
-    keys = (
-        hyperplane_bands(qdf, vec_col, "qid", num_planes, bands, seed)
-        .select("band", "bucket")
-        .collect()
+    proj = (
+        hyperplane_projections(qdf, vec_col, "qid", num_planes, seed)
+        .select("proj")
+        .collect()[0][0]
     )
+    rpb = num_planes // bands
+    base = {
+        b: sum((1 if proj[b * rpb + r] >= 0 else 0) << r for r in range(rpb))
+        for b in range(bands)
+    }
+    keys = {(b, bucket) for b, bucket in base.items()}
+    if multiprobe > 0:
+        flips = sorted(
+            (abs(proj[b * rpb + r]), b, r)
+            for b in range(bands)
+            for r in range(rpb)
+        )[: int(multiprobe)]
+        keys |= {(b, base[b] ^ (1 << r)) for _, b, r in flips}
     cond = functools.reduce(
         operator.or_,
-        [(F.col("band") == r.band) & (F.col("bucket") == r.bucket) for r in keys],
+        [(F.col("band") == b) & (F.col("bucket") == v) for b, v in sorted(keys)],
     )
     candidates = spark.read.parquet(index_path).filter(cond)
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))

@@ -39,22 +39,21 @@ def asof_join(
     right row with the same ``by`` key and right.``on`` <= left.``on``
     (direction='backward'; ties match — a right row AT the left row's
     timestamp wins, matching DuckDB ASOF and pandas merge_asof
-    defaults). Left rows with no prior right row keep NULLs.
+    defaults), or the NEAREST FOLLOWING right row with right.``on`` >=
+    left.``on`` (direction='forward', merge_asof semantics — ties still
+    match). Left rows with no matching right row keep NULLs.
 
     All ``value_cols`` travel as ONE struct carried by a single
-    ``last(ignorenulls=True)`` — so every output value comes from the
-    SAME matched right row. Carrying columns independently (the naive
-    form) silently mixes rows when right-side values contain NULLs: an
-    older non-NULL value would override the matched row's legitimate
-    NULL, diverging from merge_asof/DuckDB ASOF semantics.
-
-    Only ``backward`` is implemented — forward is the same plan with
-    the window reversed.
+    ``last``/``first(ignorenulls=True)`` — so every output value comes
+    from the SAME matched right row. Carrying columns independently
+    (the naive form) silently mixes rows when right-side values contain
+    NULLs: an older non-NULL value would override the matched row's
+    legitimate NULL, diverging from merge_asof/DuckDB ASOF semantics.
     """
     from pyspark.sql.types import StructField, StructType
 
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = [c for c in left.columns]
     r_struct = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
@@ -64,24 +63,33 @@ def asof_join(
         F.lit(None).cast(r_struct).alias("__r"),
         F.lit(1).alias("__src"),
     )
+    # backward: right rows sort BEFORE left rows at equal timestamps so
+    # a tie is visible looking back; forward: right rows sort AFTER so
+    # a tie is visible looking ahead — merge_asof in both directions
+    right_src = 0 if direction == "backward" else 2
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in (on, by) else F.col(c)
           for c in lcols],
         F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
-        F.lit(0).alias("__src"),
+        F.lit(right_src).alias("__src"),
     )
-    # right rows sort BEFORE left rows at equal timestamps (__src 0 < 1)
-    # so a tie is visible to the left row — ASOF/merge_asof semantics
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__r", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__src").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__r", ignorenulls=True)
     unioned = tagged_left.unionByName(tagged_right)
-    carried = unioned.select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
-    )
+    carried = unioned.select("*", carry.over(w).alias("__asof"))
     return (
         carried.filter(F.col("__src") == 1)
         .select(*lcols,

@@ -48,6 +48,28 @@ def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ev_value_percentiles_approx")  # rows-only: the 100 TB percentile path
+def ev_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path ``ev_value_percentiles`` documents: t-digest
+    ``approx_percentile`` with a pinned accuracy knob — partial
+    aggregates merge map-side instead of a full sort per group, so the
+    shuffle carries one sketch per (group, partition) rather than every
+    row. rows-only: the sketch's answers legitimately differ from the
+    exact interpolated quantiles at the last decimal. The test suite
+    bounds the error against the exact query instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50"),
+            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90"),
+            F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- deterministic hash sampling ------------------------------------------
 _HASH_KEY = "md5(CAST(doc_id AS VARCHAR))"
 

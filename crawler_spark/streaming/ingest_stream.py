@@ -109,6 +109,50 @@ def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
     )
 
 
+def compact_pages_table(spark: SparkSession, pages_dir: str, min_files: int = 2) -> int:
+    """OPTIMIZE for the manifest table: rewrite every live bucket whose
+    directory holds ≥ ``min_files`` data files into one coalesced file
+    under a fresh version, then swap the manifest once — the same
+    commit protocol as a batch, so readers never see a half-compacted
+    table. Streaming micro-batches write small files by construction;
+    without periodic compaction the per-bucket file count (and scan
+    open() cost) grows without bound. Single-writer like the stream
+    itself — run it from the same writer between batches (Delta's
+    OPTIMIZE with conflict detection is the concurrent version).
+    Returns the number of buckets rewritten; superseded directories
+    are reclaimed by ``vacuum_pages_table``."""
+    import time
+
+    manifest = read_manifest(pages_dir)
+    todo: dict[int, int] = {}
+    for b, e in manifest.items():
+        d = os.path.join(pages_dir, f"v={e}", f"bucket={b}")
+        nfiles = sum(1 for f in os.listdir(d) if not f.startswith((".", "_")))
+        if nfiles >= min_files:
+            todo[b] = e
+    if not todo:
+        return 0
+    # compaction versions are ms timestamps — disjoint from the
+    # stream's small epoch ints, so a future epoch can never overwrite
+    # a compacted directory
+    ver = max(int(time.time() * 1000), max(manifest.values()) + 1)
+    df = (
+        spark.read.option("basePath", pages_dir)
+        .parquet(*_bucket_paths(pages_dir, todo))
+        .drop("v")
+    )
+    (
+        # hash-partition by bucket: every bucket's rows land in ONE
+        # task → one output file per bucket directory
+        df.repartition(len(todo), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(pages_dir, f"v={ver}"))
+    )
+    commit_manifest(pages_dir, {**manifest, **{b: ver for b in todo}})
+    return len(todo)
+
+
 def vacuum_pages_table(pages_dir: str) -> int:
     """Remove version/bucket directories no longer referenced by the
     manifest (a superseded bucket keeps its old files until vacuumed —

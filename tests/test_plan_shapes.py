@@ -58,6 +58,31 @@ def test_filter_pushed_to_scan(spark):
     )
 
 
+def test_cosine_pairs_never_broadcasts_packed_blocks(spark):
+    """Regression lock on the r2 advice fix: the exact all-pairs plan
+    must move the packed matrix blocks through the executor shuffle
+    (explode → groupBy on the pair key), NEVER through a driver
+    broadcast — a broadcast of the packed table reintroduces the
+    driver-memory / 8 GB broadcast ceiling at scale."""
+    plan = plan_text(_QUERIES["simsearch_cosine_pairs"](spark, SF))
+    assert "BroadcastExchange" not in plan, (
+        "cosine_pairs_exact broadcasts its packed blocks again"
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_precomputed_ann_probe_prunes_partitions(spark):
+    """The ANN serving path must hit only the query's band/bucket
+    directories: partition filters on both partition columns."""
+    from crawler_spark.plans.queries_vector import knn_probe_precomputed
+
+    plan = plan_text(knn_probe_precomputed(spark, SF))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "band" in pf[0] and "bucket" in pf[0], (
+        "probe scans the whole index instead of pruning partitions"
+    )
+
+
 def test_no_cartesian_anywhere_in_relational_core(spark):
     """Every TPC-H-ish adaptation must be free of cartesian products
     (the q11 scalar-total crossJoin broadcasts a 1-row side, which

@@ -284,6 +284,38 @@ class TestIngestStream:
         rows = mod.read_pages_table(spark, pages_dir).collect()
         assert [r.title for r in rows] == ["v2"]
 
+    def test_compaction_preserves_content_and_coalesces_files(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE: after compaction every live bucket dir holds ONE
+        data file, table contents are row-identical, and the old
+        versions vacuum away."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(pages_dir, str(tmp_path / "dead"))
+        for i, (dom, t) in enumerate([("a.test", "a1"), ("b.test", "b1"),
+                                      ("a.test", "a2")]):
+            process(spark.createDataFrame(
+                [(f"https://{dom}/{t}", "text/html",
+                  f"<title>{t}</title><body>x</body>".encode(), None)],
+                schemas.FETCHED,
+            ), i)
+        before = {(r.url, r.title)
+                  for r in mod.read_pages_table(spark, pages_dir).collect()}
+
+        rewritten = mod.compact_pages_table(spark, pages_dir, min_files=1)
+        assert rewritten >= 1
+        after_df = mod.read_pages_table(spark, pages_dir)
+        assert {(r.url, r.title) for r in after_df.collect()} == before
+
+        manifest = mod.read_manifest(pages_dir)
+        for b, e in manifest.items():
+            d = os.path.join(pages_dir, f"v={e}", f"bucket={b}")
+            files = [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+            assert len(files) == 1, f"bucket {b} not coalesced: {files}"
+        assert mod.vacuum_pages_table(pages_dir) >= 1
+
     def test_vacuum_reclaims_superseded_versions(self, spark, tmp_path):
         from crawler_spark.streaming import ingest_stream as mod
 

@@ -71,6 +71,27 @@ class TestAsofJoin:
         # the broken per-column carry would return (100, 'new')
         assert row.asof_val is None and row.asof_tag == "new"
 
+    def test_forward_direction_nearest_following(self, spark):
+        """direction='forward' = merge_asof forward: nearest right row
+        AT or AFTER the left timestamp; nothing after → NULL."""
+        from crawler_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u1", ts("2024-01-01T10:00:00")),   # next is 11:00 → 300
+             (2, "u1", ts("2024-01-01T08:00:00")),   # tie at 08:00 → 100
+             (3, "u1", ts("2024-01-01T12:00:00"))],  # after all → NULL
+            "id long, user string, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u1", ts("2024-01-01T08:00:00"), 100),
+             ("u1", ts("2024-01-01T11:00:00"), 300)],
+            "user string, t timestamp, val int",
+        )
+        got = {r.id: r.asof_val for r in asof_join(
+            left, right, on="t", by="user", value_cols=["val"],
+            direction="forward").collect()}
+        assert got == {1: 300, 2: 100, 3: None}
+
 
 class TestRangeJoinBuckets:
     def test_inclusive_bounds_and_bucket_crossing(self, spark):

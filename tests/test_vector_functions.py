@@ -153,3 +153,34 @@ def test_precomputed_probe_matches_per_query_lsh(spark, tmp_path):
     want = [(r.vec_id, round(r.distance, 9))
             for r in knn_topk_lsh(emb, QUERY_VEC, k=5).collect()]
     assert got == want and len(got) == 5
+
+
+def test_multiprobe_widens_candidates_never_worsens(spark, tmp_path):
+    """Multi-probe LSH: flipping low-margin bits probes MORE buckets,
+    so the candidate set only grows — the best distance found is
+    non-increasing in `multiprobe`, every distance stays exact, and a
+    large probe budget recovers the true top-1."""
+    from crawler_spark.operators.similarity import (
+        build_banded_index,
+        knn_topk,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ann_index")
+    build_banded_index(emb, idx)
+
+    exact_all = {r.vec_id: r.distance
+                 for r in knn_topk(emb, QUERY_VEC, k=500).collect()}
+    best = None
+    for mp in (0, 2, 8):
+        rows = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5,
+                                    multiprobe=mp).collect()
+        assert rows
+        for r in rows:
+            assert r.distance == pytest.approx(exact_all[r.vec_id], abs=1e-12)
+        top1 = rows[0].distance
+        assert best is None or top1 <= best + 1e-12
+        best = top1
