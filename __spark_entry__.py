@@ -38,7 +38,9 @@ _NEVER_DRIVER_VERIFIED = [
     "q8_market_share", "q9_nation_profit", "q11_important_stock",
     "q12_late_shipping", "q13_order_distribution", "q14_promo_effect",
     "q15_top_supplier", "q16_supplier_breadth", "q17_small_qty_revenue",
-    "q18_large_volume", "q19_disjunctive_revenue", "q22_idle_rich_customers",
+    "q18_large_volume", "q19_disjunctive_revenue",
+    "q20_promotable_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
     "w1_top3_orders_per_customer", "w2_running_revenue_per_supplier",
     "w3_order_gaps_and_ranks", "rollup_order_counts", "cube_flag_status",
     "grouping_sets_revenue", "setop_intersect", "setop_except",

@@ -715,3 +715,116 @@ def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_type")
     )
+
+
+# --- Q20-adapted: promotable suppliers (nested IN-subquery chain) ---------
+@register(
+    "q20_promotable_suppliers",
+    oracle="""
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 50.0
+        )
+        ORDER BY s_name
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's shape without partsupp (reference has no joins at all —
+    this is driver-contract relational coverage): suppliers who moved
+    more than a threshold quantity of '%gear%' parts in 1996. The
+    nested INs decorrelate to two LEFT SEMI joins; the part list
+    broadcasts into the lineitem scan, the qualifying-supplier set
+    (tiny after HAVING) broadcasts into the supplier scan."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualified = (
+        li.join(F.broadcast(part), "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(qualified), "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --- Q21-adapted: sole late supplier on multi-supplier orders -------------
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier JOIN late l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's EXISTS / NOT-EXISTS correlation with `shipped >90 days
+    after order date` standing in for the missing commit/receipt dates
+    (same stand-in as q12): late lineitems on multi-supplier orders
+    where NO other supplier on the order was late. The correlated
+    subqueries decorrelate to a LEFT SEMI and a LEFT ANTI join on
+    (orderkey, supplier-differs) — both shuffle on orderkey, the same
+    key the late table is already keyed by."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
+        )
+    )
+    l1 = late.filter("is_late").select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1")
+    )
+    l2 = late.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.filter("is_late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        l1.join(l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+                "left_semi")
+        .join(l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")),
+              "left_anti")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("s1") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -126,13 +126,16 @@ def web_pages(
     sort_by: str = "doc_id",
     sort_order: str = "desc",
     query: str = "",
+    stem: bool = False,
 ) -> DataFrame:
     """``GET /web-pages``: optional full-text filter + dynamic sort +
     offset/limit pagination (reference search.py:47-74). Ties broken by
-    doc_id so pages are stable."""
+    doc_id so pages are stable. ``stem=True`` matches across English
+    inflections (the reference's to_tsquery('english', ...) behavior —
+    SURVEY §7 decision 2); off by default for oracle parity."""
     docs = load_table(spark, sf_dir, "documents")
     if query:
-        docs = docs.filter(X.ts_match("text", query))
+        docs = docs.filter(X.ts_match("text", query, stem=stem))
     key = F.col(sort_by).desc() if sort_order.lower() == "desc" else F.col(sort_by).asc()
     return (
         docs.select("doc_id", "source", "lang", "n_chars")

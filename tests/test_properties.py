@@ -18,6 +18,43 @@ finite_floats = st.floats(
 vectors = st.lists(finite_floats, min_size=0, max_size=40)
 
 
+class TestStemmerLockstep:
+    """The stemmer exists twice — a Column expression for document
+    tokens and a Python mirror for query terms (functions/text.py).
+    ts_match(stem=True) compares their outputs for EQUALITY, so any
+    drift between the two silently breaks matching. Property: they
+    agree on every token."""
+
+    def test_expression_and_python_stemmer_agree_on_corpus(self, spark):
+        """Deterministic corpus variant (hypothesis can't take the
+        spark fixture per-example without re-launching jobs): every
+        suffix-rule branch plus real document tokens."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import _stem_str, _stem_token
+
+        handpicked = [
+            "joining", "joined", "joins", "join", "tables", "classes",
+            "ponies", "pass", "passes", "as", "is", "being", "ing",
+            "merge", "merges", "merged", "merging", "red", "sses",
+            "use", "used", "uses", "using", "e", "s", "ss", "ed",
+        ]
+        doc_tokens = [
+            r.t for r in (
+                spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .select(F.explode(F.split(F.lower("text"), r"\W+")).alias("t"))
+                .filter("t != ''").distinct().limit(500).collect()
+            )
+        ]
+        tokens = handpicked + doc_tokens
+        df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+        got = {r.tok: r.stemmed
+               for r in df.select("tok", _stem_token(F.col("tok")).alias("stemmed")).collect()}
+        mismatches = {t: (got[t], _stem_str(t)) for t in tokens
+                      if got[t] != _stem_str(t)}
+        assert not mismatches, f"stemmer drift: {dict(list(mismatches.items())[:5])}"
+
+
 class TestNormalizePadProperties:
     @given(vectors, st.integers(min_value=1, max_value=64))
     @settings(max_examples=200, deadline=None)
