@@ -208,9 +208,10 @@ def ngram_jaccard_pairs(
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Shared by the exact query and (on testdata, where no shingle's document
+# frequency reaches the cap — max df is 25 at sf0.1, 7 at sf0.01 — so the
+# cap provably never binds and capped == exact) by the capped variant.
+_NGRAM_PAIRS_ORACLE = f"""
         WITH grams AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
@@ -230,8 +231,10 @@ def ngram_jaccard_pairs(
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_PAIRS_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact baseline: no cap, so the score is true Jaccard and the
     DuckDB oracle matches value-for-value."""
@@ -240,9 +243,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- canonical ids over the near-dup graph (full transitive closure) ------
-@register(
-    "dedup_canonical",
-    oracle=f"""
+_CANONICAL_ORACLE = f"""
         WITH RECURSIVE grams AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
@@ -272,8 +273,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
         )
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@register("dedup_canonical", oracle=_CANONICAL_ORACLE)
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical id per document over the n-gram near-dup graph, full
     transitive closure (iterative min-label propagation — an
@@ -288,12 +291,15 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard_capped")  # rows-only: the 100 TB skew-safe variant
+@register("dedup_ngram_jaccard_capped", oracle=_NGRAM_PAIRS_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: identical to dedup_ngram_jaccard except shingles
     with document frequency > 50 never enter the self-join (hot-key
-    skew guard). tests/test_dedup.py proves pair-identity with the
-    exact query on the testdata (no shingle is that hot there)."""
+    skew guard). On data where some shingle exceeds the cap the score
+    is a lower bound (approximate by design); on the testdata no
+    shingle comes close (max df 25 at sf0.1), so capped == exact and
+    the exact oracle applies verbatim — tests/test_dedup.py proves the
+    pair-identity independently."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, max_shingle_df=50)
@@ -301,7 +307,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_canonical_capped")  # rows-only: closure over the skew-safe pairs
+@register("dedup_canonical_capped", oracle=_CANONICAL_ORACLE)
 def dedup_canonical_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape of ``dedup_canonical`` end-to-end: the same
     transitive closure composed over the HOT-SHINGLE-CAPPED pair
@@ -309,7 +315,8 @@ def dedup_canonical_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle skew the exact baseline accepts for oracle parity.
     tests/test_dedup.py proves the closure's components are identical
     to the exact variant on the testdata (where no shingle exceeds the
-    cap, the pair sets — and hence components — coincide)."""
+    cap, the pair sets — and hence components — coincide), which is
+    also why the exact closure oracle applies verbatim here."""
     from crawler_spark.operators.dedup import canonical_closure
 
     docs = load_table(spark, sf_dir, "documents")
