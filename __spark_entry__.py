@@ -48,7 +48,7 @@ _NEVER_DRIVER_VERIFIED = [
     "f2_query_tokens", "f8_base64_content", "dedup_canonical",
     "dedup_ngram_jaccard_capped", "dedup_canonical_capped",
     "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
-    "ev_value_percentiles_approx",
+    "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
 ]
 
 

@@ -287,3 +287,31 @@ def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# --- mergeable-sketch distinct counting (the 100 TB COUNT DISTINCT) -------
+@register("ev_hll_distinct_rollup")  # rows-only: HLL estimates have no exact SQL twin
+def ev_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via MERGEABLE HLL sketches: one pass builds
+    per-day sketches (``hll_sketch_agg`` — map-side partial, a few KB
+    per day regardless of row count), then the weekly rollup merges
+    SKETCHES (``hll_union_agg``) without re-touching raw events. This
+    is the scale shape for distinct counting: exact COUNT(DISTINCT)
+    re-shuffles the full key set for every new grain, while sketch
+    rollups reduce kilobytes — daily → weekly → all-time compose for
+    free. tests/test_mlprep.py pins every estimate within 5% of the
+    exact per-week distinct count and merge-of-daily == direct-weekly."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "day").alias("week_start")).agg(
+        F.hll_union_agg("sk").alias("wsk"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return weekly.select(
+        "week_start",
+        F.hll_sketch_estimate("wsk").alias("approx_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("week_start")

@@ -259,3 +259,32 @@ class TestMultimodal:
         frames = sample_frames(media, every_n=10)
         per_video = frames.groupBy("media_id").count().collect()
         assert per_video and all(r["count"] >= 3 for r in per_video)  # ≥30 frames / 10
+
+
+class TestHotShingleCap:
+    def test_cap_drops_hot_only_pairs_and_lower_bounds_scores(self, spark):
+        """When the cap BINDS: docs related only through a hot shingle
+        must not pair at all, and pairs that share hot + cold shingles
+        must score <= their exact Jaccard (shared drops, sizes stay
+        uncapped -> lower bound), never above."""
+        from crawler_spark.plans.queries_text import ngram_jaccard_pairs
+
+        # 6 identical docs: one shingle ("aa bb cc"), df=6 > cap=3
+        hot_only = [(i, "aa bb cc") for i in range(6)]
+        # 2 docs sharing that hot shingle AND three cold shingles
+        mixed = [(10, "aa bb cc dd ee ff"), (11, "aa bb cc dd ee ff")]
+        docs = spark.createDataFrame(hot_only + mixed, "doc_id long, text string")
+
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        capped = {(r.id_a, r.id_b): r.jaccard
+                  for r in ngram_jaccard_pairs(docs, threshold=0.1,
+                                               max_shingle_df=3).collect()}
+
+        # exact pairs all 6 hot-only docs; capped pairs none of them
+        assert all((a, b) in exact for a in range(6) for b in range(a + 1, 6))
+        assert not any(a < 6 for (a, b) in capped)
+        # the mixed pair survives via its cold shingles, score lower-bounded:
+        # shared drops 4 -> 3, sizes stay 4 -> 3/(4+4-3) = 0.6 < exact 1.0
+        assert exact[(10, 11)] == 1.0
+        assert capped[(10, 11)] == pytest.approx(0.6)

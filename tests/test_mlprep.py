@@ -42,3 +42,33 @@ def test_approx_percentiles_bracketed_by_exact_neighbors(spark):
         assert b.p50_lo <= a.p50 <= b.p50_hi, f"{et}.p50 {a.p50} outside bracket"
         assert b.p90_lo <= a.p90 <= b.p90_hi, f"{et}.p90 {a.p90} outside bracket"
         assert b.p99_lo <= a.p99 <= b.p99_hi, f"{et}.p99 {a.p99} outside bracket"
+
+
+def test_hll_rollup_within_5pct_of_exact(spark):
+    """The merged weekly sketch estimate must track the exact weekly
+    distinct-user count within HLL's expected error (lgConfigK default
+    12 → ~1.6% standard error; 5% is a hard ceiling), and merging
+    daily sketches must equal sketching the week directly."""
+    from crawler_spark.plans.queries_events import ev_hll_distinct_rollup
+    from crawler_spark.sources import load_table
+
+    approx = {r.week_start: r.approx_users
+              for r in ev_hll_distinct_rollup(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.week_start: r.n
+        for r in ev.select(F.date_trunc("week", "ts").alias("week_start"), "user_id")
+        .distinct().groupBy("week_start").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= 0.05 * exact[wk], (wk, est, exact[wk])
+
+    # merge-of-daily == direct weekly sketch (mergeability, the property
+    # that makes the rollup free at 100 TB)
+    direct = {
+        r.week_start: r.n
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week_start"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")).collect()
+    }
+    assert approx == direct

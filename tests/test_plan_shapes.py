@@ -90,3 +90,15 @@ def test_no_cartesian_anywhere_in_relational_core(spark):
     for name in [q for q in _QUERIES if q.startswith("q")]:
         plan = plan_text(_QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, f"{name} contains CartesianProduct"
+
+
+def test_ngram_pairs_single_shuffle_no_join(spark):
+    """Regression lock on the pack-explode rewrite: exact n-gram pair
+    generation must emit in-group pairs from ONE groupBy(shingle-hash)
+    pack — no self-join node (SortMergeJoin/ShuffledHashJoin) may
+    reappear between the shingle scan and the pair count."""
+    plan = plan_text(_QUERIES["dedup_ngram_jaccard"](spark, SF))
+    assert "SortMergeJoin" not in plan, (
+        "exact n-gram pairs regressed to a shingle self-join"
+    )
+    assert plan.count("ShuffledHashJoin") == 0
