@@ -62,3 +62,59 @@ def ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = list(FIXTURE_SITE) + ["https://fixture.test/missing"]
     _pages, dead = ingest_batch(spark, StubFetcher(FIXTURE_SITE), urls)
     return dead.orderBy("url")
+
+
+@register("streaming_neardup_e2e")  # rows-only: stateful streaming operator
+def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table replayed as a stream through the stateful
+    SimHash near-dup operator (streaming/neardup_stream.py): one
+    micro-batch, per-band keyed state, memory-sink verdicts reduced to
+    one row per doc. Production replaces the memory sink with
+    foreachBatch → the manifest-committed pages table; this query
+    proves the distributed plumbing (Arrow simhash kernel on a stream,
+    band explode, applyInPandasWithState sharding, verdict reduce)
+    end-to-end on real data."""
+    import tempfile
+    import uuid
+
+    from crawler_spark.sources import load_table
+    from crawler_spark.streaming.neardup_stream import (
+        reduce_verdicts,
+        streaming_neardup_verdicts,
+    )
+
+    name = f"neardup_e2e_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, sf_dir, "documents").select("doc_id", "text").schema
+    # state shards = shuffle partitions AT QUERY START and each shard
+    # carries a state-store instance; size them to the stream, not the
+    # batch default (32 local shards cost ~6s of pure store setup for a
+    # one-file replay — a real deployment sizes this UP with the rate)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+    )
+    # the file-stream source wants a DIRECTORY; sf_dir holds one file
+    # per table, so glob-filter the stream down to documents.parquet
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    q = (
+        streaming_neardup_verdicts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="neardup_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        reduce_verdicts(spark.table(name))
+        .orderBy("doc_id")
+    )

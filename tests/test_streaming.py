@@ -331,3 +331,79 @@ class TestIngestStream:
         assert mod.vacuum_pages_table(pages_dir) == 1
         assert not os.path.isdir(os.path.join(pages_dir, "v=0"))
         assert {r.title for r in mod.read_pages_table(spark, pages_dir).collect()} == {"v2"}
+
+
+class TestStreamingNearDup:
+    def test_neardup_verdicts_match_batch_simhash(self, spark, tmp_path):
+        """Streaming near-dup must agree with the batch operator: docs
+        whose duplicate arrived earlier (previous batch OR earlier in
+        the same batch) are flagged with the original's id; uniques
+        flow through. Lockstep-checked against batch simhash_pairs on
+        the union of both slices."""
+        import os
+
+        from crawler_spark.operators.dedup import simhash_pairs
+        from crawler_spark.streaming.neardup_stream import (
+            reduce_verdicts,
+            streaming_neardup_verdicts,
+        )
+
+        texts = {
+            1: "distributed hash join engines shuffle data across the cluster",
+            2: "sort merge join needs both sides clustered by the join key",
+            3: "vectorized execution batches rows into columnar chunks",
+            4: "cost based optimizers pick plans from cardinality estimates",
+            5: "watermark tracking bounds state in streaming aggregations",
+        }
+        src = str(tmp_path / "docs_src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+
+        def slice_(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        slice_([(i, t) for i, t in texts.items()])
+        slice_([(6, texts[1]),       # cross-batch duplicate of 1
+                (7, "adaptive query execution replans stages at runtime"),
+                (8, "adaptive query execution replans stages at runtime")])
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            streaming_neardup_verdicts(stream)
+            .writeStream.format("memory").queryName("neardup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.doc_id: (r.is_duplicate, r.dup_of)
+                for r in reduce_verdicts(spark.table("neardup_out")).collect()
+            }
+        finally:
+            q.stop()
+
+        assert set(got) == set(range(1, 9))
+        assert got[6] == (True, 1) and got[8] == (True, 7)
+        assert all(not got[i][0] for i in [1, 2, 3, 4, 5, 7])
+
+        # lockstep with the batch operator on the full corpus
+        all_docs = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()]
+            + [(6, texts[1]),
+               (7, "adaptive query execution replans stages at runtime"),
+               (8, "adaptive query execution replans stages at runtime")],
+            schema,
+        )
+        batch_pairs = {(r.id_a, r.id_b)
+                       for r in simhash_pairs(all_docs).collect()}
+        stream_pairs = {(min(d, int(o)), max(d, int(o)))
+                        for d, (dup, o) in got.items() if dup}
+        assert stream_pairs <= batch_pairs
+        assert {(1, 6), (7, 8)} <= stream_pairs
