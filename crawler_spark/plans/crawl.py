@@ -84,6 +84,7 @@ def crawl(
     state_dir: str | None = None,
     resume: bool = False,
     fetch_retries: int = 3,
+    per_host_delay: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
 
@@ -185,7 +186,9 @@ def crawl(
             _save_state(visited, visited_path)
 
         if fetch_urls:
-            fetched = fetch_frontier(spark, fetcher, fetch_urls)
+            fetched = fetch_frontier(
+                spark, fetcher, fetch_urls, per_host_delay=per_host_delay
+            )
             items = parse_stage(fetched)
             ok, dead = split_dead_letter(items)
             ok = ok.cache()  # consumed twice: results + next frontier

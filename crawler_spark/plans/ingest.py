@@ -27,20 +27,43 @@ from crawler_spark.sources.fetch import Fetcher
 from crawler_spark.sources.file_handlers import classify_content_type, extract_pdf_text
 
 
-def fetch_frontier(spark: SparkSession, fetcher: Fetcher, urls: list[str]) -> DataFrame:
+def fetch_frontier(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    urls: list[str],
+    per_host_delay: float = 0.0,
+) -> DataFrame:
     """S5: fetch a frontier of urls on the executors.
 
     The fetcher is pickled into the closure (stub: in-memory dict;
     http: config only) — each partition fetches its slice, so crawl
     concurrency is partition parallelism, the Spark analogue of the
     reference's CONCURRENT_REQUESTS (crawlers/README.md:298-321).
+
+    ``per_host_delay`` > 0 is the DOWNLOAD_DELAY politeness analogue
+    (crawlers/README.md:298-321): urls are partitioned by HOST HASH so
+    one host's urls land in one partition (no cross-partition races on
+    the same origin), and consecutive fetches to the same host inside
+    the partition wait out the delay. Different hosts sharing a
+    partition do not gate each other. Default 0 keeps the round-robin
+    spread (maximum parallelism, the existing behavior).
     """
+    import time as _time
+    from urllib.parse import urlparse
+
     frontier = spark.createDataFrame([(u,) for u in urls], "url string")
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_hit: dict[str, float] = {}
         for pdf in batches:
             rows = []
             for url in pdf["url"]:
+                if per_host_delay > 0:
+                    host = urlparse(url).netloc
+                    wait = last_hit.get(host, -1e18) + per_host_delay - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                    last_hit[host] = _time.monotonic()
                 ctype, body, err = fetcher.fetch(url)
                 rows.append(
                     {"url": url, "content_type": ctype, "body": body, "fetch_error": err}
@@ -48,9 +71,14 @@ def fetch_frontier(spark: SparkSession, fetcher: Fetcher, urls: list[str]) -> Da
             yield pd.DataFrame(rows, columns=["url", "content_type", "body", "fetch_error"])
 
     par = spark.sparkContext.defaultParallelism
-    return frontier.repartition(max(1, min(len(urls), par))).mapInPandas(
-        do_fetch, schema=schemas.FETCHED
-    )
+    n_parts = max(1, min(len(urls), par))
+    if per_host_delay > 0:
+        part = frontier.repartition(
+            n_parts, F.xxhash64(F.parse_url("url", F.lit("HOST")))
+        )
+    else:
+        part = frontier.repartition(n_parts)
+    return part.mapInPandas(do_fetch, schema=schemas.FETCHED)
 
 
 def robots_allowed_map(
@@ -261,6 +289,7 @@ def ingest_batch(
     extraction_schema: str = "ecommerce",
     extractor=None,
     fetch_retries: int = 3,
+    per_host_delay: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Full batch ingest of a url list.
 
@@ -279,7 +308,7 @@ def ingest_batch(
     from crawler_spark.sources.fetch import with_default_retries
 
     fetcher = with_default_retries(fetcher, fetch_retries)
-    fetched = fetch_frontier(spark, fetcher, urls)
+    fetched = fetch_frontier(spark, fetcher, urls, per_host_delay=per_host_delay)
     items = parse_stage(fetched)
     ok, dead = split_dead_letter(items)
     pages = finalize_pages(

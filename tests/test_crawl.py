@@ -158,3 +158,50 @@ class TestCrawl:
         assert len(rows) == 3
         assert all(r.embedding is not None and len(r.embedding) == 64 for r in rows)
         assert all(r.domain == "site.test" for r in rows)
+
+
+class TestPoliteness:
+    def test_per_host_delay_spaces_same_host_fetches(self, spark):
+        """per_host_delay: consecutive fetches against ONE host must be
+        spaced by >= the delay (host-hash partitioning makes same-host
+        fetches sequential), while a 6-url two-host frontier still
+        finishes in well under 6x the delay (hosts don't gate each
+        other)."""
+        import time
+
+        from crawler_spark.plans.ingest import fetch_frontier
+        from crawler_spark.sources.fetch import Fetcher
+
+        class ClockFetcher(Fetcher):
+            def fetch(self, url):
+                return ("text/html", repr(time.monotonic()).encode(), None)
+
+        urls = [f"https://{h}.test/p{i}" for h in ("aaa", "bbb") for i in range(3)]
+        delay = 0.4
+        t0 = time.monotonic()
+        rows = fetch_frontier(spark, ClockFetcher(), urls,
+                              per_host_delay=delay).collect()
+        wall = time.monotonic() - t0
+
+        by_host: dict[str, list[float]] = {}
+        for r in rows:
+            host = r.url.split("/")[2]
+            by_host.setdefault(host, []).append(float(bytes(r.body).decode()))
+        assert set(len(v) for v in by_host.values()) == {3}
+        for host, stamps in by_host.items():
+            stamps.sort()
+            gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+            assert all(g >= delay * 0.95 for g in gaps), (host, gaps)
+        # two hosts x 2 gaps each: sequential worst case (one partition)
+        # is ~4 gaps, full serialization of 6 urls would be ~5+; mostly
+        # we just prove it terminates without gating across hosts
+        assert wall < 6 * delay
+
+    def test_zero_delay_keeps_round_robin_behavior(self, spark):
+        from crawler_spark.plans.ingest import fetch_frontier
+        from crawler_spark.sources.fetch import StubFetcher
+
+        site = {f"https://one.test/p{i}": ("text/html", b"x") for i in range(4)}
+        rows = fetch_frontier(spark, StubFetcher(site), list(site)).collect()
+        assert {r.url for r in rows} == set(site)
+        assert all(r.fetch_error is None for r in rows)
