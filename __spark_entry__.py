@@ -49,7 +49,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_ngram_jaccard_capped", "dedup_canonical_capped",
     "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
     "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
-    "streaming_neardup_e2e",
+    "streaming_neardup_e2e", "o3_knn_topk_sq8",
 ]
 
 

@@ -431,3 +431,52 @@ def cosine_pairs_exact(
     return block_pairs.mapInPandas(
         product, schema="id_a long, id_b long, cosine double"
     )
+
+
+def knn_topk_sq8(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via int8 scalar quantization (SQ8) + exact
+    re-rank — the IO-bound scale path: an int8 index is 4× smaller
+    than f32 on disk, and a 100 TB ANN scan is storage-bandwidth-bound
+    long before it is FLOP-bound. FAISS's SQ8 flat index is this exact
+    recipe (quantized first pass, small exact re-rank).
+
+    Stage 1 scans quantized vectors only (integer dot, exact in LONG,
+    one rescale — see functions/vector.py sq8_neg_dot) and keeps the
+    top k·rerank_factor by approximate distance; stage 2 re-ranks that
+    candidate set against the raw float vectors. Everything is
+    whole-stage-codegen expressions. Here the quantized columns are
+    derived in-plan; a deployment materializes (qv, scale) once,
+    column-pruned so stage 1 never reads the float column at all.
+    """
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qs = float(np.abs(q).max() / 127.0) if len(q) else 0.0
+    qq = (np.round(q / qs).astype(np.int64) if qs > 0
+          else np.zeros(len(q), dtype=np.int64))
+    query_q = F.array(*[F.lit(int(v)).cast("tinyint") for v in qq])
+
+    norm = df.select(
+        id_col,
+        V.l2_normalize(vec_col).alias("v"),
+    ).withColumn("qv", V.sq8_quantize("v")).withColumn("scale", V.sq8_scale("v"))
+
+    approx = V.sq8_neg_dot("qv", "scale", query_q, F.lit(qs))
+    cand = (
+        norm.select(id_col, "v", approx.alias("approx_distance"))
+        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .limit(max(k, k * rerank_factor))
+    )
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    return (
+        cand.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -65,6 +65,20 @@ def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+# --- O3 scale path: int8-quantized first pass + exact re-rank -------------
+@register("o3_knn_topk_sq8")  # rows-only: SQ8 approximate top-k
+def o3_knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IO-bound 100 TB path: the first-pass scan reads int8 vectors
+    (4x less storage bandwidth than f32), exact re-rank only on the
+    top k*rerank_factor candidates (tests pin top-k equality with the
+    exact path on the testdata)."""
+    from crawler_spark.operators.similarity import knn_topk_sq8
+    from crawler_spark.sources import load_table
+
+    top = knn_topk_sq8(load_table(spark, sf_dir, "embeddings"), QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 # --- O3 serving shape: precomputed banded index + partition-pruned probe --
 def _ann_index_path(sf_dir: str) -> str:
     """Deterministic per-sf index location (params pinned in the name so

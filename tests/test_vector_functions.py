@@ -184,3 +184,51 @@ def test_multiprobe_widens_candidates_never_worsens(spark, tmp_path):
         top1 = rows[0].distance
         assert best is None or top1 <= best + 1e-12
         best = top1
+
+
+class TestSQ8:
+    def test_sq8_topk_matches_exact_topk(self, spark):
+        """SQ8 + exact re-rank must return the exact path's top-k on
+        the testdata (rerank_factor=4 gives the quantized first pass
+        plenty of slack), with identical (re-ranked) distances."""
+        from crawler_spark.operators.similarity import knn_topk, knn_topk_sq8
+        from crawler_spark.plans.queries_vector import QUERY_VEC
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        exact = [(r.vec_id, round(r.distance, 6))
+                 for r in knn_topk(emb, QUERY_VEC, k=5).collect()]
+        sq8 = [(r.vec_id, round(r.distance, 6))
+               for r in knn_topk_sq8(emb, QUERY_VEC, k=5).collect()]
+        assert sq8 == exact
+
+    def test_sq8_quantization_bounds(self, spark):
+        """Quantized components stay in [-127, 127] and the rescaled
+        int dot is within the documented rounding envelope of the float
+        dot for every vector."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions import vector as V
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        norm = emb.select("vec_id", V.l2_normalize("embedding").alias("v"))
+        qd = norm.select(
+            "vec_id", "v",
+            V.sq8_quantize("v").alias("qv"),
+            V.sq8_scale("v").alias("scale"),
+        )
+        checked = qd.select(
+            "vec_id",
+            F.array_max(F.transform("qv", lambda x: F.abs(x.cast("int")))).alias("mx"),
+            (-V.sq8_neg_dot("qv", "scale", F.col("qv"), F.col("scale"))).alias("approx_sq"),
+            V.dot("v", F.col("v")).alias("exact_sq"),
+            # envelope: |err| <= (|v|_1 * s + |v|_1 * s) / 2 = |v|_1 * s
+            (F.aggregate(F.transform("v", lambda x: F.abs(x)),
+                         F.lit(0.0).cast("double"),
+                         lambda a, x: a + x) * F.col("scale")).alias("env"),
+        ).collect()
+        assert checked
+        for r in checked:
+            assert r.mx <= 127
+            assert abs(r.approx_sq - r.exact_sq) <= r.env + 1e-12, r.vec_id
