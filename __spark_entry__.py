@@ -50,6 +50,7 @@ _NEVER_DRIVER_VERIFIED = [
     "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
     "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
     "streaming_neardup_e2e", "o3_knn_topk_sq8",
+    "join_salted_lowcard", "join_bucketed_colocated", "bucketed_build",
 ]
 
 

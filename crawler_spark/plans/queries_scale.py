@@ -1,0 +1,139 @@
+"""Shuffle-shape operators: queries whose POINT is how they partition
+at 100 TB, oracle-checked so the rewrite provably changes the plan and
+not the answer.
+
+* ``join_salted_lowcard`` — the salted join (operators/skew.py) over
+  the worst shuffle-join shape in the testdata: events joined on
+  ``event_type``, a 5-value key. A plain shuffle join caps at 5 tasks
+  regardless of cluster size; the salted plan partitions on
+  (event_type, __salt) and scales with num_salts. The oracle is the
+  plain join — same answer, different exchange.
+
+* ``bucketed_build`` / ``join_bucketed_colocated`` — pay the orderkey
+  shuffle once at write time (sources/bucketed.py), then run the
+  lineitem⨝orders join with zero Exchange and zero Sort on either
+  side. Build and probe are split exactly like the ANN index pair
+  (``knn_index_build``/``knn_probe_precomputed``): the build is the
+  amortized cost, the probe is the recurring one.
+
+Money math follows the registry determinism rules (exact DECIMAL,
+final cast to double). The above-mean comparison in the salted query
+is kept exact by cross-multiplying: ``value * cnt > sum`` in DECIMAL —
+no engine-specific float division anywhere near the predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.skew import salted_join
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+from crawler_spark.sources.bucketed import bucketed_pair
+
+NUM_SALTS = 8
+NUM_BUCKETS = 8
+
+
+# --- salted low-cardinality join ------------------------------------------
+@register(
+    "join_salted_lowcard",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS sum_v,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               COUNT(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * d.cnt > d.sum_v
+                          THEN 1 END) AS n_above,
+               COUNT(*) AS n_total
+        FROM events e JOIN d USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def join_salted_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per event type how many events sit strictly above that
+    type's mean value. The per-type dim is tiny, but the demo forces
+    the shuffle path (``hint('merge')``) because that's the regime the
+    operator exists for — a dim too big or too hot to broadcast. The
+    fact side's 5-value key would otherwise hash to 5 shuffle tasks;
+    salting spreads it over 5 × NUM_SALTS."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = salted_join(ev, dim.hint("merge"), on="event_type",
+                         num_salts=NUM_SALTS)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("v") * F.col("cnt") > F.col("sum_v"), 1))
+            .alias("n_above"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+# --- bucketed co-located join ---------------------------------------------
+@register("bucketed_build")  # rows-only: the one-off write-time shuffle
+def bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize lineitem and orders bucketed+sorted on orderkey.
+    Returns one row per bucketed table with its bucket spec — the
+    observable contract of the build step."""
+    l, o = bucketed_pair(
+        spark, sf_dir,
+        ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+        num_buckets=NUM_BUCKETS,
+    )
+    rows = [
+        ("lineitem", "l_orderkey", NUM_BUCKETS, l.count()),
+        ("orders", "o_orderkey", NUM_BUCKETS, o.count()),
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, bucket_key string, num_buckets int, n_rows long"
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                        (CAST(1 AS DECIMAL(8,2)) - CAST(l.l_discount AS DECIMAL(8,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority off the bucketed pair: the
+    lineitem⨝orders sort-merge join reads both sides pre-partitioned
+    and pre-sorted, so the only Exchange in the whole plan is the final
+    5-group aggregate. ``hint('merge')`` pins the join to SMJ (a
+    broadcast would also skip the exchange, but only while orders fits
+    in memory — bucketing is the shape that survives 100 TB)."""
+    l, o = bucketed_pair(
+        spark, sf_dir,
+        ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+        num_buckets=NUM_BUCKETS,
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+    )
+    return (
+        l.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o.hint("merge").select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )

@@ -53,6 +53,7 @@ def load_all() -> None:
         queries_mlprep,
         queries_pipeline,
         queries_reference,
+        queries_scale,
         queries_search,
         queries_temporal,
         queries_text,

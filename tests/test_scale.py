@@ -1,0 +1,152 @@
+"""Tests for the shuffle-shape operators: salted join (operators/
+skew.py) result-equivalence with the plain join it replaces, and the
+bucketed co-located join (sources/bucketed.py) producing an
+exchange-free, sort-free sort-merge join."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def row_multiset(df) -> Counter:
+    return Counter(tuple(r) for r in df.collect())
+
+
+class TestSaltedJoin:
+    def _tables(self, spark):
+        fact = spark.createDataFrame(
+            [(i, ["a", "a", "a", "b", "c"][i % 5]) for i in range(200)]
+            + [(1000, "zzz")],  # key absent from dim
+            "id long, k string",
+        )
+        dim = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "k string, payload int"
+        )
+        return fact, dim
+
+    def test_inner_matches_plain_join(self, spark):
+        from crawler_spark.operators.skew import salted_join
+
+        fact, dim = self._tables(spark)
+        salted = salted_join(fact, dim, on="k", num_salts=4)
+        plain = fact.join(dim, on="k", how="inner")
+        assert sorted(salted.columns) == sorted(plain.columns)
+        assert row_multiset(salted.select(*plain.columns)) == row_multiset(plain)
+
+    def test_left_matches_plain_join(self, spark):
+        from crawler_spark.operators.skew import salted_join
+
+        fact, dim = self._tables(spark)
+        salted = salted_join(fact, dim, on="k", num_salts=4, how="left")
+        plain = fact.join(dim, on="k", how="left")
+        # the unmatched 'zzz' row must survive with a NULL payload
+        assert row_multiset(salted.select(*plain.columns)) == row_multiset(plain)
+
+    def test_hot_keys_path_matches_plain_join(self, spark):
+        from crawler_spark.operators.skew import salted_join
+
+        fact, dim = self._tables(spark)
+        for how in ("inner", "left"):
+            salted = salted_join(
+                fact, dim, on="k", num_salts=4, how=how, hot_keys=["a"]
+            )
+            plain = fact.join(dim, on="k", how=how)
+            assert row_multiset(salted.select(*plain.columns)) == row_multiset(
+                plain
+            ), how
+
+    def test_null_keys_route_through_cold_path(self, spark):
+        from crawler_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, k string"
+        )
+        dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, p int")
+        salted = salted_join(fact, dim, on="k", how="left", hot_keys=["a"])
+        plain = fact.join(dim, on="k", how="left")
+        assert row_multiset(salted.select(*plain.columns)) == row_multiset(plain)
+
+    def test_salt_widens_join_key(self, spark):
+        """The join must run on (key, __salt) — visible in the plan as a
+        join condition mentioning __salt — and __salt must not leak into
+        the output columns."""
+        from crawler_spark.operators.skew import salted_join
+
+        fact, dim = self._tables(spark)
+        out = salted_join(fact, dim.hint("merge"), on="k", num_salts=4)
+        assert "__salt" not in out.columns
+        assert "__salt" in plan_text(out)
+
+    def test_rejects_bad_args(self, spark):
+        from crawler_spark.operators.skew import salted_join
+
+        fact, dim = self._tables(spark)
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, on="k", num_salts=1)
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, on="k", how="full")
+
+
+class TestBucketedJoin:
+    def test_ensure_bucketed_idempotent(self, spark):
+        from crawler_spark.sources.bucketed import ensure_bucketed
+
+        a = ensure_bucketed(spark, SF, "orders", "o_orderkey", num_buckets=4)
+        b = ensure_bucketed(spark, SF, "orders", "o_orderkey", num_buckets=4)
+        assert a == b and spark.catalog.tableExists(a)
+
+    def test_join_is_exchange_and_sort_free(self, spark):
+        """The whole point: both sides pre-bucketed and pre-sorted on the
+        join key → SortMergeJoin with ZERO Exchange and ZERO Sort before
+        the join (the only shuffle allowed is a downstream aggregate —
+        here there is none, so the plan must have no Exchange at all)."""
+        from crawler_spark.sources.bucketed import bucketed_pair
+
+        l, o = bucketed_pair(
+            spark, SF, ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+            num_buckets=4,
+        )
+        joined = l.select("l_orderkey", "l_quantity").join(
+            o.hint("merge").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_text(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "Sort [" not in plan.split("SortMergeJoin")[0] or plan.count(
+            "Sort ["
+        ) == 0, "bucketed sortBy metadata not honored — join re-sorts"
+
+    def test_join_matches_unbucketed(self, spark):
+        from crawler_spark.sources import load_table
+        from crawler_spark.sources.bucketed import bucketed_pair
+
+        l, o = bucketed_pair(
+            spark, SF, ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+            num_buckets=4,
+        )
+        got = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").count()
+        )
+        want = (
+            load_table(spark, SF, "lineitem")
+            .join(load_table(spark, SF, "orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").count()
+        )
+        assert row_multiset(got) == row_multiset(want)
