@@ -438,6 +438,107 @@ def canonical_closure(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the named upgrade over ``canonical_closure``'s
+    min-label propagation for graphs with long chains.
+
+    Min-label propagation moves a component's minimum one hop per
+    round, so a duplicate CHAIN of length d (doc A ≈ B ≈ C ≈ …, each
+    adjacent pair near-dup but the ends unrelated — common for serially
+    edited boilerplate) costs O(d) shuffle rounds. The star operations
+    rewire the graph itself toward its fixed point — a union of stars
+    centered at each component's minimum — and converge in O(log d)
+    rounds:
+
+    * large-star(u): every neighbor LARGER than u re-links to
+      m = min(Γ(u) ∪ {u}) — strictly-larger nodes hop toward the
+      minimum without ever creating an edge between two large nodes;
+    * small-star(u): u and its SMALLER neighbors all re-link to
+      m = min(Γ_small(u) ∪ {u}) — flattening the small side into a
+      star.
+
+    Both are one groupBy (per-node min) + one equi-join + distinct —
+    everything shuffles on node id, no driver-side graph state, and the
+    edge multiset provably never grows (distinct keeps it a set).
+    Convergence is detected by an order-independent (count, hash-sum)
+    signature of the edge set — one tiny aggregate per round.
+    Intermediate edges are kept in the larger→smaller orientation,
+    which is exactly the form small-star consumes and large-star's
+    output produces, so no re-orientation pass is needed between the
+    two. Per-round ``localCheckpoint`` truncates lineage.
+
+    Output schema matches ``canonical_closure``: (id, canonical_id)
+    over ALL ids, singletons labeled with themselves. Same contract,
+    same tests — a drop-in replacement whose round count is logarithmic
+    where it matters.
+    """
+    base = pairs.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    edges = base.distinct().localCheckpoint(eager=True)
+
+    def signature(ed: DataFrame) -> tuple:
+        # XOR fold: order-independent over the (distinct) edge set and,
+        # unlike SUM, cannot overflow under ANSI mode
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _round in range(max_iterations):
+        # large-star: symmetric view; larger neighbors re-link to the min
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: u and its smaller neighbors all re-link to their min
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smin.select("u", F.col("m").alias("v"))
+            .unionByName(
+                large.join(smin, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point = stars: every non-root points at its component min
+    labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("lbl"))
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce("lbl", F.col("id"))).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
 def canonical_assignment(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Map every id to a canonical representative: min id among its
     near-dup neighbors (single-hop union-find approximation — cheaper

@@ -326,6 +326,25 @@ def dedup_canonical_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_canonical_star", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_canonical_capped`` with the closure swapped for the
+    alternating large-star/small-star algorithm (operators/dedup.py:
+    connected_components_star) — O(log chain-length) shuffle rounds
+    instead of min-label propagation's O(chain-length), the shape that
+    survives serially-edited boilerplate chains at corpus scale. Same
+    components, same oracle: the RECURSIVE-CTE closure oracle applies
+    verbatim because the algorithms compute the identical fixed point
+    (tests/test_dedup.py proves label equality on random graphs)."""
+    from crawler_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, max_shingle_df=50)
+    return connected_components_star(pairs, docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "canonical_id"
+    )
+
+
 # --- F2: tokenization as a first-class projection -------------------------
 @register(
     "f2_query_tokens",

@@ -139,6 +139,54 @@ class TestEmbeddingLSH:
         assert got == {1: 1, 5: 1, 9: 1, 11: 1, 2: 2, 7: 2, 20: 20}
 
 
+class TestStarClosure:
+    def test_matches_min_label_closure_on_random_graph(self, spark):
+        """large-star/small-star is a drop-in for canonical_closure:
+        identical labels on a seeded random graph with chains, cycles,
+        a clique, and singletons."""
+        import random
+
+        from crawler_spark.operators.dedup import (
+            canonical_closure,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        nodes = list(range(1, 120))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ids = spark.createDataFrame([(n,) for n in nodes], "vec_id long")
+        want = {r.id: r.canonical_id
+                for r in canonical_closure(pairs, ids, "vec_id").collect()}
+        got = {r.id: r.canonical_id
+               for r in connected_components_star(pairs, ids, "vec_id").collect()}
+        assert got == want
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 64-link chain resolves with max_iterations=8 — min-label
+        propagation would need ~64 rounds for the same graph. This is
+        the whole point of the star upgrade."""
+        from crawler_spark.operators.dedup import connected_components_star
+
+        chain = [(i, i + 1) for i in range(1, 65)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in range(1, 66)], "vec_id long")
+        got = {r.id: r.canonical_id
+               for r in connected_components_star(
+                   pairs, ids, "vec_id", max_iterations=8).collect()}
+        assert got == {i: 1 for i in range(1, 66)}
+
+    def test_empty_pairs_all_singletons(self, spark):
+        from crawler_spark.operators.dedup import connected_components_star
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in (3, 8)], "vec_id long")
+        got = {r.id: r.canonical_id
+               for r in connected_components_star(pairs, ids, "vec_id").collect()}
+        assert got == {3: 3, 8: 8}
+
+
 class TestHotShingleCap:
     def test_cap_identity_when_no_hot_shingles(self, spark):
         """With a cap above the corpus's max shingle document-frequency
