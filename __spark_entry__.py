@@ -51,7 +51,7 @@ _NEVER_DRIVER_VERIFIED = [
     "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
     "streaming_neardup_e2e", "o3_knn_topk_sq8",
     "join_salted_lowcard", "join_bucketed_colocated", "bucketed_build",
-    "dedup_canonical_star",
+    "dedup_canonical_star", "decontaminate_eval_overlap", "shard_assignment",
 ]
 
 

@@ -119,6 +119,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic shuffle-shard assignment -------------------------------
+@register(
+    "shard_assignment",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) AS shard_id,
+               CAST(row_number() OVER (
+                   PARTITION BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS pos
+        FROM documents
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment (operators/shards.py) in its
+    engine-portable form so it can be value-level oracle-checked: the
+    shard is the first md5 nibble of the seeded id (16 shards), the
+    within-shard position a row_number over the full hash. Pure
+    projections + one window keyed on the (uniform) shard — no global
+    sort. The production writer (write_shards) uses the same design
+    with xxhash64 and pmod for arbitrary shard counts; xxhash64 has no
+    DuckDB twin, which is why the oracle query speaks md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string")))
+    nib = F.substring(key, 1, 1)
+    w = Window.partitionBy(nib).orderBy(key, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.conv(nib, 16, 10).cast("long").alias("shard_id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 # --- C4-style corpus cleaning composite -----------------------------------
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"

@@ -345,6 +345,50 @@ def dedup_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- train/eval decontamination -------------------------------------------
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            ) AS shingles
+            FROM documents
+        ),
+        eval_g AS (
+            SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 20 = 0
+        ),
+        train AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 20 <> 0),
+        grams AS (SELECT doc_id, unnest(shingles) AS g FROM train),
+        hits AS (
+            SELECT t.doc_id, count(*) AS n FROM grams t JOIN eval_g USING (g)
+            GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontam.py): documents
+    with doc_id % 20 == 0 stand in for the benchmark set; every other
+    document is scored by how many of its distinct 3-word shingles
+    appear anywhere in that set. One broadcast join + one per-doc
+    aggregate — the eval side broadcasts, the corpus side never
+    shuffles until it is one row per document. k=3 here because the
+    synthetic docs are short; production uses the published k=13."""
+    from crawler_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), shingle_k=3
+    )
+
+
 # --- F2: tokenization as a first-class projection -------------------------
 @register(
     "f2_query_tokens",
