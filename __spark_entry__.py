@@ -52,6 +52,8 @@ _NEVER_DRIVER_VERIFIED = [
     "streaming_neardup_e2e", "o3_knn_topk_sq8",
     "join_salted_lowcard", "join_bucketed_colocated", "bucketed_build",
     "dedup_canonical_star", "decontaminate_eval_overlap", "shard_assignment",
+    "pack_token_budget", "dedup_keep_best", "dedup_incremental",
+    "txt_heavy_hitters",
 ]
 
 

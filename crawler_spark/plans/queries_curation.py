@@ -1,0 +1,282 @@
+"""Corpus-curation operators that round out the training-data pipeline
+surface (no reference-repo analogue — the reference crawls and serves;
+these are the brief's LLM-pipeline extensions, same family as
+queries_mlprep.py / operators/decontam.py / operators/shards.py):
+
+* ``pack_token_budget`` — sequence packing: assign documents to
+  fixed-token-budget packs, the step that turns a cleaned corpus into
+  training-ready batches.
+* ``dedup_keep_best`` — canonical selection by QUALITY: exact-dup
+  groups keep the best document, not the arbitrary min-id one.
+* ``dedup_incremental`` — the production dedup shape: a small new
+  crawl batch near-dup-checked against the existing corpus (not
+  all-pairs within one snapshot).
+* ``txt_heavy_hitters`` — exact corpus-level heavy-hitter vocabulary
+  (boilerplate detection / stopword mining).
+
+All four are value-level oracle-backed. Determinism follows
+plans/registry.py rules: hash ordering via md5 (computed identically by
+both engines), integer math where possible, round(…, 6) on the one
+unavoidable double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.plans.queries_text import _FP_SQL, _TOKENS_SQL
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+# Deterministic doc key shared with queries_mlprep.py's hash sampling:
+# both engines compute the identical md5 hex string.
+_KEY_SQL = "md5(CAST(doc_id AS VARCHAR))"
+
+_SHINGLES_SQL = f"""list_distinct(
+    list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                   i -> array_to_string({_TOKENS_SQL}[i:i+2], ' ')))"""
+
+
+def _key() -> F.Column:
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+# --- sequence packing into token budgets ----------------------------------
+@register(
+    "pack_token_budget",
+    oracle=f"""
+        SELECT doc_id, shard_id, n_tokens,
+               CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_seq
+        FROM (
+            SELECT doc_id, shard_id, n_tokens,
+                   coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY shard_id ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM (
+                SELECT doc_id, {_KEY_SQL} AS k,
+                       ascii(substr({_KEY_SQL}, 1, 1)) % 4 AS shard_id,
+                       len({_TOKENS_SQL}) AS n_tokens
+                FROM documents
+            )
+        )
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → (shard_id, pack_seq) bins of ~512
+    tokens each, the unit a training data-loader reads as one batch.
+
+    A document lands in the pack that was open when its running token
+    count (in deterministic hash order) crossed the boundary — the
+    greedy first-fit packing every real pipeline uses, made
+    reproducible by hash ordering instead of arrival order.
+
+    Scale shape: packing is per-SHARD, never global — the window
+    partitions by shard_id (here 4, at 100 TB tens of thousands, cf.
+    operators/shards.py), so the plan is one hash shuffle on shard_id
+    plus a per-shard local sort. A single global cumulative sum would
+    serialize the corpus through one task; sharded packing is
+    embarrassingly parallel and each shard's packs are independent,
+    which is exactly what per-worker data loaders need anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        _key().alias("k"),
+        (F.ascii(F.substring(_key(), 1, 1)) % 4).alias("shard_id"),
+        X.word_token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return staged.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        F.floor(cum_before / F.lit(512.0)).alias("pack_seq"),
+    )
+
+
+# --- canonical selection by quality ---------------------------------------
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        SELECT doc_id,
+               first_value(doc_id) OVER (
+                   PARTITION BY {_FP_SQL}
+                   ORDER BY length(text) DESC, doc_id
+               ) AS kept_id,
+               row_number() OVER (
+                   PARTITION BY {_FP_SQL}
+                   ORDER BY length(text) DESC, doc_id
+               ) = 1 AS is_kept
+        FROM documents
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST row of each duplicate group —
+    longest text, doc_id tie-break — instead of ``dedup_exact``'s
+    arbitrary min-id. This is how curation actually resolves dups:
+    among near-identical crawls keep the most complete capture.
+
+    Same scale shape as dedup_exact — one shuffle on the uniform
+    high-cardinality fingerprint; the quality criterion only changes
+    the within-group ORDER BY, swap in any score (model-based quality,
+    recency) without touching the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text")).orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        F.first("doc_id").over(w).alias("kept_id"),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus ----------------------
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH batch AS (
+            SELECT doc_id, text FROM documents
+            WHERE substr({_KEY_SQL}, 1, 2) < '1a'
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE substr({_KEY_SQL}, 1, 2) >= '1a'
+        ),
+        gb AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS g FROM batch),
+        gc AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS g FROM corpus),
+        sb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id),
+        sc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
+        shared AS (
+            SELECT gb.doc_id AS id_b, gc.doc_id AS id_c, count(*) AS shared
+            FROM gb JOIN gc ON gb.g = gc.g
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT id_b,
+                   max(CAST(shared AS DOUBLE) / (sb.n + sc.n - shared)) AS mx
+            FROM shared
+            JOIN sb ON sb.doc_id = id_b
+            JOIN sc ON sc.doc_id = id_c
+            GROUP BY id_b
+        )
+        SELECT b.doc_id,
+               round(coalesce(mx, 0.0), 6) AS max_jaccard,
+               coalesce(mx, 0.0) >= 0.5 AS is_near_dup
+        FROM batch b LEFT JOIN best ON best.id_b = b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a NEW batch (~10%, hash-split)
+    checked for near-duplicates against the EXISTING corpus, per batch
+    document reporting its best Jaccard against any corpus document.
+    Snapshot all-pairs dedup (``dedup_ngram_jaccard``) re-pays the full
+    corpus every crawl cycle; incremental dedup pays |batch| ⨝ corpus
+    once per cycle — this is what a continuously-crawling pipeline runs.
+
+    Scale shape: the batch side's distinct shingle set is tiny relative
+    to the corpus, so its grams and sizes BROADCAST — the corpus-side
+    grams stream map-side through the broadcast join, and the first
+    exchange in the plan is the partial-aggregated (id_b, id_c) shared
+    counts, already reduced to one row per matching pair. Corpus sizes
+    join AFTER that aggregation, touching only matched documents.
+    Shingles join on xxhash64 longs, same as ngram_jaccard_pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.substring(_key(), 1, 2) < "1a"
+    batch = docs.filter(is_batch).select("doc_id", "text")
+    corpus = docs.filter(~is_batch).select("doc_id", "text")
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.transform(
+                    F.array_distinct(X.word_shingles("text", 3)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("g"),
+        )
+
+    gb, gc = grams(batch, "id_b"), grams(corpus, "id_c")
+    sb = gb.groupBy("id_b").agg(F.count(F.lit(1)).alias("nb"))
+    sc = gc.groupBy("id_c").agg(F.count(F.lit(1)).alias("nc"))
+    shared = (
+        gc.join(F.broadcast(gb), "g")
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("nb") + F.col("nc") - F.col("shared"))
+    best = (
+        shared.join(F.broadcast(sb), "id_b")
+        .join(sc, "id_c")
+        .groupBy("id_b")
+        .agg(F.max(jac).alias("mx"))
+    )
+    return batch.join(
+        best, batch.doc_id == best.id_b, "left"
+    ).select(
+        "doc_id",
+        F.round(F.coalesce("mx", F.lit(0.0)), 6).alias("max_jaccard"),
+        (F.coalesce("mx", F.lit(0.0)) >= 0.5).alias("is_near_dup"),
+    )
+
+
+# --- corpus heavy hitters --------------------------------------------------
+@register(
+    "txt_heavy_hitters",
+    oracle=f"""
+        SELECT token, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+        FROM (
+            SELECT token, cnt, SUM(cnt) OVER () AS total
+            FROM (
+                SELECT token, count(*) AS cnt FROM (
+                    SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+                ) GROUP BY token
+            )
+        )
+        WHERE cnt * 200 > total
+        ORDER BY cnt DESC, token
+    """,
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens whose corpus-wide term frequency
+    exceeds 0.5% of all tokens — the boilerplate/stopword-mining query
+    behind hot-shingle caps (ngram_jaccard_pairs' ``max_shingle_df``)
+    and cleaning rules.
+
+    Scale shape: explode → two-level hash aggregate with map-side
+    combine, so the shuffle carries one row per (token, partition) —
+    vocabulary-sized, not corpus-sized. The share normalization is a
+    window over the ALREADY-AGGREGATED vocabulary table (set of distinct
+    tokens, millions at web scale at most), so the empty-partition
+    window is bounded and never sees corpus-scale data. The integer
+    guard ``cnt * 200 > total`` keeps the filter exact (no double
+    comparison at the boundary).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("total", total)
+        .filter(F.col("cnt") * 200 > F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )

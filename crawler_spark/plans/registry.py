@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module so their @register calls run."""
     from crawler_spark.plans import (  # noqa: F401
+        queries_curation,
         queries_dedup,
         queries_events,
         queries_mlprep,

@@ -34,12 +34,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. ``name`` must be in TABLES.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read
-    it via the legacy nanos-as-long path and truncate to microseconds
-    with integer division — exactly what DuckDB does when it reads the
-    same file, so oracle comparisons agree. (Float division here would
-    be wrong: ~1.7e18 ns exceeds double's 53-bit exact-integer range.)
+    ``events.ts`` has been written two ways across testdata versions,
+    both needing normalization to a plain TIMESTAMP so downstream
+    expressions (``unix_micros``, windows) and the DuckDB oracle agree:
+
+    * TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+      ([PARQUET_TYPE_ILLEGAL]); read via the legacy nanos-as-long path
+      and truncate to micros with integer division — exactly what
+      DuckDB does reading the same file. (Float division would be
+      wrong: ~1.7e18 ns exceeds double's 53-bit exact-integer range.)
+    * TIMESTAMP(MICROS) without timezone: Spark 4 infers TIMESTAMP_NTZ,
+      which type-strict functions like ``unix_micros`` reject; cast to
+      TIMESTAMP — value-preserving because the session timezone is
+      pinned to UTC (session.py).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -47,8 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
