@@ -53,7 +53,7 @@ _NEVER_DRIVER_VERIFIED = [
     "join_salted_lowcard", "join_bucketed_colocated", "bucketed_build",
     "dedup_canonical_star", "decontaminate_eval_overlap", "shard_assignment",
     "pack_token_budget", "dedup_keep_best", "dedup_incremental",
-    "txt_heavy_hitters",
+    "txt_heavy_hitters", "txt_repetition_ratio", "corpus_export_pipeline",
 ]
 
 

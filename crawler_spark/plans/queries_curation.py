@@ -231,6 +231,128 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-document repetition signal (Gopher-style) ------------------------
+@register(
+    "txt_repetition_ratio",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKENS_SQL}) AS n_tokens,
+               round(CAST(coalesce(list_max(list_transform(
+                         list_distinct({_TOKENS_SQL}),
+                         t -> len(list_filter({_TOKENS_SQL}, x -> x = t))
+                     )), 0) AS DOUBLE)
+                     / greatest(len({_TOKENS_SQL}), 1), 6) AS top_token_share
+        FROM documents
+    """,
+)
+def txt_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the share of a document
+    occupied by its single most frequent token. Boilerplate, keyword
+    stuffing, and degenerate generations all push this up; cleaning
+    rules threshold it (Gopher drops docs whose top 2-gram exceeds 20%).
+
+    Scale shape — the reason this is a separate query and not a
+    groupBy: the whole statistic is a PURE PROJECTION over the token
+    array (distinct → per-token count → max), so the plan has zero
+    shuffles and zero aggregations — it runs at scan speed on 100 TB
+    and composes into corpus_clean-style filters for free. The
+    explode→groupBy formulation would shuffle the entire token stream
+    (corpus-sized) to compute a per-row number.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    n_tok = X.word_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.coalesce(top, F.lit(0)).cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("top_token_share"),
+    )
+
+
+# --- end-to-end corpus export ---------------------------------------------
+@register(
+    "corpus_export_pipeline",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   len({_TOKENS_SQL}) AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY {_FP_SQL}
+                       ORDER BY length(text) DESC, doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, n_tokens, {_KEY_SQL} AS k,
+                   ascii(substr({_KEY_SQL}, 1, 1)) % 4 AS shard_id
+            FROM ranked
+            WHERE rn = 1 AND n_chars >= 200 AND n_tokens >= 30
+              AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0
+        )
+        SELECT doc_id, shard_id, n_tokens,
+               CAST(floor(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512.0) AS BIGINT) AS pack_seq
+        FROM kept
+    """,
+)
+def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export in ONE plan: keep-best exact dedup
+    → quality filters (corpus_clean's thresholds) → deterministic shard
+    assignment → token-budget packing. Every stage is itself an
+    oracle-checked query (dedup_keep_best, corpus_clean,
+    pack_token_budget); this proves they compose end-to-end — the query
+    a user runs to turn a crawl snapshot into training shards.
+
+    Scale shape: one scan, then exactly two shuffles — the fingerprint
+    window (dedup) and the shard_id repartition (packing); the quality
+    filters ride between them as projections. Nothing in the chain is
+    corpus-global: both windows partition by bounded keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(X.fingerprint("text")).orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "n_chars",
+        X.word_token_count("text").alias("n_tokens"),
+        F.row_number().over(w_fp).alias("rn"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") == 1)
+        & (F.col("n_chars") >= 200)
+        & (F.col("n_tokens") >= 30)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        _key().alias("k"),
+        (F.ascii(F.substring(_key(), 1, 1)) % 4).alias("shard_id"),
+    )
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return kept.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        F.floor(cum_before / F.lit(512.0)).alias("pack_seq"),
+    )
+
+
 # --- corpus heavy hitters --------------------------------------------------
 @register(
     "txt_heavy_hitters",

@@ -102,3 +102,38 @@ def test_ngram_pairs_single_shuffle_no_join(spark):
         "exact n-gram pairs regressed to a shingle self-join"
     )
     assert plan.count("ShuffledHashJoin") == 0
+
+
+def test_repetition_ratio_zero_shuffle(spark):
+    """txt_repetition_ratio's whole statistic is a per-row array
+    projection — the plan must contain NO exchange and NO aggregate:
+    it runs at scan speed. An explode→groupBy rewrite (corpus-sized
+    shuffle for a per-row number) fails here."""
+    plan = plan_text(_QUERIES["txt_repetition_ratio"](spark, SF))
+    assert "Exchange" not in plan, "repetition ratio acquired a shuffle"
+    assert "HashAggregate" not in plan, "repetition ratio acquired an aggregate"
+
+
+def test_incremental_dedup_broadcasts_batch_grams(spark):
+    """dedup_incremental joins corpus grams against BATCH grams — the
+    small new-crawl side must broadcast so the corpus streams map-side
+    through the join; a shuffle join on the raw gram stream moves the
+    whole corpus token stream through an exchange."""
+    plan = plan_text(_QUERIES["dedup_incremental"](spark, SF))
+    assert "BroadcastHashJoin" in plan, (
+        "batch gram join is no longer broadcast"
+    )
+
+
+def test_export_pipeline_two_hash_shuffles(spark):
+    """corpus_export_pipeline = dedup window + shard-pack window: its
+    plan must carry exactly the two hashpartitioning exchanges those
+    windows need (fingerprint, shard_id) — a third exchange means a
+    stage stopped composing pipeline-style."""
+    plan = plan_text(_QUERIES["corpus_export_pipeline"](spark, SF))
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 2, f"expected 2 hash exchanges, found {n}"
+    # bonus Catalyst win worth locking: the rn=1 dedup filter pushes
+    # down as a partial WindowGroupLimit, so each map task keeps only
+    # its local best row per fingerprint BEFORE the shuffle
+    assert "WindowGroupLimit" in plan, "rn=1 no longer pushes down"
