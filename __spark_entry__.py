@@ -54,6 +54,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_canonical_star", "decontaminate_eval_overlap", "shard_assignment",
     "pack_token_budget", "dedup_keep_best", "dedup_incremental",
     "txt_heavy_hitters", "txt_repetition_ratio", "corpus_export_pipeline",
+    "ev_attribution_interval",
 ]
 
 

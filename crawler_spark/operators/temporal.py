@@ -105,12 +105,15 @@ def range_join_buckets(
     hi: str,
     by: str,
     bucket_width_sec: int = 3600,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join rewrite of ``points.t BETWEEN intervals.lo AND
     intervals.hi`` (inclusive) within a ``by`` key: each interval
     explodes into every bucket it overlaps, points hash to one bucket,
     and the exact BETWEEN refines after the (key, bucket) equi-join.
-    Output has every point column plus the interval's lo/hi."""
+    Output has every point column plus the interval's lo/hi and any
+    extra interval columns named in ``keep`` (e.g. the interval's own
+    id, so callers can aggregate per interval)."""
     width = F.lit(bucket_width_sec)
     p_bucket = (F.unix_timestamp(F.col(point_t)) / width).cast("long")
     i_buckets = F.sequence(
@@ -119,7 +122,8 @@ def range_join_buckets(
     )
     p = points.withColumn("__bucket", p_bucket)
     i = intervals.select(
-        F.col(by).alias("__by"), lo, hi, F.explode(i_buckets).alias("__bucket")
+        F.col(by).alias("__by"), lo, hi, *(keep or []),
+        F.explode(i_buckets).alias("__bucket"),
     )
     return (
         p.join(i, (F.col(by) == F.col("__by")) & (p["__bucket"] == i["__bucket"]))

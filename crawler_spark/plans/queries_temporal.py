@@ -82,3 +82,60 @@ def range_first_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_t="ts", lo="lo", hi="hi", by="user_id",
     )
     return joined.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id")
+
+
+# --- interval attribution: clicks within 30 min before each purchase ------
+@register(
+    "ev_attribution_interval",
+    oracle="""
+        SELECT p.event_id, p.user_id,
+               count(c.ts) AS n_clicks_30m
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id
+    """,
+)
+def ev_attribution_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution: for every purchase, how many clicks the same
+    user made in the preceding 30 minutes — the interval-join twin of
+    ``asof_last_signup`` (count all causes in a window, not just the
+    latest one).
+
+    Scale shape: the naive formulation is an inequality join, which
+    Spark plans as BroadcastNestedLoop; this goes through
+    ``range_join_buckets`` instead — purchases explode into the ≤2
+    half-hour buckets their window overlaps, clicks hash to one bucket,
+    and the exact BETWEEN refines after a plain (user, bucket)
+    equi-join. Purchases with zero clicks survive via the left join
+    back onto the purchase table (count carried as 0), so the output is
+    one row per purchase regardless. The streaming twin is a
+    stream-stream join with a 30-minute watermark on both sides —
+    identical predicate, state bounded by the bucket width.
+    """
+    from crawler_spark.operators.temporal import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("hi"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    matched = range_join_buckets(
+        clicks, purchases, point_t="ts", lo="lo", hi="hi", by="user_id",
+        bucket_width_sec=1800, keep=["p_id"],
+    )
+    counts = matched.groupBy("p_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        purchases.join(counts, "p_id", "left")
+        .select(
+            F.col("p_id").alias("event_id"),
+            "user_id",
+            F.coalesce("n", F.lit(0)).alias("n_clicks_30m"),
+        )
+    )
