@@ -87,3 +87,37 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     )
     q.processAllAvailable()
     return q
+
+
+def attribution_pairs(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``ev_attribution_interval``'s core: a
+    watermarked STREAM-STREAM inner join emitting one row per
+    (purchase, click-within-the-preceding-window) pair. Downstream
+    counts per purchase are a grouped aggregate over these pairs.
+
+    State stays bounded because BOTH sides carry a watermark and the
+    join predicate carries a two-sided time range: Spark derives that a
+    buffered click can only match purchases in [click_ts, click_ts +
+    window], so click state older than watermark + window is evicted,
+    and symmetric for purchases — the textbook bounded-state
+    stream-stream join shape. At 100 TB/day the same plan runs over
+    Kafka sources; nothing below the source changes.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "user_id", "p_ts", "c_ts")

@@ -407,3 +407,51 @@ class TestStreamingNearDup:
                         for d, (dup, o) in got.items() if dup}
         assert stream_pairs <= batch_pairs
         assert {(1, 6), (7, 8)} <= stream_pairs
+
+
+class TestStreamStreamJoin:
+    def test_attribution_pairs_match_batch_interval_join(self, spark, event_dir):
+        """The watermarked stream-stream interval join must emit exactly
+        the (purchase, click) pairs the batch inequality join produces —
+        same predicate, incremental execution."""
+        from crawler_spark.streaming.event_stream import (
+            attribution_pairs,
+            read_event_stream,
+            run_to_memory_sink,
+        )
+
+        clicks = read_event_stream(spark, event_dir).filter(
+            F.col("event_type") == "click"
+        )
+        purchases = read_event_stream(spark, event_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        q = run_to_memory_sink(
+            attribution_pairs(clicks, purchases), "attr_pairs_out"
+        )
+        try:
+            got = {
+                (r.p_id, r.c_ts)
+                for r in spark.sql("SELECT * FROM attr_pairs_out").collect()
+            }
+        finally:
+            q.stop()
+
+        ev = spark.read.parquet(event_dir)
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        want = {
+            (r.p_id, r.c_ts)
+            for r in p.join(
+                c,
+                (p["user_id"] == c["c_user"])
+                & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+                & (F.col("c_ts") <= F.col("p_ts")),
+            ).collect()
+        }
+        assert len(want) > 0
+        assert got == want
