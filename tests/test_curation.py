@@ -1,0 +1,141 @@
+"""Invariant tests for the corpus-curation operators
+(plans/queries_curation.py) beyond the DuckDB value parity that
+test_oracle_parity.py already provides: packing budget/contiguity
+invariants, incremental-vs-all-pairs consistency, keep-best group
+properties, and a Python recomputation of the repetition ratio."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+_QUERIES = E.queries()
+
+
+class TestPacking:
+    def test_budget_and_contiguity_invariants(self, spark):
+        rows = _QUERIES["pack_token_budget"](spark, SF).collect()
+        # every doc assigned exactly once
+        assert len({r.doc_id for r in rows}) == len(rows)
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r)
+        assert set(by_shard) <= {0, 1, 2, 3}
+        for shard, rs in by_shard.items():
+            packs: dict[int, list] = {}
+            for r in rs:
+                packs.setdefault(r.pack_seq, []).append(r)
+            seqs = sorted(packs)
+            # pack ids are contiguous from 0 (first-fit never skips)
+            assert seqs == list(range(len(seqs))), (shard, seqs)
+            max_doc = max(r.n_tokens for r in rs)
+            for seq, members in packs.items():
+                total = sum(r.n_tokens for r in members)
+                # first-fit overshoot: a pack closes when the running sum
+                # crosses the budget, so it holds < budget + one max doc
+                assert total < 512 + max_doc, (shard, seq, total)
+
+    def test_deterministic_across_runs(self, spark):
+        a = {(r.doc_id, r.shard_id, r.pack_seq)
+             for r in _QUERIES["pack_token_budget"](spark, SF).collect()}
+        b = {(r.doc_id, r.shard_id, r.pack_seq)
+             for r in _QUERIES["pack_token_budget"](spark, SF).collect()}
+        assert a == b
+
+
+class TestKeepBest:
+    def test_one_kept_per_group_and_kept_is_longest(self, spark):
+        from crawler_spark.sources import load_table
+
+        rows = _QUERIES["dedup_keep_best"](spark, SF).collect()
+        docs = {r.doc_id: r.text for r in
+                load_table(spark, SF, "documents").collect()}
+        by_kept: dict[int, list] = {}
+        for r in rows:
+            by_kept.setdefault(r.kept_id, []).append(r)
+        for kept_id, members in by_kept.items():
+            # exactly one is_kept row per group, and it is the kept_id
+            kept_rows = [r for r in members if r.is_kept]
+            assert len(kept_rows) == 1 and kept_rows[0].doc_id == kept_id
+            # the kept doc's text is at least as long as every member's
+            klen = len(docs[kept_id])
+            assert all(len(docs[r.doc_id]) <= klen for r in members)
+
+
+class TestIncrementalDedup:
+    def test_flags_match_cross_split_exact_pairs(self, spark):
+        """A batch doc is flagged iff the exact all-pairs generator
+        (threshold 0.5) contains a pair linking it across the
+        batch/corpus split, and max_jaccard agrees with that pair set."""
+        from crawler_spark.plans.queries_text import ngram_jaccard_pairs
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        out = {r.doc_id: r for r in
+               _QUERIES["dedup_incremental"](spark, SF).collect()}
+        batch_ids = set(out)
+        # cross-split qualifying pairs from the oracle-checked generator
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).collect()
+        best: dict[int, float] = {}
+        for p in pairs:
+            for a, b in ((p.id_a, p.id_b), (p.id_b, p.id_a)):
+                if a in batch_ids and b not in batch_ids:
+                    best[a] = max(best.get(a, 0.0), p.jaccard)
+        flagged = {d for d, r in out.items() if r.is_near_dup}
+        assert flagged == set(best), (flagged ^ set(best))
+        for d, j in best.items():
+            assert abs(out[d].max_jaccard - j) < 1e-9
+
+    def test_every_batch_doc_present_even_without_matches(self, spark):
+        out = _QUERIES["dedup_incremental"](spark, SF)
+        n_batch = out.count()
+        zero = out.filter(~F.col("is_near_dup")).count()
+        assert n_batch > 0 and zero > 0  # unmatched docs not dropped
+
+
+class TestRepetitionRatio:
+    def test_matches_python_recount(self, spark):
+        from crawler_spark.sources import load_table
+
+        got = {r.doc_id: r for r in
+               _QUERIES["txt_repetition_ratio"](spark, SF).collect()}
+        for row in load_table(spark, SF, "documents").limit(50).collect():
+            toks = [t for t in re.split(r"\W+", row.text.lower()) if t]
+            want = (max(Counter(toks).values()) / len(toks)) if toks else 0.0
+            r = got[row.doc_id]
+            assert r.n_tokens == len(toks)
+            assert abs(r.top_token_share - round(want, 6)) < 1e-9
+            assert 0.0 <= r.top_token_share <= 1.0
+
+
+class TestExportPipeline:
+    def test_equals_stagewise_composition(self, spark):
+        """The one-plan export equals running keep-best dedup → quality
+        filters → packing as separate oracle-checked stages."""
+        from crawler_spark.functions import text as X
+        from crawler_spark.sources import load_table
+
+        got = {(r.doc_id, r.shard_id, r.pack_seq)
+               for r in _QUERIES["corpus_export_pipeline"](spark, SF).collect()}
+
+        docs = load_table(spark, SF, "documents")
+        kept_rows = _QUERIES["dedup_keep_best"](spark, SF).collect()
+        kept_ids = {r.doc_id for r in kept_rows if r.is_kept}
+        stats = docs.select(
+            "doc_id", "n_chars", X.word_token_count("text").alias("n_tokens")
+        ).collect()
+        survivors = {
+            r.doc_id
+            for r in stats
+            if r.doc_id in kept_ids
+            and r.n_chars >= 200
+            and r.n_tokens >= 30
+            and r.n_chars / r.n_tokens <= 12.0
+        }
+        assert {d for d, _, _ in got} == survivors
