@@ -59,7 +59,18 @@ _NEVER_DRIVER_VERIFIED = [
 
 
 def _prioritized(mapping: dict) -> dict:
-    first = {n: mapping[n] for n in _NEVER_DRIVER_VERIFIED if n in mapping}
+    """Never-driver-verified queries first, and among those the
+    oracle-backed ones before rows-only ones: if the driver's ~50-query
+    sample is order-dependent, every sampled slot should buy a full
+    value-hash check rather than a weaker rows-only row."""
+    from crawler_spark.plans import registry
+
+    registry.load_all()
+    ordered = sorted(
+        (n for n in _NEVER_DRIVER_VERIFIED if n in mapping),
+        key=lambda n: n not in registry.ORACLE,
+    )
+    first = {n: mapping[n] for n in ordered}
     rest = {n: v for n, v in mapping.items() if n not in first}
     return {**first, **rest}
 
