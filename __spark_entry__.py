@@ -55,6 +55,8 @@ _NEVER_DRIVER_VERIFIED = [
     "pack_token_budget", "dedup_keep_best", "dedup_incremental",
     "txt_heavy_hitters", "txt_repetition_ratio", "corpus_export_pipeline",
     "ev_attribution_interval",
+    "doc_chunks", "txt_pii_redact", "txt_gopher_rules",
+    "inverted_index_postings", "txt_compression_ratio",
 ]
 
 

@@ -1,0 +1,267 @@
+"""RAG / training-data preparation queries over ``documents``: fixed-
+window chunking, PII redaction, Gopher-style quality gates, inverted-
+index postings, and a compression-ratio quality signal.
+
+These extend the curation family (queries_curation.py) with the
+remaining ops a large-scale text-pipeline user expects. All but the
+compression ratio are pure JVM expressions with DuckDB oracles; the
+compression ratio needs zlib (no SQL equivalent in either engine) so it
+is an Arrow-batched mapInPandas with a rows-only driver check plus a
+deterministic unit test.
+
+Scale notes (100 TB):
+  * chunking is a per-row explode — no shuffle at all; output rows ≈
+    input_chars / stride, partition sizes grow by the same factor, so
+    pair with ``spark.sql.files.maxPartitionBytes`` tuning, not a
+    repartition;
+  * PII redaction / quality gates are pure projections — no shuffle;
+  * the inverted index caps postings BEFORE any collect_list: a
+    row_number window per token keeps the 20 smallest doc_ids, so the
+    state per token is bounded even for "the"-class tokens that appear
+    in every document (collect-then-slice would OOM on those);
+  * compression ratio is mapInPandas over Arrow batches — embarrassingly
+    parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.plans.queries_text import _TOKENS_SQL
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+CHUNK_LEN = 500
+CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+# --- fixed-window overlapping chunking (RAG prep) -------------------------
+@register(
+    "doc_chunks",
+    oracle=f"""
+        WITH starts AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {CHUNK_STRIDE}))
+                       AS chunk_start
+            FROM documents
+            WHERE length(text) >= 1
+        )
+        SELECT doc_id,
+               CAST((chunk_start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               substr(text, CAST(chunk_start AS BIGINT), {CHUNK_LEN}) AS chunk_text,
+               CAST(length(substr(text, CAST(chunk_start AS BIGINT), {CHUNK_LEN}))
+                    AS BIGINT) AS chunk_len
+        FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunks: windows of CHUNK_LEN chars every
+    CHUNK_STRIDE chars, starting at 1, while the start is inside the
+    document. Pure explode — no shuffle; chunk_id is the 0-based
+    ordinal. Short docs yield exactly one (possibly short) chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+    exploded = (
+        docs.where(F.length("text") >= 1)
+        .select("doc_id", "text",
+                F.posexplode(starts).alias("chunk_id", "chunk_start"))
+    )
+    chunk = F.substr("text", F.col("chunk_start"), F.lit(CHUNK_LEN))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+# --- PII detection + redaction --------------------------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): classes, bounded repeats, \b, \d.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "txt_pii_redact",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now.'
+                       AS with_pii
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(with_pii, '{_EMAIL_PAT}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(with_pii, '{_IP_PAT}')) AS BIGINT)
+                   AS n_ips,
+               md5(regexp_replace(regexp_replace(with_pii,
+                       '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                       '{_IP_PAT}', '<IP>', 'g')) AS redacted_fp
+        FROM seeded
+    """,
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails / IPv4 addresses. The synthetic corpus
+    contains no natural PII, so a deterministic per-row PII suffix is
+    seeded first — the oracle then genuinely exercises both engines'
+    regex match + global replace on every row. Redacted text is compared
+    by md5 fingerprint (full text would bloat the hash input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 now."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(with_pii, _EMAIL_PAT, "<EMAIL>"), _IP_PAT, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(with_pii, F.lit(_EMAIL_PAT)).cast("long").alias("n_emails"),
+        F.regexp_count(with_pii, F.lit(_IP_PAT)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# --- Gopher-style quality gates -------------------------------------------
+_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that"]
+
+
+@register(
+    "txt_gopher_rules",
+    oracle=f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '')) AS n_words,
+                   length(text)
+                     - length(regexp_replace(text, '\\s', '', 'g')) AS n_ws,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                       AS n_alnum_ws,
+                   len(list_intersect(list_distinct({_TOKENS_SQL}),
+                       [{", ".join(repr(s) for s in _STOPWORDS)}]))
+                       AS stopword_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(n_chars - n_ws AS DOUBLE)
+                     / greatest(n_words, 1), 6) AS mean_word_len,
+               round(CAST(n_chars - n_alnum_ws AS DOUBLE)
+                     / greatest(n_chars, 1), 6) AS symbol_ratio,
+               CAST(stopword_hits AS BIGINT) AS stopword_hits,
+               (n_words >= 20
+                AND CAST(n_chars - n_ws AS DOUBLE) / greatest(n_words, 1)
+                    BETWEEN 3 AND 10
+                AND stopword_hits >= 1) AS passes
+        FROM sig
+    """,
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates (Rae et al. 2021 §A1.1 style): word
+    count, mean word length, symbol ratio, stopword presence, and the
+    composite pass flag. Pure projection — no shuffle, codegen-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_ws = n_chars - F.length(F.regexp_replace("text", r"\s", ""))
+    n_words = X.token_count("text")
+    n_alnum_ws = F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(X.tokenize("text")),
+        F.array(*[F.lit(s) for s in _STOPWORDS])))
+    mean_word_len = (n_chars - n_ws).cast("double") / F.greatest(n_words, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round((n_chars - n_alnum_ws).cast("double")
+                / F.greatest(n_chars, F.lit(1)), 6).alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ((n_words >= 20) & mean_word_len.between(3, 10)
+         & (stop_hits >= 1)).alias("passes"),
+    )
+
+
+# --- capped inverted-index postings ---------------------------------------
+_POSTINGS_CAP = 20
+_MIN_DF = 5
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+            FROM documents
+        )
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}] AS postings
+        FROM tok
+        GROUP BY token
+        HAVING count(*) >= {_MIN_DF}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → (document frequency, first {cap} doc_ids). The cap is
+    applied with a row_number window BEFORE any collect_list, so per-
+    token state is bounded even for tokens present in every document —
+    the collect-then-slice shape would buffer the full postings list for
+    "the"-class tokens and OOM at corpus scale. One shuffle on token
+    (shared by both window specs), then a pre-capped groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokenize("text"))).alias("token"))
+    w_all = Window.partitionBy("token")
+    w_ord = Window.partitionBy("token").orderBy("doc_id")
+    capped = (
+        toks
+        .withColumn("df", F.count(F.lit(1)).over(w_all))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .where((F.col("df") >= _MIN_DF) & (F.col("rn") <= _POSTINGS_CAP))
+    )
+    return capped.groupBy("token").agg(
+        F.first("df").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+# --- compression-ratio quality signal (rows-only: needs zlib) -------------
+_RATIO_SCHEMA = "doc_id long, n_bytes long, compression_ratio double"
+
+
+def compression_ratio_batches(batches):
+    """mapInPandas kernel: zlib level fixed at 6 for determinism."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].fillna("").str.encode("utf-8")
+        comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+        n = raw.map(len)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n.astype("int64"),
+            "compression_ratio":
+                (comp / n.clip(lower=1)).round(6).astype("float64"),
+        })
+
+
+@register("txt_compression_ratio")
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressed-size / raw-size per document — the classic
+    boilerplate/repetition detector (highly repetitive text compresses
+    far below ~0.4). Not expressible in either engine's SQL, so an
+    Arrow-batched mapInPandas (level fixed for determinism) with a
+    rows-only driver check; exact values are unit-tested."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(compression_ratio_batches, _RATIO_SCHEMA)

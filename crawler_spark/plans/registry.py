@@ -53,6 +53,7 @@ def load_all() -> None:
         queries_events,
         queries_mlprep,
         queries_pipeline,
+        queries_ragprep,
         queries_reference,
         queries_scale,
         queries_search,

@@ -176,8 +176,11 @@ class TestPoliteness:
             def fetch(self, url):
                 return ("text/html", repr(time.monotonic()).encode(), None)
 
+        # delay must dwarf Spark's task-launch stagger (~1s observed on a
+        # loaded machine) or the cross-host span check below can't separate
+        # the parallel and serialized regimes.
         urls = [f"https://{h}.test/p{i}" for h in ("aaa", "bbb") for i in range(3)]
-        delay = 0.4
+        delay = 1.0
         rows = fetch_frontier(spark, ClockFetcher(), urls,
                               per_host_delay=delay).collect()
 

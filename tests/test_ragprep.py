@@ -1,0 +1,137 @@
+"""Invariant tests for the RAG-prep operators (plans/queries_ragprep.py)
+beyond DuckDB value parity: chunk reconstruction/overlap, PII redaction
+on crafted strings, inverted-index cap binding, and compression-ratio
+discrimination between repetitive and high-entropy text."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from crawler_spark.plans.queries_ragprep import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    _MIN_DF,
+    _POSTINGS_CAP,
+)
+from crawler_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+_QUERIES = E.queries()
+
+
+class TestChunking:
+    def test_chunks_reconstruct_documents(self, spark):
+        docs = {r.doc_id: r.text
+                for r in load_table(spark, SF, "documents").collect()
+                if r.text}
+        chunks = _QUERIES["doc_chunks"](spark, SF).collect()
+        by_doc: dict[int, list] = {}
+        for c in chunks:
+            by_doc.setdefault(c.doc_id, []).append(c)
+        assert set(by_doc) == set(docs)
+        for doc_id, cs in by_doc.items():
+            text = docs[doc_id]
+            cs.sort(key=lambda c: c.chunk_id)
+            # ids are 0..n-1, starts follow the stride exactly
+            assert [c.chunk_id for c in cs] == list(range(len(cs)))
+            assert [c.chunk_start for c in cs] == [
+                1 + i * CHUNK_STRIDE for i in range(len(cs))]
+            # every chunk is the literal substring; stride-prefixes
+            # concatenate back to the full document (overlap = LEN-STRIDE)
+            for c in cs:
+                assert c.chunk_text == text[c.chunk_start - 1:
+                                            c.chunk_start - 1 + CHUNK_LEN]
+                assert c.chunk_len == len(c.chunk_text)
+            rebuilt = "".join(c.chunk_text[:CHUNK_STRIDE] for c in cs[:-1])
+            rebuilt += cs[-1].chunk_text
+            assert rebuilt == text
+            # overlap invariant only holds when the earlier chunk is
+            # full-length (a 401..499-char doc has a short chunk 0)
+            if len(cs) > 1 and cs[0].chunk_len == CHUNK_LEN:
+                overlap = CHUNK_LEN - CHUNK_STRIDE
+                assert cs[0].chunk_text[-overlap:] == \
+                    cs[1].chunk_text[:overlap]
+
+
+class TestPiiRedact:
+    def test_seeded_pii_found_and_redacted(self, spark):
+        rows = _QUERIES["txt_pii_redact"](spark, SF).collect()
+        assert rows
+        # every row got the deterministic seeded email + IP
+        assert all(r.n_emails >= 1 for r in rows)
+        assert all(r.n_ips >= 1 for r in rows)
+
+    def test_redaction_exact_on_crafted_text(self, spark):
+        from crawler_spark.plans.queries_ragprep import _EMAIL_PAT, _IP_PAT
+
+        df = spark.createDataFrame(
+            [("mail a.b+c@x-y.co and 1.2.3.4 but not 1.2.3 or a@b",)],
+            "s string",
+        ).select(
+            F.regexp_replace(
+                F.regexp_replace("s", _EMAIL_PAT, "<EMAIL>"),
+                _IP_PAT, "<IP>").alias("red"),
+            F.regexp_count("s", F.lit(_EMAIL_PAT)).alias("ne"),
+            F.regexp_count("s", F.lit(_IP_PAT)).alias("ni"),
+        )
+        r = df.collect()[0]
+        assert r.red == "mail <EMAIL> and <IP> but not 1.2.3 or a@b"
+        assert (r.ne, r.ni) == (1, 1)
+
+
+class TestInvertedIndex:
+    def test_cap_and_df_floor_bind(self, spark):
+        rows = _QUERIES["inverted_index_postings"](spark, SF).collect()
+        assert rows
+        assert all(r.df >= _MIN_DF for r in rows)
+        assert all(len(r.postings) == min(r.df, _POSTINGS_CAP) for r in rows)
+        assert all(list(r.postings) == sorted(r.postings) for r in rows)
+        # the cap binds somewhere (stopword-class tokens)
+        assert any(r.df > _POSTINGS_CAP for r in rows)
+
+    def test_postings_are_smallest_doc_ids(self, spark):
+        docs = load_table(spark, SF, "documents").collect()
+        token_docs: dict[str, list[int]] = {}
+        import re
+        for r in docs:
+            for t in set(re.findall(r"\w+", (r.text or "").lower())):
+                token_docs.setdefault(t, []).append(r.doc_id)
+        got = {r.token: list(r.postings)
+               for r in _QUERIES["inverted_index_postings"](spark, SF).collect()}
+        for token, ids in token_docs.items():
+            if len(ids) >= _MIN_DF:
+                assert got[token] == sorted(ids)[:_POSTINGS_CAP], token
+
+
+class TestCompressionRatio:
+    def test_matches_local_zlib_and_discriminates(self, spark):
+        expect = {
+            r.doc_id: (len(r.text.encode()) if r.text else 0)
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        rows = _QUERIES["txt_compression_ratio"](spark, SF).collect()
+        assert {r.doc_id for r in rows} == set(expect)
+        for r in rows:
+            assert r.n_bytes == expect[r.doc_id]
+            assert 0.0 < r.compression_ratio
+        # repetitive text compresses much harder than varied text
+        rep = ("spam ham " * 200).encode()
+        varied = " ".join(f"tok{i}" for i in range(400)).encode()
+        df = spark.createDataFrame(
+            [(1, rep.decode()), (2, varied.decode())], "doc_id long, text string")
+        from crawler_spark.plans.queries_ragprep import (
+            _RATIO_SCHEMA,
+            compression_ratio_batches,
+        )
+
+        out = {
+            r.doc_id: r.compression_ratio
+            for r in df.mapInPandas(
+                compression_ratio_batches, _RATIO_SCHEMA).collect()
+        }
+        assert out[1] < 0.1 < out[2]
+        assert abs(out[1] - round(len(zlib.compress(rep, 6)) / len(rep), 6)) < 1e-9
