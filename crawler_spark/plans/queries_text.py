@@ -153,50 +153,32 @@ def ngram_jaccard_pairs(
         ).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if max_shingle_df is None:
-        # exact baseline: pack each shingle's doc list with ONE shuffle,
-        # then a double explode emits the d(d-1)/2 in-group pairs with
-        # O(d) per-row memory (no d²-element array, unlike a one-shot
-        # flatten; no second shuffle, unlike a self-join — measured 40%
-        # faster at sf0.1). A hot shingle still contributes d² pair ROWS
-        # and a d-element packed array — exactness costs that; the
-        # capped variant below is the skew-safe shape for 100 TB.
-        groups = (
-            grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
-            .filter(F.size("ids") >= 2)
+    # Pack each shingle's doc list with ONE shuffle, then a double
+    # explode emits the d(d-1)/2 in-group pairs with O(d) per-row memory
+    # (no d²-element array, unlike a one-shot flatten; no second
+    # shuffle, unlike a self-join — measured 40% faster at sf0.1).
+    # Capped: lists over the cap are dropped whole before the explode
+    # (hot shingles carry no dedup signal), bounding in-group pairs at
+    # cap² — grams is scanned twice total (sizes + groups) instead of
+    # 4× with a join + anti-join shape. Uncapped, a hot shingle still
+    # contributes d² pair ROWS and a d-element packed array — exactness
+    # costs that; the cap is the skew-safe shape for 100 TB.
+    group_pred = F.size("ids") >= 2
+    if max_shingle_df is not None:
+        group_pred = group_pred & (F.size("ids") <= max_shingle_df)
+    groups = (
+        grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(group_pred)
+    )
+    common = (
+        groups.select(F.explode("ids").alias("id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
         )
-        common = (
-            groups.select(F.explode("ids").alias("id_a"), "ids")
-            .select(
-                "id_a",
-                F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
-    else:
-        # capped: ONE groupBy packs each shingle's doc list; lists over
-        # the cap are dropped whole (hot shingles carry no dedup
-        # signal), which also bounds the k² in-group pair explosion at
-        # cap² — so grams is scanned twice total (sizes + groups)
-        # instead of 4× with a join + anti-join shape.
-        groups = (
-            grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
-            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
-        )
-        pair_arr = F.filter(
-            F.flatten(F.transform(
-                "ids",
-                lambda x: F.transform("ids", lambda y: F.struct(
-                    x.alias("a"), y.alias("b"))),
-            )),
-            lambda p: p["a"] < p["b"],
-        )
-        common = (
-            groups.select(F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
