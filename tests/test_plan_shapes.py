@@ -137,3 +137,24 @@ def test_export_pipeline_two_hash_shuffles(spark):
     # down as a partial WindowGroupLimit, so each map task keeps only
     # its local best row per fingerprint BEFORE the shuffle
     assert "WindowGroupLimit" in plan, "rn=1 no longer pushes down"
+
+
+@pytest.mark.parametrize("name", ["doc_chunks", "txt_pii_redact",
+                                  "txt_gopher_rules"])
+def test_ragprep_projections_zero_shuffle(spark, name):
+    """Chunking, PII redaction, and the Gopher gates are pure per-row
+    projections — the plan must contain NO exchange and NO aggregate:
+    they run at scan speed and scale embarrassingly."""
+    plan = plan_text(_QUERIES[name](spark, SF))
+    assert "Exchange" not in plan, f"{name} acquired a shuffle"
+    assert "HashAggregate" not in plan, f"{name} acquired an aggregate"
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """inverted_index_postings: the row_number cap window and the
+    postings groupBy must SHARE one hashpartitioning(token) exchange —
+    a second hash exchange means the groupBy stopped reusing the
+    window's partitioning and the corpus token stream shuffles twice."""
+    plan = plan_text(_QUERIES["inverted_index_postings"](spark, SF))
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange on token, found {n}"
