@@ -203,3 +203,97 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# --- quality-weighted deterministic sampling ------------------------------
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   least(CAST(n_chars AS DOUBLE) / 2000, 1.0) AS keep_p
+            FROM documents
+        )
+        SELECT doc_id, n_chars, round(keep_p, 6) AS keep_p
+        FROM scored
+        WHERE keep_p >= 1.0
+           OR substr({_HASH_KEY}, 1, 4)
+              < lower(lpad(to_hex(CAST(floor(keep_p * 65536) AS BIGINT)),
+                           4, '0'))
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by a quality weight, reproducibly: each doc
+    keeps with probability proportional to its (here length-derived)
+    quality score, decided by comparing a fixed md5-prefix uniform
+    against the per-row threshold — no RNG, identical members on any
+    engine or cluster size. The 16-bit threshold is rendered as a
+    4-hex-digit string so the comparison stays a plain string compare
+    against the hash prefix (p == 1 rows short-circuit past the
+    granularity edge). Pure projection+filter — zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars").cast("double") / 2000, F.lit(1.0))
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.lower(F.lpad(
+        F.hex(F.floor(keep_p * 65536).cast("bigint")), 4, "0"))
+    return (
+        docs.select("doc_id", "n_chars", keep_p.alias("keep_p"))
+        .where((F.col("keep_p") >= 1.0) | (u < thresh))
+        .select("doc_id", "n_chars", F.round("keep_p", 6).alias("keep_p"))
+    )
+
+
+# --- domain-mix rebalancing (cap any source's corpus share) ---------------
+_REBALANCE_SHARE = 0.15
+
+
+@register(
+    "sample_domain_rebalance",
+    oracle=f"""
+        WITH quota AS (
+            SELECT source,
+                   least(count(*),
+                         CAST(ceil({_REBALANCE_SHARE}
+                                   * sum(count(*)) OVER ()) AS BIGINT))
+                       AS q
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {_HASH_KEY}, doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.doc_id, r.source
+        FROM ranked r JOIN quota USING (source)
+        WHERE r.rn <= quota.q
+    """,
+)
+def sample_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: no source may exceed a fixed share of
+    the corpus (the standard guard against one crawl domain dominating
+    a training mix). Per-source quotas come from one tiny aggregate
+    (sources, not documents — the total-window runs over that
+    aggregate, so the single-partition window is over dozens of rows,
+    never the corpus); members are the quota lowest-hash docs per
+    source, so the kept set is deterministic and unbiased w.r.t. input
+    order. One corpus shuffle (the per-source window) + a broadcast
+    quota join."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    quota = counts.select(
+        "source",
+        F.least(
+            F.col("cnt"),
+            F.ceil(F.lit(_REBALANCE_SHARE)
+                   * F.sum("cnt").over(Window.partitionBy())).cast("bigint"),
+        ).alias("q"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source")
+    )

@@ -72,3 +72,48 @@ def test_hll_rollup_within_5pct_of_exact(spark):
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")).collect()
     }
     assert approx == direct
+
+
+def test_quality_weighted_sample_rate_tracks_weight(spark):
+    """Kept fraction per length band must track the keep probability:
+    full-weight docs (n_chars >= 2000) are all kept; a low-weight band
+    keeps roughly its mean weight's share (hash uniformity)."""
+    import __spark_entry__ as E
+
+    kept = E.queries()["sample_quality_weighted"](spark, SF)
+    from crawler_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    full = docs.where("n_chars >= 2000").count()
+    if full:
+        assert kept.where("n_chars >= 2000").count() == full
+    band = docs.where("n_chars < 1000")
+    n_band = band.count()
+    got = kept.where("n_chars < 1000").count()
+    mean_p = band.select(
+        F.avg(F.least(F.col("n_chars") / 2000.0, F.lit(1.0)))).first()[0]
+    # binomial-ish tolerance: the md5 prefix is uniform, sf0.001 is small
+    assert abs(got / n_band - mean_p) < 0.15, (got, n_band, mean_p)
+
+
+def test_domain_rebalance_cap_binds_on_skewed_corpus(spark, tmp_path):
+    """On a corpus where one source holds 60% of docs, the rebalance
+    must cut that source to <= ceil(0.15 * total) while small sources
+    keep all their docs."""
+    import __spark_entry__ as E
+
+    rows = [(i, f"t{i}", "en", "mega" if i < 120 else f"s{i % 4}", 10)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = E.queries()["sample_domain_rebalance"](spark, str(tmp_path))
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per["mega"] == 30  # ceil(0.15 * 200)
+    for s in ("s0", "s1", "s2", "s3"):
+        assert per[s] == 20
+    # deterministic: re-running yields the identical member set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in E.queries()["sample_domain_rebalance"](
+        spark, str(tmp_path)).collect()}
+    assert a == b
