@@ -118,3 +118,53 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_verdicts(spark.table(name))
         .orderBy("doc_id")
     )
+
+
+@register("streaming_trending_e2e")  # rows-only: streaming windowed agg
+def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table replayed as a watermarked stream through the
+    trending-tokens operator (streaming/event_stream.py): synthetic
+    event-time (doc_id minutes past a fixed epoch — documents carry no
+    timestamp), sliding-window token counts in append mode, then the
+    batch-side top-k rank over the closed windows. Proves the
+    bounded-state windowed-count + sink-side-rank serving shape on
+    real data."""
+    import tempfile
+    import uuid
+
+    from crawler_spark.sources import load_table
+    from crawler_spark.streaming.event_stream import (
+        top_tokens_per_window,
+        trending_token_counts,
+    )
+
+    name = f"trending_e2e_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, sf_dir, "documents").select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("base"),
+            "doc_id", "text",
+        )
+        .select(
+            (F.col("base") + F.make_interval(mins=F.col("doc_id"))).alias("ts"),
+            "text",
+        )
+    )
+    counts = trending_token_counts(stream, window="1 hour", slide="30 minutes")
+    q = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="trend_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        top_tokens_per_window(spark.table(name), k=5)
+        .orderBy("window_start", "rank")
+    )

@@ -76,6 +76,73 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+_TRENDING_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that"]
+
+
+def read_doc_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based document stream (parquet drops into ``dir_path``)."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def trending_token_counts(
+    docs: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of trending-tokens: per (sliding window, token)
+    counts over a watermarked document stream, stopwords dropped before
+    the explode so the hottest tokens never shuffle at all.
+
+    The per-window TOP-K is deliberately NOT in this query: ranking
+    over a streaming aggregate needs the window closed, which append
+    mode only knows at watermark expiry — so the production shape is
+    this bounded-state windowed count feeding a sink, with
+    ``top_tokens_per_window`` ranking the sink batch-side (a dashboard
+    query over dozens of rows per window, not a corpus op). Chaining
+    rank into the streaming plan would force complete mode's unbounded
+    result table instead."""
+    from crawler_spark.functions import text as X
+
+    toks = docs.select(
+        "ts",
+        F.explode(F.array_distinct(X.tokenize("text"))).alias("token"),
+    ).where(~F.col("token").isin(_TRENDING_STOPWORDS))
+    return (
+        toks.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("window.start").alias("window_start"), "token", "n_docs")
+    )
+
+
+def top_tokens_per_window(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Batch-side rank over the streaming sink: top-k tokens per window
+    by document count (ties broken on token for determinism)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_docs").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query over whatever files already exist and
     stop — the synchronous smoke path (processAllAvailable)."""

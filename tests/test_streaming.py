@@ -455,3 +455,62 @@ class TestStreamStreamJoin:
         }
         assert len(want) > 0
         assert got == want
+
+
+class TestTrendingTokens:
+    def test_trending_counts_match_batch_and_rank(self, spark, tmp_path):
+        import datetime as dt
+
+        from crawler_spark.streaming.event_stream import (
+            read_doc_stream,
+            run_to_memory_sink,
+            top_tokens_per_window,
+            trending_token_counts,
+        )
+
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        rows = []
+        # hour 10: "spark" trends (3 docs), hour 11: "join" trends (4)
+        for i, text in enumerate(
+            ["spark fast", "spark shuffle", "spark the of", "other stuff"]
+        ):
+            rows.append((i, base + dt.timedelta(minutes=5 * i), text))
+        for i, text in enumerate(
+            ["join hash", "join merge", "join sort", "join range", "misc talk"]
+        ):
+            rows.append((10 + i, base + dt.timedelta(hours=1, minutes=7 * i), text))
+        d = str(tmp_path / "docs")
+        df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+        df.where("doc_id < 4").coalesce(1).write.mode("append").parquet(d)
+        df.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(d)
+
+        stream = trending_token_counts(
+            read_doc_stream(spark, d), window="1 hour", slide="1 hour")
+        q = run_to_memory_sink(stream, "trending_out", output_mode="complete")
+        try:
+            got = spark.sql("SELECT * FROM trending_out")
+            counts = {(r.window_start, r.token): r.n_docs for r in got.collect()}
+            top = top_tokens_per_window(got, k=1).collect()
+        finally:
+            q.stop()
+
+        # stopwords never entered the count
+        assert not [k for k in counts if k[1] in ("the", "of")]
+        assert counts[(base, "spark")] == 3
+        assert counts[(base + dt.timedelta(hours=1), "join")] == 4
+        winners = {r.window_start: r.token for r in top}
+        assert winners[base] == "spark"
+        assert winners[base + dt.timedelta(hours=1)] == "join"
+
+        # streaming counts == the same expressions run in batch
+        from crawler_spark.functions import text as X
+
+        batch = (
+            spark.read.parquet(d)
+            .select("ts", F.explode(F.array_distinct(X.tokenize("text"))).alias("token"))
+            .where(~F.col("token").isin("the", "of", "and", "to", "in", "a", "is", "that"))
+            .groupBy(F.window("ts", "1 hour"), "token")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.col("window.start").alias("ws"), "token", "n_docs")
+        )
+        assert counts == {(r.ws, r.token): r.n_docs for r in batch.collect()}
