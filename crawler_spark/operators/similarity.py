@@ -256,23 +256,13 @@ def train_ivf_centroids(
     return [list(map(float, row)) for row in c]
 
 
-def build_ivf_index(
-    df: DataFrame,
-    index_path: str,
-    centroids: Sequence[Sequence[float]],
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> None:
-    """Assign every vector to its nearest centroid (max dot product on
-    normalized vectors) and write the table partitioned by ``list_id``
-    — FAISS's inverted lists as parquet directories. The assignment is
-    an Arrow-batched numpy kernel (one (batch × dims) @ (dims × C)
-    product per batch; a C-way codegen branch would compile wide and
-    run slower), broadcast of the centroid matrix is a few KB."""
+def nearest_centroid_udf(centroids: Sequence[Sequence[float]]):
+    """Arrow-batched nearest-centroid assignment (max dot product on
+    normalized vectors): one (batch × dims) @ (dims × C) product per
+    batch — a C-way codegen branch would compile wide and run slower.
+    Broadcast of the centroid matrix is a few KB."""
     import numpy as np
     import pandas as pd
-
-    from crawler_spark.operators.dedup import long_id
 
     cmat = np.asarray(centroids, dtype=np.float64)
 
@@ -281,11 +271,26 @@ def build_ivf_index(
         mat = np.stack(vs).astype(np.float64, copy=False)
         return pd.Series(np.argmax(mat @ cmat.T, axis=1).astype(np.int32))
 
+    return _nearest
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Assign every vector to its nearest centroid and write the table
+    partitioned by ``list_id`` — FAISS's inverted lists as parquet
+    directories."""
+    from crawler_spark.operators.dedup import long_id
+
     norm = df.select(
         long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
     )
     (
-        norm.withColumn("list_id", _nearest("v"))
+        norm.withColumn("list_id", nearest_centroid_udf(centroids)("v"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(index_path)
@@ -479,4 +484,87 @@ def knn_topk_sq8(
         cand.select(id_col, dist.alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, arXiv:
+    2303.09540): assign every normalized vector to its ``n_assign``
+    nearest k-means centroids, then compute EXACT pairwise cosine only
+    WITHIN each cluster — one shuffle on cluster id, one BLAS gram
+    matrix per cluster, the full n² pair space never touched.
+
+    Compared to the hyperplane-LSH pair family (operators/dedup.py):
+    LSH buckets are random projections (recall tunable via bands),
+    SemDeDup clusters follow the data's own density — near-dups
+    co-locate because they embed together. Misses only the pairs whose
+    ``n_assign`` cluster sets are disjoint: multi-assignment is the
+    standard recall remedy for boundary pairs (the same trade as IVF's
+    nprobe — ×n_assign compute for each recall step; measured in
+    tests/test_dedup.py). Precision stays exact (real cosine inside
+    clusters, duplicates merged by the pair groupBy). Cluster size
+    ~n·n_assign/C bounds the per-group gram matrix; size C so a
+    cluster's (m × dims) block fits an executor (FAISS sizing rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.operators.dedup import long_id
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    n_top = max(1, min(int(n_assign), len(cmat)))
+
+    @F.pandas_udf("array<int>")
+    def _top_lists(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs).astype(np.float64, copy=False)
+        order = np.argsort(-(mat @ cmat.T), axis=1)[:, :n_top].astype(np.int32)
+        return pd.Series(list(order))
+
+    norm = df.select(
+        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
+    ).select("id", "v", F.explode(_top_lists("v")).alias("list_id"))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["v"]).astype(np.float64, copy=False)
+        ids = pdf["id"].to_numpy()
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({
+            "id_a": lo, "id_b": hi,
+            "cos": np.round(sims[ia, ib], 6),
+        })
+
+    pairs = norm.groupBy("list_id").applyInPandas(
+        _pairs, "id_a long, id_b long, cos double")
+    # a pair sharing several clusters is found several times
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The deliverable of semantic dedup: the KEEP list. Pairs feed the
+    same canonical-closure used by the text dedup family; the minimum
+    id of each near-dup component survives, all ids map to their
+    keeper. Output: (id, canonical_id, keep)."""
+    from crawler_spark.operators.dedup import canonical_closure, long_id
+
+    pairs = semantic_dedup_pairs(df, centroids, threshold, vec_col, id_col)
+    ids = df.select(long_id(df, id_col).alias(id_col))
+    labels = canonical_closure(pairs, ids, id_col)
+    return labels.select(
+        "id", "canonical_id", (F.col("id") == F.col("canonical_id")).alias("keep")
     )

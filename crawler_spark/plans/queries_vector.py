@@ -319,3 +319,23 @@ def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", F.round("distance", 6).alias("distance"))
     )
+
+
+@register("dedup_semantic")  # rows-only: SemDeDup centroid-clustered pairs
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: the
+    shared IVF centroids cluster the space, exact cosine runs within
+    clusters only, and the canonical closure turns surviving pairs into
+    a keep list. Reuses the cached IVF quantizer — the cluster
+    assignment that serves ANN probes is the same one that scopes
+    dedup, as in a real corpus pipeline. Recall vs the exact all-pairs
+    baseline is measured in tests/test_dedup.py."""
+    from crawler_spark.operators.similarity import semantic_dedup_keep
+    from crawler_spark.sources import load_table
+
+    _path, centroids = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = semantic_dedup_keep(emb, centroids, threshold=0.35)
+    return keep.select(
+        F.col("id").alias("vec_id"), "canonical_id", "keep"
+    ).orderBy("vec_id")

@@ -336,3 +336,48 @@ class TestHotShingleCap:
         # shared drops 4 -> 3, sizes stay 4 -> 3/(4+4-3) = 0.6 < exact 1.0
         assert exact[(10, 11)] == 1.0
         assert capped[(10, 11)] == pytest.approx(0.6)
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_exact_with_measured_recall(self, spark):
+        """Every semantic pair is a true >= threshold pair (precision 1
+        by construction — exact cosine inside clusters); recall vs the
+        exact all-pairs baseline is the boundary-miss rate, measured."""
+        from crawler_spark.operators.similarity import (
+            cosine_pairs_exact,
+            semantic_dedup_pairs,
+            train_ivf_centroids,
+        )
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = train_ivf_centroids(emb, n_centroids=16)
+        sem = {(r.id_a, r.id_b)
+               for r in semantic_dedup_pairs(emb, cents, 0.35).collect()}
+        exact = {(r.id_a, r.id_b)
+                 for r in cosine_pairs_exact(emb, 0.35).collect()}
+        assert sem <= exact, "semantic pairs contain a false positive"
+        recall = len(sem & exact) / len(exact)
+        # embeddings that agree at cos >= 0.35 usually share a centroid;
+        # boundary pairs are the honest loss — keep a measured floor
+        assert recall >= 0.5, f"semantic dedup recall {recall}"
+
+    def test_keep_list_consistent_with_components(self, spark):
+        from crawler_spark.operators.similarity import (
+            semantic_dedup_keep,
+            semantic_dedup_pairs,
+            train_ivf_centroids,
+        )
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = train_ivf_centroids(emb, n_centroids=16)
+        keep = semantic_dedup_keep(emb, cents, 0.35).collect()
+        label = {r.id: r.canonical_id for r in keep}
+        # keepers are exactly the canonical ids; every label is a keeper
+        for r in keep:
+            assert r.keep == (r.id == r.canonical_id)
+            assert label[r.canonical_id] == r.canonical_id
+        # every near-dup pair ended up in one component
+        for p in semantic_dedup_pairs(emb, cents, 0.35).collect():
+            assert label[p.id_a] == label[p.id_b]
