@@ -58,7 +58,7 @@ _NEVER_DRIVER_VERIFIED = [
     "doc_chunks", "txt_pii_redact", "txt_gopher_rules",
     "inverted_index_postings", "txt_compression_ratio",
     "sample_quality_weighted", "sample_domain_rebalance",
-    "streaming_trending_e2e", "dedup_semantic",
+    "streaming_trending_e2e", "dedup_semantic", "txt_tfidf_top_terms",
 ]
 
 

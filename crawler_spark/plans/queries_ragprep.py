@@ -265,3 +265,71 @@ def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; exact values are unit-tested."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(compression_ratio_batches, _RATIO_SCHEMA)
+
+
+# --- tf-idf top terms per document ----------------------------------------
+_TFIDF_TOP = 5
+_TFIDF_MIN_DF = 2
+
+
+@register(
+    "txt_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            WHERE df.df >= {_TFIDF_MIN_DF}
+        )
+        SELECT doc_id, term, tfidf FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= {_TFIDF_TOP}
+    """,
+)
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most characteristic terms per document by tf·idf
+    (idf = ln(N/df), df floor drops hapax noise). Shape at scale: the
+    token explode feeds ONE shuffle keyed on (doc, term) for tf; the
+    vocabulary-sized df aggregate broadcasts back onto it (term df is
+    vocab-cardinality — MBs, not corpus-sized); N is a scalar. The
+    final per-doc top-k is a window on the already-aggregated tf rows.
+    Ties broken on term so both engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokenize("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= _TFIDF_MIN_DF)
+    )
+    n_docs = docs.count()
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tfidf")
+    )
