@@ -152,7 +152,6 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Pack each shingle's doc list with ONE shuffle, then a double
     # explode emits the d(d-1)/2 in-group pairs with O(d) per-row memory
     # (no d²-element array, unlike a one-shot flatten; no second
@@ -163,13 +162,20 @@ def ngram_jaccard_pairs(
     # 4× with a join + anti-join shape. Uncapped, a hot shingle still
     # contributes d² pair ROWS and a d-element packed array — exactness
     # costs that; the cap is the skew-safe shape for 100 TB.
+    groups_all = grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+    # doc sizes derive from the UNFILTERED packed groups, not a second
+    # scan of `grams`: both branches then hang off the same
+    # hashpartitioning(g) exchange (ReusedExchange, plan-locked), so the
+    # expensive tokenize→shingle→hash projection runs ONCE; the size
+    # recount shuffles only packed longs.
+    sizes = (
+        groups_all.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     group_pred = F.size("ids") >= 2
     if max_shingle_df is not None:
         group_pred = group_pred & (F.size("ids") <= max_shingle_df)
-    groups = (
-        grams.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
-        .filter(group_pred)
-    )
+    groups = groups_all.filter(group_pred)
     common = (
         groups.select(F.explode("ids").alias("id_a"), "ids")
         .select(

@@ -158,3 +158,16 @@ def test_inverted_index_single_token_shuffle(spark):
     plan = plan_text(_QUERIES["inverted_index_postings"](spark, SF))
     n = plan.count("Arguments: hashpartitioning")
     assert n == 1, f"expected 1 hash exchange on token, found {n}"
+
+
+def test_ngram_pairs_reuse_shingle_exchange(spark):
+    """The sizes branch must derive from the SAME hashpartitioning(g)
+    exchange as the pair branch (runtime ReusedExchange under AQE) —
+    a regression to a second grams scan re-runs the expensive
+    tokenize→shingle→hash projection over the whole corpus."""
+    df = _QUERIES["dedup_ngram_jaccard"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        "shingle exchange no longer reused between sizes and pairs"
+    )
