@@ -168,3 +168,22 @@ def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_tokens_per_window(spark.table(name), k=5)
         .orderBy("window_start", "rank")
     )
+
+
+@register("crawl_pagerank")  # rows-only: iterative link-graph operator
+def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the fixture site's link graph (crawl → explode
+    links → pagerank): the crawl-prioritization signal, run through
+    the real distributed power iteration (operators/graph.py).
+    Deterministic fixture, ranks rounded."""
+    from crawler_spark.operators.graph import pagerank
+    from crawler_spark.plans.crawl import crawl
+
+    items, _dead = crawl(
+        spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
+        allowed_domains=["fixture.test"], depth_limit=2, obey_robots=True,
+    )
+    edges = items.select(
+        F.col("url").alias("src"), F.explode("links").alias("dst")
+    )
+    return pagerank(edges).orderBy(F.col("rank").desc(), "id")
