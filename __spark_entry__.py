@@ -59,7 +59,7 @@ _NEVER_DRIVER_VERIFIED = [
     "inverted_index_postings", "txt_compression_ratio",
     "sample_quality_weighted", "sample_domain_rebalance",
     "streaming_trending_e2e", "dedup_semantic", "txt_tfidf_top_terms",
-    "crawl_pagerank",
+    "crawl_pagerank", "txt_normalize", "txt_normalize_nfkc",
 ]
 
 

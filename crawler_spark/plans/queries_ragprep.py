@@ -333,3 +333,98 @@ def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TFIDF_TOP)
         .select("doc_id", "term", "tfidf")
     )
+
+
+# --- text normalization ----------------------------------------------------
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyycn"
+_CTRL_PAT = r"[\x00-\x1f\x7f]"
+# exercises every normalization step on every row (the corpus itself
+# is clean ASCII): accents, uppercase accents, a control char, runs of
+# whitespace
+_NORM_SEED = " \tÀ  l'Étude  déjà\x01vu  "
+
+
+@register(
+    "txt_normalize",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id, text || '{_NORM_SEED.replace("'", "''")}' AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(translate(
+                     trim(regexp_replace(
+                          regexp_replace(lower(raw), '{_CTRL_PAT}', ' ', 'g'),
+                          '\\s+', ' ', 'g')),
+                     '{_ACCENT_FROM}', '{_ACCENT_TO}')) AS norm_fp,
+               CAST(length(translate(
+                     trim(regexp_replace(
+                          regexp_replace(lower(raw), '{_CTRL_PAT}', ' ', 'g'),
+                          '\\s+', ' ', 'g')),
+                     '{_ACCENT_FROM}', '{_ACCENT_TO}')) AS BIGINT) AS norm_len
+        FROM seeded
+    """,
+)
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization as pure expressions: lowercase,
+    control chars → space, whitespace collapse+trim, explicit
+    accent-fold via translate (an enumerated Latin map — identical
+    1:1 semantics in both engines, unlike locale-dependent collation
+    tricks). A seeded suffix with accents/controls/whitespace runs
+    makes the oracle exercise every step on every row of the otherwise
+    ASCII corpus. Zero shuffle. The full-Unicode variant
+    (txt_normalize_nfkc) needs Python's unicodedata and is rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat("text", F.lit(_NORM_SEED))
+    norm = F.translate(
+        F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower(raw), _CTRL_PAT, " "), r"\s+", " ")),
+        _ACCENT_FROM, _ACCENT_TO)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+_NFKC_SCHEMA = "doc_id long, norm_fp string, norm_len long"
+
+
+def nfkc_normalize_batches(batches):
+    """mapInPandas kernel: full-Unicode NFKC + accent strip (NFD,
+    drop combining marks) + control strip + whitespace collapse."""
+    import hashlib
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    ctrl = re.compile(r"[\x00-\x1f\x7f]")
+    ws = re.compile(r"\s+")
+
+    def _norm(s):
+        s = unicodedata.normalize("NFKC", s or "")
+        s = "".join(c for c in unicodedata.normalize("NFD", s)
+                    if unicodedata.category(c) != "Mn")
+        s = ws.sub(" ", ctrl.sub(" ", s.lower())).strip()
+        return s
+
+    for pdf in batches:
+        normed = pdf["text"].map(_norm)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "norm_fp": normed.map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            "norm_len": normed.map(len).astype("int64"),
+        })
+
+
+@register("txt_normalize_nfkc")
+def txt_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-Unicode normalization (NFKC fold, combining-mark strip) —
+    the curation-grade version of txt_normalize for corpora that are
+    not Latin-1. Needs unicodedata, so Arrow mapInPandas + rows-only
+    driver check; exact values unit-tested on crafted Unicode."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(nfkc_normalize_batches, _NFKC_SCHEMA)

@@ -135,3 +135,57 @@ class TestCompressionRatio:
         }
         assert out[1] < 0.1 < out[2]
         assert abs(out[1] - round(len(zlib.compress(rep, 6)) / len(rep), 6)) < 1e-9
+
+
+class TestNormalize:
+    def test_nfkc_kernel_exact_on_crafted_unicode(self, spark):
+        import hashlib
+
+        from crawler_spark.plans.queries_ragprep import (
+            _NFKC_SCHEMA,
+            nfkc_normalize_batches,
+        )
+
+        cases = [
+            (1, "Café  DÉJÀ\tvu"),     # accents + ws + tab
+            (2, "ﬁle ① ½"),            # NFKC: ﬁ→fi ①→1 ½→1/2
+            (3, "a\x00b\x1fc"),                        # control chars
+            (4, None),
+            (5, "already clean"),
+        ]
+        df = spark.createDataFrame(cases, "doc_id long, text string")
+        got = {r.doc_id: r for r in df.mapInPandas(
+            nfkc_normalize_batches, _NFKC_SCHEMA).collect()}
+        expect = {
+            1: "cafe deja vu",
+            2: "file 1 1⁄2",  # NFKC maps ½ to 1⁄2 (fraction slash)
+            3: "a b c",
+            4: "",
+            5: "already clean",
+        }
+        for doc_id, want in expect.items():
+            assert got[doc_id].norm_len == len(want), (doc_id, want)
+            assert got[doc_id].norm_fp == hashlib.md5(
+                want.encode()).hexdigest(), doc_id
+
+    def test_expression_and_nfkc_agree_on_latin(self, spark):
+        """On Latin-1-only text the fast expression path and the
+        unicodedata path must produce identical normal forms."""
+        import __spark_entry__ as E
+
+        expr = {r.doc_id: (r.norm_fp, r.norm_len)
+                for r in E.queries()["txt_normalize"](spark, SF).collect()}
+        # rebuild the nfkc run over the SAME seeded input
+        from crawler_spark.plans.queries_ragprep import (
+            _NFKC_SCHEMA,
+            _NORM_SEED,
+            nfkc_normalize_batches,
+        )
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents").select(
+            "doc_id", F.concat("text", F.lit(_NORM_SEED)).alias("text"))
+        nfkc = {r.doc_id: (r.norm_fp, r.norm_len)
+                for r in docs.mapInPandas(
+                    nfkc_normalize_batches, _NFKC_SCHEMA).collect()}
+        assert expr == nfkc
