@@ -225,3 +225,105 @@ def rag_chat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.plans.search_api import rag_chat
 
     return rag_chat(spark, sf_dir, QUERY_TEXT, k=5)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of keyword + vector ---------
+_RRF_K = 60
+_RRF_CAND = 50
+_RRF_TOP = 10
+_RRF_TERMS = [t for t in re.findall(r"\w+", QUERY_TEXT.lower()) if t]
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+        WITH text_cand AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY match_cnt DESC, doc_id)
+                       AS text_rank
+            FROM (
+                SELECT doc_id,
+                       len(list_intersect(
+                           list_distinct(list_filter(
+                               string_split_regex(lower(text), '\\W+'),
+                               t -> t <> '')),
+                           [{", ".join(repr(t) for t in _RRF_TERMS)}]))
+                           AS match_cnt
+                FROM documents
+            ) WHERE match_cnt >= 1
+            ORDER BY match_cnt DESC, doc_id LIMIT {_RRF_CAND}
+        ),
+        vec_cand AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY distance, vec_id) AS vec_rank
+            FROM (
+                SELECT vec_id,
+                       -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+                FROM embeddings
+            ) ORDER BY distance, doc_id LIMIT {_RRF_CAND}
+        )
+        SELECT doc_id,
+               CAST(coalesce(text_rank, 0) AS BIGINT) AS text_rank,
+               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+               round(coalesce(1.0 / ({_RRF_K} + text_rank), 0)
+                     + coalesce(1.0 / ({_RRF_K} + vec_rank), 0), 6) AS rrf
+        FROM text_cand FULL OUTER JOIN vec_cand USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion (Cormack et al., SIGIR
+    2009): the keyword retriever and the vector retriever each produce
+    a top-{cand} candidate list via TakeOrderedAndProject (scale-safe —
+    no global rank over the corpus), ranks are assigned on those tiny
+    lists (a {cand}-row single-partition window, not a corpus window),
+    and RRF = Σ 1/(k + rank) fuses them with a full outer join so a doc
+    found by only one retriever still scores. The serving shape of
+    every hybrid RAG stack; both retrievers already exist in the repo
+    (P4 keyword filter, O3 vector top-k)."""
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    match_cnt = F.size(F.array_intersect(
+        F.array_distinct(X.tokenize("text")),
+        F.array(*[F.lit(t) for t in _RRF_TERMS])))
+    text_cand = (
+        docs.select("doc_id", match_cnt.alias("match_cnt"))
+        .where(F.col("match_cnt") >= 1)
+        .orderBy(F.col("match_cnt").desc(), "doc_id")
+        .limit(_RRF_CAND)
+        .withColumn("text_rank", F.row_number().over(
+            Window.orderBy(F.col("match_cnt").desc(), "doc_id")))
+        .select("doc_id", "text_rank")
+    )
+    from crawler_spark.functions import vector as V
+
+    dist = V.neg_dot(V.l2_normalize("embedding"), V.vector_lit(QUERY_VEC))
+    vec_cand = (
+        emb.select(F.col("vec_id").alias("doc_id"), dist.alias("distance"))
+        .orderBy("distance", "doc_id")
+        .limit(_RRF_CAND)
+        .withColumn("vec_rank", F.row_number().over(
+            Window.orderBy("distance", "doc_id")))
+        .select("doc_id", "vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("text_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)), 6)
+    return (
+        text_cand.join(vec_cand, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            # rank 0 = "not retrieved by this side": keeps the column
+            # integral through both engines' pandas bridges (a nullable
+            # int comes back float64+NaN and breaks the value hash)
+            F.coalesce("text_rank", F.lit(0)).cast("long").alias("text_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
