@@ -130,3 +130,59 @@ def range_join_buckets(
         .filter((F.col(point_t) >= F.col(lo)) & (F.col(point_t) <= F.col(hi)))
         .drop("__bucket", "__by")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    by: str,
+    bucket_width_sec: int = 86400,
+) -> DataFrame:
+    """Interval×interval overlap join within a ``by`` key —
+    ``[l_lo,l_hi] ∩ [r_lo,r_hi] ≠ ∅`` (inclusive) — as an equi-join, the
+    two-sided generalization of ``range_join_buckets``. A naive
+    inequality join plans BroadcastNestedLoop; here BOTH sides explode
+    into the fixed-width buckets they cover and join on (key, bucket),
+    with the exact overlap predicate refining after.
+
+    An overlapping pair shares every bucket in the overlap region; to
+    emit it exactly once WITHOUT a distinct (which would shuffle the
+    full pair stream again), the pair is claimed only in its canonical
+    bucket — ``greatest(bucket(l_lo), bucket(r_lo))``, the first bucket
+    both intervals cover, which exists iff they overlap. Shuffle is
+    keyed on (key, bucket): width trades interval replication (wide
+    intervals hit more buckets) against per-bucket fan-in, exactly as
+    in the point-in-interval variant. Output: all left columns plus
+    the right columns (caller prefixes/renames to avoid collisions).
+    """
+    width = F.lit(bucket_width_sec)
+
+    def buckets(lo: str, hi: str) -> F.Column:
+        return F.sequence(
+            (F.unix_timestamp(F.col(lo)) / width).cast("long"),
+            (F.unix_timestamp(F.col(hi)) / width).cast("long"),
+        )
+
+    lb = left.withColumn("__lbucket", F.explode(buckets(l_lo, l_hi)))
+    rb = right.select(
+        F.col(by).alias("__by"), *(c for c in right.columns if c != by),
+        F.explode(buckets(r_lo, r_hi)).alias("__rbucket"),
+    )
+    canonical = F.greatest(
+        (F.unix_timestamp(F.col(l_lo)) / width).cast("long"),
+        (F.unix_timestamp(F.col(r_lo)) / width).cast("long"),
+    )
+    return (
+        lb.join(rb, (F.col(by) == F.col("__by"))
+                & (F.col("__lbucket") == F.col("__rbucket")))
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col("__lbucket") == canonical)
+        )
+        .drop("__lbucket", "__rbucket", "__by")
+    )

@@ -139,3 +139,48 @@ def ev_attribution_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_clicks_30m"),
         )
     )
+
+
+# --- interval×interval overlap join ---------------------------------------
+@register(
+    "ev_span_overlap",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, event_type, min(ts) AS lo, max(ts) AS hi
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+               CAST(epoch_us(least(a.hi, b.hi))
+                    - epoch_us(greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+         AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+)
+def ev_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which of a user's per-event-type activity spans overlap, and by
+    how much — the interval×interval overlap join
+    (operators/temporal.py interval_overlap_join): both span sets
+    explode into day buckets, equi-join on (user, bucket), exact
+    predicate + canonical-bucket claim refine — no BroadcastNestedLoop,
+    no distinct over the pair stream. The span derivation is one tiny
+    aggregate; the operator is the point."""
+    from crawler_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    a = spans.select("user_id", F.col("event_type").alias("type_a"),
+                     F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"))
+    b = spans.select("user_id", F.col("event_type").alias("type_b"),
+                     F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"))
+    joined = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", by="user_id")
+    return (
+        joined.where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "user_id", "type_a", "type_b",
+            (F.unix_micros(F.least("a_hi", "b_hi"))
+             - F.unix_micros(F.greatest("a_lo", "b_lo"))).alias("overlap_us"),
+        )
+    )

@@ -141,3 +141,41 @@ class TestRangeJoinBuckets:
             .collect()
         }
         assert bucketed == naive and bucketed
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        """Bucketed overlap join == naive crossJoin+predicate on random
+        per-key intervals (including touching endpoints and intervals
+        spanning many buckets), each pair exactly once."""
+        import random
+
+        from crawler_spark.operators.temporal import interval_overlap_join
+
+        rng = random.Random(7)
+        base = 1_700_000_000
+        rows = []
+        for i in range(120):
+            lo = base + rng.randrange(0, 30 * 86400)
+            rows.append((i, rng.randrange(3), lo, lo + rng.randrange(1, 5 * 86400)))
+        mk = ("id long, k long, lo_s long, hi_s long")
+        df = spark.createDataFrame(rows, mk).select(
+            "id", "k",
+            F.timestamp_seconds("lo_s").alias("lo"),
+            F.timestamp_seconds("hi_s").alias("hi"))
+        a = df.select(F.col("id").alias("a_id"), "k",
+                      F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"))
+        b = df.select(F.col("id").alias("b_id"), "k",
+                      F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"))
+        got = {(r.a_id, r.b_id) for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", by="k",
+            bucket_width_sec=86400).collect()}
+        naive = {(x[0], y[0]) for x in rows for y in rows
+                 if x[1] == y[1] and x[2] <= y[3] and y[2] <= x[3]}
+        assert got == naive
+        assert len(got) == len(naive)  # each pair exactly once (it's a set
+        # both sides; row-level multiplicity checked below)
+        rows_out = interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", by="k",
+            bucket_width_sec=86400).collect()
+        assert len(rows_out) == len(naive), "canonical-bucket claim emitted dupes"
