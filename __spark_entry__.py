@@ -60,7 +60,7 @@ _NEVER_DRIVER_VERIFIED = [
     "sample_quality_weighted", "sample_domain_rebalance",
     "streaming_trending_e2e", "dedup_semantic", "txt_tfidf_top_terms",
     "crawl_pagerank", "txt_normalize", "txt_normalize_nfkc",
-    "search_hybrid_rrf", "ev_span_overlap",
+    "search_hybrid_rrf", "ev_span_overlap", "ev_trailing_features",
 ]
 
 

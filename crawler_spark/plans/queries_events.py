@@ -315,3 +315,39 @@ def ev_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("wsk").alias("approx_users"),
         F.col("n_events").cast("bigint").alias("n_events"),
     ).orderBy("week_start")
+
+
+# --- trailing event-time window features (ML feature engineering) ---------
+@register(
+    "ev_trailing_features",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+                   AS sum_value_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day activity features (count and value sum
+    over the user's preceding week, inclusive) — the standard
+    point-in-time feature-engineering shape, leakage-free by
+    construction (the frame never looks forward). One shuffle on
+    user_id; the RANGE frame is expressed over epoch micros so both
+    engines bound it identically, and the sum goes through decimal so
+    partial-aggregation order cannot perturb the float."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("sum_value_7d"),
+    )

@@ -171,3 +171,29 @@ def test_ngram_pairs_reuse_shingle_exchange(spark):
     assert "ReusedExchange" in final, (
         "shingle exchange no longer reused between sizes and pairs"
     )
+
+
+def test_hybrid_rrf_bounded_candidates(spark):
+    """search_hybrid_rrf: both retrievers must reach their candidate
+    lists via TakeOrderedAndProject (bounded top-N, no corpus-wide
+    global sort) and the fusion join must not go cartesian."""
+    plan = plan_text(_QUERIES["search_hybrid_rrf"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "a retriever lost its bounded top-N"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_span_overlap_no_nested_loop(spark):
+    """ev_span_overlap: the interval overlap must stay an equi-join on
+    (key, bucket) — BroadcastNestedLoop/Cartesian means the bucketed
+    rewrite regressed to the naive inequality join."""
+    plan = plan_text(_QUERIES["ev_span_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_features_single_user_shuffle(spark):
+    plan = plan_text(_QUERIES["ev_trailing_features"](spark, SF))
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 1, f"expected 1 exchange on user_id, found {n}"
