@@ -54,12 +54,12 @@ def pagerank(
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        linked = ranks.join(out_deg, ranks.id == out_deg.src, "left")
-        # mass of dangling nodes, redistributed to everyone this round
-        dangling = (
-            linked.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass (nodes with no out-links) stays IN the plan as a
+        # broadcast 1-row frame — a driver-side .first() here would add
+        # a synchronizing job per iteration
+        dang = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -70,13 +70,14 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("in_mass"), F.lit(0.0))
-                       + F.lit(dangling / n))
+                       + F.col("dmass") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
