@@ -137,3 +137,46 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue).cast("double").alias("revenue"),
         )
     )
+
+
+# --- join-key skew diagnostics --------------------------------------------
+@register(
+    "diag_key_skew",
+    oracle="""
+        WITH freq AS (
+            SELECT l_orderkey AS key, count(*) AS cnt
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        stats AS (
+            SELECT sum(cnt) AS total, count(*) AS n_keys FROM freq
+        )
+        SELECT key, CAST(cnt AS BIGINT) AS cnt,
+               round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+               round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_factor
+        FROM freq CROSS JOIN stats
+        ORDER BY cnt DESC, key LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for a join/aggregation key (here lineitem's
+    orderkey): the top keys by frequency with their corpus share and
+    skew factor (count ÷ mean count) — the number that says whether a
+    shuffle needs salting (operators/skew.py) before it falls over at
+    scale. One aggregate + a broadcast scalar; the top-10 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    stats = freq.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys"))
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key", "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 6)
+            .alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )
