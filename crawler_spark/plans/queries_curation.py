@@ -402,3 +402,53 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# --- leakage-controlled train/val split -----------------------------------
+_VAL_PREFIX = "1a"  # md5-prefix threshold ≈ 10%
+
+
+@register(
+    "corpus_train_val_split",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{_VAL_PREFIX}' AS is_val
+            FROM documents
+        ),
+        val_fps AS (SELECT DISTINCT fp FROM tagged WHERE is_val)
+        SELECT doc_id,
+               CASE WHEN is_val THEN 'val' ELSE 'train' END AS split
+        FROM tagged
+        WHERE is_val
+           OR fp NOT IN (SELECT fp FROM val_fps)
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% validation split with leakage control: val
+    membership is a salted md5-prefix decision (reproducible on any
+    engine/cluster), and any TRAIN doc whose normalized-content
+    fingerprint collides with a val doc is dropped — the doc-level
+    twin of the n-gram eval decontamination (operators/decontam.py).
+    The val fingerprint set is ~10% of corpus fingerprints and
+    broadcasts into a left_anti join; everything else is projection."""
+    from crawler_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        (F.substring(F.md5(F.concat(F.lit("split:"),
+                                    F.col("doc_id").cast("string"))), 1, 2)
+         < _VAL_PREFIX).alias("is_val"),
+    )
+    val_fps = tagged.where("is_val").select("fp").distinct()
+    train = (
+        tagged.where(~F.col("is_val"))
+        .join(F.broadcast(val_fps), "fp", "left_anti")
+        .select("doc_id", F.lit("train").alias("split"))
+    )
+    val = tagged.where("is_val").select("doc_id", F.lit("val").alias("split"))
+    return val.unionByName(train)

@@ -139,3 +139,34 @@ class TestExportPipeline:
             and r.n_chars / r.n_tokens <= 12.0
         }
         assert {d for d, _, _ in got} == survivors
+
+
+class TestTrainValSplit:
+    def test_leaked_train_duplicates_dropped(self, spark, tmp_path):
+        """A train doc sharing a val doc's normalized fingerprint must
+        be dropped; distinct train docs survive; val is untouched."""
+        import hashlib
+
+        def is_val(doc_id):
+            return hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:2] < "1a"
+
+        # find a doc_id in each split deterministically
+        val_id = next(i for i in range(1000) if is_val(i))
+        train_ids = [i for i in range(1000) if not is_val(i)][:3]
+        rows = [(val_id, "the shared text", "en", "s", 15)]
+        # train_ids[0] duplicates the val doc (modulo whitespace case)
+        rows.append((train_ids[0], "  THE   shared TEXT ", "en", "s", 15))
+        rows.append((train_ids[1], "something else entirely", "en", "s", 23))
+        rows.append((train_ids[2], "a third unique document", "en", "s", 23))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+
+        import __spark_entry__ as E
+
+        got = {r.doc_id: r.split for r in
+               E.queries()["corpus_train_val_split"](spark, str(tmp_path)).collect()}
+        assert got[val_id] == "val"
+        assert train_ids[0] not in got, "leaked duplicate survived into train"
+        assert got[train_ids[1]] == "train"
+        assert got[train_ids[2]] == "train"
