@@ -1,0 +1,72 @@
+"""Data-layout operators: Z-order (Morton) clustering, the multi-
+dimensional cousin of sorting for min/max pruning.
+
+A table sorted on one column prunes scans on that column only; row
+groups laid out along a Z-order curve of TWO columns keep both
+columns' min/max ranges tight in every file, so a 2-dimensional box
+predicate skips most files (the layout trick behind Delta/Iceberg
+OPTIMIZE ZORDER, rebuilt here from the public definition of the
+curve). Everything is pure expressions: per-column min/max scalars
+broadcast in, values scale to 16-bit ranks, and the Morton key is a
+32-term bit-interleave that whole-stage codegen folds into one long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 16
+
+
+def _scaled(col: str, lo: str, hi: str) -> F.Column:
+    """Value → 0..2^BITS-1 rank within [lo, hi] (degenerate range → 0)."""
+    span = F.col(hi) - F.col(lo)
+    frac = F.when(span > 0, (F.col(col) - F.col(lo)).cast("double") / span) \
+        .otherwise(F.lit(0.0))
+    return F.least(
+        F.floor(frac * (1 << _BITS)).cast("long"), F.lit((1 << _BITS) - 1))
+
+
+def zorder_key(a: F.Column, b: F.Column) -> F.Column:
+    """Morton interleave of two 16-bit values into one long: bit i of
+    ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
+    parts = []
+    for i in range(_BITS):
+        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    key = parts[0]
+    for p in parts[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered along the
+    (col_a, col_b) Z-curve: range-partition on the Morton key (equal-
+    frequency file cuts via the range exchange's sampling), sort within
+    files, drop the key. One shuffle; downstream scans prune files via
+    parquet min/max stats on BOTH columns."""
+    stats = df.agg(
+        F.min(col_a).alias("__alo"), F.max(col_a).alias("__ahi"),
+        F.min(col_b).alias("__blo"), F.max(col_b).alias("__bhi"),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", zorder_key(
+            _scaled(col_a, "__alo", "__ahi"), _scaled(col_b, "__blo", "__bhi")))
+        .drop("__alo", "__ahi", "__blo", "__bhi")
+    )
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )

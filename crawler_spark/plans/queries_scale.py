@@ -180,3 +180,33 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(10)
     )
+
+
+@register("layout_zorder_build")  # rows-only: layout job (writes files)
+def layout_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order the events table on (user_id, epoch-seconds) and report
+    per-file min/max spans of both dimensions — the layout job behind
+    2-dimensional scan pruning (operators/layout.py; the rebuilt form
+    of OPTIMIZE ZORDER). The returned stats ARE the win: every file
+    bounds both columns tightly, where a single-column sort bounds
+    only one."""
+    import os
+    import tempfile
+
+    from crawler_spark.operators.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"))
+    path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "events_z")
+    write_zordered(ev, path, "user_id", "ts_s", n_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("user_id") - F.min("user_id")).alias("user_span"),
+            (F.max("ts_s") - F.min("ts_s")).alias("ts_span"),
+        )
+        .select("n_rows", "user_span", "ts_span")
+        .orderBy("n_rows", "user_span", "ts_span")
+    )
