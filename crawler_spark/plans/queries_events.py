@@ -351,3 +351,46 @@ def ev_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
         ).alias("sum_value_7d"),
     )
+
+
+# --- per-event anomaly score vs user-lifetime stats -----------------------
+@register(
+    "ev_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   avg(value) AS mu,
+                   stddev_samp(value) AS sigma,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               round(CASE WHEN s.n >= 2 AND s.sigma > 0
+                          THEN (e.value - s.mu) / s.sigma END, 6) AS zscore
+        FROM events e JOIN stats s USING (user_id)
+    """,
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score against the user's lifetime value
+    distribution — the simplest distributed anomaly signal: one tiny
+    per-user aggregate broadcast back onto the event stream (no second
+    corpus shuffle), NULL where the user lacks a defined deviation.
+    Both engines use sample stddev; the score is rounded and the
+    THRESHOLD decision is left to callers (a flag at z>k would hinge
+    on last-ulp float agreement)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select(
+            "event_id", "user_id",
+            F.round(
+                F.when((F.col("n") >= 2) & (F.col("sigma") > 0),
+                       (F.col("value") - F.col("mu")) / F.col("sigma")), 6
+            ).alias("zscore"),
+        )
+    )
