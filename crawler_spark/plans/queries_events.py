@@ -394,3 +394,62 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# --- multi-step in-order funnel (view -> click -> purchase) ---------------
+@register(
+    "ev_funnel_sequence",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        b AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN a USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > a.t_view
+            GROUP BY e.user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN b USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+            GROUP BY e.user_id
+        )
+        SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+               (b.user_id IS NOT NULL) AS reached_click,
+               (c.user_id IS NOT NULL) AS reached_purchase
+        FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+    """,
+)
+def ev_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: the user's first view, first click AFTER
+    that view, first purchase AFTER that click — the sequence-matching
+    funnel (out-of-order events never count, unlike the daily funnel's
+    per-day tallies). Each stage is one filtered per-user min joined
+    forward; all three stage tables are user-cardinality, so the two
+    stage joins broadcast and the event table is scanned once per
+    stage with the type filter pushed down."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view"))
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(a), "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(b), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        a.join(b, "user_id", "left").join(c, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
