@@ -453,3 +453,75 @@ def ev_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+# --- event-type affinity (basket analysis over user behavior) -------------
+@register(
+    "ev_type_affinity",
+    oracle="""
+        WITH baskets AS (
+            SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+            FROM events GROUP BY user_id
+        ),
+        n AS (SELECT count(*) AS n_users FROM baskets),
+        singles AS (
+            SELECT t, count(*) AS c
+            FROM (SELECT unnest(types) AS t FROM baskets)
+            GROUP BY t
+        ),
+        pairs AS (
+            SELECT a.t AS type_a, b.t AS type_b, count(*) AS co
+            FROM (SELECT user_id, unnest(types) AS t FROM baskets) a
+            JOIN (SELECT user_id, unnest(types) AS t FROM baskets) b
+              ON a.user_id = b.user_id AND a.t < b.t
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, CAST(co AS BIGINT) AS co_users,
+               round(CAST(co AS DOUBLE) * n_users / (sa.c * sb.c), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.t = type_a
+        JOIN singles sb ON sb.t = type_b
+        CROSS JOIN n
+    """,
+)
+def ev_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: for every type pair,
+    how many users exhibit both and the lift over independence. The
+    per-user basket is a collect_set (bounded by the type vocabulary,
+    not event count); pairs explode from each basket in-plan (≤ |V|²/2
+    per user, |V|=5 here) so no self-join of the event stream ever
+    happens — one shuffle to build baskets, one vocabulary-sized
+    aggregate after."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"))
+    n_users = baskets.agg(F.count(F.lit(1)).alias("n_users"))
+    singles = baskets.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"))
+    pair_arr = F.filter(
+        F.flatten(F.transform(
+            "types",
+            lambda x: F.transform("types", lambda y: F.struct(
+                x.alias("type_a"), y.alias("type_b"))),
+        )),
+        lambda p: p["type_a"] < p["type_b"],
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("co_users"))
+    )
+    sa = singles.select(F.col("t").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("t").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "co_users",
+            F.round(
+                F.col("co_users").cast("double") * F.col("n_users")
+                / (F.col("ca") * F.col("cb")), 6,
+            ).alias("lift"),
+        )
+    )
