@@ -525,3 +525,74 @@ def ev_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- hourly resample with forward-fill (gap-filled time series) -----------
+@register(
+    "ev_resample_ffill",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+                   time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+            FROM events WHERE user_id < 100 GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket
+            FROM bounds
+        ),
+        hourly AS (
+            SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS v
+            FROM events WHERE user_id < 100 GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.bucket,
+               round(last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING), 6) AS v_ffill,
+               (h.user_id IS NOT NULL) AS observed
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event series onto an hourly grid with
+    forward-fill — the resample step every time-series feature pipeline
+    needs and Spark has no built-in for. The grid generates in-plan
+    (sequence over each user's [first, last] hour — no driver loop, no
+    calendar table), observed hours left-join onto it, and one ordered
+    window per user carries the last observed value forward. Restricted
+    to user_id < 100 to keep grid rows bounded in the oracle run; the
+    plan shape is user-count invariant (one shuffle for the hourly agg,
+    one window on the same key)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("v"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = grid.join(
+        hourly.withColumnRenamed("user_id", "h_user"),
+        (grid.user_id == F.col("h_user")) & (grid.bucket == hourly.bucket),
+        "left",
+    ).select(grid.user_id, grid.bucket, "v", F.col("h_user").isNotNull().alias("observed"))
+    w = (
+        Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id", "bucket",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_ffill"),
+        "observed",
+    )
