@@ -596,3 +596,46 @@ def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_ffill"),
         "observed",
     )
+
+
+# --- EWMA over the trailing value window ----------------------------------
+_EWMA_ALPHA = 0.2
+_EWMA_LOOKBACK = 20
+
+
+@register(
+    "ev_ewma",
+    oracle=f"""
+        SELECT event_id, user_id,
+               round(list_reduce(
+                   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {_EWMA_LOOKBACK - 1} PRECEDING
+                                 AND CURRENT ROW),
+                   (acc, x) -> CAST({_EWMA_ALPHA} AS DOUBLE) * x
+                               + CAST({1 - _EWMA_ALPHA} AS DOUBLE) * acc),
+                   6) AS ewma
+        FROM events
+    """,
+)
+def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's value
+    series (trailing {n}-row window). EWMA is recursive, which no
+    window frame expresses directly — instead the frame's values fold
+    through a higher-order aggregate seeded with the oldest value
+    (acc = αx + (1-α)acc). Both engines fold the identical order with
+    identical +/* ops, so the doubles agree bit-for-bit before the
+    courtesy round. Lookback bounds per-row state; one shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_LOOKBACK - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    a = F.lit(float(_EWMA_ALPHA))
+    ewma = F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return ev.select("event_id", "user_id", F.round(ewma, 6).alias("ewma"))
