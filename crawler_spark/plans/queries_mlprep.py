@@ -297,3 +297,45 @@ def sample_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("q"))
         .select("doc_id", "source")
     )
+
+
+# --- equal-frequency feature binning --------------------------------------
+_N_BINS = 10
+
+
+@register(
+    "ev_value_bins",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT quantile_cont(value,
+                [{", ".join(str(i / _N_BINS) for i in range(1, _N_BINS))}])
+                AS qs
+            FROM events
+        )
+        SELECT event_id,
+               CAST(len(list_filter(qs, q -> value > q)) AS BIGINT) AS bin
+        FROM events CROSS JOIN cuts
+    """,
+)
+def ev_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of the value column — the
+    feature-binning staple. The scale shape: ONE exact-percentile
+    aggregate produces the cutpoint array (both engines' exact
+    interpolated percentile, already parity-proven in
+    ev_value_percentiles), the tiny array broadcasts, and each row's
+    bin is "how many cutpoints it exceeds" — a pure array expression.
+    No ntile, because ntile(N) is a GLOBAL-order window: one partition
+    sorts the entire corpus. Bin edges are identical doubles in both
+    engines, so assignment at the edges agrees exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.agg(F.percentile(
+        "value", F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)])
+    ).alias("qs"))
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(
+            "event_id",
+            F.size(F.filter("qs", lambda q: F.col("value") > q))
+            .cast("long").alias("bin"),
+        )
+    )
