@@ -514,3 +514,49 @@ class TestTrendingTokens:
             .select(F.col("window.start").alias("ws"), "token", "n_docs")
         )
         assert counts == {(r.ws, r.token): r.n_docs for r in batch.collect()}
+
+
+class TestWatermarkLateData:
+    def test_late_row_behind_watermark_is_dropped(self, spark, tmp_path):
+        """Append-mode windowed count: a row arriving AFTER the
+        watermark passed its window must not change the emitted count —
+        the bounded-state guarantee the 100 TB stream relies on."""
+        import datetime as dt
+
+        from crawler_spark.streaming.event_stream import (
+            read_event_stream,
+            run_to_memory_sink,
+            tumbling_hourly,
+        )
+
+        h = dt.datetime(2026, 2, 1, 9, 0, 0)
+        mk = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        d = str(tmp_path / "ev")
+        # phase 1: two on-time rows in hour H, plus one far-future row
+        # that advances the watermark STRICTLY past H's window end
+        # (wm = H+4h - 2h = H+2 > H+1, so the H window closes and the
+        # next trigger's input filter drops anything landing in it).
+        # Phases are driven with explicit processAllAvailable barriers —
+        # dropping both files up-front leaves the trigger order to file
+        # listing and the "late" file can be consumed first.
+        spark.createDataFrame(
+            [(1, h, 1, "view", 1.0, "{}"),
+             (2, h + dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),
+             (3, h + dt.timedelta(hours=4), 1, "view", 1.0, "{}")],
+            mk).coalesce(1).write.mode("append").parquet(d)
+
+        stream = tumbling_hourly(read_event_stream(spark, d), watermark="2 hours")
+        q = run_to_memory_sink(stream, "late_drop_out", output_mode="append")
+        try:
+            # phase 2: a LATE row back in hour H, now behind the watermark
+            spark.createDataFrame(
+                [(4, h + dt.timedelta(minutes=30), 1, "view", 9.0, "{}")],
+                mk).coalesce(1).write.mode("append").parquet(d)
+            q.processAllAvailable()
+            rows = {(r.bucket_start, r.event_type): r.n
+                    for r in spark.sql("SELECT * FROM late_drop_out").collect()}
+        finally:
+            q.stop()
+        # hour H emitted once, with only the 2 on-time rows; the late
+        # row neither re-emitted nor revised the window
+        assert rows.get((h, "view")) == 2, rows
