@@ -61,7 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     "streaming_trending_e2e", "dedup_semantic", "txt_tfidf_top_terms",
     "crawl_pagerank", "txt_normalize", "txt_normalize_nfkc",
     "search_hybrid_rrf", "ev_span_overlap", "ev_trailing_features",
-    "diag_key_skew", "corpus_train_val_split", "layout_zorder_build", "ev_anomaly_zscore", "ev_funnel_sequence", "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins",
+    "diag_key_skew", "corpus_train_val_split", "layout_zorder_build", "ev_anomaly_zscore", "ev_funnel_sequence", "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins", "url_normalize_dedup",
 ]
 
 

@@ -428,3 +428,45 @@ def txt_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check; exact values unit-tested on crafted Unicode."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(nfkc_normalize_batches, _NFKC_SCHEMA)
+
+
+# --- URL canonicalization (crawler-core dedup upgrade) --------------------
+@register(
+    "url_normalize_dedup",
+    oracle="""
+        SELECT doc_id,
+               'http://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+                   || '/Doc/' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 2
+                           THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+                   AS canonical_url
+        FROM documents
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/url.normalize_url under a value oracle: messy URL
+    variants (uppercase scheme/host, default port + fragment, trailing
+    slash, tracking params) are SEEDED per row, normalized by the
+    expression chain, and compared against the expected canonical form
+    CONSTRUCTED independently in SQL — the oracle never sees the
+    normalizer's regexes, so it can't share their bugs. The variants
+    cover each rule; dedup consequence (variants collapse) is
+    unit-tested in tests/test_url.py."""
+    from crawler_spark.functions.url import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("HTTP://Src"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".Example.COM"))
+    v = F.col("doc_id") % 4
+    messy = F.concat(
+        host,
+        F.when(v == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Doc/"), did,
+        F.when(v == 0, F.lit("#top"))
+         .when(v == 1, F.lit("/"))
+         .when(v == 2, F.concat(F.lit("?utm_source=mail&q="), did))
+         .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", normalize_url(messy).alias("canonical_url"))
