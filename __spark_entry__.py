@@ -30,9 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with no driver CORRECTNESS row in rounds 1-2 (the driver samples
-# ~50 of 92 per round). Listed first so an order-dependent sample reaches
-# them; names unchanged so rounds stay comparable.
+# Queries with no driver CORRECTNESS row yet (the driver samples ~50 per
+# round; rounds 1-2 covered 50 of the then-92). Listed first — oracle-backed
+# before rows-only — so an order-dependent sample reaches them; names
+# unchanged so rounds stay comparable. After CORRECTNESS_r03 lands, prune
+# entries that got a green row so round 4's sample reaches the remainder.
 _NEVER_DRIVER_VERIFIED = [
     "q2_min_cost_part", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_nation_profit", "q11_important_stock",
