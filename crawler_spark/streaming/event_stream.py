@@ -188,3 +188,17 @@ def attribution_pairs(
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("p_id", "user_id", "p_ts", "c_ts")
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (broadcast) dimension snapshot — the third §2.11 join shape
+    beside the watermarked stream-stream join and the stateful
+    operators. The static side re-resolves per batch, so a dimension
+    backed by a table picks up updates between triggers; no state, no
+    watermark — the stream side never buffers."""
+    return events.join(F.broadcast(dim), key, "left")

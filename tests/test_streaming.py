@@ -560,3 +560,29 @@ class TestWatermarkLateData:
         # hour H emitted once, with only the 2 on-time rows; the late
         # row neither re-emitted nor revised the window
         assert rows.get((h, "view")) == 2, rows
+
+
+class TestStreamStaticEnrichment:
+    def test_stream_rows_enriched_from_dimension(self, spark, event_dir):
+        from crawler_spark.streaming.event_stream import (
+            enrich_with_dimension,
+            read_event_stream,
+            run_to_memory_sink,
+        )
+
+        dim = spark.createDataFrame(
+            [(u, f"tier{u % 3}") for u in range(1000)],
+            "user_id long, tier string")
+        stream = enrich_with_dimension(
+            read_event_stream(spark, event_dir), dim).select(
+            "event_id", "user_id", "tier")
+        q = run_to_memory_sink(stream, "enrich_out", output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM enrich_out").collect()
+        finally:
+            q.stop()
+        batch = spark.read.parquet(event_dir)
+        assert len(rows) == batch.count()
+        for r in rows[:200]:
+            if r.user_id < 1000:
+                assert r.tier == f"tier{r.user_id % 3}"
