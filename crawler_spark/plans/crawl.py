@@ -85,6 +85,7 @@ def crawl(
     resume: bool = False,
     fetch_retries: int = 3,
     per_host_delay: float = 0.0,
+    canonical_urls: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
 
@@ -118,6 +119,18 @@ def crawl(
     from crawler_spark.sources.fetch import with_default_retries
 
     fetcher = with_default_retries(fetcher, fetch_retries)
+
+    def _canon(df: DataFrame) -> DataFrame:
+        # ``canonical_urls``: dedup/visited keys are CANONICAL urls
+        # (functions/url.normalize_url — tracking params, fragments,
+        # default ports, case), so link-variant spam of one page costs
+        # one fetch instead of one per variant. Off by default: the
+        # reference dedups on the exact string (models.py:26).
+        if not canonical_urls:
+            return df
+        from crawler_spark.functions.url import normalize_url
+
+        return df.select(normalize_url("url").alias("url"))
     allowed = domain_allowed_col("url", allowed_domains)
     visited_path = state_dir and os.path.join(state_dir, "visited")
     frontier_path = state_dir and os.path.join(state_dir, "frontier")
@@ -133,11 +146,11 @@ def crawl(
             visited, "url", "left_anti"
         )
     else:
-        frontier = (
+        frontier = _canon(
             spark.createDataFrame(
                 [(u,) for u in dict.fromkeys(seed_urls)], "url string"
-            ).filter(allowed)
-        )
+            )
+        ).filter(allowed)
         visited = spark.createDataFrame([], "url string")
     waves_items: list[DataFrame] = []
     waves_dead: list[DataFrame] = []
@@ -206,7 +219,7 @@ def crawl(
         # so a resumed crawl can continue one level deeper.
         if ok is not None:
             links = (
-                ok.select(F.explode("links").alias("url"))
+                _canon(ok.select(F.explode("links").alias("url")))
                 .filter(allowed)
                 .distinct()
             )

@@ -210,3 +210,42 @@ class TestPoliteness:
         rows = fetch_frontier(spark, StubFetcher(site), list(site)).collect()
         assert {r.url for r in rows} == set(site)
         assert all(r.fetch_error is None for r in rows)
+
+
+class TestCanonicalUrls:
+    def test_link_variants_fetch_once(self, spark):
+        """canonical_urls=True: messy link variants of one page (case,
+        tracking params, fragments, trailing slash) collapse to ONE
+        canonical fetch; off, each variant is its own frontier entry."""
+        site = {
+            "https://c.test/": (
+                "text/html",
+                b'<title>root</title><body>'
+                b'<a href="https://c.test/a?utm_source=m">1</a>'
+                b'<a href="https://c.test/a#frag">2</a>'
+                b'<a href="https://c.test/a/">3</a>'
+                b'<a href="HTTPS://C.test/a">4</a></body>',
+            ),
+            "https://c.test/a": ("text/html", b"<title>a</title><body>x</body>"),
+        }
+
+        # the stub only knows exact canonical keys, so any variant that
+        # reaches the fetcher un-canonicalized dead-letters — the
+        # fetch-count proof expressed in data (executor-side fetchers
+        # can't mutate driver-side counters)
+        f = StubFetcher(site)
+        items, dead = crawl(spark, f, ["HTTPS://C.test/"],
+                            allowed_domains=["c.test"], depth_limit=1,
+                            obey_robots=False, canonical_urls=True)
+        urls = sorted(r.url for r in items.collect())
+        assert urls == ["https://c.test/", "https://c.test/a"]
+        assert dead.count() == 0  # every variant resolved canonically
+
+        items2, dead2 = crawl(spark, f, ["https://c.test/"],
+                              allowed_domains=["c.test"], depth_limit=1,
+                              obey_robots=False)
+        # without canonicalization every variant is its own frontier
+        # entry, none matches the canonical key, and all dead-letter —
+        # /a is never successfully fetched at all
+        assert dead2.count() >= 3
+        assert {r.url for r in items2.collect()} == {"https://c.test/"}
