@@ -30,40 +30,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with no driver CORRECTNESS row yet (the driver samples ~50 per
-# round; rounds 1-2 covered 50 of the then-92). Listed first — oracle-backed
-# before rows-only — so an order-dependent sample reaches them; names
-# unchanged so rounds stay comparable. After CORRECTNESS_r03 lands, prune
-# entries that got a green row so round 4's sample reaches the remainder.
+# Queries with no GREEN driver CORRECTNESS row yet, across the union of
+# rounds 1-3 (pruned each round: 47 names went green in r3 and were
+# dropped). Listed first — oracle-backed before rows-only — so an
+# order-dependent ~50-query sample reaches every one of them this round.
+# The head is deliberate: `ev_pivot_daily_counts` (fixed in r3 but its r2
+# red row still stands) and the three array-output queries reshaped this
+# round to '|'-joined strings so the driver's canonicalizer can hash them.
 _NEVER_DRIVER_VERIFIED = [
-    "q2_min_cost_part", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_nation_profit", "q11_important_stock",
-    "q12_late_shipping", "q13_order_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_breadth", "q17_small_qty_revenue",
-    "q18_large_volume", "q19_disjunctive_revenue",
-    "q20_promotable_suppliers", "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "w1_top3_orders_per_customer", "w2_running_revenue_per_supplier",
-    "w3_order_gaps_and_ranks", "rollup_order_counts", "cube_flag_status",
-    "grouping_sets_revenue", "setop_intersect", "setop_except",
-    "asof_last_signup", "range_first_day_events", "agg_sources_per_lang",
-    "f2_query_tokens", "f8_base64_content", "dedup_canonical",
-    "dedup_ngram_jaccard_capped", "dedup_canonical_capped",
+    # fixed / reshaped — need a green row to retire standing red/error rows
+    "ev_pivot_daily_counts", "agg_sources_per_lang", "f2_query_tokens",
+    "inverted_index_postings",
+    # oracle-backed, never sampled
+    "sample_domain_rebalance", "txt_tfidf_top_terms",
+    "txt_normalize", "search_hybrid_rrf",
+    "ev_span_overlap", "ev_trailing_features", "diag_key_skew",
+    "corpus_train_val_split", "ev_anomaly_zscore", "ev_funnel_sequence",
+    "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins",
+    "url_normalize_dedup",
+    # rows-only, never driver-run
+    "txt_compression_ratio", "txt_normalize_nfkc",
     "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
-    "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
-    "streaming_neardup_e2e", "o3_knn_topk_sq8",
-    "join_salted_lowcard", "join_bucketed_colocated", "bucketed_build",
-    "dedup_canonical_star", "decontaminate_eval_overlap", "shard_assignment",
-    "pack_token_budget", "dedup_keep_best", "dedup_incremental",
-    "txt_heavy_hitters", "txt_repetition_ratio", "corpus_export_pipeline",
-    "ev_attribution_interval",
-    "doc_chunks", "txt_pii_redact", "txt_gopher_rules",
-    "inverted_index_postings", "txt_compression_ratio",
-    "sample_quality_weighted", "sample_domain_rebalance",
-    "streaming_trending_e2e", "dedup_semantic", "txt_tfidf_top_terms",
-    "crawl_pagerank", "txt_normalize", "txt_normalize_nfkc",
-    "search_hybrid_rrf", "ev_span_overlap", "ev_trailing_features",
-    "diag_key_skew", "corpus_train_val_split", "layout_zorder_build", "ev_anomaly_zscore", "ev_funnel_sequence", "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins", "url_normalize_dedup",
+    "o3_knn_topk_sq8", "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
+    "streaming_neardup_e2e", "streaming_trending_e2e", "dedup_semantic",
+    "crawl_pagerank", "bucketed_build", "layout_zorder_build",
+    # new round-4 registrations
+    "ev_value_bins_approx",
 ]
 
 

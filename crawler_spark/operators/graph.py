@@ -24,6 +24,8 @@ def pagerank(
     iterations: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float = 1e-7,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank. ``edges`` rows are directed links;
     duplicate edges are collapsed (a page linking twice votes once,
@@ -33,6 +35,18 @@ def pagerank(
     matches the standard formulation. Returns (id, rank), ranks
     rounded to 6 decimals (float partial-sum order is partitioning-
     dependent below that).
+
+    ``iterations`` is a CEILING, not a schedule: iteration stops early
+    once the L1 delta between consecutive rank vectors drops below
+    ``tol`` (set ``tol=0`` to force the fixed count). The delta is one
+    node-cardinality join per round — same cost class as the iteration
+    itself — and each round already synchronizes on the eager
+    localCheckpoint, so the early exit costs one scalar collect and
+    saves whole iterations once the walk has mixed. ``tol=1e-7`` is an
+    order below the 6-decimal output rounding, so converged-early and
+    fixed-count results are identical after rounding. Pass a dict as
+    ``stats`` to receive ``{"iterations_run": k}`` back (observability
+    for the early exit; the DataFrame itself can't carry it).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -53,7 +67,10 @@ def pagerank(
     base = (1.0 - damping) / n
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    iters_run = 0
     for _ in range(iterations):
+        prev = ranks
+        iters_run += 1
         # dangling mass (nodes with no out-links) stays IN the plan as a
         # broadcast 1-row frame — a driver-side .first() here would add
         # a synchronizing job per iteration
@@ -82,4 +99,16 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol > 0:
+            delta = (
+                ranks.join(
+                    prev.withColumnRenamed("rank", "prev_rank"), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+                     .alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if stats is not None:
+        stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))

@@ -204,7 +204,9 @@ _MIN_DF = 5
         )
         SELECT token,
                CAST(count(*) AS BIGINT) AS df,
-               (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}] AS postings
+               coalesce(array_to_string(
+                   (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}], '|'), '')
+                   AS postings
         FROM tok
         GROUP BY token
         HAVING count(*) >= {_MIN_DF}
@@ -216,7 +218,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     token state is bounded even for tokens present in every document —
     the collect-then-slice shape would buffer the full postings list for
     "the"-class tokens and OOM at corpus scale. One shuffle on token
-    (shared by both window specs), then a pre-capped groupBy."""
+    (shared by both window specs), then a pre-capped groupBy. The
+    postings list is emitted as a '|'-joined STRING (doc_ids render
+    identically as integers in both engines) because the driver's
+    canonicalizer cannot hash top-level ARRAY cells (round-3 error);
+    local tests split the string to keep element-wise assertions."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(X.tokenize("text"))).alias("token"))
@@ -230,7 +236,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return capped.groupBy("token").agg(
         F.first("df").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+            "|",
+        ).alias("postings"),
     )
 
 

@@ -96,8 +96,12 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     from crawler_spark.sources import load_table
 
     path = _ann_index_path(sf_dir)
-    if not (os.path.isdir(path) and any(
-            not f.startswith((".", "_")) for f in os.listdir(path))):
+    # _SUCCESS gates reuse: a crashed partial write leaves part-files but
+    # no marker, and probing those would silently drop candidates.
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         build_banded_index(load_table(spark, sf_dir, "embeddings"), path)
     return path
 
@@ -147,11 +151,20 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42"
     cent_file = path + ".centroids.json"
-    if os.path.isfile(cent_file) and os.path.isdir(path):
+    # centroids json is written AFTER the parquet lists, so its presence
+    # plus the _SUCCESS marker means the whole index landed atomically
+    # enough for reuse; anything less is rebuilt from scratch.
+    if os.path.isfile(cent_file) and os.path.isfile(
+            os.path.join(path, "_SUCCESS")):
         if path not in _IVF_CENTROIDS:
             with open(cent_file) as f:
                 _IVF_CENTROIDS[path] = json.load(f)
         return path, _IVF_CENTROIDS[path]
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isfile(cent_file):
+        os.remove(cent_file)
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb, n_centroids=16)
     build_ivf_index(emb, path, centroids)

@@ -49,6 +49,34 @@ def test_total_mass_conserved(spark):
     assert abs(total - 1.0) < 1e-4
 
 
+def test_convergence_stop_is_early_and_value_preserving(spark):
+    # a 3-cycle's uniform start IS the fixed point: delta hits 0 after
+    # the first round, so the tol path must exit long before the ceiling
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    stats: dict = {}
+    early = {r.id: r.rank
+             for r in pagerank(edges, iterations=10, stats=stats).collect()}
+    assert stats["iterations_run"] < 10
+    fixed = {r.id: r.rank
+             for r in pagerank(edges, iterations=10, tol=0).collect()}
+    assert early == fixed
+
+    # non-trivial graph: early-exit result equals the fixed-count result
+    # after the 6-decimal rounding, and tol=0 really runs the ceiling
+    raw = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 3), (4, 1)]
+    g = spark.createDataFrame(raw, "src long, dst long")
+    stats2: dict = {}
+    early2 = {r.id: r.rank
+              for r in pagerank(g, iterations=60, stats=stats2).collect()}
+    stats3: dict = {}
+    fixed2 = {r.id: r.rank
+              for r in pagerank(g, iterations=60, tol=0, stats=stats3).collect()}
+    assert stats3["iterations_run"] == 60
+    assert stats2["iterations_run"] < 60  # data-dependent, not the ceiling
+    assert early2 == fixed2
+
+
 def test_hub_outranks_leaves(spark):
     # star: everyone links to 0
     edges = spark.createDataFrame(

@@ -83,13 +83,54 @@ class TestPiiRedact:
         assert (r.ne, r.ni) == (1, 1)
 
 
+class TestStringifiedArrayQueries:
+    """Element-wise checks for the queries whose registered output joins
+    an array into a '|' string for driver hashability: splitting the
+    string must recover exactly the array the pure-Python model builds."""
+
+    def test_f2_first_tokens_elementwise(self, spark):
+        import re
+        docs = {r.doc_id: (r.text or "")
+                for r in load_table(spark, SF, "documents").collect()}
+        got = {r.doc_id: (r.first_tokens, r.n_tokens)
+               for r in _QUERIES["f2_query_tokens"](spark, SF).collect()}
+        assert set(got) == set(docs)
+        for doc_id, text in docs.items():
+            toks = re.findall(r"\w+", text.lower())
+            joined, n = got[doc_id]
+            assert (joined.split("|") if joined else []) == toks[:5]
+            assert n == len(toks)
+
+    def test_sources_per_lang_elementwise(self, spark):
+        expect: dict[str, set] = {}
+        for r in load_table(spark, SF, "documents").collect():
+            expect.setdefault(r.lang, set()).add(r.source)
+        rows = _QUERIES["agg_sources_per_lang"](spark, SF).collect()
+        assert {r.lang for r in rows} == set(expect)
+        for r in rows:
+            srcs = r.sources.split("|") if r.sources else []
+            assert srcs == sorted(expect[r.lang])
+            assert r.n_sources == len(expect[r.lang])
+
+
+def _split_postings(s: str) -> list[int]:
+    """The registered query emits postings as a '|'-joined string (driver
+    canonicalizer can't hash array cells); element-wise assertions split
+    it back here."""
+    return [int(x) for x in s.split("|")] if s else []
+
+
 class TestInvertedIndex:
     def test_cap_and_df_floor_bind(self, spark):
         rows = _QUERIES["inverted_index_postings"](spark, SF).collect()
         assert rows
         assert all(r.df >= _MIN_DF for r in rows)
-        assert all(len(r.postings) == min(r.df, _POSTINGS_CAP) for r in rows)
-        assert all(list(r.postings) == sorted(r.postings) for r in rows)
+        assert all(
+            len(_split_postings(r.postings)) == min(r.df, _POSTINGS_CAP)
+            for r in rows)
+        assert all(
+            _split_postings(r.postings) == sorted(_split_postings(r.postings))
+            for r in rows)
         # the cap binds somewhere (stopword-class tokens)
         assert any(r.df > _POSTINGS_CAP for r in rows)
 
@@ -100,7 +141,7 @@ class TestInvertedIndex:
         for r in docs:
             for t in set(re.findall(r"\w+", (r.text or "").lower())):
                 token_docs.setdefault(t, []).append(r.doc_id)
-        got = {r.token: list(r.postings)
+        got = {r.token: _split_postings(r.postings)
                for r in _QUERIES["inverted_index_postings"](spark, SF).collect()}
         for token, ids in token_docs.items():
             if len(ids) >= _MIN_DF:
