@@ -3,8 +3,9 @@ upgrade over the reference's exact-string url dedup (its UNIQUE(url)
 treats ``http://A/x?utm_source=y#f`` and ``http://a/x`` as different
 pages; reference backend/src/models.py:26, db.py:48).
 
-Rules applied (the conservative, loss-free subset every crawler
-agrees on):
+Rules applied (a conservative subset; note that tracking-param and
+trailing-slash removal are near-universal but not strictly identity-
+preserving on every server):
   * scheme and host lowercased (path case is preserved — it is
     significant on most servers);
   * default ports stripped (:80 for http, :443 for https);
@@ -32,7 +33,10 @@ def _c(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-_TRACKING = r"(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+# Anchored to a parameter boundary ([?&]) so 'xgclid=5' or a
+# 'utm_source=' substring inside a path segment is never touched; the
+# boundary char is kept via $1 and separators tidied after.
+_TRACKING = r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 
 
 def normalize_url(col: ColumnOrName) -> Column:
@@ -41,9 +45,9 @@ def normalize_url(col: ColumnOrName) -> Column:
     u = _c(col)
     # 1. drop the fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # 2. drop tracking params (leading ? or & kept by the match on the
-    #    param itself; fix up separators after)
-    u = F.regexp_replace(u, _TRACKING, "")
+    # 2. drop tracking params (the [?&] boundary is re-emitted, so a
+    #    run like ?a=1&utm_x=1&utm_y=2 leaves ?a=1&& for step 3)
+    u = F.regexp_replace(u, _TRACKING, r"$1")
     # 3. tidy separators left behind: "?&" -> "?", "&&" -> "&",
     #    trailing "?"/"&" dropped
     u = F.regexp_replace(u, r"\?&+", "?")

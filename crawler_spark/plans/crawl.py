@@ -146,11 +146,19 @@ def crawl(
             visited, "url", "left_anti"
         )
     else:
-        frontier = _canon(
-            spark.createDataFrame(
-                [(u,) for u in dict.fromkeys(seed_urls)], "url string"
+        # distinct() AFTER _canon: distinct raw seeds can canonicalize
+        # to the same URL, and a duplicated wave-0 frontier row means a
+        # duplicated fetch and duplicated item/dead-letter rows (the
+        # links branch below already dedups post-canonicalization)
+        frontier = (
+            _canon(
+                spark.createDataFrame(
+                    [(u,) for u in dict.fromkeys(seed_urls)], "url string"
+                )
             )
-        ).filter(allowed)
+            .filter(allowed)
+            .distinct()
+        )
         visited = spark.createDataFrame([], "url string")
     waves_items: list[DataFrame] = []
     waves_dead: list[DataFrame] = []

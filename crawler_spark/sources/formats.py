@@ -52,7 +52,9 @@ def read_source(
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         if CORRUPT_COL not in schema.fieldNames():
-            schema = schema.add(CORRUPT_COL, "string")
+            # StructType.add mutates in place — copy so the caller's
+            # schema object doesn't permanently grow the corrupt column
+            schema = StructType(list(schema.fields)).add(CORRUPT_COL, "string")
         reader = (
             reader.schema(schema)
             .option("mode", "PERMISSIVE")
@@ -72,14 +74,34 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     Spark refuses plans that reference ONLY the corrupt column straight
     off a raw csv/json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
     documented pattern is to materialize the parse first, so the input
-    is cached here. At raw-interchange scale, land the parse in a
-    staging table instead and split from that."""
+    is cached here. The cache is the CALLER's to release: after both
+    sides are consumed, ``clean.sparkSession.catalog`` eviction or an
+    explicit ``unpersist()`` on the returned frames' common input keeps
+    a long-lived session from accumulating cached raw scans (use
+    ``split_corrupt_consume`` when the dead-letter side is materialized
+    immediately). At raw-interchange scale, land the parse in a staging
+    table instead and split from that."""
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
     df = df.cache()
     clean = df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = df.where(df[CORRUPT_COL].isNotNull())
     return clean, bad
+
+
+def split_corrupt_consume(
+    df: DataFrame,
+) -> tuple[DataFrame, list]:
+    """Pipeline-friendly variant: materializes the dead-letter side to
+    the driver (it is small by assumption — corrupt rows, not data),
+    unpersists the cached raw input eagerly, and returns (clean,
+    bad_rows). The clean side re-reads from source on use, so no cached
+    raw scan lingers in executor storage between calls."""
+    clean, bad = split_corrupt(df)
+    bad_rows = bad.collect()
+    if CORRUPT_COL in df.columns:
+        df.unpersist()
+    return clean, bad_rows
 
 
 def write_sink(

@@ -249,3 +249,85 @@ class TestCanonicalUrls:
         # /a is never successfully fetched at all
         assert dead2.count() >= 3
         assert {r.url for r in items2.collect()} == {"https://c.test/"}
+
+    def test_seed_variants_collapse_to_one_fetch(self, spark):
+        """ADVICE crawl.py:149: distinct raw SEEDS that canonicalize to
+        the same URL must produce one wave-0 frontier row, not one fetch
+        (and one item/dead-letter row) per variant."""
+        site = {
+            "https://c.test/": ("text/html", b"<title>r</title><body>x</body>"),
+        }
+        items, dead = crawl(
+            spark, StubFetcher(site),
+            ["https://c.test/?utm_source=a", "HTTPS://C.test/#frag",
+             "https://c.test/"],
+            allowed_domains=["c.test"], depth_limit=0,
+            obey_robots=False, canonical_urls=True,
+        )
+        rows = items.collect()
+        assert [r.url for r in rows] == ["https://c.test/"]  # exactly one
+        assert dead.count() == 0
+
+
+class TestCrashResume:
+    def test_crash_mid_wave_with_overflow_resumes_unattempted_set(
+            self, spark, tmp_path):
+        """Chaos: a crawl dies DURING a truncated wave's fetch (after the
+        wave was marked visited, before the next frontier was saved) with
+        overflow outstanding. The resumed crawl must fetch exactly the
+        not-yet-attempted urls: the saved frontier anti-joined with the
+        saved visited set — overflow urls included, attempted urls never
+        refetched."""
+        import pytest as _pytest
+
+        wide = {
+            "https://wide.test/": page("root", ["/a", "/b", "/c", "/d"]),
+            "https://wide.test/a": page("a", []),
+            "https://wide.test/b": page("b", []),
+            "https://wide.test/c": page("c", []),
+            "https://wide.test/d": page("d", []),
+        }
+        leaves = {f"https://wide.test/{p}" for p in "abcd"}
+
+        class CrashOn(StubFetcher):
+            """Raises (→ task failure → job failure) on any leaf fetch:
+            the crash lands inside wave 1, after visited was persisted."""
+
+            def __init__(self, site, crash_urls):
+                super().__init__(site)
+                self.crash_urls = set(crash_urls)
+
+            def fetch(self, url):
+                if url in self.crash_urls:
+                    raise RuntimeError("injected mid-wave crash")
+                return super().fetch(url)
+
+        state = str(tmp_path / "chaos_state")
+        with _pytest.raises(Exception):
+            crawl(spark, CrashOn(wide, leaves), ["https://wide.test/"],
+                  allowed_domains=["wide.test"], depth_limit=2,
+                  obey_robots=False, max_urls_per_wave=2,
+                  on_truncate=lambda n, cap: None, state_dir=state)
+
+        visited = {r.url for r in
+                   spark.read.parquet(state + "/visited").collect()}
+        frontier = {r.url for r in
+                    spark.read.parquet(state + "/frontier").collect()}
+        # crash landed mid-wave-1: root + the 2-url head are visited,
+        # the on-disk frontier is still the full wave-1 set
+        assert "https://wide.test/" in visited
+        attempted = visited & leaves
+        assert len(attempted) == 2
+        assert frontier == leaves
+
+        items2, dead2 = crawl(
+            spark, StubFetcher(wide), ["https://wide.test/ignored"],
+            allowed_domains=["wide.test"], depth_limit=2,
+            obey_robots=False, max_urls_per_wave=2,
+            on_truncate=lambda n, cap: None,
+            state_dir=state, resume=True,
+        )
+        got = {r.url for r in items2.collect()}
+        # exactly the not-yet-attempted set: overflow urls, nothing else
+        assert got == leaves - attempted
+        assert dead2.count() == 0

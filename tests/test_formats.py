@@ -67,6 +67,36 @@ def test_malformed_jsonl_dead_letters_not_fails(spark, tmp_path):
     assert "not json" in bad_rows[0]._corrupt_record
 
 
+def test_caller_schema_object_not_mutated(spark, tmp_path):
+    """ADVICE formats.py:55: read_source must not grow the caller's
+    StructType with the corrupt column in place."""
+    from pyspark.sql.types import StructType
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"id": 1, "name": "x", "score": 0.5}\n')
+    schema = StructType.fromDDL(DDL)
+    before = schema.fieldNames()
+    read_source(spark, str(p), "json", schema=schema).count()
+    assert schema.fieldNames() == before
+
+
+def test_split_corrupt_consume_unpersists_eagerly(spark, tmp_path):
+    """ADVICE formats.py:79: the pipeline-shaped variant materializes
+    the dead-letter side and releases the cached raw scan immediately."""
+    from crawler_spark.sources.formats import split_corrupt_consume
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok", "score": 1.0}\nnot json\n')
+    df = read_source(spark, str(p), "json", schema=DDL)
+    clean, bad_rows = split_corrupt_consume(df)
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0]._corrupt_record
+    assert {r.id for r in clean.collect()} == {1}
+    assert not df.is_cached
+
+
 def test_text_format_reads_lines(spark, tmp_path):
     p = tmp_path / "lines"
     p.mkdir()

@@ -22,6 +22,15 @@ CASES = [
     ("http://example.com", "http://example.com/"),
     ("http://example.com/A/B?x=1#y", "http://example.com/A/B?x=1"),
     ("ftp://Example.com/x", "ftp://example.com/x"),
+    # boundary anchoring: params whose names merely CONTAIN a tracking
+    # name, and tracking-looking text inside a path segment, survive
+    ("http://example.com/a?xgclid=5", "http://example.com/a?xgclid=5"),
+    ("http://example.com/a?myutm_a=1", "http://example.com/a?myutm_a=1"),
+    ("http://example.com/utm_source=x/page",
+     "http://example.com/utm_source=x/page"),
+    ("http://example.com/a?utm_x=1&utm_y=2&q=3", "http://example.com/a?q=3"),
+    ("http://example.com/a?q=1&fbclid=abc&r=2",
+     "http://example.com/a?q=1&r=2"),
 ]
 
 
