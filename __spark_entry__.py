@@ -55,7 +55,7 @@ _NEVER_DRIVER_VERIFIED = [
     "streaming_neardup_e2e", "streaming_trending_e2e", "dedup_semantic",
     "crawl_pagerank", "bucketed_build", "layout_zorder_build",
     # new round-4 registrations
-    "ev_value_bins_approx",
+    "ev_value_bins_approx", "streaming_dedup_horizon_e2e",
 ]
 
 

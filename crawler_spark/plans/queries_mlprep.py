@@ -339,3 +339,34 @@ def ev_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("bin"),
         )
     )
+
+
+_APPROX_ACCURACY = 10_000  # relative error <= 1/accuracy = 1e-4
+
+
+@register("ev_value_bins_approx")  # rows-only: sketch cutpoints, no SQL twin
+def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ev_value_bins: cutpoints from approx_percentile
+    (KLL-style mergeable sketch — map-side partials, NO global sort of
+    the value column) instead of the exact interpolated percentile. At
+    scale the exact aggregate must see every value through one sorted
+    aggregation path; the sketch is O(accuracy·log n) memory per
+    partition and one narrow merge. Bin ASSIGNMENT is the same broadcast
+    array expression. Rows-only registration: sketch cutpoints are not
+    bit-identical to DuckDB's exact quantiles by design; the local
+    tolerance test (tests/test_mlprep.py) pins cutpoint drift and the
+    row-level bin agreement rate against the exact query instead."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.agg(F.approx_percentile(
+        "value",
+        F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)]),
+        F.lit(_APPROX_ACCURACY),
+    ).alias("qs"))
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(
+            "event_id",
+            F.size(F.filter("qs", lambda q: F.col("value") > q))
+            .cast("long").alias("bin"),
+        )
+    )

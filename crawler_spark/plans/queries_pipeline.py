@@ -120,6 +120,61 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_dedup_horizon_e2e")  # rows-only: bounded-state dedup
+def streaming_dedup_horizon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table replayed as a stream (synthetic event time,
+    doc_id minutes past a fixed epoch) through the watermark-evicted
+    bounded-horizon dedup (streaming/stateful.py
+    streaming_dedup_within_horizon). With the horizon wider than the
+    replay's event-time span, semantics equal full-history first-seen
+    dedup — which the batch dedup_exact oracle family pins — while the
+    plan carries the watermark-evicted state the 100 TB stream needs.
+    One row per distinct fingerprint survives."""
+    import tempfile
+    import uuid
+
+    from crawler_spark.sources import load_table
+    from crawler_spark.streaming.stateful import (
+        streaming_dedup_within_horizon,
+    )
+
+    name = f"dedup_horizon_e2e_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, sf_dir, "documents").select("doc_id", "text").schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("text").alias("content"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_interval(mins=F.col("doc_id"))).alias("fetched_at"),
+        )
+    )
+    q = (
+        streaming_dedup_within_horizon(stream, horizon_sec=365 * 86400)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="dedup_horizon_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .select("fp", "url")
+        .orderBy("fp", "url")
+    )
+
+
 @register("streaming_trending_e2e")  # rows-only: streaming windowed agg
 def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table replayed as a watermarked stream through the

@@ -44,6 +44,48 @@ def test_approx_percentiles_bracketed_by_exact_neighbors(spark):
         assert b.p99_lo <= a.p99 <= b.p99_hi, f"{et}.p99 {a.p99} outside bracket"
 
 
+def test_approx_bins_cutpoints_and_assignments_track_exact(spark):
+    """ev_value_bins_approx (sketch cutpoints) vs ev_value_bins (exact):
+    every approx cutpoint lands within the exact neighborhood implied by
+    the sketch's rank error, and row-level bin assignments agree for the
+    overwhelming majority of rows (disagreements can only be off-by-one,
+    for values squeezed between the exact and approx cutpoint)."""
+    from crawler_spark.plans.queries_mlprep import (
+        _N_BINS,
+        ev_value_bins,
+        ev_value_bins_approx,
+    )
+    from crawler_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    values = sorted(r.value for r in ev.select("value").collect())
+    n = len(values)
+
+    approx_cuts = ev.agg(
+        F.approx_percentile(
+            "value",
+            F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)]),
+            F.lit(10_000),
+        ).alias("qs")
+    ).collect()[0].qs
+    # rank-error tolerance: each approx q-quantile must sit within a
+    # small rank window of the true one (1e-4 relative error on sf0.001
+    # rounds up to a couple of ranks)
+    slack = max(2, int(n * 1e-3))
+    for i, cut in enumerate(approx_cuts, start=1):
+        lo = values[max(0, int(n * i / _N_BINS) - 1 - slack)]
+        hi = values[min(n - 1, int(n * i / _N_BINS) - 1 + slack)]
+        assert lo <= cut <= hi, (i, cut, lo, hi)
+
+    exact = {r.event_id: r.bin for r in ev_value_bins(spark, SF).collect()}
+    approx = {r.event_id: r.bin
+              for r in ev_value_bins_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    diffs = [k for k in exact if exact[k] != approx[k]]
+    assert len(diffs) <= max(2, n // 200)  # ≥99.5% row agreement
+    assert all(abs(exact[k] - approx[k]) == 1 for k in diffs)
+
+
 def test_hll_rollup_within_5pct_of_exact(spark):
     """The merged weekly sketch estimate must track the exact weekly
     distinct-user count within HLL's expected error (lgConfigK default

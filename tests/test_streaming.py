@@ -5,6 +5,7 @@ idempotent merge (SURVEY.md §2.11)."""
 from __future__ import annotations
 
 import os
+from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
@@ -220,6 +221,72 @@ class TestIngestStream:
         # the alpha-beta family emitted exactly once, from its first batch
         assert sum(1 for r in rows if "alpha" in r.content) == 1
         assert {r.url for r in rows if "alpha" in r.content} <= {"u1", "u2"}
+
+    def test_dedup_within_horizon_evicts_aged_state(self, spark, tmp_path):
+        """streaming_dedup_within_horizon bounds state: duplicates
+        INSIDE the horizon dedup first-seen-wins, fingerprints whose
+        event time falls behind the watermark by more than the horizon
+        are evicted (state size plateaus instead of growing with
+        history), and a duplicate arriving after eviction re-emits —
+        the documented bounded-horizon contract. Event-time based, so
+        the test is fully deterministic (no sleeps)."""
+        from crawler_spark.streaming.stateful import (
+            streaming_dedup_within_horizon,
+        )
+
+        horizon = 60  # seconds of event time
+        src = str(tmp_path / "pages_src")
+        os.makedirs(src)
+        schema = "url string, content string, fetched_at timestamp"
+
+        def slice_(rows):
+            spark.createDataFrame(
+                [(u, c, datetime.fromisoformat(t)) for u, c, t in rows],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup_within_horizon(stream, horizon_sec=horizon)
+            .writeStream.format("memory")
+            .queryName("dedup_horizon_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+        def state_rows():
+            return q.lastProgress["stateOperators"][0]["numRowsTotal"]
+
+        try:
+            slice_([("u1", "alpha beta", "2026-01-01T10:00:00"),
+                    ("u2", "gamma delta", "2026-01-01T10:00:00")])
+            q.processAllAvailable()
+            # within-horizon duplicate (30 s after first sight): dropped
+            slice_([("u3", "alpha beta", "2026-01-01T10:00:30")])
+            q.processAllAvailable()
+            rows1 = spark.sql("SELECT * FROM dedup_horizon_out").collect()
+            assert sum(1 for r in rows1 if "alpha" in r.content) == 1
+            assert state_rows() == 2  # alpha + gamma, no growth on dups
+
+            # advance event time far past the horizon: the next batch's
+            # watermark (10:05 - 60s = 10:04) passes alpha/gamma expiry
+            slice_([("u4", "epsilon zeta", "2026-01-01T10:05:00")])
+            q.processAllAvailable()
+            # ...and one more batch so eviction at the NEW watermark runs
+            slice_([("u5", "alpha beta", "2026-01-01T10:06:00")])
+            q.processAllAvailable()
+            rows2 = spark.sql("SELECT * FROM dedup_horizon_out").collect()
+            # post-eviction duplicate re-emitted
+            assert sum(1 for r in rows2 if "alpha" in r.content) == 2
+            # plateau: aged-out entries left state; only recent ones remain
+            assert state_rows() <= 2
+        finally:
+            q.stop()
 
     def test_dead_letter_replay_idempotent(self, spark, tmp_path):
         """Re-running a micro-batch with the SAME epoch_id (at-least-once
