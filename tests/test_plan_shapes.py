@@ -197,3 +197,20 @@ def test_trailing_features_single_user_shuffle(spark):
     plan = plan_text(_QUERIES["ev_trailing_features"](spark, SF))
     n = plan.count("Arguments: hashpartitioning")
     assert n == 1, f"expected 1 exchange on user_id, found {n}"
+
+
+def test_approx_bins_no_sort_no_window(spark):
+    """ev_value_bins_approx is the 100 TB binning path BECAUSE its plan
+    has no Sort and no Window over the value column: cutpoints come from
+    the mergeable approx_percentile sketch (partial agg → single merge)
+    and assignment is a broadcast array expression."""
+    import re
+
+    plan = plan_text(_QUERIES["ev_value_bins_approx"](spark, SF))
+    assert "approx_percentile" in plan
+    assert "Window" not in plan
+    assert re.search(r"\(\d+\) Sort\b", plan) is None, "Sort node leaked in"
+    assert re.search(r"\bntile\(", plan) is None
+    assert "BroadcastExchange" in plan, (
+        "the 9-value cutpoint frame should broadcast, not shuffle"
+    )
