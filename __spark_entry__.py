@@ -56,6 +56,7 @@ _NEVER_DRIVER_VERIFIED = [
     "crawl_pagerank", "bucketed_build", "layout_zorder_build",
     # new round-4 registrations
     "ev_value_bins_approx", "streaming_dedup_horizon_e2e",
+    "decontam_exact_spans", "pack_sequences_emit",
 ]
 
 

@@ -78,3 +78,67 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_contaminated") > 0)
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 30,
+    stride: int = 7,
+) -> DataFrame:
+    """Character-level EXACT-SUBSTRING contamination spans (the
+    scrub-not-drop companion to ``decontaminate``, after the
+    exact-substring criterion of Lee et al. 2022, arXiv:2107.06499):
+    every stride-sampled offset in a training document whose
+    ``span_len``-char window appears verbatim anywhere in the eval
+    set. Returns (id_col, pos) — 1-based char offsets, so callers can
+    scrub the span rather than delete the document.
+
+    Detection guarantee: eval windows slide at stride 1, train windows
+    sample at ``stride`` — any shared substring of length
+    >= span_len + stride - 1 is caught regardless of alignment (some
+    sampled window must fall fully inside it), at 1/stride the
+    corpus-side row blowup of full sliding windows.
+
+    Scale shape mirrors ``decontaminate``: eval side is benchmarks —
+    its stride-1 window set totals ~|eval text| strings and
+    broadcasts; the corpus side is a projection + bounded explode
+    (len/stride rows per doc) into a broadcast-hash join with NO
+    corpus shuffle; string equality on the join key IS the
+    verification, so the output carries no hash false-positives.
+    """
+    ev = (
+        eval_set.select(
+            F.explode(F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length(text_col) - (span_len - 1), F.lit(0)),
+                F.lit(1),
+            )).alias("i"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(F.expr(f"substring(__t, i, {int(span_len)})").alias("s"))
+        .distinct()
+    )
+    tr = (
+        train.select(
+            F.col(id_col),
+            F.explode(F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length(text_col) - (span_len - 1), F.lit(0)),
+                F.lit(int(stride)),
+            )).alias("pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col, "pos",
+            F.expr(f"substring(__t, pos, {int(span_len)})").alias("s"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .select(id_col, F.col("pos").cast("long").alias("pos"))
+    )

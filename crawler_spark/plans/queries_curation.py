@@ -102,6 +102,84 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- packed-sequence emission ---------------------------------------------
+_EOS = "<|eos|>"
+
+
+@register(
+    "pack_sequences_emit",
+    oracle=f"""
+        SELECT shard_id, pack_seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+               string_agg(coalesce(text, ''), '{_EOS}' ORDER BY k, doc_id)
+                   AS packed_text
+        FROM (
+            SELECT doc_id, k, shard_id, n_tokens, text,
+                   CAST(floor(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY shard_id ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512.0) AS BIGINT) AS pack_seq
+            FROM (
+                SELECT doc_id, {_KEY_SQL} AS k,
+                       ascii(substr({_KEY_SQL}, 1, 1)) % 4 AS shard_id,
+                       len({_TOKENS_SQL}) AS n_tokens, text
+                FROM documents
+            )
+        )
+        GROUP BY shard_id, pack_seq
+        ORDER BY shard_id, pack_seq
+    """,
+)
+def pack_sequences_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER pack_token_budget: materialize each pack as the
+    actual training sequence — member texts concatenated in pack order
+    with an EOS separator — plus its doc count and token total (what a
+    data loader checks against the budget).
+
+    Scale shape: the same one-shuffle-per-shard window as
+    pack_token_budget, then a groupBy on (shard_id, pack_seq) whose
+    per-group state is BOUNDED BY THE TOKEN BUDGET by construction —
+    a pack holds ~512 tokens of text no matter how big the corpus, so
+    collect_list here can never accumulate unbounded rows (contrast a
+    naive groupBy(doc property)). Order inside the pack is the same
+    deterministic (hash, doc_id) order both engines compute."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        _key().alias("k"),
+        (F.ascii(F.substring(_key(), 1, 1)) % 4).alias("shard_id"),
+        X.word_token_count("text").alias("n_tokens"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = staged.withColumn(
+        "pack_seq", F.floor(cum_before / F.lit(512.0)))
+    return (
+        packed.groupBy("shard_id", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    # struct sorts field-by-field: (k, doc_id) leads, so
+                    # array_sort reproduces the window's pack order
+                    F.array_sort(
+                        F.collect_list(F.struct("k", "doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                _EOS,
+            ).alias("packed_text"),
+        )
+        .orderBy("shard_id", "pack_seq")
+    )
+
+
 # --- canonical selection by quality ---------------------------------------
 @register(
     "dedup_keep_best",

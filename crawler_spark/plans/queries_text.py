@@ -377,6 +377,64 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- span-level exact-substring decontamination ---------------------------
+_SPAN_L = 30       # window length (chars)
+_SPAN_STRIDE = 7   # train-side sampling stride
+
+
+@register(
+    "decontam_exact_spans",
+    oracle=f"""
+        WITH ev AS (
+            SELECT DISTINCT substr(text, CAST(i AS INTEGER), {_SPAN_L}) AS s
+            FROM (SELECT text,
+                         unnest(generate_series(
+                             1, greatest(length(text) - {_SPAN_L - 1}, 0))) AS i
+                  FROM documents WHERE doc_id % 20 = 0)
+        ),
+        tr AS (
+            SELECT doc_id, i AS pos,
+                   substr(text, CAST(i AS INTEGER), {_SPAN_L}) AS s
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(
+                             1, greatest(length(text) - {_SPAN_L - 1}, 0),
+                             {_SPAN_STRIDE})) AS i
+                  FROM documents WHERE doc_id % 20 <> 0)
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos
+        FROM tr JOIN ev USING (s)
+        ORDER BY doc_id, pos
+    """,
+)
+def decontam_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT-SUBSTRING decontamination (the character-level
+    companion to the shingle-based ``decontaminate``, after the
+    exact-substring criterion of Lee et al. 2022, arXiv:2107.06499):
+    report every sampled train-doc offset whose {_SPAN_L}-char window
+    appears verbatim anywhere in the eval set — positions, not just a
+    per-doc flag, so the spans can be SCRUBBED instead of dropping the
+    whole document.
+
+    Guarantee: eval windows at stride 1, train windows at stride
+    {_SPAN_STRIDE} — any shared substring of length >= L + stride - 1
+    (= {_SPAN_L + _SPAN_STRIDE - 1} chars) is caught regardless of
+    alignment, at 1/{_SPAN_STRIDE} the corpus-side blowup of full
+    sliding windows.
+
+    Scale shape: see operators/decontam.py contaminated_spans — eval
+    windows broadcast, corpus side is a bounded explode into a
+    broadcast-hash join, no corpus shuffle; string equality on the
+    join key IS the verification (no hash false-positives)."""
+    from crawler_spark.operators.decontam import contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return contaminated_spans(
+        docs.filter(~is_eval), docs.filter(is_eval),
+        span_len=_SPAN_L, stride=_SPAN_STRIDE,
+    ).orderBy("doc_id", "pos")
+
+
 # --- F2: tokenization as a first-class projection -------------------------
 @register(
     "f2_query_tokens",

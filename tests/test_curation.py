@@ -48,6 +48,35 @@ class TestPacking:
              for r in _QUERIES["pack_token_budget"](spark, SF).collect()}
         assert a == b
 
+    def test_emitted_sequences_reconstruct_assignment(self, spark):
+        """pack_sequences_emit is the materialization of
+        pack_token_budget: splitting packed_text on the EOS separator
+        must recover exactly the member documents of that pack, in the
+        deterministic (hash, doc_id) order, with matching counts."""
+        from crawler_spark.plans.queries_curation import _EOS
+        from crawler_spark.sources import load_table
+
+        assign: dict[tuple[int, int], list] = {}
+        for r in _QUERIES["pack_token_budget"](spark, SF).collect():
+            assign.setdefault((r.shard_id, r.pack_seq), []).append(r)
+        texts = {r.doc_id: (r.text or "")
+                 for r in load_table(spark, SF, "documents").collect()}
+        import hashlib
+
+        def key(doc_id):
+            return hashlib.md5(str(doc_id).encode()).hexdigest()
+
+        emitted = _QUERIES["pack_sequences_emit"](spark, SF).collect()
+        assert {(r.shard_id, r.pack_seq) for r in emitted} == set(assign)
+        for r in emitted:
+            members = sorted(
+                assign[(r.shard_id, r.pack_seq)],
+                key=lambda m: (key(m.doc_id), m.doc_id))
+            assert r.n_docs == len(members)
+            assert r.pack_tokens == sum(m.n_tokens for m in members)
+            assert r.packed_text.split(_EOS) == [
+                texts[m.doc_id] for m in members]
+
 
 class TestKeepBest:
     def test_one_kept_per_group_and_kept_is_longest(self, spark):
