@@ -159,6 +159,113 @@ _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> ''
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
+# --- DSIR-style importance scoring ----------------------------------------
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, doc_id % 10 = 0 AS is_target,
+                   unnest({_TOKENS_SQL}) AS t
+            FROM documents
+        ),
+        vocab AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cr
+            FROM tok GROUP BY t
+        ),
+        consts AS (
+            SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                   CAST(sum(cr) AS DOUBLE) AS nr,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM vocab
+        ),
+        term AS (
+            SELECT t,
+                   CAST(round((ln(ct + 1.0) - ln(nt + v)
+                             - ln(cr + 1.0) + ln(nr + v)) * 1e6)
+                        AS BIGINT) AS term_micro
+            FROM vocab CROSS JOIN consts
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(term_micro) AS BIGINT) AS score_micro
+        FROM tok JOIN term USING (t)
+        WHERE NOT is_target
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
+    per raw-corpus document, the log-likelihood ratio of its unigram
+    features under the TARGET distribution (here the doc_id%10==0
+    slice standing in for a curated corpus) vs the RAW distribution,
+    Laplace-smoothed over the joint vocabulary. High scores = documents
+    that look like the target — select with a downstream top-k
+    (TakeOrderedAndProject) or Gumbel-noise sampling; the score query
+    itself never ranks globally.
+
+    Determinism across engines: each token's log-ratio is rounded to
+    an integer micro-score FIRST, so the per-doc reduction is exact
+    BIGINT arithmetic — no float-sum order sensitivity (the same trick
+    as the repo's integer-math events queries).
+
+    Scale shape: one token-explode shuffle into a vocab-cardinality
+    aggregate (map-side combined), scalar totals broadcast back, term
+    table joins the token stream (vocab-sized build side), one per-doc
+    sum. Nothing is ever corpus×corpus; at 100 TB the published recipe
+    hashes features into 10^4 buckets — same plan with xxhash64(t) %
+    buckets as the feature key, offered via ``n_buckets`` on the
+    operator-shaped call path if vocab-cardinality joins ever bind."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, (F.col("doc_id") % 10 == 0)).orderBy("doc_id")
+
+
+def dsir_scores(docs: DataFrame, is_target: F.Column) -> DataFrame:
+    """The DSIR score plan over any (doc_id, text) frame; see
+    sample_importance_dsir for the algorithm and scale notes. Returns
+    (doc_id, n_tokens, score_micro) for the NON-target rows."""
+    from crawler_spark.functions import text as X
+
+    tok = docs.select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(X.tokenize("text")).alias("t"),
+    )
+    vocab = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("long").alias("cr"),
+    )
+    consts = vocab.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term = vocab.crossJoin(F.broadcast(consts)).select(
+        "t",
+        F.round(
+            (F.log(F.col("ct") + 1.0) - F.log(F.col("nt") + F.col("v"))
+             - F.log(F.col("cr") + 1.0) + F.log(F.col("nr") + F.col("v")))
+            * 1e6
+        ).cast("long").alias("term_micro"),
+    )
+    return (
+        tok.filter(~F.col("is_target"))
+        .join(term, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term_micro").cast("long").alias("score_micro"),
+        )
+    )
+
+
 @register(
     "corpus_clean",
     oracle=f"""

@@ -116,6 +116,36 @@ def test_hll_rollup_within_5pct_of_exact(spark):
     assert approx == direct
 
 
+def test_dsir_scores_target_like_docs_higher(spark):
+    """DSIR semantics on crafted data: raw docs written in the target's
+    vocabulary must outscore raw docs written in an off-target
+    vocabulary, and a doc mixing both lands in between. Longer docs in
+    the same vocabulary score proportionally (per-occurrence sum)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.queries_mlprep import dsir_scores
+
+    rows = [
+        # target slice: heavy in alpha-vocabulary
+        (0, "alpha beta gamma alpha beta gamma alpha beta"),
+        (10, "alpha gamma beta alpha gamma alpha beta beta"),
+        # raw docs
+        (1, "alpha beta gamma alpha beta gamma"),     # target-like
+        (2, "zeta eta theta zeta eta theta"),          # off-target
+        (3, "alpha beta zeta eta theta gamma"),        # mixed
+        (4, "alpha beta gamma alpha beta gamma alpha beta gamma "
+            "alpha beta gamma"),                       # target-like, 2x len
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dsir_scores(docs, F.col("doc_id") % 10 == 0).collect()}
+    assert set(got) == {1, 2, 3, 4}  # target rows excluded from output
+    assert got[1].score_micro > got[3].score_micro > got[2].score_micro
+    assert got[2].score_micro < 0  # off-target is actively down-weighted
+    # same vocabulary, double the occurrences → double the evidence
+    assert got[4].score_micro == 2 * got[1].score_micro
+
+
 def test_quality_weighted_sample_rate_tracks_weight(spark):
     """Kept fraction per length band must track the keep probability:
     full-weight docs (n_chars >= 2000) are all kept; a low-weight band
