@@ -52,6 +52,72 @@ def o3_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+# --- O3 batch serving: many queries, one corpus pass ----------------------
+_BATCH_TEXTS = ["fast hash join merge", "broadcast nested loop",
+                "stream watermark late data"]
+_BATCH_VECS = [
+    normalize_pad(_EMB.embed_text(t), DEFAULT_DIMS) for t in _BATCH_TEXTS
+]
+_BATCH_VALUES_SQL = ", ".join(
+    f"({i}, [" + ", ".join(repr(x) for x in v) + "]::DOUBLE[])"
+    for i, v in enumerate(_BATCH_VECS)
+)
+
+
+@register(
+    "knn_topk_batch",
+    oracle=f"""
+        WITH q(query_id, qv) AS (VALUES {_BATCH_VALUES_SQL}),
+        d AS (
+            SELECT query_id, vec_id,
+                   -list_dot_product({_NORM_V_SQL}, qv) AS distance
+            FROM embeddings CROSS JOIN q
+        )
+        SELECT query_id, vec_id, round(distance, 6) AS distance
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY distance, vec_id) AS rn
+            FROM d
+        )
+        WHERE rn <= 5
+        ORDER BY query_id, distance, vec_id
+    """,
+)
+def knn_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN serving: Q queries answered in ONE corpus pass —
+    the shape a search tier actually runs (amortizes the scan across
+    the query batch instead of Q single-query scans).
+
+    Scale shape: the Q-row query frame broadcasts into a cross join
+    (corpus ×Q rows, Q is the batch size — bounded fan-out), and the
+    per-query top-k is a row_number window WHOSE rn<=k FILTER Spark
+    rewrites into WindowGroupLimit: each input partition keeps only
+    its local top-k per query BEFORE the shuffle, so the exchange
+    carries k·partitions·Q rows, never the corpus (plan-locked in
+    tests/test_plan_shapes.py). Same result as Q knn_topk calls;
+    distances round to 6 with vec_id tie-break, as the whole family
+    does."""
+    from crawler_spark.sources import load_table
+
+    queries = spark.createDataFrame(
+        list(enumerate(_BATCH_VECS)), "query_id long, qv array<double>"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id", "vec_id",
+        V.neg_dot(V.l2_normalize("embedding"), F.col("qv")).alias("distance"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("distance", 6).alias("distance"))
+        .orderBy("query_id", "distance", "vec_id")
+    )
+
+
 # --- O3 scale path: LSH-pruned approximate top-k --------------------------
 @register("o3_knn_topk_lsh")  # rows-only: approximate (band-bucket pruned) top-k
 def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

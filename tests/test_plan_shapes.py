@@ -199,6 +199,17 @@ def test_trailing_features_single_user_shuffle(spark):
     assert n == 1, f"expected 1 exchange on user_id, found {n}"
 
 
+def test_batch_knn_partial_window_group_limit(spark):
+    """knn_topk_batch: the rn<=k filter must rewrite into a PARTIAL
+    WindowGroupLimit before the query_id exchange — each partition ships
+    only its local top-k per query, never the corpus×Q cross join — and
+    the Q-row query frame must broadcast."""
+    plan = plan_text(_QUERIES["knn_topk_batch"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, "map-side top-k (Partial WindowGroupLimit) lost"
+    assert "BroadcastExchange" in plan
+
+
 def test_approx_bins_no_sort_no_window(spark):
     """ev_value_bins_approx is the 100 TB binning path BECAUSE its plan
     has no Sort and no Window over the value column: cutpoints come from
