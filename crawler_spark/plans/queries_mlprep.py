@@ -154,6 +154,57 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gumbel-key weighted sampling without replacement ---------------------
+_GUMBEL_K = 64
+# deterministic uniform in (0,1) from the doc's md5 prefix — identical
+# in both engines, reproducible on any cluster size (the repo's hash-
+# sampling rule applied to continuous noise)
+_U_SQL = ("(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+          "AS UBIGINT) + 0.5) / 4294967296.0")
+
+
+@register(
+    "sample_gumbel_weighted",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               round(ln(n_chars) - ln(-ln({_U_SQL})), 6) AS key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY key DESC, doc_id
+        LIMIT {_GUMBEL_K}
+    """,
+)
+def sample_gumbel_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-max trick
+    (equivalently Efraimidis-Spirakis exponential keys): each doc gets
+    key = ln(weight) + Gumbel(0,1), and the global top-k by key is an
+    exact weighted sample — the distributed primitive behind "draw 10M
+    docs proportional to quality" that per-row Bernoulli sampling
+    can't do (it can't hit an exact k) and sorting-by-random can't do
+    weighted.
+
+    The "noise" is a deterministic uniform from the doc's md5 prefix,
+    so the draw is reproducible across engines and cluster sizes —
+    seeded sampling, not true randomness, by the same rule as every
+    sampling query here. Weight here is n_chars (any positive column
+    works). Plan: pure projection + TakeOrderedAndProject — k rows per
+    partition to the driver, no global sort, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") + 0.5)
+        / F.lit(4294967296.0)
+    )
+    key = F.round(F.log(F.col("n_chars").cast("double"))
+                  - F.log(-F.log(u)), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(_GUMBEL_K)
+    )
+
+
 # --- C4-style corpus cleaning composite -----------------------------------
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"

@@ -146,6 +146,29 @@ def test_dsir_scores_target_like_docs_higher(spark):
     assert got[4].score_micro == 2 * got[1].score_micro
 
 
+def test_gumbel_sample_is_weighted_and_exact_k(spark):
+    """sample_gumbel_weighted: exactly k rows, deterministic across
+    runs, and weighted — the char-weighted draw's mean n_chars exceeds
+    the corpus mean (long docs overrepresented, as ln(weight)+Gumbel
+    keys guarantee in expectation; deterministic hash noise makes the
+    outcome stable to assert)."""
+    import __spark_entry__ as E
+
+    from crawler_spark.plans.queries_mlprep import _GUMBEL_K
+    from crawler_spark.sources import load_table
+
+    q = E.queries()["sample_gumbel_weighted"]
+    rows = q(spark, SF).collect()
+    assert len(rows) == _GUMBEL_K
+    again = q(spark, SF).collect()
+    assert [(r.doc_id, r.key) for r in rows] == [
+        (r.doc_id, r.key) for r in again]
+    corpus = [r.n_chars for r in load_table(spark, SF, "documents")
+              .filter("n_chars > 0").collect()]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > sum(corpus) / len(corpus)
+
+
 def test_quality_weighted_sample_rate_tracks_weight(spark):
     """Kept fraction per length band must track the keep probability:
     full-weight docs (n_chars >= 2000) are all kept; a low-weight band
