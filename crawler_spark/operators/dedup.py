@@ -553,3 +553,71 @@ def canonical_assignment(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> D
         .join(best, "id", "left")
         .select("id", F.least(F.col("id"), F.coalesce("min_nb", "id")).alias("canonical_id"))
     )
+
+
+def dedup_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+) -> DataFrame:
+    """Corpus-level repeated-span removal (C4's three-sentence rule /
+    RefinedWeb exact-substring dedup, rewritten over token windows):
+    partition every document into non-overlapping ``span_tokens``-word
+    spans, keep the FIRST corpus-wide occurrence of each span (ordered
+    by (id, span index) — deterministic on any cluster), drop later
+    occurrences, and reassemble the surviving spans per document.
+
+    Unlike ``decontaminate``/``contaminated_spans`` (which flag or
+    locate overlap against a separate eval set), this is corpus
+    SELF-dedup that rewrites the text — the boilerplate-killer step
+    (repeated headers, licence blocks, templated paragraphs) that
+    document-level near-dup cannot express.
+
+    Returns (id_col, text_clean, n_spans, n_removed).
+
+    Scale shape: two shuffles, both keyed fine-grained —
+      * first-occurrence ranking shuffles on the span STRING itself
+        (not a 64-bit hash: a hash collision here would delete a
+        unique span, the unsafe direction for a destructive rewrite;
+        the span text must travel to the reassembly anyway, so exact
+        keys cost no extra shuffle bytes, only key-compare width);
+      * reassembly shuffles on the doc id. Both keys are high-
+        cardinality and uniform; the hottest span key carries one row
+        per *duplicate*, which is exactly the data being deleted.
+    The per-doc state is one (idx, kept, span) struct per span —
+    bounded by document length, never corpus-global.
+    """
+    w = int(span_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.greatest(F.ceil(F.size(toks) / F.lit(w)), F.lit(1)).cast("int")
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.slice(toks, i * w + 1, w),
+            )
+        ).alias("span_idx", "span_toks"),
+    ).select(
+        id_col, "span_idx", F.array_join("span_toks", " ").alias("span")
+    )
+    first = Window.partitionBy("span").orderBy(id_col, "span_idx")
+    marked = spans.withColumn("kept", F.row_number().over(first) == 1)
+    assembled = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "kept", "span"))
+                ),
+                lambda s: s["kept"],
+            ),
+            lambda s: s["span"],
+        ),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        assembled.alias("text_clean"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_removed"),
+    )

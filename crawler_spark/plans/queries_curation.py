@@ -530,3 +530,51 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = tagged.where("is_val").select("doc_id", F.lit("val").alias("split"))
     return val.unionByName(train)
+
+
+# --- corpus-level repeated-span removal (C4 / RefinedWeb) -----------------
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx,
+                   array_to_string(ts[u.i*4+1 : u.i*4+4], ' ') AS span
+            FROM toks,
+                 unnest(generate_series(
+                     0, CAST(greatest(ceil(len(ts)/4.0), 1) AS BIGINT) - 1
+                 )) AS u(i)
+        ),
+        marked AS (
+            SELECT doc_id, span_idx, span,
+                   row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, span_idx
+                   ) = 1 AS kept
+            FROM spans
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN kept THEN span END,
+                                   ' ' ORDER BY span_idx), '') AS text_clean,
+               count(*) AS n_spans,
+               count(CASE WHEN NOT kept THEN 1 END) AS n_removed
+        FROM marked
+        GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-dedup at SPAN granularity — C4's "discard any
+    three-sentence span occurring more than once" rule (Raffel et al.
+    2020 §2.2) re-expressed over token windows (the synthetic docs
+    have no sentence boundaries; real corpora would use ~50-token
+    spans, here 4 so the small-SF fixture actually has repeats).
+    Keep-first-occurrence is corpus-global and deterministic; the
+    rewrite drops boilerplate that document-level dedup can't see."""
+    from crawler_spark.operators.dedup import dedup_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_repeated_spans(docs, span_tokens=4)

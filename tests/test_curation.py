@@ -199,3 +199,48 @@ class TestTrainValSplit:
         assert train_ids[0] not in got, "leaked duplicate survived into train"
         assert got[train_ids[1]] == "train"
         assert got[train_ids[2]] == "train"
+
+
+class TestRepeatedSpans:
+    def test_keep_first_occurrence_and_rewrite(self, spark):
+        """Hand-built corpus: doc 1 repeats doc 0's span AND its own
+        first span; keep-first is corpus-global by (doc_id, span_idx)."""
+        from crawler_spark.operators.dedup import dedup_repeated_spans
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d x y z w"),          # spans: "a b c d", "x y z w"
+                (1, "a b c d a b c d q r s t"),  # first span dups doc 0, second dups its own
+                (2, "q r s t fresh span here ok"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dedup_repeated_spans(df, span_tokens=4).collect()}
+        assert got[0].text_clean == "a b c d x y z w"
+        assert got[0].n_removed == 0
+        # doc 1: both "a b c d" spans removed (doc 0 owns the first
+        # occurrence), "q r s t" kept (doc 1 precedes doc 2)
+        assert got[1].text_clean == "q r s t"
+        assert got[1].n_removed == 2 and got[1].n_spans == 3
+        assert got[2].text_clean == "fresh span here ok"
+        assert got[2].n_removed == 1
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        from crawler_spark.operators.dedup import dedup_repeated_spans
+
+        df = spark.createDataFrame(
+            [(0, "p q r s"), (1, "p q r s")], "doc_id long, text string")
+        got = {r.doc_id: r for r in dedup_repeated_spans(df, span_tokens=4).collect()}
+        assert got[0].text_clean == "p q r s"
+        assert got[1].text_clean == "" and got[1].n_removed == 1
+
+    def test_partial_tail_span_deduped_like_any_other(self, spark):
+        from crawler_spark.operators.dedup import dedup_repeated_spans
+
+        df = spark.createDataFrame(
+            [(0, "a b c d tail bit"), (1, "tail bit")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dedup_repeated_spans(df, span_tokens=4).collect()}
+        assert got[0].n_removed == 0
+        assert got[1].text_clean == "" and got[1].n_removed == 1
