@@ -210,3 +210,55 @@ def layout_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_rows", "user_span", "ts_span")
         .orderBy("n_rows", "user_span", "ts_span")
     )
+
+
+# --- Bloom-prefiltered semi-join reduction --------------------------------
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders o
+        JOIN (
+            SELECT c_custkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1' AND c_acctbal > 1000
+        ) c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_orderstatus
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⨝dim (operators/bloom.py): the dim side —
+    customers of one nation with a balance floor — is condensed to a
+    64 Kbit Bloom bitset built distributively, and the orders scan is
+    filtered by a pure-expression membership test BEFORE the join, so
+    at scale only (matching + fpp·non-matching) fact rows reach the
+    exchange. The join after the prefilter makes the answer exact;
+    the oracle is the plain join. The at-scale niche: build sides too
+    big to broadcast but whose bits fit (~180 MB per 100M keys at 1%
+    fpp), and multi-use filters Spark's own runtime bloom
+    (SPARK-32268) can't hoist."""
+    from crawler_spark.operators.bloom import bloom_prefiltered_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = (
+        customer.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .filter(F.col("c_acctbal") > 1000)
+        .select("c_custkey")
+    )
+    joined = bloom_prefiltered_join(
+        orders, dim, "o_custkey", "c_custkey", num_bits=1 << 16, num_hashes=5
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

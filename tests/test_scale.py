@@ -150,3 +150,65 @@ class TestBucketedJoin:
             .groupBy("o_orderpriority").count()
         )
         assert row_multiset(got) == row_multiset(want)
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_ever(self, spark):
+        """Every inserted key must test positive — the property that
+        makes the prefilter safe before an exact join."""
+        from crawler_spark.operators.bloom import (
+            bloom_might_contain, build_bloom_bits)
+
+        keys = spark.range(0, 2000).select((F.col("id") * 7919).alias("k"))
+        bits = build_bloom_bits(keys, "k", num_bits=1 << 14, num_hashes=5)
+        n = keys.filter(bloom_might_contain("k", bits, num_hashes=5)).count()
+        assert n == 2000
+
+    def test_false_positive_rate_bounded(self, spark):
+        """Disjoint probe keys: fpp should be near the configured
+        design point (m=16n bits, k=5 → ~0.1%), and far below 100%."""
+        from crawler_spark.operators.bloom import (
+            bloom_might_contain, build_bloom_bits)
+
+        member = spark.range(0, 1000).select((F.col("id") * 3 + 1).alias("k"))
+        bits = build_bloom_bits(member, "k", num_bits=1 << 14, num_hashes=5)
+        probe = spark.range(100_000, 110_000).select(F.col("id").alias("k"))
+        fp = probe.filter(bloom_might_contain("k", bits, num_hashes=5)).count()
+        assert fp / 10_000 < 0.05, fp
+
+    def test_prefiltered_join_equals_plain_join(self, spark):
+        from crawler_spark.operators.bloom import bloom_prefiltered_join
+        from crawler_spark.sources import load_table
+
+        orders = load_table(spark, SF, "orders")
+        dim = (
+            load_table(spark, SF, "customer")
+            .filter(F.col("c_acctbal") > 5000)
+            .select("c_custkey")
+        )
+        got = bloom_prefiltered_join(
+            orders, dim, "o_custkey", "c_custkey"
+        ).select("o_orderkey", "c_custkey")
+        plain = orders.join(
+            dim, orders.o_custkey == dim.c_custkey
+        ).select("o_orderkey", "c_custkey")
+        assert row_multiset(got) == row_multiset(plain)
+
+    def test_membership_is_pure_expression(self, spark):
+        """The prefilter must stay JVM-side: no BatchEvalPython /
+        ArrowEvalPython node in the plan, and the filter sits in the
+        scan stage (appears under WholeStageCodegen, not after an
+        Exchange)."""
+        from crawler_spark.operators.bloom import (
+            bloom_might_contain, build_bloom_bits)
+        from crawler_spark.sources import load_table
+
+        dim = load_table(spark, SF, "customer").select("c_custkey").limit(100)
+        bits = build_bloom_bits(dim, "c_custkey", num_bits=1 << 12)
+        plan = plan_text(
+            load_table(spark, SF, "orders").filter(
+                bloom_might_contain("o_custkey", bits)
+            )
+        )
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
