@@ -58,7 +58,7 @@ _NEVER_DRIVER_VERIFIED = [
     "ev_value_bins_approx", "streaming_dedup_horizon_e2e",
     "decontam_exact_spans", "pack_sequences_emit",
     "sample_importance_dsir", "knn_topk_batch", "sample_gumbel_weighted",
-    "dedup_repeated_spans", "join_bloom_prefilter",
+    "dedup_repeated_spans", "join_bloom_prefilter", "o3_knn_topk_pq",
 ]
 
 

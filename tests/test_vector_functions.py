@@ -232,3 +232,39 @@ class TestSQ8:
         for r in checked:
             assert r.mx <= 127
             assert abs(r.approx_sq - r.exact_sq) <= r.env + 1e-12, r.vec_id
+
+
+def test_pq_adc_recall_and_exact_rerank(spark):
+    """PQ/ADC path: returned distances are the EXACT distances for
+    their ids (re-rank is exact; only the ADC candidate set is
+    approximate); codebooks train deterministically; recall@5 vs the
+    exact top-k is useful on the near-uniform synthetic vectors (the
+    PQ worst case) and full re-rank (factor ≥ n/k) is ≡ exact."""
+    from crawler_spark.operators.similarity import (
+        knn_topk,
+        knn_topk_pq,
+        train_pq_codebooks,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = train_pq_codebooks(emb, n_subspaces=8, n_codes=32, seed=42)
+    assert len(books) == 8 and all(len(b) <= 32 for b in books)
+    assert train_pq_codebooks(emb, n_subspaces=8, n_codes=32, seed=42) == books
+
+    exact_all = {r.vec_id: r.distance
+                 for r in knn_topk(emb, QUERY_VEC, k=500).collect()}
+    got = knn_topk_pq(emb, books, QUERY_VEC, k=5, rerank_factor=20).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.distance == pytest.approx(exact_all[r.vec_id], abs=1e-12)
+    dists = [r.distance for r in got]
+    assert dists == sorted(dists)
+    top5 = set(list(exact_all)[:5])
+    recall = len({r.vec_id for r in got} & top5) / 5
+    assert recall >= 0.6, f"PQ recall {recall}"
+
+    # re-ranking every row degenerates to the exact answer
+    full = knn_topk_pq(emb, books, QUERY_VEC, k=5, rerank_factor=100).collect()
+    assert [r.vec_id for r in full] == list(exact_all)[:5]
