@@ -720,3 +720,45 @@ def knn_topk_pq(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------- random projection (JL)
+def random_projection(
+    df: DataFrame,
+    out_dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector through a seeded Gaussian matrix R (d × out_dims, entries
+    N(0, 1/out_dims)) so pairwise distances are preserved within
+    (1±ε) w.h.p. for out_dims = O(ε⁻² log n) — the standard
+    pre-compression before ANN indexing or all-pairs similarity when
+    the raw dimensionality is the cost driver.
+
+    The matrix is generated from ``seed`` driver-side (d·out_dims
+    floats — KBs), closed over by an Arrow-batched pandas UDF, and
+    shipped once per executor: one (batch × d) @ (d × out_dims) BLAS
+    product per Arrow batch, no shuffle, no per-row Python. The same
+    seed yields the same matrix on any cluster size, so projections
+    are reproducible and two tables projected separately remain
+    comparable.
+
+    Returns (id_col, projected) with ``projected`` an
+    array<double> of length out_dims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    d = int(first.d)
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal((d, out_dims)) / math.sqrt(out_dims)
+
+    @F.pandas_udf("array<double>")
+    def _project(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs).astype(np.float64, copy=False)
+        return pd.Series(list(x @ r))
+
+    return df.select(F.col(id_col), _project(F.col(vec_col)).alias("projected"))

@@ -446,3 +446,28 @@ def o3_knn_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = knn_topk_pq(emb, _PQ_CODEBOOKS[sf_dir], QUERY_VEC, k=5,
                       rerank_factor=20)
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --- JL random projection (embedding compression) -------------------------
+@register("embed_random_projection")  # rows-only: seeded Gaussian matrix is not SQL
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress 64-dim embeddings to 16 dims through a seeded JL
+    projection (operators/similarity.py random_projection) — the
+    pre-ANN compression step. Output is scalar-only for the driver
+    hash (array columns break its canonicalizer): projected norm and
+    first two coordinates, rounded. JL distance preservation itself
+    is pinned by tests/test_vector_functions.py."""
+    from crawler_spark.operators.similarity import random_projection
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dims=16, seed=42)
+    norm = F.sqrt(F.aggregate(
+        "projected", F.lit(0.0).cast("double"), lambda a, x: a + x * x))
+    return proj.select(
+        "vec_id",
+        F.lit(16).alias("proj_dim"),
+        F.round(norm, 6).alias("proj_norm"),
+        F.round(F.element_at("projected", 1), 6).alias("proj_x0"),
+        F.round(F.element_at("projected", 2), 6).alias("proj_x1"),
+    )

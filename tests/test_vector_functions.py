@@ -268,3 +268,38 @@ def test_pq_adc_recall_and_exact_rerank(spark):
     # re-ranking every row degenerates to the exact answer
     full = knn_topk_pq(emb, books, QUERY_VEC, k=5, rerank_factor=100).collect()
     assert [r.vec_id for r in full] == list(exact_all)[:5]
+
+
+def test_random_projection_preserves_distances_and_is_deterministic(spark):
+    """JL property: relative pairwise-distance distortion at 64→32
+    dims stays small on average; same seed → identical projection;
+    different seed → different projection."""
+    import itertools
+    import math
+
+    from crawler_spark.operators.similarity import random_projection
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    p1 = {r.vec_id: r.projected
+          for r in random_projection(emb, 32, seed=7).collect()}
+    p2 = {r.vec_id: r.projected
+          for r in random_projection(emb, 32, seed=7).collect()}
+    p3 = {r.vec_id: r.projected
+          for r in random_projection(emb, 32, seed=8).collect()}
+    assert p1 == p2
+    assert p1 != p3
+    assert all(len(v) == 32 for v in p1.values())
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    errs = []
+    ids = sorted(orig)[:20]
+    for a, b in itertools.combinations(ids, 2):
+        d0, d1 = dist(orig[a], orig[b]), dist(p1[a], p1[b])
+        if d0 > 0:
+            errs.append(abs(d1 - d0) / d0)
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.2, f"mean JL distortion {mean_err}"
