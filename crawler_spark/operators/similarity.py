@@ -660,6 +660,41 @@ def pq_encode_udf(codebooks: Sequence[Sequence[Sequence[float]]]):
     return _encode
 
 
+def pq_adc_distance(
+    codes_col: str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+):
+    """ADC distance expression: the driver computes the per-subspace
+    lookup table t[j][c] = q_j · codebook[j][c] (n_subspaces × n_codes
+    floats — bytes, constant-folded into the plan), and scoring a
+    stored vector is n_subspaces array lookups over its code ids:
+    distance ≈ -Σ_j t[j][code_j]. Pure expression, codegen."""
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = mats[0].shape[1]
+    n_codes = max(m.shape[0] for m in mats)
+    # flattened ADC table, subspace-major: flat[j*n_codes + c]
+    flat: list[float] = []
+    for j, cm in enumerate(mats):
+        tj = cm @ q[j * sub : (j + 1) * sub]
+        flat.extend(float(v) for v in tj)
+        flat.extend(0.0 for _ in range(n_codes - cm.shape[0]))
+    table = F.array(*[F.lit(v).cast("double") for v in flat])
+    j_idx = F.sequence(F.lit(0), F.lit(len(mats) - 1))
+    return -F.aggregate(
+        j_idx,
+        F.lit(0.0).cast("double"),
+        lambda acc, j: acc
+        + F.element_at(
+            table,
+            (j * n_codes + F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
+        ),
+    )
+
+
 def knn_topk_pq(
     df: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],
@@ -684,31 +719,11 @@ def knn_topk_pq(
     this exact recipe; compose with the IVF coarse quantizer for
     IVFPQ at the full 100 TB scale.
     """
-    import numpy as np
-
-    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
-    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    sub = mats[0].shape[1]
-    n_codes = max(m.shape[0] for m in mats)
-    # flattened ADC table, subspace-major: flat[j*n_codes + c]
-    flat: list[float] = []
-    for j, cm in enumerate(mats):
-        tj = cm @ q[j * sub : (j + 1) * sub]
-        flat.extend(float(v) for v in tj)
-        flat.extend(0.0 for _ in range(n_codes - cm.shape[0]))
-    table = F.array(*[F.lit(v).cast("double") for v in flat])
-
     norm = df.select(
         id_col, V.l2_normalize(vec_col).alias("v")
     ).withColumn("codes", pq_encode_udf(codebooks)("v"))
 
-    j_idx = F.sequence(F.lit(0), F.lit(len(mats) - 1))
-    adc = -F.aggregate(
-        j_idx,
-        F.lit(0.0).cast("double"),
-        lambda acc, j: acc
-        + F.element_at(table, (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int")),
-    )
+    adc = pq_adc_distance("codes", codebooks, query_vec)
     cand = (
         norm.select(id_col, "v", adc.alias("approx_distance"))
         .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
@@ -762,3 +777,59 @@ def random_projection(
         return pd.Series(list(x @ r))
 
     return df.select(F.col(id_col), _project(F.col(vec_col)).alias("projected"))
+
+
+def knn_topk_ivfpq(
+    spark,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ — the standard billion-vector serving recipe (FAISS
+    ``IVFx,PQy``): the IVF coarse quantizer prunes the SCAN to the
+    ``nprobe`` nearest inverted lists (directory-level partition
+    pruning), PQ/ADC prunes the CANDIDATES inside those lists with a
+    codes-only first pass, and the k·rerank_factor survivors get an
+    exact re-rank. The two prunings compose multiplicatively: at
+    C lists / m-byte codes, a probe touches ~nprobe/C of the data and
+    reads ~m bytes per touched vector — the shape that serves 10⁹+
+    vectors from object storage.
+
+    Here codes are derived in-plan from the stored vectors; a
+    deployment materializes them into the index once (build-time cost,
+    like ``build_ivf_index``) so the first pass never reads floats.
+    """
+    import functools
+    import operator as op
+
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
+    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
+    cond = functools.reduce(
+        op.or_, [F.col("list_id") == int(p) for p in probe]
+    )
+    probed = (
+        spark.read.parquet(index_path)
+        .filter(cond)
+        .withColumn("codes", pq_encode_udf(codebooks)("v"))
+    )
+    adc = pq_adc_distance("codes", codebooks, query_vec)
+    cand = (
+        probed.select(F.col("id").alias(id_col), "v", adc.alias("approx_distance"))
+        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .limit(max(k, k * rerank_factor))
+    )
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    return (
+        cand.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -471,3 +471,25 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("projected", 1), 6).alias("proj_x0"),
         F.round(F.element_at("projected", 2), 6).alias("proj_x1"),
     )
+
+
+# --- O3 composed scale path: IVF partition pruning × PQ codes-only scan ---
+@register("knn_topk_ivfpq")  # rows-only: composed ANN (IVF lists + PQ/ADC)
+def knn_topk_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: the coarse quantizer prunes the scan to nprobe inverted
+    lists (directory pruning), ADC prunes candidates within them with
+    a codes-only pass, exact re-rank last. The multiplicative pruning
+    (~nprobe/C of rows × ~m bytes/vector) is THE billion-vector
+    serving shape; recall vs exact pinned in tests."""
+    from crawler_spark.operators.similarity import knn_topk_ivfpq, train_pq_codebooks
+    from crawler_spark.sources import load_table
+
+    path, centroids = _ensure_ivf_index(spark, sf_dir)
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"), n_subspaces=8, n_codes=32)
+    top = knn_topk_ivfpq(
+        spark, path, centroids, _PQ_CODEBOOKS[sf_dir], QUERY_VEC,
+        k=5, nprobe=8, rerank_factor=20,
+    )
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -303,3 +303,47 @@ def test_random_projection_preserves_distances_and_is_deterministic(spark):
             errs.append(abs(d1 - d0) / d0)
     mean_err = sum(errs) / len(errs)
     assert mean_err < 0.2, f"mean JL distortion {mean_err}"
+
+
+def test_ivfpq_compose_exact_rerank_and_recall(spark, tmp_path):
+    """IVFPQ: distances are exact for returned ids; recall rises with
+    nprobe and reaches the IVF-only answer at full probe (ADC pruning
+    inside lists is recovered by the exact re-rank)."""
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk,
+        knn_topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    books = train_pq_codebooks(emb, n_subspaces=8, n_codes=32, seed=42)
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, idx, cents)
+
+    exact_all = {r.vec_id: r.distance
+                 for r in knn_topk(emb, QUERY_VEC, k=500).collect()}
+    got = knn_topk_ivfpq(
+        spark, idx, cents, books, QUERY_VEC, k=5, nprobe=4, rerank_factor=20
+    ).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.distance == pytest.approx(exact_all[r.vec_id], abs=1e-12)
+    lo = knn_topk_ivfpq(
+        spark, idx, cents, books, QUERY_VEC, k=5, nprobe=1, rerank_factor=20
+    ).collect()
+    top5 = set(list(exact_all)[:5])
+    r_hi = len({r.vec_id for r in got} & top5) / 5
+    r_lo = len({r.vec_id for r in lo} & top5) / 5
+    assert r_hi >= r_lo, (r_hi, r_lo)
+    assert r_hi >= 0.6, f"IVFPQ recall {r_hi}"
+
+    # full probe + full re-rank degenerates to exact
+    full = knn_topk_ivfpq(
+        spark, idx, cents, books, QUERY_VEC, k=5, nprobe=8, rerank_factor=100
+    ).collect()
+    assert [r.vec_id for r in full] == list(exact_all)[:5]
