@@ -59,7 +59,7 @@ _NEVER_DRIVER_VERIFIED = [
     "decontam_exact_spans", "pack_sequences_emit",
     "sample_importance_dsir", "knn_topk_batch", "sample_gumbel_weighted",
     "dedup_repeated_spans", "join_bloom_prefilter", "o3_knn_topk_pq",
-    "embed_random_projection", "knn_topk_ivfpq",
+    "embed_random_projection", "knn_topk_ivfpq", "knn_index_append",
 ]
 
 

@@ -833,3 +833,38 @@ def knn_topk_ivfpq(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def append_banded_index(
+    df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Incremental maintenance for a ``build_banded_index`` table: band
+    ONLY the new batch with the same hyperplanes (same knobs + seed —
+    the expression-derived planes are deterministic, so old and new
+    rows land in consistent buckets) and append its files into the
+    existing (band, bucket) partition directories. The continuous-
+    crawl shape: each ingest wave costs O(batch), never a rebuild;
+    probes see old+new immediately with unchanged pruning.
+
+    The partition layout never changes (bucket set is fixed by the
+    knobs), so appends only ADD part-files inside existing directories.
+    Like every multi-file append, a mid-write crash can leave orphan
+    part-files; production puts this behind the same atomic manifest
+    commit the streaming upsert uses (streaming/ingest_stream.py), or
+    Delta when available. Compact small part-files periodically —
+    every append adds ≥1 file per touched bucket.
+    """
+    from crawler_spark.operators.dedup import hyperplane_bands
+
+    banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
+    (
+        banded.write.mode("append")
+        .partitionBy("band", "bucket")
+        .parquet(index_path)
+    )

@@ -493,3 +493,36 @@ def knn_topk_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, nprobe=8, rerank_factor=20,
     )
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --- ANN index incremental maintenance ------------------------------------
+@register("knn_index_append")  # rows-only: index build + batch append + probe
+def knn_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl index story end-to-end: build the banded
+    index, append a new batch banded with the SAME hyperplanes (cost
+    O(batch), no rebuild — operators/similarity.py
+    append_banded_index), probe and see old+new together. The query
+    rebuilds its scratch index each run so repeated driver runs stay
+    idempotent; the appended vector is the query itself, so the probe
+    returning it at distance -1 proves the appended files are live."""
+    import os
+    import shutil
+
+    from crawler_spark.operators.similarity import (
+        append_banded_index,
+        build_banded_index,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.sources import load_table
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/crawler_spark_ann_index/{base}_append_scratch"
+    shutil.rmtree(path, ignore_errors=True)
+    build_banded_index(load_table(spark, sf_dir, "embeddings"), path)
+    new = spark.createDataFrame(
+        [(1_000_000, [float(x) for x in QUERY_VEC])],
+        "vec_id long, embedding array<double>",
+    )
+    append_banded_index(new, path)
+    top = knn_topk_precomputed(spark, path, QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -347,3 +347,40 @@ def test_ivfpq_compose_exact_rerank_and_recall(spark, tmp_path):
         spark, idx, cents, books, QUERY_VEC, k=5, nprobe=8, rerank_factor=100
     ).collect()
     assert [r.vec_id for r in full] == list(exact_all)[:5]
+
+
+def test_append_banded_index_probe_sees_new_vectors(spark, tmp_path):
+    """Incremental index append: a new near-duplicate of the query
+    becomes top-1 after append, pre-existing results are otherwise
+    unchanged, and the appended index equals a from-scratch rebuild."""
+    from crawler_spark.operators.similarity import (
+        append_banded_index,
+        build_banded_index,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "banded")
+    build_banded_index(emb, idx)
+    before = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+
+    new = spark.createDataFrame(
+        [(100_000, [float(x) for x in QUERY_VEC])],
+        "vec_id long, embedding array<double>",
+    )
+    append_banded_index(new, idx)
+    after = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+    assert after[0].vec_id == 100_000
+    assert after[0].distance == pytest.approx(-1.0, abs=1e-9)
+    assert [r.vec_id for r in after[1:]] == [r.vec_id for r in before[:4]]
+
+    # append ≡ rebuild over the unioned data
+    idx2 = str(tmp_path / "rebuilt")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    build_banded_index(base.unionByName(new), idx2)
+    rebuilt = knn_topk_precomputed(spark, idx2, QUERY_VEC, k=5).collect()
+    assert [(r.vec_id, r.distance) for r in rebuilt] == [
+        (r.vec_id, r.distance) for r in after]
