@@ -70,3 +70,49 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/rewrite half of table
+    maintenance): rewrite a fragmented parquet directory into
+    ⌈total_bytes / target_bytes⌉ files of ~target size.
+
+    Small files are the silent 100 TB killer on the WRITE side the way
+    skew is on the shuffle side: a streaming/append pipeline (e.g.
+    ``append_banded_index``, the streaming upsert) adds ≥1 file per
+    batch per partition, and a 100k-file directory costs minutes of
+    listing + task-per-file scheduling before a scan reads a byte.
+    Compaction is an O(data) rewrite, so it runs periodically, not
+    per-batch — Delta/Iceberg OPTIMIZE rebuilt from its public shape.
+
+    Sizing uses the filesystem's own content summary (works on any
+    Hadoop-supported FS), then ONE round-robin repartition — a full
+    shuffle, the honest cost of re-coalescing; use coalesce() instead
+    only when input files are already co-sized. Returns
+    {files_before, files_after, total_bytes, rows}.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(hconf)
+    summary = fs.getContentSummary(jpath)
+    total = int(summary.getLength())
+
+    df = spark.read.parquet(src_path)
+    files_before = len(df.inputFiles())
+    n_out = max(1, math.ceil(total / target_bytes))
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return {
+        "files_before": files_before,
+        "files_after": len(out.inputFiles()),
+        "total_bytes": total,
+        "rows": out.count(),
+    }

@@ -262,3 +262,29 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# --- small-file compaction ------------------------------------------------
+@register("layout_compact_build")  # rows-only: maintenance job (writes files)
+def layout_compact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment the events table into 64 tiny files (simulating an
+    append-heavy ingest directory), compact to ~4 MB targets
+    (operators/layout.py compact_files), and report before/after file
+    counts + row conservation. At 100 TB this is the periodic
+    maintenance job that keeps scan task counts sane after streaming
+    appends."""
+    import os
+    import tempfile
+
+    from crawler_spark.operators.layout import compact_files
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    scratch = tempfile.mkdtemp(prefix="compact_")
+    frag = os.path.join(scratch, "fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    stats = compact_files(
+        spark, frag, os.path.join(scratch, "compacted"), target_bytes=4 << 20)
+    return spark.createDataFrame(
+        [(stats["files_before"], stats["files_after"], stats["rows"])],
+        "files_before int, files_after int, rows long",
+    )

@@ -72,3 +72,40 @@ def test_zorder_preserves_rows_exactly(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 5_000
     assert {r.id for r in back.collect()} == set(range(5_000))
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_reduces_files(self, spark, tmp_path):
+        from crawler_spark.operators.layout import compact_files
+        from crawler_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id")
+        frag = str(tmp_path / "frag")
+        ev.repartition(32).write.parquet(frag)
+        stats = compact_files(
+            spark, frag, str(tmp_path / "out"), target_bytes=1 << 30)
+        assert stats["files_before"] == 32
+        assert stats["files_after"] == 1
+        assert stats["rows"] == ev.count()
+        # row multiset identical, not just counts
+        a = sorted(r.event_id for r in spark.read.parquet(frag).collect())
+        b = sorted(r.event_id
+                   for r in spark.read.parquet(str(tmp_path / "out")).collect())
+        assert a == b
+
+    def test_target_bytes_splits_output(self, spark, tmp_path):
+        """total/target governs the output file count."""
+        from crawler_spark.operators.layout import compact_files
+        from crawler_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        frag = str(tmp_path / "frag")
+        ev.repartition(16).write.parquet(frag)
+        import os
+        total = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag) if f.endswith(".parquet"))
+        stats = compact_files(
+            spark, frag, str(tmp_path / "out"), target_bytes=max(total // 4, 1))
+        assert 2 <= stats["files_after"] <= 8
