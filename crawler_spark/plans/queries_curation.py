@@ -578,3 +578,91 @@ def dedup_repeated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_repeated_spans(docs, span_tokens=4)
+
+
+# --- bigram LM log-probability quality scoring (CCNet-shaped) -------------
+@register(
+    "txt_bigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        cbg AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+        cleft AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+        vocab AS (
+            SELECT count(DISTINCT t.tok) AS v
+            FROM toks, unnest(ts) AS t(tok)
+        ),
+        scored AS (
+            SELECT g.doc_id,
+                   CAST(round(ln((cbg.c12 + 1.0) / (cleft.c1 + vocab.v)), 6)
+                        AS DECIMAL(18,6)) AS lnp
+            FROM grams g
+            JOIN cbg USING (w1, w2)
+            JOIN cleft USING (w1)
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(SUM(lnp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id
+    """,
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score, CCNet-shaped (Wenzek
+    et al. 2020 use wiki-LM perplexity; here the bigram LM is trained
+    on the corpus itself so the score is self-contained): add-one-
+    smoothed P(w2|w1), documents scored by mean log-probability —
+    low scores = improbable token sequences = gibberish/boilerplate
+    candidates for the quality gate.
+
+    Determinism: per-bigram ln is quantized to DECIMAL(18,6) BEFORE
+    the per-doc sum, so the aggregate is exact and partial-aggregation
+    order can't move the hash (registry money-math rule applied to
+    floats). Scale shape: bigram/left counts are vocab-bounded aggs
+    with map-side combine; the probability join back to the gram
+    stream broadcasts (vocab² is MBs for any real top-V LM — at
+    100 TB train on a sample and cap the vocab, the published CCNet
+    recipe); one per-doc agg ends the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    cbg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cleft = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    lnp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        grams.join(cbg, ["w1", "w2"])
+        .join(cleft, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("lnp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

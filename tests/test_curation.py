@@ -9,6 +9,8 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
@@ -244,3 +246,59 @@ class TestRepeatedSpans:
         got = {r.doc_id: r for r in dedup_repeated_spans(df, span_tokens=4).collect()}
         assert got[0].n_removed == 0
         assert got[1].text_clean == "" and got[1].n_removed == 1
+
+
+class TestBigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark, tmp_path):
+        """Python recomputation of the smoothed bigram score on a
+        3-doc corpus written as a documents table."""
+        import math
+        import re
+        from collections import Counter
+
+        rows = [
+            (0, "the cat sat", "en", "s", 11),
+            (1, "the cat ran", "en", "s", 11),
+            (2, "dog", "en", "s", 3),  # < 2 tokens → no output row
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+
+        import __spark_entry__ as E
+
+        got = {r.doc_id: r for r in
+               E.queries()["txt_bigram_logprob"](spark, str(tmp_path)).collect()}
+
+        texts = {i: [t for t in re.split(r"\W+", s.lower()) if t]
+                 for i, s, *_ in rows}
+        grams = [(ts[i], ts[i + 1]) for ts in texts.values()
+                 for i in range(len(ts) - 1)]
+        cbg, cleft = Counter(grams), Counter(g[0] for g in grams)
+        v = len({t for ts in texts.values() for t in ts})
+        for doc in (0, 1):
+            ts = texts[doc]
+            lnp = [round(math.log((cbg[(a, b)] + 1.0) / (cleft[a] + v)), 6)
+                   for a, b in zip(ts, ts[1:])]
+            want = round(sum(lnp) / len(lnp), 6)
+            assert got[doc].n_bigrams == len(lnp)
+            assert got[doc].avg_logprob == pytest.approx(want, abs=1e-9)
+        assert 2 not in got
+
+    def test_repeated_text_scores_higher(self, spark, tmp_path):
+        """A document made of the corpus's most common bigrams scores
+        above a doc of unique-once bigrams (the gibberish direction)."""
+        rows = [(i, "alpha beta alpha beta alpha beta", "en", "s", 32)
+                for i in range(3)]
+        rows.append((9, "zeta omega kappa", "en", "s", 16))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+
+        import __spark_entry__ as E
+
+        got = {r.doc_id: r.avg_logprob for r in
+               E.queries()["txt_bigram_logprob"](spark, str(tmp_path)).collect()}
+        assert got[0] > got[9]
