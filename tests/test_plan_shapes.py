@@ -225,3 +225,25 @@ def test_approx_bins_no_sort_no_window(spark):
     assert "BroadcastExchange" in plan, (
         "the 9-value cutpoint frame should broadcast, not shuffle"
     )
+
+
+def test_bigram_lm_joins_broadcast(spark):
+    """The probability join back to the gram stream must broadcast the
+    vocab-bounded LM tables — a SortMergeJoin here re-shuffles the
+    whole gram stream at corpus scale."""
+    plan = plan_text(_QUERIES["txt_bigram_logprob"](spark, SF))
+    assert "SortMergeJoin" not in plan, "LM table join fell back to SMJ"
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_repeated_spans_two_shuffles_no_join(spark):
+    """Span dedup is rank-then-reassemble: exactly the two keyed
+    exchanges (span rank, doc reassembly; +1 AQE final agg reuse is
+    tolerated), and never a self-join."""
+    import re
+
+    plan = plan_text(_QUERIES["dedup_repeated_spans"](spark, SF))
+    assert "Join" not in plan
+    n_exchanges = len(
+        [ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange", ln)])
+    assert n_exchanges <= 3, n_exchanges
