@@ -581,9 +581,7 @@ def dedup_repeated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- bigram LM log-probability quality scoring (CCNet-shaped) -------------
-@register(
-    "txt_bigram_logprob",
-    oracle=f"""
+_BIGRAM_SCORES_SQL = f"""
         WITH toks AS (
             SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
         ),
@@ -611,25 +609,13 @@ def dedup_repeated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(SUM(lnp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM scored
         GROUP BY doc_id
-    """,
-)
-def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document language-model quality score, CCNet-shaped (Wenzek
-    et al. 2020 use wiki-LM perplexity; here the bigram LM is trained
-    on the corpus itself so the score is self-contained): add-one-
-    smoothed P(w2|w1), documents scored by mean log-probability —
-    low scores = improbable token sequences = gibberish/boilerplate
-    candidates for the quality gate.
+"""
 
-    Determinism: per-bigram ln is quantized to DECIMAL(18,6) BEFORE
-    the per-doc sum, so the aggregate is exact and partial-aggregation
-    order can't move the hash (registry money-math rule applied to
-    floats). Scale shape: bigram/left counts are vocab-bounded aggs
-    with map-side combine; the probability join back to the gram
-    stream broadcasts (vocab² is MBs for any real top-V LM — at
-    100 TB train on a sample and cap the vocab, the published CCNet
-    recipe); one per-doc agg ends the plan."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the corpus-trained
+    add-one-smoothed bigram LM — the plan behind ``txt_bigram_logprob``
+    and the score feeding ``sample_perplexity_buckets``."""
     toks = X.tokenize("text")
     grams = docs.select(
         "doc_id",
@@ -666,3 +652,69 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lnp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+@register("txt_bigram_logprob", oracle=_BIGRAM_SCORES_SQL)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score, CCNet-shaped (Wenzek
+    et al. 2020 use wiki-LM perplexity; here the bigram LM is trained
+    on the corpus itself so the score is self-contained): add-one-
+    smoothed P(w2|w1), documents scored by mean log-probability —
+    low scores = improbable token sequences = gibberish/boilerplate
+    candidates for the quality gate.
+
+    Determinism: per-bigram ln is quantized to DECIMAL(18,6) BEFORE
+    the per-doc sum, so the aggregate is exact and partial-aggregation
+    order can't move the hash (registry money-math rule applied to
+    floats). Scale shape: bigram/left counts are vocab-bounded aggs
+    with map-side combine; the probability join back to the gram
+    stream broadcasts (vocab² is MBs for any real top-V LM — at
+    100 TB train on a sample and cap the vocab, the published CCNet
+    recipe); one per-doc agg ends the plan."""
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- perplexity-bucketed sampling (the CCNet head/middle/tail split) ------
+@register(
+    "sample_perplexity_buckets",
+    oracle=f"""
+        WITH scores AS ({_BIGRAM_SCORES_SQL}),
+        bucketed AS (
+            SELECT doc_id, avg_logprob,
+                   ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                       AS bucket
+            FROM scores
+        )
+        SELECT doc_id, bucket, avg_logprob
+        FROM bucketed
+        WHERE CASE bucket
+                  WHEN 1 THEN TRUE
+                  WHEN 2 THEN substr({_KEY_SQL}, 1, 2) < '80'
+                  ELSE substr({_KEY_SQL}, 1, 2) < '1a'
+              END
+    """,
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's closing move (Wenzek et al. 2020 §4.3): split the corpus
+    into head/middle/tail thirds by LM score and keep them at
+    100%/~50%/~10% — better text is over-represented without the hard
+    cliff of a single threshold. Bucketing is ntile over
+    (avg_logprob DESC, doc_id) — fully tie-broken, so membership is
+    deterministic on any engine; within-bucket sampling is the repo's
+    md5-prefix rule (reproducible on any cluster size, no RNG state).
+    Scale: the ntile is ONE total-order window — at 100 TB swap for
+    approx-percentile cutpoints exactly as ``ev_value_bins_approx``
+    does for ``ev_value_bins`` (same documented trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_logprob_scores(docs)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    bucketed = scores.select(
+        "doc_id", "avg_logprob", F.ntile(3).over(w).alias("bucket")
+    )
+    key2 = F.substring(_key(), 1, 2)
+    keep = (
+        F.when(F.col("bucket") == 1, F.lit(True))
+        .when(F.col("bucket") == 2, key2 < "80")
+        .otherwise(key2 < "1a")
+    )
+    return bucketed.filter(keep).select("doc_id", "bucket", "avg_logprob")

@@ -302,3 +302,29 @@ class TestBigramLogprob:
         got = {r.doc_id: r.avg_logprob for r in
                E.queries()["txt_bigram_logprob"](spark, str(tmp_path)).collect()}
         assert got[0] > got[9]
+
+
+class TestPerplexityBuckets:
+    def test_bucket_rates_and_membership(self, spark):
+        """Head kept whole; middle ≈ half; tail ≈ tenth; buckets follow
+        the score order (worst scores only in the tail bucket)."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        rows = E.queries()["sample_perplexity_buckets"](spark, sf).collect()
+        scores = {r.doc_id: r for r in
+                  E.queries()["txt_bigram_logprob"](spark, sf).collect()}
+        n = len(scores)
+        per = {1: 0, 2: 0, 3: 0}
+        for r in rows:
+            per[r.bucket] += 1
+            assert r.avg_logprob == scores[r.doc_id].avg_logprob
+        third = n / 3
+        assert per[1] >= third - 1          # head: kept in full
+        assert per[2] < per[1]               # middle: thinned
+        assert per[3] < per[2]               # tail: thinned hardest
+        # bucket ordering follows the score: every head member scores
+        # >= every tail member
+        head_min = min(r.avg_logprob for r in rows if r.bucket == 1)
+        tail_max = max(r.avg_logprob for r in rows if r.bucket == 3)
+        assert head_min >= tail_max
