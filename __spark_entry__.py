@@ -61,7 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_repeated_spans", "join_bloom_prefilter", "o3_knn_topk_pq",
     "embed_random_projection", "knn_topk_ivfpq", "knn_index_append",
     "layout_compact_build", "txt_bigram_logprob",
-    "sample_perplexity_buckets",
+    "sample_perplexity_buckets", "mine_hard_negatives",
 ]
 
 

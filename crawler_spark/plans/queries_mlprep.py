@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions import vector as V
+from crawler_spark.plans.queries_text import _FP_SQL
+from crawler_spark.plans.queries_vector import _NORM_V_SQL
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -527,4 +530,86 @@ def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("qs", lambda q: F.col("value") > q))
             .cast("long").alias("bin"),
         )
+    )
+
+
+# --- hard-negative mining for embedding/retriever training ----------------
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, {_FP_SQL} AS fp FROM documents
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, {_NORM_V_SQL} AS qv, fp.fp AS qfp
+            FROM embeddings e JOIN fp ON e.vec_id = fp.doc_id
+            WHERE e.vec_id IN (0, 1, 2)
+        ),
+        d AS (
+            SELECT q.query_id, e.vec_id,
+                   -list_dot_product({_NORM_V_SQL}, q.qv) AS distance
+            FROM embeddings e
+            JOIN fp ON e.vec_id = fp.doc_id
+            CROSS JOIN q
+            WHERE e.vec_id <> q.query_id AND fp.fp <> q.qfp
+        )
+        SELECT query_id, vec_id,
+               CASE WHEN rn = 1 THEN 'positive' ELSE 'negative' END AS label,
+               round(distance, 6) AS distance
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY distance, vec_id) AS rn
+            FROM d
+        )
+        WHERE rn <= 5
+        ORDER BY query_id, distance, vec_id
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep (the DPR/Contriever recipe,
+    Karpukhin et al. 2020): for each query document, its nearest
+    non-identical neighbor is the pseudo-positive and the next-nearest
+    are the HARD negatives — near misses teach the encoder far more
+    than random negatives. Documents with the SAME content fingerprint
+    as the query are excluded first (an exact duplicate labeled
+    "negative" poisons the loss — the standard false-negative trap).
+
+    Scale shape = ``knn_topk_batch``: Q query rows broadcast into a
+    bounded cross join over ONE corpus pass; fingerprint exclusion
+    rides the same broadcast (fp travels with the row); per-query
+    top-k is the row_number window Spark rewrites to WindowGroupLimit
+    (map-side top-k before the exchange). At real scale the corpus
+    pass swaps for an ANN probe per query, same as serving."""
+    from crawler_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint("text").alias("fp"))
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs, F.col("vec_id") == F.col("doc_id")).drop("doc_id")
+    q = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            V.l2_normalize("embedding").alias("qv"),
+            F.col("fp").alias("qfp"),
+        )
+    )
+    d = (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("query_id")) & (F.col("fp") != F.col("qfp")))
+        .select(
+            "query_id", "vec_id",
+            V.neg_dot(V.l2_normalize("embedding"), F.col("qv")).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "vec_id",
+            F.when(F.col("rn") == 1, "positive").otherwise("negative").alias("label"),
+            F.round("distance", 6).alias("distance"),
+        )
+        .orderBy("query_id", "distance", "vec_id")
     )

@@ -212,3 +212,41 @@ def test_domain_rebalance_cap_binds_on_skewed_corpus(spark, tmp_path):
     b = {r.doc_id for r in E.queries()["sample_domain_rebalance"](
         spark, str(tmp_path)).collect()}
     assert a == b
+
+
+class TestHardNegatives:
+    def test_exclusions_and_labels(self, spark, tmp_path):
+        """A planted exact duplicate of the query text must never
+        appear in its candidate list; self is excluded; exactly one
+        positive per query and it is the nearest candidate."""
+        import __spark_entry__ as E
+
+        docs = [
+            (0, "the query document", "en", "s", 18),
+            (1, "the query  DOCUMENT ", "en", "s", 20),  # same fingerprint as 0
+            (2, "something rather different", "en", "s", 26),
+            (3, "another unrelated text", "en", "s", 22),
+        ]
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0, 0.0], 0),   # nearest to 0, but a duplicate
+            (2, [0.7, 0.7, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 0.0, 0.0], 0),
+        ]
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        rows = [r for r in
+                E.queries()["mine_hard_negatives"](spark, str(tmp_path)).collect()
+                if r.query_id == 0]
+        ids = [r.vec_id for r in rows]
+        assert 0 not in ids, "self leaked into candidates"
+        assert 1 not in ids, "same-fingerprint duplicate leaked in"
+        assert ids == [2, 3]
+        assert [r.label for r in rows] == ["positive", "negative"]
+        assert rows[0].distance <= rows[1].distance
