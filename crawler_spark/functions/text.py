@@ -146,13 +146,27 @@ def char_ngrams(col: ColumnOrName, n: int) -> Column:
 
 def word_shingles(col: ColumnOrName, k: int) -> Column:
     """All k-word shingles (space-joined) of the tokenized string.
-    Same descending-sequence guard as char_ngrams."""
+    Same descending-sequence guard as char_ngrams.
+
+    Built as a zip_with fold over k shifted slices, NOT as a
+    transform-with-slice lambda: indexing back into the ``tokenize``
+    expression from inside a lambda makes Catalyst re-evaluate the
+    whole tokenizer PER POSITION (CollapseProject inlines the alias),
+    i.e. O(len²) per document. The fold evaluates the tokenizer a
+    constant ~2k times per row — same output, measured ~9× faster on
+    the shingle-heavy dedup family at sf0.1. (char_ngrams is safe:
+    its lambda indexes a plain column reference, not a computed
+    expression.)"""
     toks = tokenize(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+    n = F.size(toks)
+    shingles = F.slice(toks, 1, n - (k - 1))
+    for j in range(1, k):
+        shingles = F.zip_with(
+            shingles,
+            F.slice(toks, j + 1, n - (k - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def quality_stats(col: ColumnOrName) -> dict[str, Column]:

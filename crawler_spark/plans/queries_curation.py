@@ -617,19 +617,23 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
     add-one-smoothed bigram LM — the plan behind ``txt_bigram_logprob``
     and the score feeding ``sample_perplexity_buckets``."""
     toks = X.tokenize("text")
+    n = F.size(toks)
+    # adjacent pairs via two slices + zip_with, NOT transform-with-
+    # element_at: a lambda that indexes back into `toks` re-evaluates
+    # the tokenizer expression PER POSITION (Catalyst inlines the
+    # alias), turning an O(len) parse into O(len²) per document —
+    # measured 17.7 s → 1.4 s at sf0.1. The slice form evaluates the
+    # tokenizer a constant ~4 times per row.
+    zipped = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            F.when(n >= 2, zipped).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     cbg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
