@@ -590,13 +590,21 @@ def dedup_repeated_spans(
     """
     w = int(span_tokens)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_spans = F.greatest(F.ceil(F.size(toks) / F.lit(w)), F.lit(1)).cast("int")
-    spans = df.select(
+    # explode(array(toks)) is a Generate barrier: `ts` becomes a plain
+    # attribute, so the chunking lambda's slice indexes a materialized
+    # array instead of re-running split per span position (the
+    # CollapseProject O(len²) inlining trap — see functions/text.py
+    # word_shingles).
+    tokd = df.select(F.col(id_col), F.explode(F.array(toks)).alias("ts"))
+    n_spans = (
+        F.greatest(F.ceil(F.size("ts") / F.lit(w)), F.lit(1)).cast("int")
+    )
+    spans = tokd.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.slice(toks, i * w + 1, w),
+                lambda i: F.slice(F.col("ts"), i * w + 1, w),
             )
         ).alias("span_idx", "span_toks"),
     ).select(
