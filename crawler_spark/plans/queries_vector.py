@@ -501,24 +501,25 @@ def knn_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-crawl index story end-to-end: build the banded
     index, append a new batch banded with the SAME hyperplanes (cost
     O(batch), no rebuild — operators/similarity.py
-    append_banded_index), probe and see old+new together. The query
-    rebuilds its scratch index each run so repeated driver runs stay
-    idempotent; the appended vector is the query itself, so the probe
-    returning it at distance -1 proves the appended files are live."""
+    append_banded_index), probe and see old+new together. The appended
+    vector is the query itself, so the probe returning it at distance
+    -1 proves the appended files are live. The base index comes from
+    ``_ensure_ann_index`` (the one ``knn_index_build`` already prices)
+    and is FILE-COPIED to a scratch dir each run — repeated driver
+    runs stay idempotent without re-paying the build job."""
     import os
     import shutil
 
     from crawler_spark.operators.similarity import (
         append_banded_index,
-        build_banded_index,
         knn_topk_precomputed,
     )
-    from crawler_spark.sources import load_table
 
+    base_idx = _ensure_ann_index(spark, sf_dir)
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/crawler_spark_ann_index/{base}_append_scratch"
     shutil.rmtree(path, ignore_errors=True)
-    build_banded_index(load_table(spark, sf_dir, "embeddings"), path)
+    shutil.copytree(base_idx, path)
     new = spark.createDataFrame(
         [(1_000_000, [float(x) for x in QUERY_VEC])],
         "vec_id long, embedding array<double>",
