@@ -242,3 +242,58 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("src"), F.explode("links").alias("dst")
     )
     return pagerank(edges).orderBy(F.col("rank").desc(), "id")
+
+
+@register("streaming_index_append_e2e")  # rows-only: streaming index maintenance
+def streaming_index_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-index maintenance loop end-to-end: embeddings replayed
+    as a multi-batch file stream, each micro-batch banded with the
+    shared hyperplanes and APPENDED into the banded index
+    (foreachBatch → operators/similarity.py append_banded_index — the
+    continuous-crawl shape: O(batch) per trigger, never a rebuild),
+    then the finished index is probed. Because appends only add files
+    inside the fixed (band, bucket) layout, the stream-built index is
+    equal to a batch build of the same rows (lockstep-tested in
+    tests/test_streaming.py); the probe here returning the exact-path
+    neighbors proves it on real data."""
+    import tempfile
+    import uuid
+
+    from crawler_spark.operators.similarity import (
+        append_banded_index,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix=f"idx_stream_src_{uuid.uuid4().hex[:6]}_")
+    emb.repartition(2).write.mode("overwrite").parquet(src)
+    idx = tempfile.mkdtemp(prefix="idx_stream_out_") + "/banded"
+
+    # two micro-batches exercise the incremental path; per-batch append
+    # jobs are tiny, so size the shuffle to the stream (same trade the
+    # other streaming e2e queries document)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_banded_index(batch, idx)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="idx_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    top = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -653,3 +653,50 @@ class TestStreamStaticEnrichment:
         for r in rows[:200]:
             if r.user_id < 1000:
                 assert r.tier == f"tier{r.user_id % 3}"
+
+
+class TestStreamingIndexAppend:
+    def test_stream_built_index_equals_batch_built(self, spark, tmp_path):
+        """Appending per micro-batch into the fixed (band, bucket)
+        layout must yield an index whose probe results are IDENTICAL
+        to a one-shot batch build over the same rows."""
+        from crawler_spark.operators.similarity import (
+            append_banded_index,
+            build_banded_index,
+            knn_topk_precomputed,
+        )
+        from crawler_spark.plans.queries_vector import QUERY_VEC
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding")
+        src = str(tmp_path / "src")
+        emb.repartition(3).write.parquet(src)
+
+        idx_stream = str(tmp_path / "streamed")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _id: append_banded_index(batch, idx_stream))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        idx_batch = str(tmp_path / "batch")
+        build_banded_index(emb, idx_batch)
+
+        got = knn_topk_precomputed(spark, idx_stream, QUERY_VEC, k=10).collect()
+        want = knn_topk_precomputed(spark, idx_batch, QUERY_VEC, k=10).collect()
+        assert [(r.vec_id, r.distance) for r in got] == [
+            (r.vec_id, r.distance) for r in want]
+        # every row landed exactly once across the micro-batch appends
+        n = spark.read.parquet(idx_stream).select("id").distinct().count()
+        assert n == emb.count()
