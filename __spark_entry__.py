@@ -62,7 +62,7 @@ _NEVER_DRIVER_VERIFIED = [
     "embed_random_projection", "knn_topk_ivfpq", "knn_index_append",
     "layout_compact_build", "txt_bigram_logprob",
     "sample_perplexity_buckets", "mine_hard_negatives",
-    "streaming_index_append_e2e",
+    "streaming_index_append_e2e", "txt_heavy_hitters_cms",
 ]
 
 

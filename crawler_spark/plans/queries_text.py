@@ -492,3 +492,95 @@ def agg_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Count-Min-Sketch frequency estimation --------------------------------
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "txt_heavy_hitters_cms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT u.t AS tok
+            FROM (SELECT {_TOKENS_SQL} AS ts FROM documents), unnest(ts) AS u(t)
+        ),
+        hashed AS (
+            SELECT tok, s.s AS seed,
+                   ('0x' || substr(md5(tok || ':' || s.s), 1, 8))::BIGINT
+                       % {_CMS_W} AS bucket
+            FROM tok, unnest(generate_series(0, {_CMS_D - 1})) AS s(s)
+        ),
+        cms AS (
+            SELECT seed, bucket, count(*) AS cnt
+            FROM hashed GROUP BY seed, bucket
+        ),
+        est AS (
+            SELECT h.tok, min(cms.cnt) AS cms_estimate
+            FROM (SELECT DISTINCT tok, seed, bucket FROM hashed) h
+            JOIN cms USING (seed, bucket)
+            GROUP BY h.tok
+        ),
+        exact AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY tok)
+        SELECT est.tok, est.cms_estimate, exact.exact_count,
+               est.cms_estimate - exact.exact_count AS overestimate
+        FROM est JOIN exact USING (tok)
+        ORDER BY exact.exact_count DESC, est.tok
+        LIMIT 30
+    """,
+)
+def txt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) next to the exact `txt_heavy_hitters`: d=4 seeded hash rows
+    × w=256 buckets, every token increments one bucket per row, a
+    token's estimate is the MIN over its d buckets — never an
+    underestimate, over by at most the collision mass (ε ≈ e/w of the
+    stream) w.h.p.
+
+    The 100 TB point: the exact heavy-hitter agg keys on the full
+    vocabulary (unbounded — URLs, typos, code make token cardinality
+    grow with the corpus), while the CMS table is d·w rows by
+    CONFIGURATION, mergeable across partitions/days exactly like the
+    HLL rollup (`ev_hll_distinct_rollup`), and queryable for ANY
+    candidate after the fact. The hash is md5-derived so both engines
+    compute identical buckets (`F.conv` ↔ '0x'::BIGINT, the
+    shard-assignment convention). Note the estimate-vs-exact gap is
+    part of the output: `overestimate >= 0` is the CMS guarantee,
+    asserted row-wise by the oracle and tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_token_counts(docs, d=_CMS_D, w=_CMS_W).limit(30)
+
+
+def cms_token_counts(docs: DataFrame, d: int, w: int) -> DataFrame:
+    """The CMS plan behind ``txt_heavy_hitters_cms``, parameterized so
+    tests can shrink ``w`` to force collisions and check the
+    one-sided-error guarantee."""
+    tok = docs.select(F.explode(X.tokenize("text")).alias("tok"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    hashed = tok.select("tok", seeds).select(
+        "tok", "seed",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "tok", "seed")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(w),
+        ).alias("bucket"),
+    )
+    cms = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    est = (
+        hashed.dropDuplicates(["tok", "seed", "bucket"])
+        .join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "tok")
+        .select(
+            "tok", "cms_estimate", "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "tok")
+    )

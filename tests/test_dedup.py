@@ -381,3 +381,30 @@ class TestSemanticDedup:
         # every near-dup pair ended up in one component
         for p in semantic_dedup_pairs(emb, cents, 0.35).collect():
             assert label[p.id_a] == label[p.id_b]
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_under_forced_collisions(self, spark):
+        """w=4 buckets guarantees collisions on a 30-word vocab: every
+        estimate must still be >= the exact count (CMS never
+        underestimates), and with the registered w=256 the top-30 have
+        zero overestimate on this corpus (no collisions among them)."""
+        from crawler_spark.plans.queries_text import cms_token_counts
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = cms_token_counts(docs, d=4, w=4).collect()
+        assert rows, "no tokens"
+        assert all(r.overestimate >= 0 for r in rows)
+        assert any(r.overestimate > 0 for r in rows), (
+            "w=4 on a 30-token vocab must collide somewhere")
+        # exact counts agree with the exact heavy-hitters query
+        import __spark_entry__ as E
+
+        exact = {r.token: r.cnt for r in
+                 E.queries()["txt_heavy_hitters"](spark,
+                     "/root/testdata/sf0.001").collect()}
+        got = {r.tok: r.exact_count for r in rows}
+        for t, n in exact.items():
+            if t in got:
+                assert got[t] == n
