@@ -584,3 +584,74 @@ def cms_token_counts(docs: DataFrame, d: int, w: int) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), "tok")
     )
+
+
+# --- recrawl change detection ---------------------------------------------
+@register(
+    "crawl_change_detection",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id, {_FP_SQL} AS fp FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN md5(trim(regexp_replace(lower(text || ' updated'),
+                                                     '\\s+', ' ', 'g')))
+                        ELSE {_FP_SQL} END AS fp
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, {_FP_SQL} FROM documents
+            WHERE doc_id % 11 = 0
+        )
+        SELECT status, count(*) AS n FROM (
+            SELECT CASE WHEN a.doc_id IS NULL THEN 'new'
+                        WHEN b.doc_id IS NULL THEN 'gone'
+                        WHEN a.fp = b.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ) GROUP BY status
+    """,
+)
+def crawl_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta classification — the query an incremental crawler
+    schedules from: two snapshots full-outer-joined on the page key,
+    rows classified new / gone / changed / unchanged by normalized
+    content fingerprint (the same md5 fingerprint the dedup family
+    keys on, so 'changed' means real content change, not whitespace).
+    The second snapshot here is synthesized deterministically from the
+    first (every 7th doc edited, every 13th dropped, every 11th
+    re-added under a new id) so both engines see identical inputs.
+
+    Scale shape: ONE equi-join on the page key — the textbook case for
+    the bucketed layout (sources/bucketed.py): snapshots bucketed by
+    url join with zero exchange, and the fingerprint projection means
+    the join carries 2 columns, not page bodies. Change rates feed
+    recrawl frequency per domain (the reference's last_crawled upsert
+    is the write-side of this read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", X.fingerprint("text").alias("fp"))
+    changed_fp = X.fingerprint(F.concat(F.col("text"), F.lit(" updated")))
+    b = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, changed_fp)
+            .otherwise(X.fingerprint("text")).alias("fp"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    X.fingerprint("text").alias("fp"))
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "new")
+        .when(F.col("b.doc_id").isNull(), "gone")
+        .when(F.col("a.fp") == F.col("b.fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"))
