@@ -63,7 +63,7 @@ _NEVER_DRIVER_VERIFIED = [
     "layout_compact_build", "txt_bigram_logprob",
     "sample_perplexity_buckets", "mine_hard_negatives",
     "streaming_index_append_e2e", "txt_heavy_hitters_cms",
-    "crawl_change_detection",
+    "crawl_change_detection", "ivfpq_index_build", "knn_probe_ivfpq",
 ]
 
 

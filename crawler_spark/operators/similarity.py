@@ -868,3 +868,81 @@ def append_banded_index(
         .partitionBy("band", "bucket")
         .parquet(index_path)
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the full IVFPQ serving index ONCE: every vector
+    normalized, assigned to its nearest coarse centroid (inverted
+    list = partition directory) and PQ-encoded, stored as
+    (id, codes, v) partitioned by ``list_id``. Build-time cost,
+    amortized over every probe — and because ``codes`` and ``v`` are
+    separate parquet columns, the ADC first pass reads codes ONLY
+    (column pruning is the 32× bandwidth win; the float column is
+    touched just for the k·rerank re-rank rows)."""
+    from crawler_spark.operators.dedup import long_id
+
+    norm = df.select(
+        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
+    )
+    (
+        norm.withColumn("list_id", nearest_centroid_udf(centroids)("v"))
+        .withColumn("codes", pq_encode_udf(codebooks)("v"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+
+
+def knn_topk_ivfpq_indexed(
+    spark,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a ``build_ivfpq_index`` table: directory-pruned read of
+    the ``nprobe`` nearest lists, ADC scoring over the CODES column
+    only (the float column is pruned out of the first-pass scan —
+    plan-locked in tests), then an id-keyed re-rank join that reads
+    floats for just the k·rerank survivors. This is the separated
+    build/probe form of ``knn_topk_ivfpq`` (which derives codes
+    in-plan): same answers, serving-shaped physics."""
+    import functools
+    import operator as op
+
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
+    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
+    cond = functools.reduce(
+        op.or_, [F.col("list_id") == int(p) for p in probe]
+    )
+    adc = pq_adc_distance("codes", codebooks, query_vec)
+    cand = (
+        spark.read.parquet(index_path)
+        .filter(cond)
+        .select("id", adc.alias("approx_distance"))  # codes-only scan
+        .orderBy(F.col("approx_distance").asc(), F.col("id").asc())
+        .limit(max(k, k * rerank_factor))
+    )
+    raw = spark.read.parquet(index_path).filter(cond).select("id", "v")
+    dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    return (
+        raw.join(F.broadcast(cand.select("id")), "id")
+        .select(F.col("id").alias(id_col), dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

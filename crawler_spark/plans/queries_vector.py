@@ -527,3 +527,76 @@ def knn_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_banded_index(new, path)
     top = knn_topk_precomputed(spark, path, QUERY_VEC, k=5)
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --- IVFPQ materialized serving index (build + probe split) ---------------
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
+    import json
+    import os
+    import shutil
+
+    from crawler_spark.operators.similarity import (
+        build_ivfpq_index,
+        train_pq_codebooks,
+    )
+    from crawler_spark.sources import load_table
+
+    path, centroids = _ensure_ivf_index(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    pq_path = f"/tmp/crawler_spark_ann_index/{base}_ivfpq_c16_m8_k32_s42"
+    book_file = pq_path + ".codebooks.json"
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"), n_subspaces=8, n_codes=32)
+    books = _PQ_CODEBOOKS[sf_dir]
+    if os.path.isfile(book_file) and os.path.isfile(
+            os.path.join(pq_path, "_SUCCESS")):
+        with open(book_file) as f:
+            if json.load(f) == books:
+                return pq_path, centroids, books
+    shutil.rmtree(pq_path, ignore_errors=True)
+    build_ivfpq_index(
+        load_table(spark, sf_dir, "embeddings"), pq_path, centroids, books)
+    with open(book_file, "w") as f:
+        json.dump(books, f)
+    return pq_path, centroids, books
+
+
+@register("ivfpq_index_build")  # rows-only: the one-off IVFPQ materialization
+def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the materialized IVFPQ index (operators/similarity.py
+    build_ivfpq_index) and report per-list row counts — the inverted-
+    list size distribution is the knob check (empty/huge lists → bad
+    centroids). One-off cost the probe amortizes, exactly like
+    `knn_index_build` for the banded family."""
+    import shutil
+
+    from crawler_spark.sources import load_table
+
+    # force a fresh build so the query prices the build, not the cache
+    import os
+    base = os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(f"/tmp/crawler_spark_ann_index/{base}_ivfpq_c16_m8_k32_s42",
+                  ignore_errors=True)
+    pq_path, _, _ = _ensure_ivfpq_index(spark, sf_dir)
+    back = spark.read.parquet(pq_path)
+    return (
+        back.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+@register("knn_probe_ivfpq")  # rows-only: codes-only ADC probe + re-rank join
+def knn_probe_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k from the materialized IVFPQ index: directory-pruned
+    nprobe read, ADC over the stored CODES column (float column pruned
+    out of the first-pass scan — plan-locked), id-keyed exact re-rank
+    join for the survivors only."""
+    from crawler_spark.operators.similarity import knn_topk_ivfpq_indexed
+
+    pq_path, centroids, books = _ensure_ivfpq_index(spark, sf_dir)
+    top = knn_topk_ivfpq_indexed(
+        spark, pq_path, centroids, books, QUERY_VEC,
+        k=5, nprobe=8, rerank_factor=20,
+    )
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -247,3 +247,32 @@ def test_repeated_spans_two_shuffles_no_join(spark):
     n_exchanges = len(
         [ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange", ln)])
     assert n_exchanges <= 3, n_exchanges
+
+
+def test_ivfpq_probe_first_pass_reads_codes_not_floats(spark, tmp_path):
+    """The materialized-index ADC pass must scan (id, codes) only —
+    the float column appearing in the first-pass ReadSchema would
+    erase the 32× bandwidth win the index exists for."""
+    from crawler_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_topk_ivfpq_indexed,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    books = train_pq_codebooks(emb, n_subspaces=8, n_codes=16, seed=42)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, cents, books)
+
+    plan = plan_text(knn_topk_ivfpq_indexed(
+        spark, idx, cents, books, QUERY_VEC, k=5, nprobe=2))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(reads) >= 2
+    codes_scans = [ln for ln in reads if "codes" in ln]
+    assert codes_scans, "no codes-only scan found"
+    assert all("v:array" not in ln for ln in codes_scans), (
+        "ADC first pass reads the float column:\n" + "\n".join(codes_scans))
