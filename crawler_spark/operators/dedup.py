@@ -205,6 +205,19 @@ def simhash_pairs(
     collapses the projection and re-evaluates the (large) signature
     fold once per band bucket expression — 5× the per-row cost."""
     sig = simhash(docs, text_col, id_col).cache()
+    return hamming_pairs_from_signatures(sig, max_hamming)
+
+
+def hamming_pairs_from_signatures(
+    sig: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded hamming-pair machinery over ANY (id, simhash) 64-bit
+    signature frame — shared by text SimHash (``simhash_pairs``) and
+    image perceptual hashes (operators/multimodal.py phash_images):
+    4×16-bit band buckets for candidates (pigeonhole: ≤3 differing
+    bits can't touch all 4 bands), bit_count(xor) verification, pairs
+    exploded in-bucket from ONE groupBy."""
     banded = sig.select(
         "id", "simhash",
         F.explode(F.array(*[

@@ -221,3 +221,36 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         F.concat(F.lit("https://"), F.col("source"), F.lit("/m/"), F.col("doc_id"))
         .alias("source_url"),
     )
+
+
+def phash_images(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual-hash stage for image near-dup (the LAION-scale image
+    dedup recipe): payload → 64-bit content hash, mapInPandas over
+    binary batches, no shuffle. Real pHash is grayscale → 32×32 DCT →
+    top-left 8×8 coefficients thresholded at their median (similar
+    images → small hamming distance); the stub derives the 64 bits
+    from the decoded fake body, which keeps the property the pair
+    machinery needs — identical content → identical hash, crafted
+    near-identical bodies → small hamming — without PIL in the image.
+
+    Returns (id, simhash) shaped for
+    ``operators/dedup.py hamming_pairs_from_signatures``, the SAME
+    banded candidate + bit_count verification machinery text SimHash
+    uses: one 100 TB pair pipeline, two modalities. Non-image or
+    undecodable payloads are dropped (dedup over images only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(payload)
+                if not p.startswith(FAKE_IMAGE_MAGIC):
+                    continue
+                parts = p.split(b":", 2)
+                if len(parts) < 3 or len(parts[2]) < 8:
+                    continue
+                ids.append(mid)
+                hs.append(int.from_bytes(parts[2][:8], "big", signed=True))
+            yield pd.DataFrame({"id": ids, "simhash": hs})
+
+    return media.mapInPandas(run, schema="id long, simhash long")

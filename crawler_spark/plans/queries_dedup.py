@@ -209,3 +209,40 @@ def txt_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, F.lit(0).cast("long"), lambda a, c: (a * 31 + c) % 2147483647
     )
     return docs.select("doc_id", rhash.alias("rhash"))
+
+
+@register("multimodal_phash_neardup")  # rows-only: image near-dup via pHash
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: synthesize the media table with
+    PLANTED duplicate images (every doc_id ≡ 4 (mod 40) image reuses
+    its predecessor image's content — deterministic, both engines'
+    views identical), perceptual-hash each image
+    (operators/multimodal.py phash_images), and pair via the SAME
+    banded-hamming machinery text SimHash uses
+    (hamming_pairs_from_signatures). The planted pairs come out at
+    hamming 0; the pipeline accepts hamming ≤ 3 generally. One
+    candidate shuffle, mapInPandas hashing, no codec dependency —
+    the LAION-style image-dedup shape."""
+    from crawler_spark.operators.dedup import hamming_pairs_from_signatures
+    from crawler_spark.operators.multimodal import fake_image, phash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed_id = F.when(
+        (F.col("doc_id") % 40 == 4), F.col("doc_id") - 4
+    ).otherwise(F.col("doc_id"))
+    seeds = docs.select(
+        F.col("doc_id").alias("seed_id"), F.col("text").alias("seed_text"))
+    imgs = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", seed_id.alias("seed_id"))
+        .join(seeds, "seed_id")
+    )
+    img_udf = F.udf(
+        lambda sid, t: fake_image(64 + sid % 256, 64 + sid % 128, t), "binary")
+    media = imgs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        img_udf(F.col("seed_id"), F.col("seed_text")).alias("payload"),
+    )
+    pairs = hamming_pairs_from_signatures(phash_images(media), max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")

@@ -408,3 +408,39 @@ class TestCountMinSketch:
         for t, n in exact.items():
             if t in got:
                 assert got[t] == n
+
+
+class TestPhashNearDup:
+    def test_crafted_hamming_neighbors_caught_and_junk_dropped(self, spark):
+        """Hand-built payloads: one exact dup (hamming 0), one 1-bit
+        body flip (hamming 1 — caught by pigeonhole banding), one far
+        body (dropped by the hamming<=3 verify), junk and audio rows
+        ignored entirely."""
+        from crawler_spark.operators.dedup import (
+            hamming_pairs_from_signatures)
+        from crawler_spark.operators.multimodal import (
+            FAKE_IMAGE_MAGIC, fake_audio, phash_images)
+
+        body = bytes(range(32))
+        flip1 = bytes([body[0] ^ 0x01]) + body[1:]   # 1 bit differs
+        far = bytes(b ^ 0xFF for b in body)          # 64 bits differ
+        mk = lambda b: FAKE_IMAGE_MAGIC + b"8x8:" + b
+        rows = [
+            (1, "image", mk(body)),
+            (2, "image", mk(body)),       # exact dup of 1
+            (3, "image", mk(flip1)),      # hamming 1 from 1/2
+            (4, "image", mk(far)),        # unrelated
+            (5, "audio", fake_audio(8000, 100, "x")),
+            (6, "unknown", b"not an image"),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, media_type string, payload binary")
+        sig = phash_images(media)
+        got = {r.id: r.simhash for r in sig.collect()}
+        assert set(got) == {1, 2, 3, 4}, "non-images must be dropped"
+        assert got[1] == got[2]
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 hamming_pairs_from_signatures(sig, max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+        assert not any(4 in p for p in pairs), "far image paired"
