@@ -6,6 +6,7 @@ tests/test_dedup.py; the text-analysis scalars are oracle-matched.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,3 +247,67 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = hamming_pairs_from_signatures(phash_images(media), max_hamming=3)
     return pairs.orderBy("id_a", "id_b")
+
+
+@register("multimodal_clip_filter")  # rows-only: text-image alignment gate
+def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption–image alignment filtering (the LAION recipe's other
+    half, next to pHash dedup): embed the caption with the text
+    embedder and the image with the vision embedder, keep pairs whose
+    cosine clears a threshold — the gate that drops mismatched
+    alt-text at dataset-build time. Both embedders are the repo's
+    deterministic stubs (hermetic; the Ollama-backed impls swap in
+    behind the same interface), so scores are reproducible across
+    engines and runs.
+
+    Scale shape: one zero-shuffle pass — both embeddings are Arrow-
+    batched pandas UDFs over the joined (caption, payload) row, cosine
+    is a codegen HOF, the filter is a projection. Returns kept pairs
+    with their scores; the keep-rate is the tuning readout."""
+    from crawler_spark.functions import vector as V
+    from crawler_spark.functions.embedding import StubEmbedder
+    import hashlib
+
+    from crawler_spark.operators.multimodal import (
+        synthesize_media_from_documents)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs).filter(
+        F.col("media_type") == "image")
+    pairs = docs.join(
+        media, docs.doc_id == media.media_id
+    ).select("doc_id", F.col("text").alias("caption"), "payload")
+
+    text_emb = StubEmbedder(16)
+
+    @F.pandas_udf("array<double>")
+    def embed_caption(texts: pd.Series) -> pd.Series:
+        return pd.Series([text_emb.embed_text(t) for t in texts])
+
+    @F.pandas_udf("array<double>")
+    def embed_image(payloads: pd.Series) -> pd.Series:
+        return pd.Series([
+            text_emb.embed_vision(hashlib.sha256(bytes(p)).hexdigest())
+            for p in payloads
+        ])
+
+    # Python-UDF outputs can't sit inside higher-order-function lambdas
+    # (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so
+    # materialize the embeddings as plain columns first, then apply the
+    # codegen HOF normalization/cosine over those attributes.
+    embedded = pairs.select(
+        "doc_id",
+        embed_caption("caption").alias("cap_e"),
+        embed_image("payload").alias("img_e"),
+    )
+    scored = embedded.select(
+        "doc_id",
+        (-V.neg_dot(
+            V.l2_normalize("cap_e"), V.l2_normalize("img_e"),
+        )).alias("clip_score"),
+    )
+    return (
+        scored.filter(F.col("clip_score") > -0.05)
+        .select("doc_id", F.round("clip_score", 6).alias("clip_score"))
+        .orderBy("doc_id")
+    )

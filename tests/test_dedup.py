@@ -444,3 +444,20 @@ class TestPhashNearDup:
         assert pairs[(1, 2)] == 0
         assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
         assert not any(4 in p for p in pairs), "far image paired"
+
+
+class TestClipFilter:
+    def test_deterministic_and_threshold_monotone(self, spark):
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        a = E.queries()["multimodal_clip_filter"](spark, sf).collect()
+        b = E.queries()["multimodal_clip_filter"](spark, sf).collect()
+        assert [(r.doc_id, r.clip_score) for r in a] == [
+            (r.doc_id, r.clip_score) for r in b]
+        assert all(r.clip_score > -0.05 for r in a)
+        # kept set is a strict, non-empty subset of the image universe
+        from crawler_spark.sources import load_table
+        n_images = load_table(spark, sf, "documents").filter(
+            "doc_id % 4 = 0").count()
+        assert 0 < len(a) < n_images
