@@ -225,7 +225,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate shuffle, mapInPandas hashing, no codec dependency —
     the LAION-style image-dedup shape."""
     from crawler_spark.operators.dedup import hamming_pairs_from_signatures
-    from crawler_spark.operators.multimodal import fake_image, phash_images
+    from crawler_spark.operators.multimodal import FAKE_IMAGE_MAGIC, phash_images
 
     docs = load_table(spark, sf_dir, "documents")
     seed_id = F.when(
@@ -238,12 +238,23 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", seed_id.alias("seed_id"))
         .join(seeds, "seed_id")
     )
-    img_udf = F.udf(
-        lambda sid, t: fake_image(64 + sid % 256, 64 + sid % 128, t), "binary")
+    # fake_image as pure expressions (sha2 hex == hashlib.sha256 hex, so
+    # the bytes match operators/multimodal.py fake_image exactly) — the
+    # fixture stays codegen instead of a row-at-a-time UDF
+    header = F.concat_ws(
+        "",
+        (64 + F.col("seed_id") % 256).cast("string"), F.lit("x"),
+        (64 + F.col("seed_id") % 128).cast("string"), F.lit(":"),
+    )
+    payload = F.concat(
+        F.lit(FAKE_IMAGE_MAGIC),
+        F.encode(header, "utf-8"),
+        F.unhex(F.sha2(F.encode("seed_text", "utf-8"), 256)),
+    )
     media = imgs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        img_udf(F.col("seed_id"), F.col("seed_text")).alias("payload"),
+        payload.alias("payload"),
     )
     pairs = hamming_pairs_from_signatures(phash_images(media), max_hamming=3)
     return pairs.orderBy("id_a", "id_b")
