@@ -132,3 +132,67 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, abs=1e-9)
+
+
+class TestShingleFoldEquivalence:
+    """word_shingles was rewritten from transform-with-slice to a
+    zip_with fold (the O(len²) tokenizer-inlining fix). Property: the
+    fold produces EXACTLY the reference k-gram list for any text and
+    any k — including short texts, repeated tokens, and punctuation
+    splits."""
+
+    def test_fold_matches_python_reference_on_generated_texts(self, spark):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import word_shingles
+
+        texts = [
+            "", "a", "a b", "a  b   c", "x x x x x", "one-two three,four",
+            "tab\tand\nnewline tokens", "UPPER lower MiXeD case words",
+            "a b c d e f g h i j", "trailing space ", "  leading",
+            "punct!!! only??? here...", "ab ab ab ab",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id long, text string")
+        for k in (1, 2, 3, 5):
+            got = {r.id: r.s for r in
+                   df.select("id", word_shingles("text", k).alias("s")).collect()}
+            for i, t in enumerate(texts):
+                toks = [w for w in re.split(r"\W+", t.lower()) if w]
+                want = [" ".join(toks[j:j + k])
+                        for j in range(len(toks) - k + 1)]
+                assert got[i] == want, (k, t, got[i], want)
+
+
+class TestBloomProperties:
+    @given(st.sets(st.integers(min_value=-2**40, max_value=2**40),
+                   min_size=1, max_size=200))
+    @settings(max_examples=20, deadline=None)
+    def test_no_false_negatives_python_model(self, keys):
+        """Model the expression arithmetic in Python (same xxhash64 →
+        pmod → word/bit math is exercised JVM-side in test_scale):
+        inserting then testing the same key can never miss, for ANY
+        key set — the safety property the join prefilter rests on."""
+        num_bits, k = 1 << 12, 5
+        words = [0] * (num_bits // 64)
+
+        import hashlib
+
+        def xx(key, seed):
+            # stand-in 64-bit hash with the same signed/modular shape
+            h = int.from_bytes(
+                hashlib.blake2b(f"{seed}:{key}".encode(), digest_size=8).digest(),
+                "big", signed=True)
+            return h
+
+        def positions(key):
+            return [xx(key, s) % num_bits for s in range(k)]
+
+        for key in keys:
+            for p in positions(key):
+                words[p // 64] |= 1 << (p % 64)
+        for key in keys:
+            assert all(
+                (words[p // 64] >> (p % 64)) & 1 for p in positions(key))
