@@ -639,3 +639,90 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
     )
     return ev.select("event_id", "user_id", F.round(ewma, 6).alias("ewma"))
+
+
+# --- Holt's linear (double-exponential) smoothing -------------------------
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_LOOKBACK = 20
+
+
+@register(
+    "ev_holt_linear",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CAST(floor(st[1] * 1e6 + 0.5) AS BIGINT) AS level_u6,
+               CAST(floor(st[2] * 1e6 + 0.5) AS BIGINT) AS trend_u6,
+               CAST(floor((st[1] + st[2]) * 1e6 + 0.5) AS BIGINT)
+                   AS forecast_u6
+        FROM (
+            SELECT event_id, user_id,
+                   list_reduce(
+                       list_transform(
+                           list(value) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_HOLT_LOOKBACK - 1} PRECEDING
+                                        AND CURRENT ROW),
+                           x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+                       -- acc = [level, trend]; a STRUCT accumulator here
+                       -- hits a DuckDB 1.0 aliasing bug (the second
+                       -- field reads the first field's already-updated
+                       -- value), so the state rides a 2-list instead
+                       (acc, x) -> [
+                           CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+                               + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                                 * (acc[1] + acc[2]),
+                           CAST({_HOLT_BETA} AS DOUBLE)
+                               * ((CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+                               + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                                 * (acc[1] + acc[2])) - acc[1])
+                               + CAST({1 - _HOLT_BETA} AS DOUBLE) * acc[2]
+                       ]) AS st
+            FROM events
+        )
+    """,
+)
+def ev_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double-exponential) smoothing over each
+    user's trailing value window — EWMA's big sibling: the state is
+    (level, trend), so the one-step forecast level+trend tracks
+    drifting series where EWMA lags. Same recursion-as-fold trick as
+    ``ev_ewma`` (no window frame expresses recursion): the frame's
+    values fold through a struct accumulator seeded (l=x₁, b=0), and
+    both engines run the identical op sequence so the doubles agree
+    bit-for-bit before the courtesy round. Lookback bounds the
+    per-row fold; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(_HOLT_LOOKBACK - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    a, b = F.lit(float(_HOLT_ALPHA)), F.lit(float(_HOLT_BETA))
+
+    def step(acc, x):
+        lnew = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        bnew = b * (lnew - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    st = F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(arr, 1).cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        step,
+    )
+    def u6(col):
+        # micro-unit quantization via floor(x*1e6 + 0.5): the same IEEE
+        # ops in both engines give the same integer, where round(x, 6)
+        # diverges on half-boundaries (Spark rounds via exact BigDecimal,
+        # DuckDB via scaled-double arithmetic)
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return ev.select(
+        "event_id", "user_id",
+        u6(st["l"]).alias("level_u6"),
+        u6(st["b"]).alias("trend_u6"),
+        u6(st["l"] + st["b"]).alias("forecast_u6"),
+    )

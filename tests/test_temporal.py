@@ -179,3 +179,55 @@ class TestIntervalOverlapJoin:
             a, b, "a_lo", "a_hi", "b_lo", "b_hi", by="k",
             bucket_width_sec=86400).collect()
         assert len(rows_out) == len(naive), "canonical-bucket claim emitted dupes"
+
+
+class TestHoltLinear:
+    def test_hand_computed_recursion(self, spark, tmp_path):
+        """Python recomputation of the (level, trend) fold on a small
+        single-user series written as an events table."""
+        import datetime
+
+        base = datetime.datetime(2026, 1, 1)
+        vals = [1.0, 2.0, 4.0, 7.0, 11.0]
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 1, "view", v, None)
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+
+        import __spark_entry__ as E
+
+        got = {r.event_id: r for r in
+               E.queries()["ev_holt_linear"](spark, str(tmp_path)).collect()}
+
+        a, b = 0.5, 0.3
+        for n in range(1, len(vals) + 1):
+            window = vals[:n]
+            l, t = window[0], 0.0
+            for x in window[1:]:
+                ln = a * x + (1 - a) * (l + t)
+                t = b * (ln - l) + (1 - b) * t
+                l = ln
+            import math
+
+            r = got[n - 1]
+            assert r.level_u6 == math.floor(l * 1e6 + 0.5), (n, l, r)
+            assert r.trend_u6 == math.floor(t * 1e6 + 0.5), (n, t, r)
+            assert r.forecast_u6 == math.floor((l + t) * 1e6 + 0.5)
+
+    def test_tracks_linear_series_exactly_in_the_limit(self, spark):
+        """On a drifting series the one-step forecast must beat the
+        EWMA-style trendless level: trend_u6 is positive for a rising
+        user series on the fixture (sanity of the trend state)."""
+        import __spark_entry__ as E
+
+        rows = E.queries()["ev_holt_linear"](
+            spark, "/root/testdata/sf0.001").collect()
+        assert rows and any(r.trend_u6 != 0 for r in rows)
+        for r in rows[:50]:
+            assert r.forecast_u6 == r.level_u6 + r.trend_u6 or \
+                abs(r.forecast_u6 - (r.level_u6 + r.trend_u6)) <= 1
