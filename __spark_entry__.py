@@ -65,7 +65,7 @@ _NEVER_DRIVER_VERIFIED = [
     "streaming_index_append_e2e", "txt_heavy_hitters_cms",
     "crawl_change_detection", "ivfpq_index_build", "knn_probe_ivfpq",
     "multimodal_phash_neardup", "multimodal_clip_filter",
-    "ev_holt_linear",
+    "ev_holt_linear", "ev_kmv_distinct_intersect",
 ]
 
 

@@ -726,3 +726,96 @@ def ev_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         u6(st["b"]).alias("trend_u6"),
         u6(st["l"] + st["b"]).alias("forecast_u6"),
     )
+
+
+# --- KMV sketch: distinct-intersection estimation -------------------------
+_KMV_K = 64
+_KMV_SCALE = float(1 << 60)
+# 60-bit uniform hash both engines compute identically (15 md5 hex chars)
+_KMV_H_SQL = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "ev_kmv_distinct_intersect",
+    oracle=f"""
+        WITH sk AS (
+            SELECT event_type,
+                   list_sort(list_distinct(list({_KMV_H_SQL})))[1:{_KMV_K}]
+                       AS kmv
+            FROM events
+            GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.kmv AS ka, b.kmv AS kb,
+                   list_sort(list_distinct(a.kmv || b.kmv))[1:{_KMV_K}] AS ku
+            FROM sk a JOIN sk b ON a.event_type < b.event_type
+        )
+        SELECT type_a, type_b,
+               CAST(floor(
+                   CASE WHEN len(ku) < {_KMV_K} THEN CAST(len(ku) AS DOUBLE)
+                        ELSE ({_KMV_K} - 1)
+                             / (CAST(ku[{_KMV_K}] AS DOUBLE) / {_KMV_SCALE!r})
+                   END * 1e6 + 0.5) AS BIGINT) AS est_union_u6,
+               CAST(floor(
+                   (CAST(len(list_filter(ku,
+                        v -> list_contains(ka, v) AND list_contains(kb, v)))
+                         AS DOUBLE) / len(ku))
+                   * CASE WHEN len(ku) < {_KMV_K} THEN CAST(len(ku) AS DOUBLE)
+                          ELSE ({_KMV_K} - 1)
+                               / (CAST(ku[{_KMV_K}] AS DOUBLE) / {_KMV_SCALE!r})
+                     END * 1e6 + 0.5) AS BIGINT) AS est_intersect_u6
+        FROM pairs
+        ORDER BY type_a, type_b
+    """,
+)
+def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch per event type, with
+    DISTINCT-INTERSECTION estimates across type pairs — the set
+    operation HLL cannot do (HLL only unions; `ev_hll_distinct_rollup`
+    covers that side). Theory: the k smallest of n uniform hashes sit
+    at ≈ k/n, so distinct ≈ (k-1)/x_k (Beyer et al., SIGMOD'07); the
+    union sketch is the bottom-k of the merged sketches, and the
+    fraction of union-sketch members present in BOTH input sketches
+    estimates Jaccard, giving |A∩B| ≈ J·|A∪B|.
+
+    Everything is deterministic: the hash is md5-derived (identical in
+    both engines, the CMS convention), sketches are sorted bottom-k
+    arrays, and outputs are micro-unit quantized (the Holt convention)
+    so no rounding boundary can split the engines. Scale shape: one
+    groupBy(event_type) whose per-group state is EXACTLY k longs
+    (bounded by construction, mergeable by sort-merge — partial
+    aggregation works because bottom-k of bottom-k unions is bottom-k);
+    the pair stage joins T sketch rows, T = type cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sk = ev.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set(h)), 1, _KMV_K).alias("kmv"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
+        "ku", F.slice(F.array_sort(F.array_union("ka", "kb")), 1, _KMV_K))
+
+    def est_card(ku):
+        return F.when(
+            F.size(ku) < _KMV_K, F.size(ku).cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1))
+            / (F.element_at(ku, _KMV_K).cast("double") / F.lit(_KMV_SCALE))
+        )
+
+    def u6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    in_both = F.size(F.filter(
+        "ku",
+        lambda v: F.array_contains("ka", v) & F.array_contains("kb", v),
+    ))
+    jacc = in_both.cast("double") / F.size("ku")
+    return pairs.select(
+        "type_a", "type_b",
+        u6(est_card(F.col("ku"))).alias("est_union_u6"),
+        u6(jacc * est_card(F.col("ku"))).alias("est_intersect_u6"),
+    ).orderBy("type_a", "type_b")

@@ -231,3 +231,65 @@ class TestHoltLinear:
         for r in rows[:50]:
             assert r.forecast_u6 == r.level_u6 + r.trend_u6 or \
                 abs(r.forecast_u6 - (r.level_u6 + r.trend_u6)) <= 1
+
+
+class TestKMVSketch:
+    def test_estimates_within_relative_error_on_crafted_overlap(
+            self, spark, tmp_path):
+        """Two types with known distinct sets: A = users 0..999,
+        B = users 500..1499 → union 1500, intersection 500. The KMV
+        estimates (k=64) must land within 3σ ≈ 40% relative error (theory:
+        σ ≈ 1/√(k-2) ≈ 12.6%; this fixture draw sits at +30%, ~2.3σ —
+        KMV at k=64 is a coarse instrument, which is the point of
+        testing the BOUND, not the luck)."""
+        import datetime
+
+        base = datetime.datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(1000):
+            rows.append((eid, base, u, "view", 1.0, None)); eid += 1
+        for u in range(500, 1500):
+            rows.append((eid, base, u, "click", 1.0, None)); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+
+        import __spark_entry__ as E
+
+        out = E.queries()["ev_kmv_distinct_intersect"](
+            spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.type_a, r.type_b) == ("click", "view")
+        union = r.est_union_u6 / 1e6
+        inter = r.est_intersect_u6 / 1e6
+        assert abs(union - 1500) / 1500 < 0.4, union
+        assert abs(inter - 500) / 500 < 0.4, inter
+
+    def test_small_sets_are_exact(self, spark, tmp_path):
+        """Sets smaller than k: the sketch IS the set — estimates are
+        exact."""
+        import datetime
+
+        base = datetime.datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(20):
+            rows.append((eid, base, u, "view", 1.0, None)); eid += 1
+        for u in range(10, 40):
+            rows.append((eid, base, u, "click", 1.0, None)); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+
+        import __spark_entry__ as E
+
+        r = E.queries()["ev_kmv_distinct_intersect"](
+            spark, str(tmp_path)).collect()[0]
+        assert r.est_union_u6 == 40_000_000      # 40 exactly
+        assert r.est_intersect_u6 == 10_000_000  # 10 exactly
