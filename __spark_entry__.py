@@ -66,6 +66,7 @@ _NEVER_DRIVER_VERIFIED = [
     "crawl_change_detection", "ivfpq_index_build", "knn_probe_ivfpq",
     "multimodal_phash_neardup", "multimodal_clip_filter",
     "ev_holt_linear", "ev_kmv_distinct_intersect",
+    "doc_chunks_cdc", "txt_quality_linear_hashed",
 ]
 
 

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import vector as V
-from crawler_spark.plans.queries_text import _FP_SQL
+from crawler_spark.functions import text as X
+from crawler_spark.plans.queries_text import _FP_SQL, _TOKENS_SQL
 from crawler_spark.plans.queries_vector import _NORM_V_SQL
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
@@ -612,4 +613,100 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("distance", 6).alias("distance"),
         )
         .orderBy("query_id", "distance", "vec_id")
+    )
+
+
+# --- hashed linear quality classifier (fastText-shaped) -------------------
+_QC_BUCKETS = 4096
+
+
+@register(
+    "txt_quality_linear_hashed",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, u.t AS feat
+            FROM toks, unnest(ts) AS u(t)
+            UNION ALL
+            SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        weighted AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('w:' || CAST(
+                       ('0x' || substr(md5(feat), 1, 8))::BIGINT
+                           % {_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
+                       % 2001 - 1000 AS w_milli
+            FROM feats
+        )
+        SELECT doc_id,
+               count(*) AS n_feats,
+               round(CAST(SUM(w_milli) AS DOUBLE)
+                     / (1000.0 * count(*)), 6) AS quality_logit,
+               SUM(w_milli) > 0 AS keep
+        FROM weighted
+        GROUP BY doc_id
+    """,
+)
+def txt_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality classifier (Joulin et al. 2017, the
+    model family behind the CCNet / LLaMA "looks like Wikipedia"
+    filters): unigram + word-bigram features hashed into a fixed
+    4096-bucket parameter table (the hashing trick — vocabulary
+    growth NEVER grows the model), mean-pooled per document through a
+    linear layer, thresholded at logit 0. The weights here are frozen
+    pseudo-random md5 derivations of the bucket id, standing in for a
+    trained parameter vector — what's real and tested is everything a
+    production deployment needs: engine-identical feature extraction
+    and hashing, bounded parameter lookup, and order-independent
+    pooling. Swapping in trained weights is a 4096-entry broadcast
+    map, touching no plan shape.
+
+    Determinism: weights are INTEGER milli-units summed as BIGINT —
+    exact and associative, so partial-aggregation order can't move
+    the hash (the registry money-math rule); the single double
+    division + round happens once per group AFTER the exact sum.
+    Scale shape: tokenize/bigram via shifted-slice zip_with (O(n)),
+    one explode, one per-doc agg with map-side combine — one shuffle
+    total, no joins, no parameter table to co-locate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws("_", a, b),
+    )
+    feats = F.concat(
+        toks,
+        F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(_QC_BUCKETS),
+    )
+    w_milli = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(2001),
+        ) - 1000
+    )
+    return (
+        docs.select("doc_id", F.explode(feats).alias("feat"))
+        .select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(
+                F.sum("w_milli").cast("double")
+                / (F.lit(1000.0) * F.count(F.lit(1))), 6,
+            ).alias("quality_logit"),
+            (F.sum("w_milli") > 0).alias("keep"),
+        )
     )

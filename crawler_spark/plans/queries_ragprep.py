@@ -479,3 +479,95 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", normalize_url(messy).alias("canonical_url"))
+
+
+# --- content-defined chunking (rolling-hash boundaries) -------------------
+_CDC_MOD = 8  # expected chunk length in tokens (boundary prob 1/mod)
+
+
+@register(
+    "doc_chunks_cdc",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, ts,
+                   list_filter(
+                       generate_series(2, len(ts)),
+                       p -> ('0x' || substr(md5(ts[p-1] || ' ' || ts[p]),
+                                            1, 8))::BIGINT % {_CDC_MOD} = 0
+                   ) AS bpos
+            FROM toks WHERE len(ts) >= 1
+        ),
+        bounds AS (
+            SELECT doc_id, ts,
+                   list_prepend(1, bpos) AS starts,
+                   list_append(bpos, len(ts) + 1) AS ends
+            FROM flagged
+        )
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,
+               array_to_string(ts[starts[u.i] : ends[u.i] - 1], ' ')
+                   AS chunk_text,
+               CAST(ends[u.i] - starts[u.i] AS INT) AS n_tokens
+        FROM bounds, unnest(generate_series(1, len(starts))) AS u(i)
+    """,
+)
+def doc_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a boundary falls BEFORE token ``p``
+    whenever the rolling hash of the (token[p-1], token[p]) window is
+    ≡ 0 (mod 8) — the LBFS/rsync trick (Muthitacharoen et al.
+    SOSP'01). Unlike the fixed-window ``doc_chunks``, an insertion or
+    deletion only perturbs the chunks whose window it touches: the
+    hash re-synchronizes at the next unchanged boundary, so chunk
+    fingerprints downstream (dedup, delta-sync, recrawl diffing) stay
+    stable under edits instead of shifting corpus-wide. Production
+    CDC adds min/max chunk bounds on top of the pure hash rule;
+    omitted here so the oracle stays a one-to-one transcription.
+
+    Scale shape: ZERO shuffle — boundaries, chunk starts/ends and the
+    chunks themselves are all array HOFs evaluated per row (each O(n)
+    via the shifted-slice zip_with, never a lambda indexing back into
+    the token expression — that re-evaluates the tokenizer per
+    position, the O(n²) trap fixed in the shingle family), then one
+    posexplode. Same growth story as ``doc_chunks``: output rows ≈
+    n_tokens/8 per doc, handled by input-split sizing, not a
+    repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize("text")
+    n = F.size(toks)
+    # boundary flag for positions 2..n (1-indexed), via shifted slices
+    flags = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(" ", a, b)), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(_CDC_MOD),
+        ) == 0,
+    )
+    bpos = F.when(n >= 2, F.filter(
+        F.zip_with(
+            F.sequence(F.lit(2), n), flags,
+            lambda p, f: F.struct(p.alias("p"), f.alias("f")),
+        ),
+        lambda s: s["f"],
+    )).otherwise(F.array().cast("array<struct<p:int,f:boolean>>"))
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(bpos, lambda s: s["p"]),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.slice(toks, s, e - s))
+    return (
+        docs.where(n >= 1)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", "ctoks").alias("chunk_text"),
+            F.size("ctoks").alias("n_tokens"),
+        )
+    )

@@ -230,3 +230,94 @@ class TestNormalize:
                 for r in docs.mapInPandas(
                     nfkc_normalize_batches, _NFKC_SCHEMA).collect()}
         assert expr == nfkc
+
+
+class TestCdcChunking:
+    """Content-defined chunking: boundaries derive from local token
+    windows only, so an edit perturbs O(1) chunks and the stream
+    re-synchronizes — the property fixed-window chunking lacks."""
+
+    def _chunks(self, spark, texts):
+        from crawler_spark.plans.queries_ragprep import doc_chunks_cdc
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        import crawler_spark.plans.queries_ragprep as R
+
+        orig = R.load_table
+        try:
+            R.load_table = lambda sp, sf, t: df
+            rows = doc_chunks_cdc(spark, SF).collect()
+        finally:
+            R.load_table = orig
+        out: dict[int, list[str]] = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+            out.setdefault(r.doc_id, []).append(r.chunk_text)
+        return out
+
+    def test_chunks_reconstruct_and_resynchronize(self, spark):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+                "omega one two three four five six seven eight nine ten")
+        # insert one token mid-document
+        words = base.split()
+        edited = " ".join(words[:17] + ["INSERTED"] + words[17:])
+        chunks = self._chunks(spark, [base, edited.lower()])
+        # reconstruction: chunks concatenated == tokenized doc
+        assert " ".join(chunks[0]) == base
+        assert " ".join(chunks[1]) == edited.lower()
+        # resynchronization: the tail chunks (after the hash stream
+        # re-syncs past the edit) are IDENTICAL between the two docs,
+        # and the shared prefix chunks before the edit also match.
+        tail_overlap = 0
+        for a, b in zip(reversed(chunks[0]), reversed(chunks[1])):
+            if a != b:
+                break
+            tail_overlap += 1
+        prefix_overlap = 0
+        for a, b in zip(chunks[0], chunks[1]):
+            if a != b:
+                break
+            prefix_overlap += 1
+        assert tail_overlap >= 1, (chunks[0], chunks[1])
+        # the edit perturbs at most 2 of the original chunks; everything
+        # else is shared verbatim (fixed-window chunking would shift
+        # EVERY chunk after the insertion point instead)
+        perturbed = len(chunks[0]) - tail_overlap - prefix_overlap
+        assert perturbed <= 2, (chunks[0], chunks[1])
+
+    def test_single_token_doc_is_one_chunk(self, spark):
+        chunks = self._chunks(spark, ["solo"])
+        assert chunks == {0: ["solo"]}
+
+
+class TestHashedLinearClassifier:
+    def test_feature_count_and_pooling_invariance(self, spark):
+        from crawler_spark.plans.queries_mlprep import (
+            txt_quality_linear_hashed,
+        )
+        import crawler_spark.plans.queries_mlprep as M
+
+        df = spark.createDataFrame(
+            [(1, "spark shuffles the sorted table"),
+             (2, "spark shuffles the sorted table"),  # identical features
+             (3, "solo")],
+            "doc_id long, text string",
+        )
+        orig = M.load_table
+        try:
+            M.load_table = lambda sp, sf, t: df
+            rows = {r.doc_id: r for r in
+                    txt_quality_linear_hashed(spark, SF).collect()}
+        finally:
+            M.load_table = orig
+        # unigrams + bigrams = 2n-1 features
+        assert rows[1].n_feats == 2 * 5 - 1
+        assert rows[3].n_feats == 1
+        # hashing trick: identical feature multisets -> identical score
+        assert rows[1].quality_logit == rows[2].quality_logit
+        assert rows[1].keep == rows[2].keep
+        # mean pooling keeps the logit inside the weight range
+        for r in rows.values():
+            assert -1.0 <= r.quality_logit <= 1.0
