@@ -710,3 +710,46 @@ def txt_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w_milli") > 0).alias("keep"),
         )
     )
+
+
+# --- BPE tokenizer: distributed training + encoding -----------------------
+_BPE_MERGES = 200
+_BPE_TOP_V = 10_000
+
+
+@register("tok_bpe_train")  # rows-only: iterative merge learning isn't SQL
+def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus (Sennrich et al. 2016) the
+    way production trainers do: ONE corpus-scale word-count shuffle
+    (map-side combine, vocab-bounded output, top-V cap via
+    TakeOrdered), then merge learning over the bounded frequency
+    table. The merge loop never sees the corpus — its cost is
+    O(V·merges) regardless of corpus size, which is why HF tokenizers
+    and SentencePiece train from a word-frequency dict; 100 TB only
+    grows the one aggregation. Output is the ranked merge table
+    (broadcastable, KBs). Deterministic: exact integer counts with a
+    total (count DESC, pair ASC) tie-break — identical merges on any
+    partitioning; lockstep + round-trip tests in test_mlprep.py."""
+    from crawler_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=_BPE_MERGES, top_v=_BPE_TOP_V)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@register("tok_bpe_encode")  # rows-only: greedy merge loop isn't SQL
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to every document: the ranked merge
+    table rides inside an Arrow-batched mapInPandas closure (KBs —
+    the broadcast-small-side rule), greedy lowest-rank-first per word,
+    zero shuffle. Output keeps ``first_pieces`` as a '|'-joined STRING
+    per the array-output driver rule; the full piece stream is what a
+    packing stage (``pack_sequences_emit``) would consume."""
+    from crawler_spark.operators.bpe import encode_docs, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=_BPE_MERGES, top_v=_BPE_TOP_V)
+    return encode_docs(docs, merges)

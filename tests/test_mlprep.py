@@ -250,3 +250,65 @@ class TestHardNegatives:
         assert ids == [2, 3]
         assert [r.label for r in rows] == ["positive", "negative"]
         assert rows[0].distance <= rows[1].distance
+
+
+class TestBpe:
+    COUNTS = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+    def test_merge_learning_invariants(self):
+        from crawler_spark.operators.bpe import (
+            END_OF_WORD, encode_word, learn_merges,
+        )
+
+        merges = learn_merges(self.COUNTS, 50)
+        assert merges, "classic corpus must yield merges"
+        # determinism under input reordering (the tie-break is total)
+        assert merges == learn_merges(list(reversed(self.COUNTS)), 50)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for word, _ in self.COUNTS:
+            pieces = encode_word(word, ranks)
+            # lossless: pieces concatenate back to the word
+            assert "".join(pieces) == word + END_OF_WORD
+        # enough merges collapse the most frequent word to one piece
+        assert encode_word("newest", ranks) == ["newest" + END_OF_WORD]
+        # fewer merges never produce fewer pieces
+        for k in range(len(merges)):
+            rk = {p: i for i, p in enumerate(merges[:k])}
+            assert len(encode_word("newest", rk)) >= len(
+                encode_word("newest", ranks))
+
+    def test_unseen_word_falls_back_to_subwords(self):
+        from crawler_spark.operators.bpe import encode_word, learn_merges
+
+        merges = learn_merges(self.COUNTS, 50)
+        ranks = {p: i for i, p in enumerate(merges)}
+        pieces = encode_word("lowest", ranks)  # unseen, shares both stems
+        assert len(pieces) > 1 and "".join(pieces) == "lowest</w>"
+
+    def test_distributed_encode_matches_driver_side(self, spark):
+        from crawler_spark.operators.bpe import (
+            encode_docs, encode_word, learn_merges, _py_tokenize,
+        )
+
+        texts = ["the lower newest table", "newest newest low!",
+                 "Widest scan, lowest cost"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        merges = learn_merges(self.COUNTS, 50)
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = {r.doc_id: r for r in encode_docs(df, merges).collect()}
+        for i, t in enumerate(texts):
+            pieces = []
+            for w in _py_tokenize(t):
+                pieces.extend(encode_word(w, ranks))
+            assert got[i].n_pieces == len(pieces)
+            assert got[i].first_pieces == "|".join(pieces[:12])
+
+    def test_train_on_fixture_is_deterministic(self, spark):
+        from crawler_spark.operators.bpe import train_bpe
+        from crawler_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        m1 = train_bpe(docs, num_merges=20, top_v=100)
+        m2 = train_bpe(docs.repartition(7), num_merges=20, top_v=100)
+        assert m1 == m2 and len(m1) == 20

@@ -276,3 +276,23 @@ def test_ivfpq_probe_first_pass_reads_codes_not_floats(spark, tmp_path):
     assert codes_scans, "no codes-only scan found"
     assert all("v:array" not in ln for ln in codes_scans), (
         "ADC first pass reads the float column:\n" + "\n".join(codes_scans))
+
+
+def test_bpe_word_count_is_bounded_take_ordered(spark):
+    """BPE training's only corpus-scale op: word counts with map-side
+    combine, capped by TakeOrderedAndProject — the driver transfer is
+    top_v rows by plan, never the full vocabulary."""
+    from crawler_spark.operators.bpe import word_counts
+    from crawler_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_text(word_counts(docs, top_v=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan, "word count lost map-side combine"
+
+
+def test_cdc_chunking_has_no_shuffle(spark):
+    """Content-defined chunking is pure array HOFs + posexplode —
+    any Exchange appearing here is a regression."""
+    plan = plan_text(_QUERIES["doc_chunks_cdc"](spark, SF))
+    assert "Exchange" not in plan, "CDC chunking grew a shuffle"
