@@ -67,7 +67,7 @@ _NEVER_DRIVER_VERIFIED = [
     "multimodal_phash_neardup", "multimodal_clip_filter",
     "ev_holt_linear", "ev_kmv_distinct_intersect",
     "doc_chunks_cdc", "txt_quality_linear_hashed",
-    "tok_bpe_train", "tok_bpe_encode",
+    "tok_bpe_train", "tok_bpe_encode", "decontam_semantic",
 ]
 
 

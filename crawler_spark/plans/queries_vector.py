@@ -600,3 +600,67 @@ def knn_probe_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, nprobe=8, rerank_factor=20,
     )
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --- embedding-space decontamination (semantic eval overlap) --------------
+_SEMDECON_EVAL_MOD = 37
+_SEMDECON_THRESHOLD = 0.95
+
+
+@register(
+    "decontam_semantic",
+    oracle=f"""
+        WITH ev AS (
+            SELECT {_NORM_V_SQL} AS evec FROM embeddings
+            WHERE vec_id % {_SEMDECON_EVAL_MOD} = 0
+        ),
+        corpus AS (
+            SELECT vec_id, {_NORM_V_SQL} AS cvec FROM embeddings
+            WHERE vec_id % {_SEMDECON_EVAL_MOD} <> 0
+        ),
+        m AS (
+            SELECT c.vec_id, max(list_dot_product(cvec, evec)) AS mc
+            FROM corpus c CROSS JOIN ev GROUP BY c.vec_id
+        )
+        SELECT vec_id, round(mc, 6) AS max_eval_cos,
+               mc >= {_SEMDECON_THRESHOLD} AS contaminated
+        FROM m
+    """,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval decontamination — the semantic
+    complement to the n-gram family (`decontaminate_eval_overlap`,
+    `decontam_exact_spans`): paraphrased benchmark items share no
+    13-gram but sit next to the eval point in embedding space, so
+    contamination audits also flag training docs whose max cosine
+    against ANY eval embedding crosses a threshold. Eval membership
+    here is a deterministic id slice standing in for a benchmark
+    suite.
+
+    Scale shape: the eval side is SMALL BY NATURE (benchmark suites —
+    thousands of rows), so broadcasting it is the correct plan — the
+    opposite call from `cosine_pairs_exact`, where both sides are
+    corpus-sized and broadcasting was the round-2 scale bug. One
+    corpus pass, per-row max over the broadcast side, one map-side-
+    combined agg. For eval sets too big to broadcast, prune candidates
+    with the banded-LSH index first (`knn_probe_precomputed`) and
+    exact-check survivors only — same two-tier shape as the dedup
+    family."""
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % _SEMDECON_EVAL_MOD == 0).select(
+        V.l2_normalize("embedding").alias("evec"))
+    corpus = emb.filter(F.col("vec_id") % _SEMDECON_EVAL_MOD != 0).select(
+        "vec_id", V.l2_normalize("embedding").alias("cvec"))
+    pairs = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", V.dot("cvec", F.col("evec")).alias("cos"))
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.max("cos").alias("mc"))
+        .select(
+            "vec_id",
+            F.round("mc", 6).alias("max_eval_cos"),
+            (F.col("mc") >= _SEMDECON_THRESHOLD).alias("contaminated"),
+        )
+    )
