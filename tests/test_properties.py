@@ -196,3 +196,42 @@ class TestBloomProperties:
         for key in keys:
             assert all(
                 (words[p // 64] >> (p % 64)) & 1 for p in positions(key))
+
+
+class TestBpeProperties:
+    @given(st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=30))
+    @settings(max_examples=30, deadline=None)
+    def test_encode_roundtrip_and_determinism(self, counts):
+        """For ANY word-frequency table: learned merges are invariant
+        to input order, and encoding any trained word concatenates
+        back losslessly — BPE never drops or invents characters."""
+        from crawler_spark.operators.bpe import (
+            END_OF_WORD, encode_word, learn_merges,
+        )
+
+        # collapse duplicate words (Counter semantics of a groupBy)
+        merged: dict[str, int] = {}
+        for w, n in counts:
+            merged[w] = merged.get(w, 0) + n
+        table = sorted(merged.items())
+        m1 = learn_merges(table, 30)
+        m2 = learn_merges(list(reversed(table)), 30)
+        assert m1 == m2
+        ranks = {p: i for i, p in enumerate(m1)}
+        for w, _ in table:
+            assert "".join(encode_word(w, ranks)) == w + END_OF_WORD
+
+    @given(st.text(alphabet="abcdef", min_size=1, max_size=12))
+    @settings(max_examples=50, deadline=None)
+    def test_unseen_words_encode_losslessly(self, word):
+        from crawler_spark.operators.bpe import (
+            END_OF_WORD, encode_word, learn_merges,
+        )
+
+        merges = learn_merges(
+            [("abac", 5), ("bade", 3), ("face", 7)], 20)
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert "".join(encode_word(word, ranks)) == word + END_OF_WORD
