@@ -753,3 +753,55 @@ def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=_BPE_MERGES, top_v=_BPE_TOP_V)
     return encode_docs(docs, merges)
+
+
+# --- temperature-smoothed domain mixing -----------------------------------
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        mn AS (SELECT min(n) AS n_min FROM counts),
+        rates AS (
+            SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS keep_p
+            FROM counts CROSS JOIN mn
+        )
+        SELECT d.doc_id, d.lang, round(r.keep_p, 6) AS keep_p
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.keep_p >= 1.0
+           OR substr({_HASH_KEY}, 1, 4)
+              < lower(lpad(to_hex(CAST(floor(r.keep_p * 65536) AS BIGINT)),
+                           4, '0'))
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mixing (Arivazhagan et al. 2019
+    §4.2; UniMax is the budgeted refinement): per-item keep rate
+    ∝ n_lang^(α-1) with α=0.5, scaled so the smallest language keeps
+    everything — dominant languages are damped by √(n_min/n) instead of the
+    hard quota cliff of `sample_domain_rebalance` (both mixes ship;
+    rebalance caps share exactly, temperature preserves ordering
+    smoothly). Membership is the repo's md5-prefix rule — no RNG,
+    identical on any cluster size. Float determinism: √ and ÷ are
+    IEEE correctly-rounded on identical operands, so the 16-bit
+    threshold floor can't straddle engines.
+
+    Scale: one lang-bounded count agg; the per-language rate table is
+    tiny and BROADCAST back onto the corpus scan — the corpus itself
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("keep_p"),
+    )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.lower(F.lpad(
+        F.hex(F.floor(F.col("keep_p") * 65536).cast("bigint")), 4, "0"))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where((F.col("keep_p") >= 1.0) | (u < thresh))
+        .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )
