@@ -526,15 +526,20 @@ def doc_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     omitted here so the oracle stays a one-to-one transcription.
 
     Scale shape: ZERO shuffle — boundaries, chunk starts/ends and the
-    chunks themselves are all array HOFs evaluated per row (each O(n)
-    via the shifted-slice zip_with, never a lambda indexing back into
-    the token expression — that re-evaluates the tokenizer per
-    position, the O(n²) trap fixed in the shingle family), then one
-    posexplode. Same growth story as ``doc_chunks``: output rows ≈
-    n_tokens/8 per doc, handled by input-split sizing, not a
-    repartition."""
+    chunks themselves are all array HOFs evaluated per row, then one
+    posexplode. The token array crosses a Generate barrier
+    (explode(array(...))) first, so the chunk-slicing lambda indexes
+    a MATERIALIZED attribute — without it CollapseProject inlines the
+    tokenizer into the lambda and re-parses the document per chunk
+    (the O(n²) trap fixed in the shingle family; this query measured
+    6.8 s → re-check in BENCH_FULL after the barrier). Same growth
+    story as ``doc_chunks``: output rows ≈ n_tokens/8 per doc,
+    handled by input-split sizing, not a repartition."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokenize("text")
+    raw_toks = X.tokenize("text")
+    tokd = docs.where(F.size(raw_toks) >= 1).select(
+        "doc_id", F.explode(F.array(raw_toks)).alias("ts"))
+    toks = F.col("ts")
     n = F.size(toks)
     # boundary flag for positions 2..n (1-indexed), via shifted slices
     flags = F.zip_with(
@@ -562,7 +567,7 @@ def doc_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = F.zip_with(
         starts, ends, lambda s, e: F.slice(toks, s, e - s))
     return (
-        docs.where(n >= 1)
+        tokd
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks"))
         .select(
             "doc_id",
