@@ -384,3 +384,31 @@ def test_append_banded_index_probe_sees_new_vectors(spark, tmp_path):
     rebuilt = knn_topk_precomputed(spark, idx2, QUERY_VEC, k=5).collect()
     assert [(r.vec_id, r.distance) for r in rebuilt] == [
         (r.vec_id, r.distance) for r in after]
+
+
+class TestSemanticDecontam:
+    def test_planted_duplicate_is_flagged(self, spark):
+        """A corpus vector identical to an eval vector must flag at
+        cosine 1.0; an orthogonal one must not."""
+        import crawler_spark.sources as S
+        from crawler_spark.plans.queries_vector import decontam_semantic
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),    # eval member (0 % 37 == 0)
+            (1, [1.0, 0.0, 0.0, 0.0]),    # exact copy -> contaminated
+            (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal -> clean
+            (3, [1.0, 0.05, 0.0, 0.0]),   # cos ~= .9988 -> contaminated
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        orig = S.load_table
+        try:
+            S.load_table = lambda sp, sf, t: df
+            got = {r.vec_id: r for r in
+                   decontam_semantic(spark, "unused").collect()}
+        finally:
+            S.load_table = orig
+        assert set(got) == {1, 2, 3}  # eval row excluded from output
+        assert got[1].contaminated and got[1].max_eval_cos == 1.0
+        assert not got[2].contaminated and got[2].max_eval_cos == 0.0
+        assert got[3].contaminated
