@@ -40,8 +40,11 @@ This closes the multi-partition rename window dynamic partition
 overwrite has. On object stores swap ``os.replace`` for a
 conditional-put of the manifest key; with Delta on the classpath the
 whole protocol collapses into ``MERGE INTO``. Readers go through
-``read_pages_table``; superseded version directories are reclaimed by
-``vacuum_pages_table``.
+``read_pages_table`` (or ``read_pages_table_at`` for time travel over
+the ``_mlog`` snapshot log); superseded version directories are
+reclaimed by ``vacuum_pages_table``, whose ``retain_last`` window
+bounds how far back travel reaches — Delta's VERSION AS OF + VACUUM
+contract in miniature.
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ from crawler_spark.plans.ingest import embed_stage, finalize_pages, parse_stage,
 
 DEFAULT_NUM_BUCKETS = 16
 MANIFEST_NAME = "_MANIFEST.json"
+MLOG_NAME = "_mlog"
 
 
 def _manifest_path(pages_dir: str) -> str:
@@ -74,17 +78,65 @@ def read_manifest(pages_dir: str) -> dict[int, int]:
         return {int(k): int(v) for k, v in json.load(f).items()}
 
 
-def commit_manifest(pages_dir: str, manifest: dict[int, int]) -> None:
+def commit_manifest(pages_dir: str, manifest: dict[int, int]) -> int:
     """THE commit point: one atomic rename publishes the new table
-    state. Everything before this is invisible to readers."""
+    state. Everything before this is invisible to readers.
+
+    After the live pointer swaps, the committed state is also appended
+    to the immutable snapshot log ``_mlog/<version>.json`` — that log
+    is what ``read_pages_table_at`` time-travels over (Delta's
+    ``_delta_log`` in miniature). Ordering matters: the live manifest
+    is the source of truth, so the snapshot is written AFTER the swap;
+    a crash in between loses only the newest LOG entry (time travel
+    lags one commit), never the live state, and the epoch replay's
+    recommit restores the log. Returns the snapshot version."""
     os.makedirs(pages_dir, exist_ok=True)
     p = _manifest_path(pages_dir)
     tmp = p + ".tmp"
+    payload = {str(b): e for b, e in sorted(manifest.items())}
     with open(tmp, "w") as f:
-        json.dump({str(b): e for b, e in sorted(manifest.items())}, f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, p)
+    log_dir = os.path.join(pages_dir, MLOG_NAME)
+    os.makedirs(log_dir, exist_ok=True)
+    versions = _snapshot_versions(pages_dir)
+    ver = (versions[-1] + 1) if versions else 1
+    snap_tmp = os.path.join(log_dir, f"{ver:08d}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(snap_tmp, os.path.join(log_dir, f"{ver:08d}.json"))
+    return ver
+
+
+def _snapshot_versions(pages_dir: str) -> list[int]:
+    log_dir = os.path.join(pages_dir, MLOG_NAME)
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def read_manifest_at(pages_dir: str, version: int) -> dict[int, int]:
+    """The committed bucket→epoch state at snapshot ``version``;
+    raises KeyError for an unknown (or vacuumed-away) version."""
+    p = os.path.join(pages_dir, MLOG_NAME, f"{version:08d}.json")
+    if not os.path.isfile(p):
+        raise KeyError(
+            f"no snapshot {version} in {pages_dir} "
+            f"(known: {_snapshot_versions(pages_dir)})")
+    with open(p) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def manifest_history(pages_dir: str) -> list[int]:
+    """Time-travelable snapshot versions, oldest first."""
+    return _snapshot_versions(pages_dir)
 
 
 def _bucket_paths(pages_dir: str, manifest: dict[int, int]) -> list[str]:
@@ -105,6 +157,22 @@ def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
     return (
         spark.read.option("basePath", pages_dir)
         .parquet(*_bucket_paths(pages_dir, manifest))
+        .drop("v")
+    )
+
+
+def read_pages_table_at(
+    spark: SparkSession, pages_dir: str, version: int
+) -> DataFrame:
+    """Time travel: the table exactly as committed at snapshot
+    ``version`` (``manifest_history`` lists them). Because commits
+    never mutate published directories, an old snapshot's files are
+    intact until ``vacuum_pages_table`` reclaims them past the
+    retention window — the same contract as Delta's
+    ``VERSION AS OF`` + ``VACUUM``."""
+    return (
+        spark.read.option("basePath", pages_dir)
+        .parquet(*_bucket_paths(pages_dir, read_manifest_at(pages_dir, version)))
         .drop("v")
     )
 
@@ -153,14 +221,25 @@ def compact_pages_table(spark: SparkSession, pages_dir: str, min_files: int = 2)
     return len(todo)
 
 
-def vacuum_pages_table(pages_dir: str) -> int:
-    """Remove version/bucket directories no longer referenced by the
-    manifest (a superseded bucket keeps its old files until vacuumed —
-    the price of never mutating live data). Returns dirs removed."""
+def vacuum_pages_table(pages_dir: str, retain_last: int = 1) -> int:
+    """Remove version/bucket directories referenced by neither the
+    live manifest nor the last ``retain_last`` snapshots (a superseded
+    bucket keeps its old files until vacuumed — the price of never
+    mutating live data). Snapshots older than the retention window are
+    pruned from the log too, so ``read_pages_table_at`` fails loudly
+    (KeyError) instead of reading half-reclaimed data — Delta's VACUUM
+    retention semantics. Returns dirs removed."""
     import shutil
 
     manifest = read_manifest(pages_dir)
+    retained_versions = _snapshot_versions(pages_dir)[-max(retain_last, 0):] \
+        if retain_last > 0 else []
     live = {(e, b) for b, e in manifest.items()}
+    for ver in retained_versions:
+        live |= {(e, b) for b, e in read_manifest_at(pages_dir, ver).items()}
+    for ver in _snapshot_versions(pages_dir):
+        if ver not in retained_versions:
+            os.remove(os.path.join(pages_dir, MLOG_NAME, f"{ver:08d}.json"))
     removed = 0
     for vdir in os.listdir(pages_dir):
         if not vdir.startswith("v="):

@@ -700,3 +700,75 @@ class TestStreamingIndexAppend:
         # every row landed exactly once across the micro-batch appends
         n = spark.read.parquet(idx_stream).select("id").distinct().count()
         assert n == emb.count()
+
+
+class TestTimeTravel:
+    """Snapshot log + version-aware reads over the manifest table —
+    the Delta VERSION AS OF / VACUUM retention contract in miniature."""
+
+    def _mk(self, spark, title):
+        return spark.createDataFrame(
+            [("https://s.test/a", "text/html",
+              f"<title>{title}</title><body>x</body>".encode(), None)],
+            schemas.FETCHED,
+        )
+
+    def test_read_at_version_sees_past_state(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(pages_dir, str(tmp_path / "dead"))
+        process(self._mk(spark, "v1"), 0)
+        process(self._mk(spark, "v2"), 1)
+        v1, v2 = mod.manifest_history(pages_dir)
+        assert {r.title for r in
+                mod.read_pages_table_at(spark, pages_dir, v1).collect()} == {"v1"}
+        assert {r.title for r in
+                mod.read_pages_table_at(spark, pages_dir, v2).collect()} == {"v2"}
+        # latest snapshot == live table
+        assert {r.title for r in
+                mod.read_pages_table(spark, pages_dir).collect()} == {"v2"}
+
+    def test_vacuum_retention_window(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(pages_dir, str(tmp_path / "dead"))
+        process(self._mk(spark, "v1"), 0)
+        process(self._mk(spark, "v2"), 1)
+        v1, v2 = mod.manifest_history(pages_dir)
+        # retain both snapshots: nothing reclaimable, v1 still readable
+        assert mod.vacuum_pages_table(pages_dir, retain_last=2) == 0
+        assert {r.title for r in
+                mod.read_pages_table_at(spark, pages_dir, v1).collect()} == {"v1"}
+        # shrink retention to the live state: v1's directory goes away
+        # AND its log entry is pruned so time travel fails loudly
+        assert mod.vacuum_pages_table(pages_dir, retain_last=1) == 1
+        assert mod.manifest_history(pages_dir) == [v2]
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            mod.read_pages_table_at(spark, pages_dir, v1)
+        assert {r.title for r in
+                mod.read_pages_table(spark, pages_dir).collect()} == {"v2"}
+
+    def test_replay_recommit_restores_log(self, spark, tmp_path):
+        """Crash between the live swap and the snapshot write: the live
+        table is committed but the log lags. The epoch replay (same
+        deterministic batch) recommits and the log catches up."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(pages_dir, str(tmp_path / "dead"))
+        process(self._mk(spark, "v1"), 0)
+        # simulate the torn commit: drop the newest snapshot file
+        import os as _os
+        v = mod.manifest_history(pages_dir)[-1]
+        _os.remove(_os.path.join(pages_dir, mod.MLOG_NAME, f"{v:08d}.json"))
+        assert mod.manifest_history(pages_dir) == []
+        # live table unaffected
+        assert {r.title for r in
+                mod.read_pages_table(spark, pages_dir).collect()} == {"v1"}
+        process(self._mk(spark, "v1"), 0)  # at-least-once replay
+        assert len(mod.manifest_history(pages_dir)) == 1
+        assert {r.title for r in
+                mod.read_pages_table(spark, pages_dir).collect()} == {"v1"}
