@@ -288,3 +288,71 @@ def layout_compact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(stats["files_before"], stats["files_after"], stats["rows"])],
         "files_before int, files_after int, rows long",
     )
+
+
+@register("timetravel_snapshot_reads")  # rows-only: filesystem snapshot log
+def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the manifest table's Delta-style time travel end-to-end:
+    build a bucketed table from the documents fixture, commit three
+    states (base load, an upsert batch that rewrites one bucket, a
+    delete batch), then read EVERY snapshot back via
+    ``read_pages_table_at`` and report (version, n_rows, n_buckets,
+    distinct_sources). The invariant a lakehouse user cares about:
+    historical reads reproduce each committed state exactly even
+    though later commits rewrote the same buckets — because commits
+    only ever publish NEW directories and swap one pointer
+    (streaming/ingest_stream.py commit protocol; vacuum's
+    ``retain_last`` bounds the travel horizon)."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.upsert import merge_by_key
+    from crawler_spark.streaming.ingest_stream import (
+        commit_manifest,
+        manifest_history,
+        read_manifest,
+        read_pages_table,
+        read_pages_table_at,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.pmod(F.xxhash64("source"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    tdir = tempfile.mkdtemp(prefix="timetravel_")
+    pages_dir = f"{tdir}/table"
+
+    def commit_state(df, epoch):
+        df.repartition(1, "bucket").write.mode("overwrite") \
+            .partitionBy("bucket").parquet(f"{pages_dir}/v={epoch}")
+        touched = [r.bucket for r in df.select("bucket").distinct().collect()]
+        commit_manifest(
+            pages_dir, {**read_manifest(pages_dir),
+                        **{b: epoch for b in touched}})
+
+    commit_state(docs, 0)                                   # v1: base load
+    batch = docs.filter(F.col("doc_id") % 10 == 0) \
+        .withColumn("n_chars", F.col("n_chars") + 1)
+    live = read_pages_table(spark, pages_dir)
+    touched_buckets = [r.bucket for r in
+                       batch.select("bucket").distinct().collect()]
+    merged = merge_by_key(
+        live.filter(F.col("bucket").isin(touched_buckets)), batch, "doc_id")
+    commit_state(merged, 1)                                 # v2: upsert
+    live = read_pages_table(spark, pages_dir)
+    kept = live.filter(F.col("doc_id") % 7 != 0)
+    commit_state(kept, 2)                                   # v3: delete
+    out = []
+    for ver in manifest_history(pages_dir):
+        snap = read_pages_table_at(spark, pages_dir, ver)
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bucket").alias("nb"),
+            F.countDistinct("source").alias("ns"),
+            F.sum("n_chars").alias("chars"),
+        ).collect()[0]
+        out.append((ver, agg["n"], agg["nb"], agg["ns"], agg["chars"]))
+    shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "version int, n_rows long, n_buckets long, "
+             "n_sources long, sum_chars long")

@@ -212,3 +212,22 @@ class TestBloomPrefilter:
         )
         assert "EvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestTimeTravelQuery:
+    def test_snapshot_reads_reproduce_committed_states(self, spark):
+        import __spark_entry__ as E
+
+        rows = {r.version: r for r in
+                E.queries()["timetravel_snapshot_reads"](
+                    spark, "/root/testdata/sf0.001").collect()}
+        assert set(rows) == {1, 2, 3}
+        # v1: the full base load
+        assert rows[1].n_rows == 500
+        # v2: upsert rewrote values, not membership — +1 char for each
+        # doc_id % 10 == 0 (50 of 500)
+        assert rows[2].n_rows == 500
+        assert rows[2].sum_chars == rows[1].sum_chars + 50
+        # v3: delete dropped every doc_id % 7 == 0
+        assert rows[3].n_rows == 500 - len([i for i in range(500) if i % 7 == 0])
+        assert rows[3].n_rows < rows[2].n_rows
