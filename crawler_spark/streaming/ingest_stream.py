@@ -49,6 +49,7 @@ contract in miniature.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -150,12 +151,19 @@ def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
     """Manifest-aware reader: loads exactly each bucket's live version
     directory (``v``/``bucket`` come back as partition columns from the
     paths; the internal ``v`` is dropped). None if the table doesn't
-    exist yet."""
+    exist yet.
+
+    Schema evolution: buckets committed at different epochs may carry
+    different (compatible) schemas — a column added by a later batch.
+    ``mergeSchema`` unions them, filling old rows with NULL, so adding
+    a column never requires rewriting history (Delta's additive
+    evolution rule; renames/drops still do)."""
     manifest = read_manifest(pages_dir)
     if not manifest:
         return None
     return (
         spark.read.option("basePath", pages_dir)
+        .option("mergeSchema", "true")
         .parquet(*_bucket_paths(pages_dir, manifest))
         .drop("v")
     )
@@ -172,9 +180,50 @@ def read_pages_table_at(
     ``VERSION AS OF`` + ``VACUUM``."""
     return (
         spark.read.option("basePath", pages_dir)
+        .option("mergeSchema", "true")
         .parquet(*_bucket_paths(pages_dir, read_manifest_at(pages_dir, version)))
         .drop("v")
     )
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the table's commit lock."""
+
+
+@contextlib.contextmanager
+def table_write_lock(pages_dir: str, stale_after_s: float = 3600.0):
+    """Single-writer enforcement for the manifest table: the commit
+    protocol is safe against CRASHES but not against two LIVE writers
+    interleaving (both read manifest M, both commit, one update lost —
+    the lost-update race every last-writer-wins pointer swap has).
+    O_CREAT|O_EXCL on a lockfile is atomic on POSIX filesystems; a
+    crashed writer's lock goes stale and is broken after
+    ``stale_after_s``. On object stores this becomes a conditional-put
+    of the lock key — same shape; Delta solves it with optimistic
+    retry on the log sequence number instead."""
+    import time
+
+    os.makedirs(pages_dir, exist_ok=True)
+    lock = os.path.join(pages_dir, "_COMMIT.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        age = time.time() - os.path.getmtime(lock)
+        if age < stale_after_s:
+            raise ConcurrentWriteError(
+                f"{lock} held for {age:.0f}s; concurrent writer or "
+                f"crashed writer inside the stale window") from None
+        os.remove(lock)  # break the stale lock and take it
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def compact_pages_table(spark: SparkSession, pages_dir: str, min_files: int = 2) -> int:

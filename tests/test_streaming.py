@@ -772,3 +772,58 @@ class TestTimeTravel:
         assert len(mod.manifest_history(pages_dir)) == 1
         assert {r.title for r in
                 mod.read_pages_table(spark, pages_dir).collect()} == {"v1"}
+
+
+class TestWriterLockAndSchemaEvolution:
+    def test_concurrent_writer_is_refused_until_release(self, tmp_path):
+        from crawler_spark.streaming.ingest_stream import (
+            ConcurrentWriteError, table_write_lock,
+        )
+
+        d = str(tmp_path / "pages")
+        with table_write_lock(d):
+            import pytest as _pytest
+            with _pytest.raises(ConcurrentWriteError):
+                with table_write_lock(d):
+                    pass
+        with table_write_lock(d):  # released -> acquirable again
+            pass
+
+    def test_stale_lock_is_broken(self, tmp_path):
+        import os as _os
+
+        from crawler_spark.streaming.ingest_stream import table_write_lock
+
+        d = str(tmp_path / "pages")
+        _os.makedirs(d)
+        lock = _os.path.join(d, "_COMMIT.lock")
+        open(lock, "w").write("999999")
+        _os.utime(lock, (0, 0))  # ancient mtime -> stale
+        with table_write_lock(d, stale_after_s=60):
+            pass
+
+    def test_added_column_reads_as_null_for_old_buckets(self, spark, tmp_path):
+        """Additive schema evolution: a column introduced by a later
+        commit must not require rewriting earlier buckets — old rows
+        surface NULL for it through the mergeSchema union."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+
+        def commit(df, epoch):
+            df.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(os.path.join(pages_dir, f"v={epoch}"))
+            touched = [r.bucket for r in df.select("bucket").distinct().collect()]
+            mod.commit_manifest(
+                pages_dir, {**mod.read_manifest(pages_dir),
+                            **{b: epoch for b in touched}})
+
+        commit(spark.createDataFrame(
+            [(1, 0, "a")], "doc_id long, bucket int, text string"), 0)
+        commit(spark.createDataFrame(
+            [(2, 1, "b", "en")],
+            "doc_id long, bucket int, text string, lang string"), 1)
+        live = mod.read_pages_table(spark, pages_dir)
+        rows = {r.doc_id: r for r in live.collect()}
+        assert rows[2].lang == "en"
+        assert rows[1].lang is None  # old bucket never rewritten
