@@ -68,7 +68,7 @@ _NEVER_DRIVER_VERIFIED = [
     "ev_holt_linear", "ev_kmv_distinct_intersect",
     "doc_chunks_cdc", "txt_quality_linear_hashed",
     "tok_bpe_train", "tok_bpe_encode", "decontam_semantic",
-    "sample_temperature_mix", "timetravel_snapshot_reads",
+    "sample_temperature_mix", "timetravel_snapshot_reads", "timetravel_changes_feed",
 ]
 
 

@@ -290,29 +290,18 @@ def layout_compact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("timetravel_snapshot_reads")  # rows-only: filesystem snapshot log
-def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the manifest table's Delta-style time travel end-to-end:
-    build a bucketed table from the documents fixture, commit three
-    states (base load, an upsert batch that rewrites one bucket, a
-    delete batch), then read EVERY snapshot back via
-    ``read_pages_table_at`` and report (version, n_rows, n_buckets,
-    distinct_sources). The invariant a lakehouse user cares about:
-    historical reads reproduce each committed state exactly even
-    though later commits rewrote the same buckets — because commits
-    only ever publish NEW directories and swap one pointer
-    (streaming/ingest_stream.py commit protocol; vacuum's
-    ``retain_last`` bounds the travel horizon)."""
-    import shutil
+def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the time-travel/CDF queries: a bucketed
+    manifest table with three committed states — base load, an upsert
+    batch (+1 char on every doc_id % 10 == 0), a delete
+    (doc_id % 7 == 0 removed). Returns (scratch_dir, pages_dir)."""
     import tempfile
 
     from crawler_spark.operators.upsert import merge_by_key
     from crawler_spark.streaming.ingest_stream import (
         commit_manifest,
-        manifest_history,
         read_manifest,
         read_pages_table,
-        read_pages_table_at,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -342,6 +331,30 @@ def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = read_pages_table(spark, pages_dir)
     kept = live.filter(F.col("doc_id") % 7 != 0)
     commit_state(kept, 2)                                   # v3: delete
+    return tdir, pages_dir
+
+
+@register("timetravel_snapshot_reads")  # rows-only: filesystem snapshot log
+def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the manifest table's Delta-style time travel end-to-end:
+    build a bucketed table from the documents fixture, commit three
+    states (base load, an upsert batch that rewrites one bucket, a
+    delete batch), then read EVERY snapshot back via
+    ``read_pages_table_at`` and report (version, n_rows, n_buckets,
+    distinct_sources). The invariant a lakehouse user cares about:
+    historical reads reproduce each committed state exactly even
+    though later commits rewrote the same buckets — because commits
+    only ever publish NEW directories and swap one pointer
+    (streaming/ingest_stream.py commit protocol; vacuum's
+    ``retain_last`` bounds the travel horizon)."""
+    import shutil
+
+    from crawler_spark.streaming.ingest_stream import (
+        manifest_history,
+        read_pages_table_at,
+    )
+
+    tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
     out = []
     for ver in manifest_history(pages_dir):
         snap = read_pages_table_at(spark, pages_dir, ver)
@@ -356,3 +369,38 @@ def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "version int, n_rows long, n_buckets long, "
              "n_sources long, sum_chars long")
+
+
+@register("timetravel_changes_feed")  # rows-only: manifest CDF
+def timetravel_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the same three-state table: classify every
+    row that changed base→final (v1→v3) — the Delta ``table_changes``
+    shape an incremental consumer (re-embed, re-index, replicate)
+    reads instead of diffing full snapshots. The manifest makes it
+    partition-pruned: a bucket whose epoch didn't move between the two
+    snapshots is never scanned (plan-asserted in
+    test_streaming.TestChangeDataFeed). Expected on the fixture:
+    deletes = doc_id % 7 == 0, updates = (doc_id % 10 == 0) minus
+    those deletes, inserts = 0 — asserted value-level in
+    tests/test_scale.py."""
+    import shutil
+
+    from crawler_spark.streaming.ingest_stream import (
+        manifest_history,
+        pages_changes,
+    )
+
+    tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
+    hist = manifest_history(pages_dir)
+    feed = pages_changes(spark, pages_dir, hist[0], hist[-1], key="doc_id")
+    out = (
+        feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+        .orderBy("_change_type")
+        .collect()
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in out],
+        "_change_type string, n long, min_id long, max_id long")

@@ -231,3 +231,15 @@ class TestTimeTravelQuery:
         # v3: delete dropped every doc_id % 7 == 0
         assert rows[3].n_rows == 500 - len([i for i in range(500) if i % 7 == 0])
         assert rows[3].n_rows < rows[2].n_rows
+
+    def test_changes_feed_classifies_exactly(self, spark):
+        import __spark_entry__ as E
+
+        rows = {r._change_type: r for r in
+                E.queries()["timetravel_changes_feed"](
+                    spark, "/root/testdata/sf0.001").collect()}
+        deletes = len([i for i in range(500) if i % 7 == 0])
+        updates = len([i for i in range(500) if i % 10 == 0 and i % 7 != 0])
+        assert rows["delete"].n == deletes
+        assert rows["update"].n == updates
+        assert "insert" not in rows

@@ -827,3 +827,44 @@ class TestWriterLockAndSchemaEvolution:
         rows = {r.doc_id: r for r in live.collect()}
         assert rows[2].lang == "en"
         assert rows[1].lang is None  # old bucket never rewritten
+
+
+class TestChangeDataFeed:
+    def test_changes_between_snapshots(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+
+        def commit(rows, epoch, schema="k string, bucket int, val string"):
+            df = spark.createDataFrame(rows, schema)
+            df.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(os.path.join(pages_dir, f"v={epoch}"))
+            touched = [r.bucket for r in df.select("bucket").distinct().collect()]
+            mod.commit_manifest(
+                pages_dir, {**mod.read_manifest(pages_dir),
+                            **{b: epoch for b in touched}})
+
+        commit([("a", 0, "1"), ("b", 0, "1"), ("c", 1, "1")], 0)
+        # bucket 0 rewritten: a updated, b deleted, d inserted; bucket 1 untouched
+        commit([("a", 0, "2"), ("d", 0, "1")], 1)
+        v1, v2 = mod.manifest_history(pages_dir)
+        feed = {r.k: r._change_type for r in
+                mod.pages_changes(spark, pages_dir, v1, v2, key="k").collect()}
+        assert feed == {"a": "update", "b": "delete", "d": "insert"}
+        # 'c' lives in an untouched bucket — must not even be scanned;
+        # assert via the plan's input paths
+        df = mod.pages_changes(spark, pages_dir, v1, v2, key="k")
+        scanned = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bucket=1" not in scanned
+
+    def test_identical_snapshots_empty_feed(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        df = spark.createDataFrame([("a", 0, "1")], "k string, bucket int, val string")
+        df.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(os.path.join(pages_dir, "v=0"))
+        mod.commit_manifest(pages_dir, {0: 0})
+        mod.commit_manifest(pages_dir, {0: 0})  # no-op commit
+        v1, v2 = mod.manifest_history(pages_dir)
+        assert mod.pages_changes(spark, pages_dir, v1, v2, key="k").count() == 0
