@@ -41,34 +41,40 @@ _NEVER_DRIVER_VERIFIED = [
     # fixed / reshaped — need a green row to retire standing red/error rows
     "ev_pivot_daily_counts", "agg_sources_per_lang", "f2_query_tokens",
     "inverted_index_postings",
-    # oracle-backed, never sampled
+    # oracle-backed, never sampled (driver sorts these before rows-only)
     "sample_domain_rebalance", "txt_tfidf_top_terms",
     "txt_normalize", "search_hybrid_rrf",
     "ev_span_overlap", "ev_trailing_features", "diag_key_skew",
     "corpus_train_val_split", "ev_anomaly_zscore", "ev_funnel_sequence",
     "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins",
     "url_normalize_dedup",
-    # rows-only, never driver-run
-    "txt_compression_ratio", "txt_normalize_nfkc",
-    "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
-    "o3_knn_topk_sq8", "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
-    "streaming_neardup_e2e", "streaming_trending_e2e", "dedup_semantic",
-    "crawl_pagerank", "bucketed_build", "layout_zorder_build",
-    # new round-4 registrations
-    "ev_value_bins_approx", "streaming_dedup_horizon_e2e",
     "decontam_exact_spans", "pack_sequences_emit",
     "sample_importance_dsir", "knn_topk_batch", "sample_gumbel_weighted",
-    "dedup_repeated_spans", "join_bloom_prefilter", "o3_knn_topk_pq",
-    "embed_random_projection", "knn_topk_ivfpq", "knn_index_append",
-    "layout_compact_build", "txt_bigram_logprob",
+    "dedup_repeated_spans", "join_bloom_prefilter", "txt_bigram_logprob",
     "sample_perplexity_buckets", "mine_hard_negatives",
-    "streaming_index_append_e2e", "txt_heavy_hitters_cms",
-    "crawl_change_detection", "ivfpq_index_build", "knn_probe_ivfpq",
-    "multimodal_phash_neardup", "multimodal_clip_filter",
+    "txt_heavy_hitters_cms", "crawl_change_detection",
     "ev_holt_linear", "ev_kmv_distinct_intersect",
-    "doc_chunks_cdc", "txt_quality_linear_hashed",
-    "tok_bpe_train", "tok_bpe_encode", "decontam_semantic",
-    "sample_temperature_mix", "timetravel_snapshot_reads", "timetravel_changes_feed",
+    "doc_chunks_cdc", "txt_quality_linear_hashed", "decontam_semantic",
+    "sample_temperature_mix",
+    # rows-only, never driver-run — ordered so a truncated sample still
+    # reaches one representative of every family: the ANN index tier
+    # (r3 verdict item 3) first, then streaming e2e, then the round-4
+    # features, then approx twins and layout builds
+    "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
+    "o3_knn_topk_sq8",
+    "streaming_neardup_e2e", "streaming_trending_e2e",
+    "streaming_dedup_horizon_e2e", "streaming_index_append_e2e",
+    "dedup_semantic", "crawl_pagerank",
+    "tok_bpe_train", "tok_bpe_encode",
+    "timetravel_snapshot_reads", "timetravel_changes_feed",
+    "o3_knn_topk_pq", "knn_topk_ivfpq", "ivfpq_index_build",
+    "knn_probe_ivfpq", "knn_index_append",
+    "multimodal_phash_neardup", "multimodal_clip_filter",
+    "embed_random_projection",
+    "bucketed_build", "layout_zorder_build", "layout_compact_build",
+    "txt_compression_ratio", "txt_normalize_nfkc",
+    "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
+    "ev_value_bins_approx",
 ]
 
 
