@@ -461,3 +461,38 @@ class TestClipFilter:
         n_images = load_table(spark, sf, "documents").filter(
             "doc_id % 4 = 0").count()
         assert 0 < len(a) < n_images
+
+
+class TestFuzzyLevenshtein:
+    def test_typo_variants_within_block_are_caught(self, spark):
+        import crawler_spark.plans.queries_dedup as QD
+        from crawler_spark.plans.queries_dedup import dedup_fuzzy_levenshtein
+
+        rows = [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brwon fox jumps high"),   # transposition: dist 2
+            (3, "the quick brown fxo jumps high"),   # transposition: dist 2
+            (4, "the quick brown fox leaps high"),   # word swap: dist > 2
+            (5, "completely different text entirely now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = QD.load_table
+        try:
+            QD.load_table = lambda sp, sf, t: df
+            got = {(r.doc_a, r.doc_b): r.dist for r in
+                   dedup_fuzzy_levenshtein(spark, "unused").collect()}
+        finally:
+            QD.load_table = orig
+        assert got[(1, 2)] == 2 and got[(1, 3)] == 2
+        assert (1, 4) not in got          # 4 edits: outside the radius
+        assert all(5 not in p for p in got)
+        # blocking recall trade is real: a first-char edit escapes the
+        # block even at dist 1 — documented, multi-pass blocking is the fix
+        df2 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "blpha beta")], "doc_id long, text string")
+        try:
+            QD.load_table = lambda sp, sf, t: df2
+            got2 = dedup_fuzzy_levenshtein(spark, "unused").collect()
+        finally:
+            QD.load_table = orig
+        assert got2 == []
