@@ -122,7 +122,7 @@ def encode_docs(docs: DataFrame, merges: list[tuple[str, str]],
     def batches(it):
         for pdf in it:
             out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
                 pieces: list[str] = []
                 for w in _py_tokenize(text):
                     pieces.extend(encode_word(w, ranks))
@@ -135,7 +135,13 @@ def encode_docs(docs: DataFrame, merges: list[tuple[str, str]],
 
 
 def _py_tokenize(text: str) -> list[str]:
-    """Python mirror of functions.text.tokenize (lowercase \\w+)."""
+    """Python mirror of functions.text.tokenize (lowercase \\w+).
+
+    ``re.ASCII`` is load-bearing: Java regex (Spark's split, which
+    produced the word counts this encoder's merges were trained on)
+    treats ``\\w`` as ASCII-only, while Python 3 defaults to Unicode —
+    without the flag 'café' tokenizes differently here than in
+    training and the encoded pieces leave the trained vocabulary."""
     import re
 
-    return [t for t in re.split(r"\W+", text.lower()) if t]
+    return [t for t in re.split(r"\W+", text.lower(), flags=re.ASCII) if t]

@@ -311,13 +311,24 @@ def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
     tdir = tempfile.mkdtemp(prefix="timetravel_")
     pages_dir = f"{tdir}/table"
 
-    def commit_state(df, epoch):
+    def commit_state(df, epoch, touched=None):
+        """``touched`` = every bucket the commit EXAMINED; buckets it
+        examined but left no rows in are dropped from the manifest —
+        without that, a delete that empties a bucket leaves the
+        manifest pointing at the pre-delete directory and the deleted
+        rows resurrect (the fixture never empties one, but the
+        pattern must be right for any distribution)."""
         df.repartition(1, "bucket").write.mode("overwrite") \
             .partitionBy("bucket").parquet(f"{pages_dir}/v={epoch}")
-        touched = [r.bucket for r in df.select("bucket").distinct().collect()]
-        commit_manifest(
-            pages_dir, {**read_manifest(pages_dir),
-                        **{b: epoch for b in touched}})
+        present = {r.bucket for r in df.select("bucket").distinct().collect()}
+        touched = present if touched is None else set(touched)
+        manifest = read_manifest(pages_dir)
+        for b in touched:
+            if b in present:
+                manifest[b] = epoch
+            else:
+                manifest.pop(b, None)
+        commit_manifest(pages_dir, manifest)
 
     commit_state(docs, 0)                                   # v1: base load
     batch = docs.filter(F.col("doc_id") % 10 == 0) \
@@ -330,7 +341,8 @@ def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
     commit_state(merged, 1)                                 # v2: upsert
     live = read_pages_table(spark, pages_dir)
     kept = live.filter(F.col("doc_id") % 7 != 0)
-    commit_state(kept, 2)                                   # v3: delete
+    all_buckets = [r.bucket for r in live.select("bucket").distinct().collect()]
+    commit_state(kept, 2, touched=all_buckets)              # v3: delete
     return tdir, pages_dir
 
 
@@ -354,18 +366,22 @@ def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_pages_table_at,
     )
 
-    tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
-    out = []
-    for ver in manifest_history(pages_dir):
-        snap = read_pages_table_at(spark, pages_dir, ver)
-        agg = snap.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("bucket").alias("nb"),
-            F.countDistinct("source").alias("ns"),
-            F.sum("n_chars").alias("chars"),
-        ).collect()[0]
-        out.append((ver, agg["n"], agg["nb"], agg["ns"], agg["chars"]))
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = None
+    try:
+        tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
+        out = []
+        for ver in manifest_history(pages_dir):
+            snap = read_pages_table_at(spark, pages_dir, ver)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("bucket").alias("nb"),
+                F.countDistinct("source").alias("ns"),
+                F.sum("n_chars").alias("chars"),
+            ).collect()[0]
+            out.append((ver, agg["n"], agg["nb"], agg["ns"], agg["chars"]))
+    finally:
+        if tdir:
+            shutil.rmtree(tdir, ignore_errors=True)
     return spark.createDataFrame(
         out, "version int, n_rows long, n_buckets long, "
              "n_sources long, sum_chars long")
@@ -390,17 +406,21 @@ def timetravel_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages_changes,
     )
 
-    tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
-    hist = manifest_history(pages_dir)
-    feed = pages_changes(spark, pages_dir, hist[0], hist[-1], key="doc_id")
-    out = (
-        feed.groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
-        .orderBy("_change_type")
-        .collect()
-    )
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = None
+    try:
+        tdir, pages_dir = _build_versioned_doc_table(spark, sf_dir)
+        hist = manifest_history(pages_dir)
+        feed = pages_changes(spark, pages_dir, hist[0], hist[-1], key="doc_id")
+        out = (
+            feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+            .orderBy("_change_type")
+            .collect()
+        )
+    finally:
+        if tdir:
+            shutil.rmtree(tdir, ignore_errors=True)
     return spark.createDataFrame(
         [tuple(r) for r in out],
         "_change_type string, n long, min_id long, max_id long")

@@ -222,9 +222,14 @@ def pages_changes(
         )
 
     old, new = side(m_from), side(m_to)
-    if old is None and new is None:  # no bucket changed: empty feed
-        return spark.createDataFrame(
-            [], f"{key} string, _change_type string")
+    if old is None and new is None:
+        # no bucket changed: empty feed with the TO snapshot's real
+        # schema + tag, so unions across version windows line up
+        return (
+            read_pages_table_at(spark, pages_dir, to_version)
+            .where(F.lit(False))
+            .withColumn("_change_type", F.lit(None).cast("string"))
+        )
     if old is None or new is None:
         base, tag = (new, "insert") if old is None else (old, "delete")
         return base.withColumn("_change_type", F.lit(tag))
@@ -270,16 +275,33 @@ def table_write_lock(pages_dir: str, stale_after_s: float = 3600.0):
 
     os.makedirs(pages_dir, exist_ok=True)
     lock = os.path.join(pages_dir, "_COMMIT.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        age = time.time() - os.path.getmtime(lock)
-        if age < stale_after_s:
-            raise ConcurrentWriteError(
-                f"{lock} held for {age:.0f}s; concurrent writer or "
-                f"crashed writer inside the stale window") from None
-        os.remove(lock)  # break the stale lock and take it
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # holder released between open and stat; retry
+            if age < stale_after_s:
+                raise ConcurrentWriteError(
+                    f"{lock} held for {age:.0f}s; concurrent writer or "
+                    f"crashed writer inside the stale window") from None
+            # break the stale lock ATOMICALLY: os.replace to a
+            # per-breaker name means exactly one racer moves it (the
+            # loser's replace raises FileNotFoundError) — a bare
+            # remove+recreate here would let two breakers both
+            # "acquire" (breaker A creates, breaker B removes A's
+            # fresh lock and creates its own: the lost-update race
+            # this lock exists to prevent)
+            stale = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+            try:
+                os.replace(lock, stale)
+                os.remove(stale)
+            except FileNotFoundError:
+                pass  # another breaker won the replace; just retry
+            continue  # loop back to the O_EXCL create
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)

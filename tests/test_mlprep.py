@@ -312,3 +312,26 @@ class TestBpe:
         m1 = train_bpe(docs, num_merges=20, top_v=100)
         m2 = train_bpe(docs.repartition(7), num_merges=20, top_v=100)
         assert m1 == m2 and len(m1) == 20
+
+    def test_encode_handles_null_and_non_ascii_text(self, spark):
+        """NULL text must not crash the Arrow kernel, and the Python
+        tokenizer mirror must agree with the JVM tokenizer on
+        non-ASCII (Java \\w is ASCII-only; re.ASCII pins Python to
+        the same behavior)."""
+        from crawler_spark.functions import text as X
+        from crawler_spark.operators.bpe import (
+            _py_tokenize, encode_docs, learn_merges,
+        )
+        from pyspark.sql import functions as F
+
+        texts = [(1, "Café au lait"), (2, None), (3, "naïve résumé")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        for _, t in texts:
+            if t is not None:
+                jvm = df.where(F.col("text") == t).select(
+                    X.tokenize("text").alias("ts")).collect()[0].ts
+                assert jvm == _py_tokenize(t), t
+        merges = learn_merges(self.COUNTS, 10)
+        got = {r.doc_id: r for r in encode_docs(df, merges).collect()}
+        assert got[2].n_pieces == 0 and got[2].first_pieces == ""
+        assert got[1].n_pieces > 0
