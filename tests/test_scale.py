@@ -243,3 +243,39 @@ class TestTimeTravelQuery:
         assert rows["delete"].n == deletes
         assert rows["update"].n == updates
         assert "insert" not in rows
+
+    def test_delete_emptying_a_bucket_does_not_resurrect(self, spark, tmp_path):
+        """A delete commit that leaves a bucket with zero rows must drop
+        that bucket from the manifest — otherwise the manifest keeps
+        pointing at the pre-delete directory and the rows come back."""
+        import os
+
+        from crawler_spark.streaming.ingest_stream import (
+            commit_manifest, read_manifest, read_pages_table,
+        )
+
+        pages_dir = str(tmp_path / "pages")
+
+        def commit_state(df, epoch, touched=None):
+            df.repartition(1, "bucket").write.mode("overwrite") \
+                .partitionBy("bucket").parquet(os.path.join(pages_dir, f"v={epoch}"))
+            present = {r.bucket for r in df.select("bucket").distinct().collect()}
+            touched = present if touched is None else set(touched)
+            manifest = read_manifest(pages_dir)
+            for b in touched:
+                if b in present:
+                    manifest[b] = epoch
+                else:
+                    manifest.pop(b, None)
+            commit_manifest(pages_dir, manifest)
+
+        base = spark.createDataFrame(
+            [(1, 0, "x"), (2, 0, "y"), (3, 1, "z")],
+            "doc_id long, bucket int, val string")
+        commit_state(base, 0)
+        # delete EVERYTHING in bucket 1
+        kept = base.filter("bucket != 1")
+        commit_state(kept, 1, touched=[0, 1])
+        live = read_pages_table(spark, pages_dir)
+        assert {r.doc_id for r in live.collect()} == {1, 2}
+        assert 1 not in read_manifest(pages_dir)
