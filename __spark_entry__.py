@@ -67,6 +67,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_semantic", "crawl_pagerank",
     "tok_bpe_train", "tok_bpe_encode",
     "timetravel_snapshot_reads", "timetravel_changes_feed",
+    "diag_plan_metrics",
     "o3_knn_topk_pq", "knn_topk_ivfpq", "ivfpq_index_build",
     "knn_probe_ivfpq", "knn_index_append",
     "multimodal_phash_neardup", "multimodal_clip_filter",

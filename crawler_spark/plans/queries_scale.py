@@ -424,3 +424,39 @@ def timetravel_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in out],
         "_change_type string, n long, min_id long, max_id long")
+
+
+@register("diag_plan_metrics")  # rows-only: post-execution introspection
+def diag_plan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a representative join+agg (orders⨝customer revenue per
+    market segment) and report the executed plan's SQLMetrics — rows
+    out of every operator, shuffle partition/data sizes, spill, scan
+    file counts (operators/introspect.py). This is `diag_key_skew`'s
+    sibling: skew diagnosis reads the DATA, this reads the EXECUTION —
+    together they are the feedback loop that tunes salting, broadcast
+    thresholds, and partition sizing before a 100 TB run discovers
+    them the hard way. Only stable metrics are emitted (row/partition/
+    file counts — times and memory vary run to run); the full map is
+    available from the library call."""
+    from crawler_spark.operators.introspect import profile_query
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    q = (
+        orders.join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+             .cast("double").alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+    stable = {"numOutputRows", "numPartitions", "numFiles",
+              "numEmptyPartitions", "numCoalescedPartitions", "spillSize"}
+    rows = [(d, node, metric, v)
+            for d, node, metric, v in profile_query(q)
+            if metric in stable]
+    return spark.createDataFrame(
+        rows, "depth int, node string, metric string, value long")

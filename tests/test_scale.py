@@ -279,3 +279,22 @@ class TestTimeTravelQuery:
         live = read_pages_table(spark, pages_dir)
         assert {r.doc_id for r in live.collect()} == {1, 2}
         assert 1 not in read_manifest(pages_dir)
+
+
+class TestPlanMetrics:
+    def test_metrics_tell_the_true_execution_story(self, spark):
+        import __spark_entry__ as E
+
+        rows = E.queries()["diag_plan_metrics"](
+            spark, "/root/testdata/sf0.001").collect()
+        by = {}
+        for r in rows:
+            by.setdefault((r.node.strip(), r.metric), []).append(r.value)
+        # scans read exactly the two tables (orders 1500, customer 150)
+        assert sorted(by[("Scan parquet", "numOutputRows")]) == [150, 1500]
+        # every order matched a customer through the broadcast join
+        assert by[("BroadcastHashJoin", "numOutputRows")] == [1500]
+        # the final aggregate is the 5 market segments
+        assert 5 in by[("HashAggregate", "numOutputRows")]
+        # nothing spilled at this scale
+        assert all(v == 0 for v in by.get(("HashAggregate", "spillSize"), [0]))
