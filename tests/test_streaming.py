@@ -868,3 +868,25 @@ class TestChangeDataFeed:
         mod.commit_manifest(pages_dir, {0: 0})  # no-op commit
         v1, v2 = mod.manifest_history(pages_dir)
         assert mod.pages_changes(spark, pages_dir, v1, v2, key="k").count() == 0
+
+
+class TestManifestReaderPruning:
+    def test_bucket_filter_prunes_partitions(self, spark, tmp_path):
+        """Filtering the manifest table on its bucket column must prune
+        at the partition level (bucket= path dirs), not scan-and-drop —
+        the property the O(touched partitions) merge depends on."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        df = spark.createDataFrame(
+            [(i, i % 4, f"t{i}") for i in range(40)],
+            "doc_id long, bucket int, val string")
+        df.repartition(1, "bucket").write.mode("overwrite") \
+            .partitionBy("bucket").parquet(os.path.join(pages_dir, "v=0"))
+        mod.commit_manifest(pages_dir, {b: 0 for b in range(4)})
+        live = mod.read_pages_table(spark, pages_dir).filter("bucket = 2")
+        assert live.count() == 10
+        plan = live._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+        m = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*=\s*2", plan)
+        assert m, f"no bucket=2 partition filter in plan:\n{plan[:2000]}"
