@@ -357,6 +357,44 @@ def compact_pages_table(spark: SparkSession, pages_dir: str, min_files: int = 2)
     return len(todo)
 
 
+def rebucket_pages_table(
+    spark: SparkSession, pages_dir: str, new_num_buckets: int
+) -> int:
+    """Bucket-count evolution: rewrite the table under a new
+    ``domain_bucket(_, new_num_buckets)`` layout and publish it with
+    ONE manifest swap — readers never see a mixed-bucketing state, and
+    every pre-migration snapshot still time-travels (its directories
+    are untouched until vacuum). The O(table) rewrite is inherent to
+    resharding; what the protocol buys is that it happens OFFLINE of
+    readers, like compaction. Run it from the single writer, then
+    restart the stream with the same ``num_buckets`` — the bucket
+    function and the directory layout must agree or the per-batch
+    partition pruning reads the wrong directories. Returns the new
+    bucket count actually materialized (empty buckets get no
+    directory and no manifest entry)."""
+    import time
+
+    df = read_pages_table(spark, pages_dir)
+    if df is None:
+        return 0
+    ver = max(int(time.time() * 1000),
+              max(read_manifest(pages_dir).values()) + 1)
+    out = df.drop("bucket").withColumn(
+        "bucket", domain_bucket("domain", new_num_buckets))
+    (
+        out.repartition(new_num_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(pages_dir, f"v={ver}"))
+    )
+    vdir = os.path.join(pages_dir, f"v={ver}")
+    materialized = sorted(
+        int(d[7:]) for d in os.listdir(vdir) if d.startswith("bucket="))
+    # the swap REPLACES the whole manifest: old buckets vanish together
+    commit_manifest(pages_dir, {b: ver for b in materialized})
+    return len(materialized)
+
+
 def vacuum_pages_table(pages_dir: str, retain_last: int = 1) -> int:
     """Remove version/bucket directories referenced by neither the
     live manifest nor the last ``retain_last`` snapshots (a superseded

@@ -890,3 +890,43 @@ class TestManifestReaderPruning:
         import re as _re
         m = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*=\s*2", plan)
         assert m, f"no bucket=2 partition filter in plan:\n{plan[:2000]}"
+
+
+class TestRebucket:
+    def test_rebucket_preserves_rows_and_history(self, spark, tmp_path):
+        from crawler_spark import schemas
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        process = mod.make_batch_processor(
+            pages_dir, str(tmp_path / "dead"), num_buckets=2)
+        rows = [(f"https://d{i}.test/p", "text/html",
+                 f"<title>t{i}</title><body>x</body>".encode(), None)
+                for i in range(12)]
+        process(spark.createDataFrame(rows, schemas.FETCHED), 0)
+        before = {(r.url, r.title)
+                  for r in mod.read_pages_table(spark, pages_dir).collect()}
+        pre_ver = mod.manifest_history(pages_dir)[-1]
+
+        n = mod.rebucket_pages_table(spark, pages_dir, new_num_buckets=8)
+        assert n > 2  # actually spread over more buckets
+        after_df = mod.read_pages_table(spark, pages_dir)
+        assert {(r.url, r.title) for r in after_df.collect()} == before
+        # new layout agrees with the bucket function at the new count
+        mismatch = after_df.filter(
+            mod.domain_bucket("domain", 8) != F.col("bucket")).count()
+        assert mismatch == 0
+        # pre-migration snapshot still time-travels
+        old = mod.read_pages_table_at(spark, pages_dir, pre_ver)
+        assert {(r.url, r.title) for r in old.collect()} == before
+        # a post-migration batch merges correctly at the new count
+        process8 = mod.make_batch_processor(
+            pages_dir, str(tmp_path / "dead"), num_buckets=8)
+        process8(spark.createDataFrame(
+            [("https://d0.test/p", "text/html",
+              b"<title>t0v2</title><body>y</body>", None)],
+            schemas.FETCHED), 1)
+        final = {r.url: r.title
+                 for r in mod.read_pages_table(spark, pages_dir).collect()}
+        assert final["https://d0.test/p"] == "t0v2"
+        assert len(final) == 12
