@@ -328,6 +328,11 @@ def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- character-level fuzzy candidates (blocked Levenshtein) ---------------
 _FUZZY_MAX_DIST = 2
 _FUZZY_PREFIX_TOKENS = 5
+# tokenize only a 200-char prefix: the title needs 5 tokens, and running
+# the \W+ regex over full multi-KB documents was ~5x the query's cost
+# (same prune in BOTH engines, so parity is unaffected)
+_FUZZY_TOKENS_SQL = _TOKENS_SQL_REF.replace(
+    "lower(text)", "lower(substr(text, 1, 200))")
 
 
 @register(
@@ -336,7 +341,7 @@ _FUZZY_PREFIX_TOKENS = 5
         WITH titles AS (
             SELECT doc_id,
                    array_to_string(
-                       {_TOKENS_SQL_REF}[1:{_FUZZY_PREFIX_TOKENS}], ' ')
+                       {_FUZZY_TOKENS_SQL}[1:{_FUZZY_PREFIX_TOKENS}], ' ')
                        AS title
             FROM documents
         ),
@@ -371,17 +376,25 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     title-like strings, and PassJoin-style segment partitioning is the
     published swap when a block still explodes. levenshtein() is
     JVM-side codegen in Spark and native in DuckDB — identical ints,
-    no float drift anywhere."""
+    no float drift anywhere. Two measured physical choices
+    (diag_plan_metrics profiling found both): tokenize only the
+    200-char prefix (the \\W+ regex over full documents was ~5× the
+    query), and repartition the probe side — the broadcast block join
+    otherwise inherits the scan's single input partition and runs the
+    whole probe on ONE core."""
     docs = load_table(spark, sf_dir, "documents")
     title = F.concat_ws(
-        " ", F.slice(X.tokenize("text"), 1, _FUZZY_PREFIX_TOKENS))
+        " ", F.slice(
+            X.tokenize(F.substring("text", 1, 200)), 1,
+            _FUZZY_PREFIX_TOKENS))
     blocked = docs.select(
         "doc_id", title.alias("title")).where(F.col("title") != "").select(
         "doc_id", "title",
         F.floor(F.length("title") / 4).cast("int").alias("len_band"),
         F.substring("title", 1, 1).alias("head"),
     )
-    a = blocked.alias("a")
+    par = spark.sparkContext.defaultParallelism
+    a = blocked.repartition(par, "len_band", "head").alias("a")
     b = blocked.alias("b")
     dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
     return (
