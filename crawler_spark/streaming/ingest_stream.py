@@ -171,17 +171,22 @@ def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
 
 def read_pages_table_at(
     spark: SparkSession, pages_dir: str, version: int
-) -> DataFrame:
+) -> DataFrame | None:
     """Time travel: the table exactly as committed at snapshot
     ``version`` (``manifest_history`` lists them). Because commits
     never mutate published directories, an old snapshot's files are
     intact until ``vacuum_pages_table`` reclaims them past the
     retention window — the same contract as Delta's
-    ``VERSION AS OF`` + ``VACUUM``."""
+    ``VERSION AS OF`` + ``VACUUM``. A snapshot whose manifest is
+    EMPTY (a delete emptied the table) returns None, mirroring
+    ``read_pages_table`` — there are no files to carry a schema."""
+    manifest = read_manifest_at(pages_dir, version)
+    if not manifest:
+        return None
     return (
         spark.read.option("basePath", pages_dir)
         .option("mergeSchema", "true")
-        .parquet(*_bucket_paths(pages_dir, read_manifest_at(pages_dir, version)))
+        .parquet(*_bucket_paths(pages_dir, manifest))
         .drop("v")
     )
 
@@ -225,9 +230,11 @@ def pages_changes(
     if old is None and new is None:
         # no bucket changed: empty feed with the TO snapshot's real
         # schema + tag, so unions across version windows line up
+        base = read_pages_table_at(spark, pages_dir, to_version)
+        if base is None:  # table empty at both versions: no schema exists
+            return spark.createDataFrame([], f"{key} string, _change_type string")
         return (
-            read_pages_table_at(spark, pages_dir, to_version)
-            .where(F.lit(False))
+            base.where(F.lit(False))
             .withColumn("_change_type", F.lit(None).cast("string"))
         )
     if old is None or new is None:

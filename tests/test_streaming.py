@@ -930,3 +930,78 @@ class TestRebucket:
                  for r in mod.read_pages_table(spark, pages_dir).collect()}
         assert final["https://d0.test/p"] == "t0v2"
         assert len(final) == 12
+
+
+class TestLakehouseModelCheck:
+    """Model-based check of the manifest-table lakehouse: a random
+    sequence of upsert/delete commits is applied both to the real
+    table (commit protocol, bucketed directories) and to a plain dict
+    model; every snapshot must time-travel to its model state and
+    every (i, j) change feed must equal the model diff."""
+
+    def _apply(self, spark, pages_dir, df_rows, touched, epoch):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        df = spark.createDataFrame(
+            df_rows or [], "k long, bucket int, val string")
+        df.repartition(1, "bucket").write.mode("overwrite") \
+            .partitionBy("bucket").parquet(os.path.join(pages_dir, f"v={epoch}"))
+        present = {r.bucket for r in df.select("bucket").distinct().collect()}
+        manifest = mod.read_manifest(pages_dir)
+        for b in touched:
+            if b in present:
+                manifest[b] = epoch
+            else:
+                manifest.pop(b, None)
+        mod.commit_manifest(pages_dir, manifest)
+
+    def test_random_commit_sequences_match_model(self, spark, tmp_path):
+        import itertools
+        import random
+
+        from crawler_spark.streaming import ingest_stream as mod
+
+        rng = random.Random(42)
+        for case in range(3):
+            pages_dir = str(tmp_path / f"t{case}")
+            model: dict[int, str] = {}
+            snapshots = []
+            live = {}
+            for epoch in range(4):
+                op = rng.choice(["upsert", "delete"]) if epoch else "upsert"
+                if op == "upsert":
+                    batch = {rng.randrange(12): f"v{epoch}.{i}"
+                             for i in range(rng.randrange(1, 5))}
+                    live = {**live, **batch}
+                    touched = {k % 3 for k in batch}
+                else:
+                    doomed = [k for k in live if rng.random() < 0.5]
+                    touched = {k % 3 for k in doomed}
+                    live = {k: v for k, v in live.items() if k not in doomed}
+                # rewrite full contents of touched buckets (merge shape)
+                rows = [(k, k % 3, v) for k, v in live.items()
+                        if k % 3 in touched]
+                self._apply(spark, pages_dir, rows, touched, epoch)
+                model = dict(live)
+                snapshots.append(dict(model))
+            hist = mod.manifest_history(pages_dir)
+            assert len(hist) == len(snapshots)
+            for ver, want in zip(hist, snapshots):
+                snap = mod.read_pages_table_at(spark, pages_dir, ver)
+                got = {} if snap is None else {
+                    r.k: r.val for r in snap.collect()}
+                assert got == want, (case, ver)
+            # change feeds between every snapshot pair
+            for i, j in itertools.combinations(range(len(hist)), 2):
+                a, b = snapshots[i], snapshots[j]
+                want_feed = {}
+                for k in set(a) | set(b):
+                    if k not in a:
+                        want_feed[k] = "insert"
+                    elif k not in b:
+                        want_feed[k] = "delete"
+                    elif a[k] != b[k]:
+                        want_feed[k] = "update"
+                got_feed = {r.k: r._change_type for r in mod.pages_changes(
+                    spark, pages_dir, hist[i], hist[j], key="k").collect()}
+                assert got_feed == want_feed, (case, i, j)
