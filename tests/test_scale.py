@@ -298,3 +298,27 @@ class TestPlanMetrics:
         assert 5 in by[("HashAggregate", "numOutputRows")]
         # nothing spilled at this scale
         assert all(v == 0 for v in by.get(("HashAggregate", "spillSize"), [0]))
+
+
+_BUILD_QUERIES = [
+    "knn_index_build", "ivfpq_index_build", "bucketed_build",
+    "layout_zorder_build", "layout_compact_build",
+    "timetravel_snapshot_reads", "timetravel_changes_feed",
+    "knn_index_append", "diag_plan_metrics",
+]
+
+
+class TestBuildQueryRerunStability:
+    """Every query that materializes state under /tmp must return the
+    SAME answer when run twice in one session — the driver and bench
+    both re-run queries (retries, sampling), and a stale-cache or
+    leftover-directory bug would surface as a flaky second answer."""
+
+    @pytest.mark.parametrize("name", _BUILD_QUERIES)
+    def test_second_run_matches_first(self, spark, name):
+        import __spark_entry__ as E
+
+        fn = E.queries()[name]
+        first = sorted(map(tuple, fn(spark, SF).collect()))
+        second = sorted(map(tuple, fn(spark, SF).collect()))
+        assert first == second, name
