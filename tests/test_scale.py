@@ -300,12 +300,15 @@ class TestPlanMetrics:
         assert all(v == 0 for v in by.get(("HashAggregate", "spillSize"), [0]))
 
 
-_BUILD_QUERIES = [
-    "knn_index_build", "ivfpq_index_build", "bucketed_build",
-    "layout_zorder_build", "layout_compact_build",
-    "timetravel_snapshot_reads", "timetravel_changes_feed",
-    "knn_index_append", "diag_plan_metrics",
-]
+def _rows_only_queries():
+    """Every registered query WITHOUT an oracle — the set whose only
+    driver signal is a rows-only run, and exactly the set that tends
+    to materialize state (/tmp indexes, streaming checkpoints,
+    manifest tables) where a rerun could diverge."""
+    from crawler_spark.plans import registry
+
+    registry.load_all()
+    return sorted(n for n in registry.QUERIES if n not in registry.ORACLE)
 
 
 class TestBuildQueryRerunStability:
@@ -314,7 +317,7 @@ class TestBuildQueryRerunStability:
     both re-run queries (retries, sampling), and a stale-cache or
     leftover-directory bug would surface as a flaky second answer."""
 
-    @pytest.mark.parametrize("name", _BUILD_QUERIES)
+    @pytest.mark.parametrize("name", _rows_only_queries())
     def test_second_run_matches_first(self, spark, name):
         import __spark_entry__ as E
 
