@@ -408,3 +408,85 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "dedup_fuzzy_seeded",
+    oracle=f"""
+        WITH titles AS (
+            SELECT doc_id,
+                   array_to_string(
+                       {_FUZZY_TOKENS_SQL}[1:{_FUZZY_PREFIX_TOKENS}], ' ')
+                       AS title
+            FROM documents
+        ),
+        variants AS (
+            SELECT doc_id * 2 AS vid, title FROM titles
+            WHERE len(title) >= 4
+            UNION ALL
+            SELECT doc_id * 2 + 1 AS vid,
+                   substr(title, 1, 2) || 'z' || substr(title, 4) AS title
+            FROM titles WHERE len(title) >= 4
+        ),
+        blocked AS (
+            SELECT vid, title,
+                   CAST(floor(len(title) / 4) AS INT) AS len_band,
+                   substr(title, 1, 1) AS head
+            FROM variants
+        )
+        SELECT a.vid AS doc_a, b.vid AS doc_b,
+               CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.len_band = b.len_band AND a.head = b.head
+         AND a.vid < b.vid
+        WHERE levenshtein(a.title, b.title) <= {_FUZZY_MAX_DIST}
+          AND b.vid = a.vid + 1 AND a.vid % 2 = 0
+    """,
+)
+def dedup_fuzzy_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NONZERO-distance path of the fuzzy matcher under the value
+    oracle: every document spawns a variant with one character
+    substituted mid-title (seeded identically in both engines, the
+    ``url_normalize_dedup`` convention), and the blocked-Levenshtein
+    pipeline must recover exactly the (original, variant) pairs at
+    dist 1 — the corpus's own near-dups only exercise dist 0, so
+    without this the driver never checks the edit-distance arithmetic
+    itself. The output filter keeps only the planted pairs so the
+    expected set is structurally known (one row per doc with a
+    ≥4-char title)."""
+    docs = load_table(spark, sf_dir, "documents")
+    title = F.concat_ws(
+        " ", F.slice(
+            X.tokenize(F.substring("text", 1, 200)), 1,
+            _FUZZY_PREFIX_TOKENS))
+    base = docs.select("doc_id", title.alias("title")).where(
+        F.length("title") >= 4)
+    mutated = F.concat(
+        F.substring("title", 1, 2), F.lit("z"),
+        F.expr("substr(title, 4)"))
+    variants = base.select(
+        (F.col("doc_id") * 2).alias("vid"), "title",
+    ).unionByName(base.select(
+        (F.col("doc_id") * 2 + 1).alias("vid"), mutated.alias("title")))
+    blocked = variants.select(
+        "vid", "title",
+        F.floor(F.length("title") / 4).cast("int").alias("len_band"),
+        F.substring("title", 1, 1).alias("head"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = blocked.repartition(par, "len_band", "head").alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.len_band") == F.col("b.len_band"))
+               & (F.col("a.head") == F.col("b.head"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .where((dist <= _FUZZY_MAX_DIST)
+               & (F.col("b.vid") == F.col("a.vid") + 1)
+               & (F.col("a.vid") % 2 == 0))
+        .select(
+            F.col("a.vid").alias("doc_a"),
+            F.col("b.vid").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
