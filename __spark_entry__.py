@@ -56,7 +56,7 @@ _NEVER_DRIVER_VERIFIED = [
     "ev_holt_linear", "ev_kmv_distinct_intersect",
     "doc_chunks_cdc", "txt_quality_linear_hashed", "decontam_semantic",
     "sample_temperature_mix", "dedup_fuzzy_levenshtein",
-    "dedup_fuzzy_seeded",
+    "dedup_fuzzy_seeded", "ev_rollup_incremental",
     # rows-only, never driver-run — ordered so a truncated sample still
     # reaches one representative of every family: the ANN index tier
     # (r3 verdict item 3) first, then streaming e2e, then the round-4
