@@ -335,6 +335,44 @@ _FUZZY_TOKENS_SQL = _TOKENS_SQL_REF.replace(
     "lower(text)", "lower(substr(text, 1, 200))")
 
 
+
+def _fuzzy_title(text_col: str = "text") -> F.Column:
+    """The 5-token title prefix both fuzzy queries block on (200-char
+    prune per the measured finding in ``dedup_fuzzy_levenshtein``)."""
+    return F.concat_ws(
+        " ", F.slice(
+            X.tokenize(F.substring(text_col, 1, 200)), 1,
+            _FUZZY_PREFIX_TOKENS))
+
+
+def _fuzzy_blocked_pairs(spark: SparkSession, titled: DataFrame,
+                         id_col: str) -> DataFrame:
+    """Shared ED-join pipeline: (length-band, first-char) blocking,
+    parallelized probe side, levenshtein ≤ max_dist filter. Both the
+    corpus query and the seeded-typo oracle run THIS function, so the
+    driver's seeded check certifies the production pipeline."""
+    blocked = titled.select(
+        id_col, "title",
+        F.floor(F.length("title") / 4).cast("int").alias("len_band"),
+        F.substring("title", 1, 1).alias("head"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = blocked.repartition(par, "len_band", "head").alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.len_band") == F.col("b.len_band"))
+               & (F.col("a.head") == F.col("b.head"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
 @register(
     "dedup_fuzzy_levenshtein",
     oracle=f"""
@@ -383,31 +421,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise inherits the scan's single input partition and runs the
     whole probe on ONE core."""
     docs = load_table(spark, sf_dir, "documents")
-    title = F.concat_ws(
-        " ", F.slice(
-            X.tokenize(F.substring("text", 1, 200)), 1,
-            _FUZZY_PREFIX_TOKENS))
-    blocked = docs.select(
-        "doc_id", title.alias("title")).where(F.col("title") != "").select(
-        "doc_id", "title",
-        F.floor(F.length("title") / 4).cast("int").alias("len_band"),
-        F.substring("title", 1, 1).alias("head"),
-    )
-    par = spark.sparkContext.defaultParallelism
-    a = blocked.repartition(par, "len_band", "head").alias("a")
-    b = blocked.alias("b")
-    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
-    return (
-        a.join(b, (F.col("a.len_band") == F.col("b.len_band"))
-               & (F.col("a.head") == F.col("b.head"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(dist <= _FUZZY_MAX_DIST)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.cast("int").alias("dist"),
-        )
-    )
+    titled = docs.select(
+        "doc_id", _fuzzy_title().alias("title")).where(F.col("title") != "")
+    return _fuzzy_blocked_pairs(spark, titled, "doc_id")
 
 
 @register(
@@ -455,11 +471,7 @@ def dedup_fuzzy_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected set is structurally known (one row per doc with a
     ≥4-char title)."""
     docs = load_table(spark, sf_dir, "documents")
-    title = F.concat_ws(
-        " ", F.slice(
-            X.tokenize(F.substring("text", 1, 200)), 1,
-            _FUZZY_PREFIX_TOKENS))
-    base = docs.select("doc_id", title.alias("title")).where(
+    base = docs.select("doc_id", _fuzzy_title().alias("title")).where(
         F.length("title") >= 4)
     mutated = F.concat(
         F.substring("title", 1, 2), F.lit("z"),
@@ -468,25 +480,6 @@ def dedup_fuzzy_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 2).alias("vid"), "title",
     ).unionByName(base.select(
         (F.col("doc_id") * 2 + 1).alias("vid"), mutated.alias("title")))
-    blocked = variants.select(
-        "vid", "title",
-        F.floor(F.length("title") / 4).cast("int").alias("len_band"),
-        F.substring("title", 1, 1).alias("head"),
-    )
-    par = spark.sparkContext.defaultParallelism
-    a = blocked.repartition(par, "len_band", "head").alias("a")
-    b = blocked.alias("b")
-    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
-    return (
-        a.join(b, (F.col("a.len_band") == F.col("b.len_band"))
-               & (F.col("a.head") == F.col("b.head"))
-               & (F.col("a.vid") < F.col("b.vid")))
-        .where((dist <= _FUZZY_MAX_DIST)
-               & (F.col("b.vid") == F.col("a.vid") + 1)
-               & (F.col("a.vid") % 2 == 0))
-        .select(
-            F.col("a.vid").alias("doc_a"),
-            F.col("b.vid").alias("doc_b"),
-            dist.cast("int").alias("dist"),
-        )
-    )
+    pairs = _fuzzy_blocked_pairs(spark, variants, "vid")
+    return pairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 2 == 0))

@@ -852,7 +852,12 @@ def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
     last_day = ev.agg(F.max("day").alias("d"))
-    history = ev.join(F.broadcast(last_day), ev["day"] < F.col("d")).drop("d")
+    # NULL-day rows (NULL ts) must flow into SOME side or maintain !=
+    # recompute: `day < d` is NULL for them and a plain filter drops
+    # the row entirely while the oracle's GROUP BY keeps a NULL group.
+    history = ev.join(
+        F.broadcast(last_day),
+        (ev["day"] < F.col("d")) | ev["day"].isNull()).drop("d")
     batch = ev.join(F.broadcast(last_day), ev["day"] == F.col("d")).drop("d")
     standing = history.groupBy("day", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))

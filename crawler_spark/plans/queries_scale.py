@@ -299,8 +299,7 @@ def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
 
     from crawler_spark.operators.upsert import merge_by_key
     from crawler_spark.streaming.ingest_stream import (
-        commit_manifest,
-        read_manifest,
+        apply_bucket_commit,
         read_pages_table,
     )
 
@@ -312,23 +311,7 @@ def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
     pages_dir = f"{tdir}/table"
 
     def commit_state(df, epoch, touched=None):
-        """``touched`` = every bucket the commit EXAMINED; buckets it
-        examined but left no rows in are dropped from the manifest —
-        without that, a delete that empties a bucket leaves the
-        manifest pointing at the pre-delete directory and the deleted
-        rows resurrect (the fixture never empties one, but the
-        pattern must be right for any distribution)."""
-        df.repartition(1, "bucket").write.mode("overwrite") \
-            .partitionBy("bucket").parquet(f"{pages_dir}/v={epoch}")
-        present = {r.bucket for r in df.select("bucket").distinct().collect()}
-        touched = present if touched is None else set(touched)
-        manifest = read_manifest(pages_dir)
-        for b in touched:
-            if b in present:
-                manifest[b] = epoch
-            else:
-                manifest.pop(b, None)
-        commit_manifest(pages_dir, manifest)
+        apply_bucket_commit(pages_dir, df, epoch, touched=touched)
 
     commit_state(docs, 0)                                   # v1: base load
     batch = docs.filter(F.col("doc_id") % 10 == 0) \
@@ -372,6 +355,9 @@ def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for ver in manifest_history(pages_dir):
             snap = read_pages_table_at(spark, pages_dir, ver)
+            if snap is None:  # a delete emptied the table at this version
+                out.append((ver, 0, 0, 0, 0))
+                continue
             agg = snap.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct("bucket").alias("nb"),

@@ -263,61 +263,77 @@ def pages_changes(
     )
 
 
+def apply_bucket_commit(
+    pages_dir: str,
+    df: DataFrame,
+    epoch: int,
+    touched: set[int] | None = None,
+) -> int:
+    """Batch commit for the manifest table: write ``df``'s buckets
+    under ``v=<epoch>`` and swap the manifest once. ``touched`` is
+    every bucket the commit EXAMINED — touched buckets with no
+    surviving rows are DROPPED from the manifest (a delete that
+    empties a bucket must not leave it pointing at the pre-delete
+    directory), and the set is always widened to the buckets actually
+    written, so a caller-supplied list can never silently strand
+    committed rows behind a stale manifest entry. Returns the
+    snapshot version. The streaming processor keeps its own merge
+    path (its merge output is a superset of the batch's keys, so it
+    can never empty a bucket); this helper is the delete-capable
+    batch form."""
+    (
+        df.repartition(1, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(pages_dir, f"v={epoch}"))
+    )
+    present = {r.bucket for r in df.select("bucket").distinct().collect()}
+    touched = present | (set(touched) if touched is not None else set())
+    manifest = read_manifest(pages_dir)
+    for b in touched:
+        if b in present:
+            manifest[b] = epoch
+        else:
+            manifest.pop(b, None)
+    return commit_manifest(pages_dir, manifest)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's commit lock."""
 
 
 @contextlib.contextmanager
-def table_write_lock(pages_dir: str, stale_after_s: float = 3600.0):
+def table_write_lock(pages_dir: str):
     """Single-writer enforcement for the manifest table: the commit
     protocol is safe against CRASHES but not against two LIVE writers
     interleaving (both read manifest M, both commit, one update lost —
     the lost-update race every last-writer-wins pointer swap has).
-    O_CREAT|O_EXCL on a lockfile is atomic on POSIX filesystems; a
-    crashed writer's lock goes stale and is broken after
-    ``stale_after_s``. On object stores this becomes a conditional-put
-    of the lock key — same shape; Delta solves it with optimistic
-    retry on the log sequence number instead."""
-    import time
+
+    Implemented as ``fcntl.flock(LOCK_EX | LOCK_NB)`` on a persistent
+    lockfile. Earlier revisions broke "stale" O_EXCL lockfiles by
+    mtime, but every mtime-based break has a stat-then-steal TOCTOU
+    (two breakers can both conclude the lock is stale and one steals
+    the other's FRESH lock); flock has no stale state at all — the
+    kernel releases it the instant the holder's fd closes, crash
+    included. On object stores this becomes a conditional-put of the
+    lock key with a lease; Delta solves it with optimistic retry on
+    the log sequence number instead."""
+    import fcntl
 
     os.makedirs(pages_dir, exist_ok=True)
     lock = os.path.join(pages_dir, "_COMMIT.lock")
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except FileNotFoundError:
-                continue  # holder released between open and stat; retry
-            if age < stale_after_s:
-                raise ConcurrentWriteError(
-                    f"{lock} held for {age:.0f}s; concurrent writer or "
-                    f"crashed writer inside the stale window") from None
-            # break the stale lock ATOMICALLY: os.replace to a
-            # per-breaker name means exactly one racer moves it (the
-            # loser's replace raises FileNotFoundError) — a bare
-            # remove+recreate here would let two breakers both
-            # "acquire" (breaker A creates, breaker B removes A's
-            # fresh lock and creates its own: the lost-update race
-            # this lock exists to prevent)
-            stale = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
-            try:
-                os.replace(lock, stale)
-                os.remove(stale)
-            except FileNotFoundError:
-                pass  # another breaker won the replace; just retry
-            continue  # loop back to the O_EXCL create
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
     try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            raise ConcurrentWriteError(
+                f"{lock} is held by a live writer") from None
+        os.truncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
         yield
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        os.close(fd)  # closing the fd releases the flock
 
 
 def compact_pages_table(spark: SparkSession, pages_dir: str, min_files: int = 2) -> int:

@@ -335,3 +335,28 @@ class TestBpe:
         got = {r.doc_id: r for r in encode_docs(df, merges).collect()}
         assert got[2].n_pieces == 0 and got[2].first_pieces == ""
         assert got[1].n_pieces > 0
+
+
+class TestRollupIncremental:
+    def test_null_ts_rows_keep_a_null_day_group(self, spark):
+        """maintain == recompute must hold for NULL timestamps too: a
+        NULL day fails both `day < d` and `day == d`, so without the
+        isNull route the row vanishes from the incremental side while
+        a full recompute keeps its (NULL, type) group."""
+        import crawler_spark.plans.queries_events as QE
+
+        df = spark.createDataFrame(
+            [(None, "click", 1.0), ("2024-01-01 00:00:00", "click", 2.0),
+             ("2024-01-02 03:00:00", "view", 3.0)],
+            "ts string, event_type string, value double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+        orig = QE.load_table
+        try:
+            QE.load_table = lambda sp, sf, t: df
+            rows = {(r.day, r.event_type): (r.n, r.sum_value)
+                    for r in QE.ev_rollup_incremental(spark, "x").collect()}
+        finally:
+            QE.load_table = orig
+        assert rows[(None, "click")] == (1, 1.0)
+        assert rows[("2024-01-01", "click")] == (1, 2.0)
+        assert rows[("2024-01-02", "view")] == (1, 3.0)

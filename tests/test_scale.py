@@ -251,23 +251,15 @@ class TestTimeTravelQuery:
         import os
 
         from crawler_spark.streaming.ingest_stream import (
-            commit_manifest, read_manifest, read_pages_table,
+            read_manifest, read_pages_table,
         )
 
         pages_dir = str(tmp_path / "pages")
 
+        from crawler_spark.streaming.ingest_stream import apply_bucket_commit
+
         def commit_state(df, epoch, touched=None):
-            df.repartition(1, "bucket").write.mode("overwrite") \
-                .partitionBy("bucket").parquet(os.path.join(pages_dir, f"v={epoch}"))
-            present = {r.bucket for r in df.select("bucket").distinct().collect()}
-            touched = present if touched is None else set(touched)
-            manifest = read_manifest(pages_dir)
-            for b in touched:
-                if b in present:
-                    manifest[b] = epoch
-                else:
-                    manifest.pop(b, None)
-            commit_manifest(pages_dir, manifest)
+            apply_bucket_commit(pages_dir, df, epoch, touched=touched)
 
         base = spark.createDataFrame(
             [(1, 0, "x"), (2, 0, "y"), (3, 1, "z")],

@@ -789,7 +789,12 @@ class TestWriterLockAndSchemaEvolution:
         with table_write_lock(d):  # released -> acquirable again
             pass
 
-    def test_stale_lock_is_broken(self, tmp_path):
+    def test_crashed_writer_releases_lock(self, tmp_path):
+        """flock is kernel-held: a crashed writer's lock releases the
+        moment its fd closes — no stale-mtime break needed (mtime
+        breaks have an unavoidable stat-then-steal TOCTOU). Simulate
+        the crash by closing the fd without the context manager."""
+        import fcntl
         import os as _os
 
         from crawler_spark.streaming.ingest_stream import table_write_lock
@@ -797,9 +802,10 @@ class TestWriterLockAndSchemaEvolution:
         d = str(tmp_path / "pages")
         _os.makedirs(d)
         lock = _os.path.join(d, "_COMMIT.lock")
-        open(lock, "w").write("999999")
-        _os.utime(lock, (0, 0))  # ancient mtime -> stale
-        with table_write_lock(d, stale_after_s=60):
+        fd = _os.open(lock, _os.O_CREAT | _os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        _os.close(fd)  # "crash": kernel releases the lock
+        with table_write_lock(d):
             pass
 
     def test_added_column_reads_as_null_for_old_buckets(self, spark, tmp_path):
@@ -944,16 +950,7 @@ class TestLakehouseModelCheck:
 
         df = spark.createDataFrame(
             df_rows or [], "k long, bucket int, val string")
-        df.repartition(1, "bucket").write.mode("overwrite") \
-            .partitionBy("bucket").parquet(os.path.join(pages_dir, f"v={epoch}"))
-        present = {r.bucket for r in df.select("bucket").distinct().collect()}
-        manifest = mod.read_manifest(pages_dir)
-        for b in touched:
-            if b in present:
-                manifest[b] = epoch
-            else:
-                manifest.pop(b, None)
-        mod.commit_manifest(pages_dir, manifest)
+        mod.apply_bucket_commit(pages_dir, df, epoch, touched=touched)
 
     def test_random_commit_sequences_match_model(self, spark, tmp_path):
         import itertools
