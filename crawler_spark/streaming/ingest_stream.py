@@ -268,6 +268,7 @@ def apply_bucket_commit(
     df: DataFrame,
     epoch: int,
     touched: set[int] | None = None,
+    use_lock: bool = True,
 ) -> int:
     """Batch commit for the manifest table: write ``df``'s buckets
     under ``v=<epoch>`` and swap the manifest once. ``touched`` is
@@ -280,22 +281,47 @@ def apply_bucket_commit(
     snapshot version. The streaming processor keeps its own merge
     path (its merge output is a superset of the batch's keys, so it
     can never empty a bucket); this helper is the delete-capable
-    batch form."""
+    batch form.
+
+    Hardening (each guards a distinct misuse):
+      * ``localCheckpoint`` first — the input may READ the very
+        directories this write replaces (epoch replay rebuilding from
+        ``read_pages_table``), and materializing breaks that lineage;
+        it also pins ``present`` to the rows actually written even
+        for non-deterministic inputs.
+      * dynamic partition overwrite — re-committing an epoch must
+        replace only the buckets in ``df``, never truncate sibling
+        buckets committed earlier under the same epoch.
+      * the manifest read-modify-write runs under
+        ``table_write_lock`` (pass ``use_lock=False`` if the caller
+        already holds it — flock is not reentrant).
+      * the write repartitions BY bucket (one file per bucket, one
+        task per bucket — parallel across buckets, unlike a single
+        funnel task)."""
+    df = df.localCheckpoint(eager=True)
     (
-        df.repartition(1, "bucket")
+        df.repartition("bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(os.path.join(pages_dir, f"v={epoch}"))
     )
     present = {r.bucket for r in df.select("bucket").distinct().collect()}
     touched = present | (set(touched) if touched is not None else set())
-    manifest = read_manifest(pages_dir)
-    for b in touched:
-        if b in present:
-            manifest[b] = epoch
-        else:
-            manifest.pop(b, None)
-    return commit_manifest(pages_dir, manifest)
+
+    def update() -> int:
+        manifest = read_manifest(pages_dir)
+        for b in touched:
+            if b in present:
+                manifest[b] = epoch
+            else:
+                manifest.pop(b, None)
+        return commit_manifest(pages_dir, manifest)
+
+    if not use_lock:
+        return update()
+    with table_write_lock(pages_dir):
+        return update()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -315,7 +341,11 @@ def table_write_lock(pages_dir: str):
     (two breakers can both conclude the lock is stale and one steals
     the other's FRESH lock); flock has no stale state at all — the
     kernel releases it the instant the holder's fd closes, crash
-    included. On object stores this becomes a conditional-put of the
+    included. Scope: mutual exclusion holds on one host, and across
+    hosts only on filesystems that propagate flock (NFSv4 does;
+    NFS with local_lock/nolock and most FUSE mounts do NOT — there,
+    keep all writers on one host or move to the conditional-put
+    below). On object stores this becomes a conditional-put of the
     lock key with a lease; Delta solves it with optimistic retry on
     the log sequence number instead."""
     import fcntl

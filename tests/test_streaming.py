@@ -1002,3 +1002,41 @@ class TestLakehouseModelCheck:
                 got_feed = {r.k: r._change_type for r in mod.pages_changes(
                     spark, pages_dir, hist[i], hist[j], key="k").collect()}
                 assert got_feed == want_feed, (case, i, j)
+
+
+class TestApplyBucketCommitHardening:
+    def test_epoch_reuse_does_not_destroy_sibling_buckets(self, spark, tmp_path):
+        """Re-committing under an existing epoch must replace only the
+        buckets in the new frame — static overwrite would truncate the
+        whole v=<epoch> directory and strand the manifest."""
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        mod.apply_bucket_commit(pages_dir, spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "k long, bucket int, val string"), 5)
+        mod.apply_bucket_commit(pages_dir, spark.createDataFrame(
+            [(3, 2, "c")], "k long, bucket int, val string"), 5)
+        live = {r.k: r.val for r in
+                mod.read_pages_table(spark, pages_dir).collect()}
+        assert live == {1: "a", 2: "b", 3: "c"}
+
+    def test_commit_under_held_lock_via_flag(self, spark, tmp_path):
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        df = spark.createDataFrame([(1, 0, "a")], "k long, bucket int, val string")
+        with mod.table_write_lock(pages_dir):
+            # flock is not reentrant: the helper must skip the lock
+            mod.apply_bucket_commit(pages_dir, df, 0, use_lock=False)
+        assert mod.read_pages_table(spark, pages_dir).count() == 1
+
+    def test_commit_while_lock_held_elsewhere_is_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from crawler_spark.streaming import ingest_stream as mod
+
+        pages_dir = str(tmp_path / "pages")
+        df = spark.createDataFrame([(1, 0, "a")], "k long, bucket int, val string")
+        with mod.table_write_lock(pages_dir):
+            with _pytest.raises(mod.ConcurrentWriteError):
+                mod.apply_bucket_commit(pages_dir, df, 0)
