@@ -946,3 +946,71 @@ def knn_topk_ivfpq_indexed(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximising
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` so the
+    result set trades pure relevance for coverage — the standard rerank
+    between retrieval and a RAG context window, which the plain top-k
+    (``knn_topk``) cannot express (its k results are routinely k
+    paraphrases of the same passage).
+
+    Scale shape: the only corpus-sized work is the top-``fetch_k``
+    retrieval — the same TakeOrderedAndProject as ``knn_topk`` (swap in
+    any ANN variant upstream for 100 TB serving). The greedy phase is
+    inherently sequential (pick i depends on picks 1..i-1), so it runs
+    over the BOUNDED fetch_k-row candidate list driver-side — the same
+    bounded-collect class as the crawl fetch list and the IVF training
+    sample (fetch_k × dim floats, knob-controlled, never corpus-sized).
+    Ties break toward the lower id; output is deterministic.
+
+    Returns (rank, id_col, relevance, mmr_score) with rank 1..k.
+    """
+    import numpy as np
+
+    q = V.vector_lit(query_vec)
+    emb = V.l2_normalize(vec_col)
+    cand = (
+        df.select(F.col(id_col), emb.alias("v"), V.neg_dot(emb, q).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(fetch_k)
+        .collect()
+    )
+    spark = df.sparkSession
+    if not cand:
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, relevance double, mmr_score double"
+        )
+    ids = [r[id_col] for r in cand]
+    mat = np.asarray([r["v"] for r in cand], dtype=np.float64)
+    rel = -np.asarray([r["distance"] for r in cand], dtype=np.float64)
+    sim = mat @ mat.T  # rows are L2-normalized → cosine
+    selected: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    out = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        div = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = lam * rel - (1.0 - lam) * div
+        score[selected] = -np.inf
+        best = int(np.argmax(score))  # argmax returns the FIRST max →
+        # candidates are relevance-ordered with id tie-break, so ties
+        # resolve to the more relevant / lower id deterministically
+        selected.append(best)
+        max_sim = np.maximum(max_sim, sim[best])
+        out.append(
+            (rank, ids[best], round(float(rel[best]), 6),
+             round(float(score[best]), 6))
+        )
+    return spark.createDataFrame(
+        out, f"rank long, {id_col} long, relevance double, mmr_score double"
+    )

@@ -327,3 +327,20 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# --- MMR diversified re-rank (rows-only: greedy selection is iterative,
+# not SQL-expressible; semantics value-tested against a pure-python
+# reference implementation in tests/test_search_api.py) ---------------
+@register("search_mmr_rerank")
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance retrieval → MMR diversity re-rank: top-30 candidates
+    by exact cosine (TakeOrderedAndProject, swap in any ANN tier at
+    scale), then the bounded greedy pick of 10 (Carbonell & Goldstein
+    1998). The rerank stage every production RAG pipeline runs between
+    retrieval and the context window."""
+    from crawler_spark.operators.similarity import mmr_rerank
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, QUERY_VEC, k=10, fetch_k=30, lam=0.7)

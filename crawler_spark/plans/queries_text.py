@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct k-word shingles.
 
@@ -187,12 +188,24 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    if metric == "containment":
+        # shared / min(|A|,|B|): 1.0 when the smaller doc's shingles are
+        # a subset of the larger's — catches quote-inside-article and
+        # boilerplate-wrapped near-supersets whose symmetric Jaccard is
+        # diluted by the size gap (Broder 1997's resemblance vs
+        # containment distinction).
+        score = F.col("shared").cast("double") / F.least("na", "nb")
+        out_col = "containment"
+    else:
+        score = F.col("shared").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("shared")
+        )
+        out_col = "jaccard"
     return (
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(score >= threshold)
+        .select("id_a", "id_b", F.round(score, 6).alias(out_col))
     )
 
 
@@ -228,6 +241,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle matches value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            )) AS g
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shared / min-size (Broder 1997 containment)
+    instead of symmetric Jaccard — a short doc fully quoted inside a
+    long one scores 1.0 here but can fall under any Jaccard threshold
+    as the length gap grows. Same shingle machinery, same single
+    groupBy(gram) shuffle; only the final broadcast-joined score
+    expression differs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.7, metric="containment"
+    )
 
 
 # --- canonical ids over the near-dup graph (full transitive closure) ------

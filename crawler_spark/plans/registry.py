@@ -57,6 +57,7 @@ def load_all() -> None:
         queries_reference,
         queries_scale,
         queries_search,
+        queries_spandedup,
         queries_temporal,
         queries_text,
         queries_tpch,

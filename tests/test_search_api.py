@@ -119,3 +119,92 @@ class TestWebPages:
         assert 0 < len(page) <= 5
         sizes = [r.n_chars for r in page]
         assert sizes == sorted(sizes, reverse=True)
+
+
+class TestMMRRerank:
+    """mmr_rerank (operators/similarity.py) vs a pure-python reference:
+    the greedy trade of relevance against redundancy must pick the
+    diverse doc over a near-duplicate of an already-selected one."""
+
+    @staticmethod
+    def _ref_mmr(ids, vecs, q, k, lam):
+        import numpy as np
+
+        vecs = np.asarray(vecs, float)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = np.asarray(q, float)
+        qn = qn / np.linalg.norm(qn)
+        rel = vecs @ qn
+        sim = vecs @ vecs.T
+        chosen = []
+        while len(chosen) < k and len(chosen) < len(ids):
+            best, best_s = None, -1e18
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                div = max((sim[i][j] for j in chosen), default=0.0)
+                s = lam * rel[i] - (1 - lam) * div
+                if s > best_s + 1e-12:
+                    best, best_s = i, s
+            chosen.append(best)
+        return [ids[i] for i in chosen]
+
+    def _toy(self, spark):
+        # q along e0. Doc 1 most relevant but OFF the query axis (if
+        # pick 1 were parallel to q, rel == sim(., pick1) for everyone
+        # and MMR degenerates to a pure rescale of relevance); doc 2 a
+        # near-duplicate of doc 1; doc 3 less relevant but on the far
+        # side of q (low sim to doc 1); doc 4 low-relevance filler.
+        rows = [
+            (1, [0.95, 0.3122, 0.0, 0.0]),
+            (2, [0.94, 0.33, 0.05, 0.0]),
+            (3, [0.85, -0.5, 0.17, 0.0]),
+            (4, [0.2, 0.1, 0.0, 0.97]),
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_matches_python_reference(self, spark):
+        from crawler_spark.operators.similarity import mmr_rerank
+
+        rows, df = self._toy(spark)
+        q = [1.0, 0.0, 0.0, 0.0]
+        got = [
+            r.vec_id
+            for r in mmr_rerank(df, q, k=3, fetch_k=4, lam=0.7)
+            .orderBy("rank").collect()
+        ]
+        want = self._ref_mmr(
+            [r[0] for r in rows], [r[1] for r in rows], q, k=3, lam=0.7
+        )
+        assert got == want
+        # and the diversity property itself: the near-dup of pick 1 is
+        # NOT pick 2 — the orthogonal doc 3 outranks it
+        assert got[0] == 1 and got[1] == 3
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from crawler_spark.operators.similarity import (
+            knn_topk, mmr_rerank,
+        )
+
+        rows, df = self._toy(spark)
+        q = [1.0, 0.0, 0.0, 0.0]
+        got = [
+            r.vec_id
+            for r in mmr_rerank(df, q, k=4, fetch_k=4, lam=1.0)
+            .orderBy("rank").collect()
+        ]
+        pure = [
+            r.vec_id for r in knn_topk(df, q, k=4, id_cols=("vec_id",)).collect()
+        ]
+        assert got == pure
+
+    def test_registered_query_deterministic(self, spark):
+        from crawler_spark.plans.registry import QUERIES, load_all
+
+        load_all()
+        a = QUERIES["search_mmr_rerank"](spark, "/root/testdata/sf0.001").collect()
+        b = QUERIES["search_mmr_rerank"](spark, "/root/testdata/sf0.001").collect()
+        assert a == b and len(a) == 10
+        assert [r.rank for r in a] == list(range(1, 11))
