@@ -43,6 +43,7 @@ _NEVER_DRIVER_VERIFIED = [
     "inverted_index_postings",
     # oracle-backed, never sampled (driver sorts these before rows-only)
     "dedup_crossdoc_spans", "dedup_crossdoc_removal", "dedup_containment",
+    "corpus_stats_card", "corpus_curriculum_order",
     "sample_domain_rebalance", "txt_tfidf_top_terms",
     "txt_normalize", "search_hybrid_rrf",
     "ev_span_overlap", "ev_trailing_features", "diag_key_skew",
@@ -62,7 +63,7 @@ _NEVER_DRIVER_VERIFIED = [
     # reaches one representative of every family: the ANN index tier
     # (r3 verdict item 3) first, then streaming e2e, then the round-4
     # features, then approx twins and layout builds
-    "search_mmr_rerank",
+    "search_mmr_rerank", "diag_ann_recall",
     "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
     "o3_knn_topk_sq8",
     "streaming_neardup_e2e", "streaming_trending_e2e",

@@ -722,3 +722,101 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(key2 < "1a")
     )
     return bucketed.filter(keep).select("doc_id", "bucket", "avg_logprob")
+
+
+# --- corpus statistics card (the datasheet aggregation) -------------------
+@register(
+    "corpus_stats_card",
+    oracle=f"""
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               MAX(len({_TOKENS_SQL})) AS max_tokens
+        FROM documents
+        GROUP BY CUBE (source, lang)
+        ORDER BY source, lang
+    """,
+)
+def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "datasheet for datasets" aggregation (Gebru et al. 2021):
+    doc counts, token totals, and size profile per source, per
+    language, per (source, language), and corpus-wide — all four
+    grouping sets in ONE Expand+partial-agg pass (no re-scan per
+    slice), which is the only shape that survives a 100 TB corpus:
+    every aggregate here is algebraic, so map-side combine reduces
+    each slice to one row per task before the single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = X.word_token_count("text")
+    return (
+        docs.select("source", "lang", "n_chars", n_tok.alias("n_tok"))
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+            .alias("avg_chars"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# --- curriculum ordering: quality stages, shard-local ranks ---------------
+_CURR_STAGES = 4
+_CURR_SHARDS = 8
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   CAST(least(floor(least(CAST(n_chars AS DOUBLE) / 2000, 1.0)
+                                    * {_CURR_STAGES}),
+                              {_CURR_STAGES} - 1) AS BIGINT) + 1 AS stage,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {_CURR_SHARDS} AS shard
+            FROM documents
+        )
+        SELECT doc_id, stage, shard,
+               row_number() OVER (
+                   PARTITION BY stage, shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank
+        FROM staged
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: every document gets a deterministic
+    (stage, shard, rank) address — stage = fixed-cutpoint quality
+    bucket (the established length-derived weight, cutpoints at
+    1/{_CURR_STAGES} steps so no corpus statistic is needed), shard =
+    seeded hash within the stage, rank = shuffle order WITHIN the
+    (stage, shard) cell. A trainer consumes cells stage-by-stage,
+    shards in parallel, rows by rank — highest stage last (or first;
+    the address is the artifact, the schedule is the consumer's).
+
+    Scale shape: stage and shard are pure projections; the only
+    shuffle is the (stage, shard) window whose partitions are
+    corpus/{_CURR_STAGES}/{_CURR_SHARDS} — shard count is the knob
+    that bounds per-window state, exactly like ``pack_sequences_emit``;
+    never a corpus-global rank (contrast the deliberate bounded-window
+    exception in ``sample_perplexity_buckets``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.least(F.col("n_chars").cast("double") / 2000, F.lit(1.0))
+    stage = (
+        F.least(
+            F.floor(quality * _CURR_STAGES), F.lit(_CURR_STAGES - 1)
+        ).cast("long") + 1
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+             % _CURR_SHARDS)
+    w = Window.partitionBy("stage", "shard").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "doc_id", stage.alias("stage"), shard.alias("shard"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -664,3 +664,48 @@ def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mc") >= _SEMDECON_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+# --- ANN recall diagnostic: every approximate tier vs the exact answer ----
+@register("diag_ann_recall")  # rows-only: ANN internals aren't SQL-expressible
+def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall@k scorecard for the ANN tiers against the
+    exact top-k — the measurement behind every "approximate is good
+    enough" claim in SCALING.md, surfaced as data instead of living
+    only in unit tests. Each tier's candidate set is the bounded top-k
+    (k rows per tier via TakeOrderedAndProject); the intersection is
+    computed on those k-row lists, never corpus-side. A tier's recall
+    dropping in a future round is a regression this row makes visible."""
+    from crawler_spark.operators.similarity import (
+        knn_topk, knn_topk_lsh, knn_topk_sq8,
+    )
+    from crawler_spark.sources import load_table
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    plans = {
+        "exact": knn_topk(emb, QUERY_VEC, k=k),
+        "lsh": knn_topk_lsh(emb, QUERY_VEC, k=k),
+        "sq8": knn_topk_sq8(emb, QUERY_VEC, k=k),
+    }
+    path, centroids = _ensure_ivf_index(spark, sf_dir)
+    from crawler_spark.operators.similarity import knn_topk_ivf
+
+    plans["ivf"] = knn_topk_ivf(spark, path, centroids, QUERY_VEC, k=k, nprobe=4)
+
+    # the four top-k jobs are independent — submit them concurrently so
+    # the scorecard costs ~max(tier) wall-clock, not the sum (each
+    # collect blocks its own thread; Spark's scheduler interleaves the
+    # jobs; results are per-plan, so concurrency can't affect values)
+    with ThreadPoolExecutor(max_workers=len(plans)) as pool:
+        ids = dict(zip(plans, pool.map(
+            lambda df: {r.vec_id for r in df.collect()}, plans.values())))
+    exact = ids.pop("exact")
+    rows = [
+        (tier, round(len(ids[tier] & exact) / k, 6), k)
+        for tier in sorted(ids)
+    ]
+    return spark.createDataFrame(rows, "tier string, recall double, k long")
