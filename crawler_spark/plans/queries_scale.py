@@ -446,3 +446,121 @@ def diag_plan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             if metric in stable]
     return spark.createDataFrame(
         rows, "depth int, node string, metric string, value long")
+
+
+# --- k-anonymity audit over quasi-identifiers -----------------------------
+_KANON_K = 3
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+        -- floor, not a bare CAST: DuckDB's double->BIGINT cast ROUNDS
+        -- while Spark's truncates; floor pins both to the same bucket
+        SELECT source, lang,
+               CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+               COUNT(*) AS group_n
+        FROM documents
+        GROUP BY source, lang, CAST(floor(n_chars / 100) AS BIGINT)
+        HAVING COUNT(*) < {_KANON_K}
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): every quasi-identifier
+    combination — here (source, language, size bucket), the columns a
+    re-identification join would key on — held by FEWER than k
+    documents is a privacy risk the release pipeline must suppress or
+    generalize. One groupBy on the QI tuple with map-side combine;
+    the HAVING keeps only the at-risk groups, so output is small by
+    definition (the k-1 tail). The QI list is the knob; the shape
+    never changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "source", "lang",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .where(F.col("group_n") < _KANON_K)
+    )
+
+
+# --- data-quality expectations suite (one row per check) ------------------
+@register(
+    "dq_expectations",
+    oracle="""
+        SELECT 'documents' AS tbl, 'text_not_null' AS check_name,
+               COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+                   AS violations
+        FROM documents
+        UNION ALL
+        SELECT 'documents', 'doc_id_unique',
+               CAST((SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(DISTINCT doc_id) FROM documents)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'documents', 'n_chars_positive',
+               COUNT(CASE WHEN n_chars <= 0 THEN 1 END)
+        FROM documents
+        UNION ALL
+        SELECT 'lineitem', 'orderkey_in_orders',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'events', 'value_non_negative',
+               COUNT(CASE WHEN value < 0 THEN 1 END)
+        FROM events
+        UNION ALL
+        SELECT 'events', 'ts_not_null',
+               COUNT(CASE WHEN ts IS NULL THEN 1 END)
+        FROM events
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations pattern (Great-Expectations-style contracts as
+    a query): one row per (table, check) with its violation count —
+    null guards, uniqueness, referential integrity, value ranges. The
+    pipeline gates a batch by asserting all-zeros; a nonzero row names
+    the broken contract directly.
+
+    Scale shape: same-table checks share ONE scan via conditional
+    aggregation (documents' three checks = one agg pass; events' two
+    likewise); uniqueness is count - count_distinct in that same pass;
+    the cross-table RI check is a left-anti count on the join key.
+    Nothing here is quadratic and nothing global beyond the aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    d = docs.agg(
+        F.count(F.when(F.col("text").isNull() | (F.col("text") == ""), 1))
+        .alias("text_not_null"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("doc_id_unique"),
+        F.count(F.when(F.col("n_chars") <= 0, 1)).alias("n_chars_positive"),
+    )
+    e = ev.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("value_non_negative"),
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("ts_not_null"),
+    )
+    ri = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orderkey_in_orders"))
+
+    def unpivot(df, tbl):
+        out = None
+        for c in df.columns:
+            row = df.select(
+                F.lit(tbl).alias("tbl"), F.lit(c).alias("check_name"),
+                F.col(c).cast("long").alias("violations"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    return (
+        unpivot(d, "documents")
+        .unionByName(unpivot(ri, "lineitem"))
+        .unionByName(unpivot(e, "events"))
+    )
