@@ -44,7 +44,7 @@ _NEVER_DRIVER_VERIFIED = [
     # oracle-backed, never sampled (driver sorts these before rows-only)
     "dedup_crossdoc_spans", "dedup_crossdoc_removal", "dedup_containment",
     "corpus_stats_card", "corpus_curriculum_order",
-    "privacy_k_anonymity", "dq_expectations",
+    "privacy_k_anonymity", "dq_expectations", "curation_funnel",
     "sample_domain_rebalance", "txt_tfidf_top_terms",
     "txt_normalize", "search_hybrid_rrf",
     "ev_span_overlap", "ev_trailing_features", "diag_key_skew",

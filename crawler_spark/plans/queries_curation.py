@@ -820,3 +820,162 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+# --- the full curation funnel: one query, per-stage survivor counts -------
+_FUNNEL_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that"]
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+        WITH train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        ),
+        gop AS (
+            SELECT doc_id, text FROM train
+            WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) >= 20
+              AND CAST(length(text)
+                       - length(regexp_replace(text, '\\s', '', 'g'))
+                       AS DOUBLE) * 0 +
+                  CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                       AS DOUBLE)
+                  / greatest(len(list_filter(
+                        string_split_regex(text, '\\s+'), t -> t <> '')), 1)
+                  BETWEEN 3 AND 10
+              AND len(list_intersect(list_distinct({_TOKENS_SQL}),
+                      [{", ".join(repr(s) for s in _FUNNEL_STOPWORDS)}])) >= 1
+        ),
+        s2 AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY {_FP_SQL}
+                                          ORDER BY doc_id) AS rn
+                FROM gop
+            ) WHERE rn = 1
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            )) AS g FROM s2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        neardup_drop AS (
+            SELECT DISTINCT id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        ),
+        s3 AS (
+            SELECT doc_id, text FROM s2
+            WHERE doc_id NOT IN (SELECT id_b FROM neardup_drop)
+        ),
+        eval_g AS (
+            SELECT DISTINCT unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                               i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+            )) AS g FROM documents WHERE doc_id % 20 = 0
+        ),
+        contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, unnest(list_distinct(
+                      list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                                     i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+                  )) AS g FROM s3) t
+            JOIN eval_g USING (g)
+        )
+        SELECT 's0_raw' AS stage, (SELECT count(*) FROM train) AS docs
+        UNION ALL SELECT 's1_gopher', (SELECT count(*) FROM gop)
+        UNION ALL SELECT 's2_exact_dedup', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 's3_neardup', (SELECT count(*) FROM s3)
+        UNION ALL SELECT 's4_decontam',
+            (SELECT count(*) FROM s3)
+            - (SELECT count(*) FROM contaminated)
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training curation pipeline as ONE declarative
+    query with a survivor count per stage — the funnel report every
+    data team keeps on a dashboard: raw → Gopher quality rules →
+    exact dedup (keep-first per fingerprint) → greedy near-dup drop
+    (lose the higher id of every >= 0.5-Jaccard pair) → eval-set
+    decontamination. Each stage reuses the exact operator the
+    standalone queries verify (gopher predicate, fingerprint window,
+    ``ngram_jaccard_pairs``, ``decontaminate``), so the funnel's
+    numbers are consistent with the per-stage tools by construction.
+
+    The near-dup stage is the greedy pair-drop, not the full closure:
+    a funnel wants monotone, order-free set algebra (drop-set = all
+    id_b's), and the canonical-closure variant exists separately
+    (``dedup_canonical*``) for when cluster identity matters.
+
+    Scale: stage boundaries are MATERIALIZED (localCheckpoint here;
+    a production funnel writes each boundary to the lake) because
+    three consumers hang off s2 (its count, the pair join, decontam)
+    and two off s3 — composing lazily would re-run the fingerprint
+    window and the shingle join once per consumer (measured 7.0 s →
+    ~4 s at sf0.1 from exactly that, plus the repartition below). The
+    pair stage runs on the
+    ALREADY-FILTERED survivor set (at 100 TB the quality+exact-dedup
+    stages typically halve the corpus before the expensive shingle
+    join); decontam broadcasts eval shingles. Five count aggregates
+    union into the 5-row report."""
+    from crawler_spark.operators.decontam import decontaminate
+    from crawler_spark.plans.queries_text import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    train = docs.filter(~is_eval)
+
+    n_chars = F.length("text")
+    n_ws = n_chars - F.length(F.regexp_replace("text", r"\s", ""))
+    n_words = X.token_count("text")
+    mean_wl = (n_chars - n_ws).cast("double") / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(X.tokenize("text")),
+        F.array(*[F.lit(s) for s in _FUNNEL_STOPWORDS]),
+    ))
+    gop = train.filter(
+        (n_words >= 20) & mean_wl.between(3, 10) & (stop_hits >= 1)
+    )
+
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
+    s2 = (
+        gop.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select("doc_id", "text")
+        # spread the checkpoint across the cluster: the filter chain
+        # inherits the scan's input split count (ONE task on the
+        # single-row-group fixture), and the shingle projection feeding
+        # the pair join is the funnel's hottest expression
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint()
+    )
+
+    pairs = ngram_jaccard_pairs(s2, shingle_k=3, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(drop, "doc_id", "left_anti").localCheckpoint()
+
+    dec = decontaminate(s3, docs.filter(is_eval), shingle_k=3)
+    s4 = dec.filter(~F.col("contaminated"))
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("docs")).select(
+            F.lit(name).alias("stage"), "docs"
+        )
+
+    return (
+        stage("s0_raw", train)
+        .unionByName(stage("s1_gopher", gop))
+        .unionByName(stage("s2_exact_dedup", s2))
+        .unionByName(stage("s3_neardup", s3))
+        .unionByName(stage("s4_decontam", s4))
+    )
