@@ -324,6 +324,7 @@ _INVARIANCE_QUERIES = [
     "sample_temperature_mix", "tok_bpe_train", "dedup_canonical_star",
     "txt_quality_linear_hashed", "ev_holt_linear", "crawl_pagerank",
     "dedup_semantic", "sample_gumbel_weighted", "decontam_semantic",
+    "corpus_curriculum_order", "curation_funnel", "dedup_crossdoc_removal",
 ]
 
 

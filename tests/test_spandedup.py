@@ -121,3 +121,128 @@ class TestSpanRemoval:
         for r in remove_crossdoc_spans(docs, k=K).collect():
             kept = len(r.clean_text.split()) if r.clean_text else 0
             assert kept + r.n_removed == r.n_tokens
+
+
+class TestRandomizedAgainstBruteForce:
+    """15 seeded random corpora with planted copied slices, all packed
+    into ONE DataFrame (tokens salted per case so grams can't collide
+    across cases) and cross-checked exactly against a brute-force
+    positional-gram reference — the property pass for arbitrary
+    alignments, nested copies, and repeat-within-copy edge cases that
+    hand fixtures can't enumerate."""
+
+    K = 4
+    CASES = 15
+    DOCS_PER_CASE = 4
+
+    @staticmethod
+    def _ref_spans(docs, k, keep_first=False):
+        from collections import defaultdict
+
+        where = defaultdict(set)
+        for d, toks in docs.items():
+            for i in range(len(toks) - k + 1):
+                where[tuple(toks[i : i + k])].add(d)
+        spans = {}
+        for d, toks in docs.items():
+            pos = [
+                i
+                for i in range(len(toks) - k + 1)
+                if len(where[tuple(toks[i : i + k])]) >= 2
+                and (
+                    not keep_first
+                    or d > min(where[tuple(toks[i : i + k])])
+                )
+            ]
+            if not pos:
+                continue
+            out, s, e = [], pos[0], pos[0]
+            for p in pos[1:]:
+                if p - e <= k:
+                    e = p
+                else:
+                    out.append((s, e + k - 1))
+                    s = e = p
+            out.append((s, e + k - 1))
+            spans[d] = sorted(out)
+        return spans
+
+    def _corpora(self):
+        import random
+
+        rng = random.Random(20260814)
+        corpora = {}
+        for c in range(self.CASES):
+            docs = {}
+            for j in range(self.DOCS_PER_CASE):
+                n = rng.randint(0, 40)
+                docs[c * 100 + j] = [
+                    f"c{c}w{rng.randint(0, 25)}" for _ in range(n)
+                ]
+            # plant 1-3 copied slices: a random run from one doc pasted
+            # at a random offset of another (possibly overlapping case)
+            for _ in range(rng.randint(1, 3)):
+                src, dst = rng.sample(sorted(docs), 2)
+                if len(docs[src]) < self.K:
+                    continue
+                ln = rng.randint(self.K, min(12, len(docs[src])))
+                st = rng.randint(0, len(docs[src]) - ln)
+                run = docs[src][st : st + ln]
+                at = rng.randint(0, len(docs[dst]))
+                docs[dst] = docs[dst][:at] + run + docs[dst][at:]
+            corpora[c] = docs
+        return corpora
+
+    def _run(self, spark, keep_first):
+        from pyspark.sql import functions as F
+
+        corpora = self._corpora()
+        rows = [
+            (d, " ".join(toks))
+            for docs in corpora.values()
+            for d, toks in docs.items()
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in crossdoc_duplicate_spans(
+            df, k=self.K, keep_first_doc=keep_first
+        ).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        got = {d: sorted(v) for d, v in got.items()}
+        want = {}
+        for docs in corpora.values():
+            want.update(self._ref_spans(docs, self.K, keep_first))
+        assert got == want
+
+    def test_all_holders_mode_matches_reference(self, spark):
+        self._run(spark, keep_first=False)
+
+    def test_keep_first_mode_matches_reference(self, spark):
+        self._run(spark, keep_first=True)
+
+    def test_removal_matches_reference(self, spark):
+        corpora = self._corpora()
+        rows = [
+            (d, " ".join(toks))
+            for docs in corpora.values()
+            for d, toks in docs.items()
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r for r in remove_crossdoc_spans(df, k=self.K).collect()
+        }
+        for docs in corpora.values():
+            spans = self._ref_spans(docs, self.K, keep_first=True)
+            for d, toks in docs.items():
+                dropped = {
+                    p
+                    for (s, e) in spans.get(d, [])
+                    for p in range(s, e + 1)
+                }
+                want = " ".join(
+                    t for i, t in enumerate(toks) if i not in dropped
+                )
+                assert got[d].clean_text == want, d
+                assert got[d].n_removed == len(dropped), d
