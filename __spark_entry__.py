@@ -45,6 +45,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_crossdoc_spans", "dedup_crossdoc_removal", "dedup_containment",
     "corpus_stats_card", "corpus_curriculum_order",
     "privacy_k_anonymity", "dq_expectations", "curation_funnel",
+    "dedup_crossdoc_incremental",
     "sample_domain_rebalance", "txt_tfidf_top_terms",
     "txt_normalize", "search_hybrid_rrf",
     "ev_span_overlap", "ev_trailing_features", "diag_key_skew",

@@ -173,3 +173,33 @@ def remove_crossdoc_spans(
             .alias("n_removed"),
         )
     )
+
+
+def crossdoc_spans_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Incremental form of ``crossdoc_duplicate_spans`` for the
+    continuous-crawl pipeline: maximal spans in BATCH documents whose
+    every k-gram already exists somewhere in CORPUS — the corpus always
+    keeps its text, the new batch reports (and downstream drops) what
+    it re-crawled. Batch-vs-batch duplication is deliberately out of
+    scope here (run the full operator on the batch for that).
+
+    Scale shape (same physics as ``dedup_incremental``): the batch's
+    gram set is bounded by the batch size BY CONSTRUCTION — a crawl
+    increment, not a corpus — so it broadcasts, and corpus grams
+    stream through the broadcast-hash join map-side with NO corpus
+    shuffle. Only matched rows (bounded by batch grams × their corpus
+    df) reach the distinct + per-doc window."""
+    bg = positional_gram_hashes(batch, text_col, id_col, k)
+    cg = positional_gram_hashes(corpus, text_col, id_col, k).select("g")
+    hits = (
+        cg.join(F.broadcast(bg), "g")
+        .select(id_col, "pos")
+        .distinct()
+    )
+    return _merge_islands(hits, id_col, k)

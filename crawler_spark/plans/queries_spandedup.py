@@ -117,3 +117,67 @@ def dedup_crossdoc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer's canonical whitespace, applied uniformly)."""
     docs = load_table(spark, sf_dir, "documents")
     return remove_crossdoc_spans(docs, k=_K)
+
+
+_KEY_SQL = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "dedup_crossdoc_incremental",
+    oracle=f"""
+        WITH batch AS (
+            SELECT doc_id, text FROM documents
+            WHERE substr({_KEY_SQL}, 1, 2) < '1a'
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE substr({_KEY_SQL}, 1, 2) >= '1a'
+        ),
+        bg AS (
+            SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                   array_to_string(tk[u.i:u.i+{_K - 1}], ' ') AS g
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM batch),
+                 unnest(generate_series(1, greatest(len(tk) - {_K - 1}, 0)))
+                     AS u(i)
+        ),
+        cg AS (
+            SELECT DISTINCT array_to_string(tk[u.i:u.i+{_K - 1}], ' ') AS g
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+                 unnest(generate_series(1, greatest(len(tk) - {_K - 1}, 0)))
+                     AS u(i)
+        ),
+        hits AS (SELECT DISTINCT bg.doc_id, bg.pos FROM bg JOIN cg USING (g)),
+        lagged AS (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > {_K}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagged
+        )
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + {_K - 1} AS span_end,
+               max(pos) + {_K} - min(pos) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_crossdoc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl form of span dedup: a small new batch
+    (deterministic ~10% hash split, the same split convention as
+    ``dedup_incremental``) reports every span it shares with the
+    EXISTING corpus — batch grams broadcast, corpus streams map-side
+    with no corpus shuffle. The corpus keeps its text by definition."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.spans import crossdoc_spans_vs_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    key2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return crossdoc_spans_vs_corpus(
+        docs.filter(key2 < "1a"), docs.filter(key2 >= "1a"), k=_K
+    )

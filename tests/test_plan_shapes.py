@@ -296,3 +296,24 @@ def test_cdc_chunking_has_no_shuffle(spark):
     any Exchange appearing here is a regression."""
     plan = plan_text(_QUERIES["doc_chunks_cdc"](spark, SF))
     assert "Exchange" not in plan, "CDC chunking grew a shuffle"
+
+
+def test_crossdoc_incremental_broadcasts_batch_grams(spark):
+    """dedup_crossdoc_incremental streams corpus grams through a
+    broadcast of the BATCH's positional grams (bounded by the crawl
+    increment by construction) — a shuffle join here would exchange
+    the whole corpus gram stream."""
+    plan = plan_text(_QUERIES["dedup_crossdoc_incremental"](spark, SF))
+    assert "BroadcastHashJoin" in plan, (
+        "batch positional-gram join is no longer broadcast"
+    )
+
+
+def test_crossdoc_spans_no_cartesian_fine_keys(spark):
+    """Both full span queries must stay equi-keyed end to end: no
+    cartesian/broadcast-nested-loop anywhere (the gram join and the
+    island merge are hash-keyed by construction)."""
+    for name in ("dedup_crossdoc_spans", "dedup_crossdoc_removal"):
+        plan = plan_text(_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
