@@ -61,6 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     "doc_chunks_cdc", "txt_quality_linear_hashed", "decontam_semantic",
     "sample_temperature_mix", "dedup_fuzzy_levenshtein",
     "dedup_fuzzy_seeded", "ev_rollup_incremental",
+    "corpus_snapshot_diff",
     # rows-only, never driver-run — ordered so a truncated sample still
     # reaches one representative of every family: the ANN index tier
     # (r3 verdict item 3) first, then streaming e2e, then the round-4
@@ -70,7 +71,7 @@ _NEVER_DRIVER_VERIFIED = [
     "o3_knn_topk_sq8",
     "streaming_neardup_e2e", "streaming_trending_e2e",
     "streaming_dedup_horizon_e2e", "streaming_index_append_e2e",
-    "dedup_semantic", "crawl_pagerank",
+    "dedup_semantic", "crawl_pagerank", "crawl_hits",
     "tok_bpe_train", "tok_bpe_encode",
     "timetravel_snapshot_reads", "timetravel_changes_feed",
     "diag_plan_metrics",

@@ -112,3 +112,112 @@ def pagerank(
     if stats is not None:
         stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float = 1e-7,
+    stats: dict | None = None,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM 1999) — the second
+    classic link-analysis signal beside ``pagerank``: an AUTHORITY is
+    pointed at by good hubs, a HUB points at good authorities. For
+    crawl prioritization the two disagree usefully: PageRank surfaces
+    pages the random surfer lands on, authority scores surface pages
+    link-curators vouch for, and hub scores find the index/directory
+    pages whose outlinks are worth expanding first.
+
+    Same distributed template as ``pagerank``: per half-iteration one
+    equi-join of edges⨝scores plus one groupBy on the other endpoint —
+    all shuffles keyed on node id, no driver-side graph state. The L2
+    normalization scalar stays IN the plan as a broadcast 1-row frame
+    (a ``.first()`` would add a synchronizing job per round); the only
+    per-round driver sync is the early-exit delta, same contract as
+    ``pagerank`` (``iterations`` is a ceiling, ``tol=0`` forces the
+    fixed count, ``stats`` receives ``iterations_run``).
+
+    Returns (id, hub, authority) rounded to 6 decimals; nodes with no
+    out-links have hub 0, no in-links authority 0.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(
+            F.sqrt(F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0)))
+            .alias("nrm")
+        )
+        return (
+            df.crossJoin(F.broadcast(norm))
+            .select(
+                "id",
+                F.when(F.col("nrm") > 0, F.col(col) / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.select("id", F.lit(1.0).alias("hub"))
+    auth = nodes.select("id", F.lit(1.0).alias("authority"))
+    iters_run = 0
+    for _ in range(iterations):
+        prev_auth = auth
+        iters_run += 1
+        auth = _normalize(
+            nodes.join(
+                e.join(hubs.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("authority")),
+                nodes.id == F.col("dst"),
+                "left",
+            ).select(
+                "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        hubs = _normalize(
+            nodes.join(
+                e.join(auth.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("authority").alias("hub")),
+                nodes.id == F.col("src"),
+                "left",
+            ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+        if tol > 0:
+            delta = (
+                auth.join(
+                    prev_auth.withColumnRenamed("authority", "pa"), "id")
+                .agg(F.sum(F.abs(F.col("authority") - F.col("pa"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if stats is not None:
+        stats["iterations_run"] = iters_run
+    return (
+        hubs.join(auth, "id")
+        .select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )

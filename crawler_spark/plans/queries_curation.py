@@ -979,3 +979,69 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("s3_neardup", s3))
         .unionByName(stage("s4_decontam", s4))
     )
+
+
+# --- snapshot diff: what changed between two corpus versions --------------
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+        WITH old AS (
+            SELECT doc_id, {_FP_SQL} AS fp FROM documents
+            WHERE doc_id % 11 <> 0
+        ),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0
+                        THEN md5(trim(regexp_replace(
+                                 lower(text || ' rev2'), '\\s+', ' ', 'g')))
+                        ELSE {_FP_SQL} END AS fp
+            FROM documents WHERE doc_id % 13 <> 0
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots by content fingerprint: one full-outer
+    join on the doc id emits added / removed / changed rows (unchanged
+    docs — the overwhelming majority between crawls — drop out, so the
+    output is sized to the churn, not the corpus). The complement to
+    ``timetravel_changes_feed``: that one replays a TABLE's committed
+    deltas, this one diffs any two corpus states regardless of how
+    they were produced. Snapshots here are deterministic carve-outs of
+    the fixture (drop every 11th / 13th doc; revise every 17th) so the
+    diff exercises all three statuses under the value oracle.
+
+    Scale: ONE equi-join on the uniform doc id; fingerprints are
+    computed scan-side (projection), so the exchange carries
+    (id, 32-byte fp) — never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", X.fingerprint("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            X.fingerprint(F.concat(F.col("text"), F.lit(" rev2"))),
+        ).otherwise(X.fingerprint("text")).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("o.doc_id").isNull()
+        | F.col("n.doc_id").isNull()
+        | (F.col("o.fp") != F.col("n.fp"))
+    ).select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        status.alias("status"),
+    )

@@ -244,6 +244,29 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).orderBy(F.col("rank").desc(), "id")
 
 
+@register("crawl_hits")  # rows-only: iterative link-graph operator
+def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same fixture link graph as
+    ``crawl_pagerank`` — the second crawl-prioritization signal:
+    hub scores surface directory pages whose OUTLINKS are worth
+    expanding next, authority scores surface pages curators vouch
+    for (operators/graph.py:hits, Kleinberg JACM'99). Deterministic
+    fixture, early-exit convergence, scores rounded."""
+    from crawler_spark.operators.graph import hits
+    from crawler_spark.plans.crawl import crawl
+
+    items, _dead = crawl(
+        spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
+        allowed_domains=["fixture.test"], depth_limit=2, obey_robots=True,
+    )
+    edges = items.select(
+        F.col("url").alias("src"), F.explode("links").alias("dst")
+    )
+    return hits(edges).orderBy(
+        F.col("authority").desc(), F.col("hub").desc(), "id"
+    )
+
+
 @register("streaming_index_append_e2e")  # rows-only: streaming index maintenance
 def streaming_index_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving-index maintenance loop end-to-end: embeddings replayed

@@ -85,3 +85,66 @@ def test_hub_outranks_leaves(spark):
     assert rows[0] == max(rows.values())
     leaf_ranks = {v for k, v in rows.items() if k != 0}
     assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+# --- HITS -----------------------------------------------------------------
+from crawler_spark.operators.graph import hits  # noqa: E402
+
+
+def _py_hits(edges, iters=20):
+    nodes = sorted({u for e in edges for u in e})
+    dedup = sorted(set(edges))
+    h = {v: 1.0 for v in nodes}
+    a = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: sum(h[s] for s, t in dedup if t == v) for v in nodes}
+        nrm = sum(x * x for x in a.values()) ** 0.5
+        a = {v: (x / nrm if nrm else 0.0) for v, x in a.items()}
+        h = {v: sum(a[t] for s, t in dedup if s == v) for v in nodes}
+        nrm = sum(x * x for x in h.values()) ** 0.5
+        h = {v: (x / nrm if nrm else 0.0) for v, x in h.items()}
+    return (
+        {v: round(x, 6) for v, x in h.items()},
+        {v: round(x, 6) for v, x in a.items()},
+    )
+
+
+def test_hits_matches_python_reference(spark):
+    # a directory page (1) linking to three content pages, one of which
+    # (4) is also endorsed by 2 and 3; duplicate edge counts once
+    raw = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4), (1, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.id: (r.hub, r.authority) for r in hits(edges, tol=0).collect()}
+    wh, wa = _py_hits(raw)
+    assert set(got) == set(wh)
+    for v in wh:
+        assert abs(got[v][0] - wh[v]) < 2e-6, ("hub", v, got[v][0], wh[v])
+        assert abs(got[v][1] - wa[v]) < 2e-6, ("auth", v, got[v][1], wa[v])
+
+
+def test_hits_identifies_hub_and_authority(spark):
+    raw = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.id: r for r in hits(edges).collect()}
+    # 1 is the best hub (links all content); 4 the best authority
+    assert got[1].hub == max(r.hub for r in got.values())
+    assert got[4].authority == max(r.authority for r in got.values())
+    # pure hub has no in-links -> zero authority; pure sink no hub
+    assert got[1].authority == 0.0
+    assert got[4].hub == 0.0
+
+
+def test_hits_early_exit_preserves_values(spark):
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    stats = {}
+    fixed = {
+        (r.id, r.hub, r.authority)
+        for r in hits(edges, iterations=30, tol=0).collect()
+    }
+    early = {
+        (r.id, r.hub, r.authority)
+        for r in hits(edges, iterations=30, tol=1e-7, stats=stats).collect()
+    }
+    assert early == fixed
+    assert stats["iterations_run"] < 30
