@@ -14,7 +14,7 @@ truncates the lineage exactly as the closure operators do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,7 +119,7 @@ def hits(
     iterations: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
-    tol: float = 1e-7,
+    tol: float = 1e-6,
     stats: dict | None = None,
 ) -> DataFrame:
     """HITS hubs/authorities (Kleinberg, JACM 1999) — the second
@@ -138,6 +138,17 @@ def hits(
     per-round driver sync is the early-exit delta, same contract as
     ``pagerank`` (``iterations`` is a ceiling, ``tol=0`` forces the
     fixed count, ``stats`` receives ``iterations_run``).
+
+    Per-round cost is ONE materialization job: the round checkpoints
+    only the authority frame (the hub half-step stays a lazy
+    constant-depth subplan inside it), and normalization — a scalar
+    multiple that never changes the DIRECTION the iteration converges
+    to — runs on a cadence (every 4th round, plus at exit) instead of
+    every half-step, together with the early-exit delta check. A
+    4-round unnormalized stretch grows values by at most λ₁(AᵀA)⁴,
+    comfortably inside double range for any real link graph. ``tol``
+    defaults to 1e-6 because the output rounds to 6 decimals —
+    iterating to 1e-7 buys digits the contract throws away.
 
     Returns (id, hub, authority) rounded to 6 decimals; nodes with no
     out-links have hub 0, no in-links authority 0.
@@ -174,50 +185,169 @@ def hits(
             )
         )
 
-    hubs = nodes.select("id", F.lit(1.0).alias("hub"))
+    def _hub_of(auth_df: DataFrame) -> DataFrame:
+        return nodes.join(
+            e.join(auth_df.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("hub")),
+            nodes.id == F.col("src"),
+            "left",
+        ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+
+    def _auth_of(hub_df: DataFrame) -> DataFrame:
+        return nodes.join(
+            e.join(hub_df.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("authority")),
+            nodes.id == F.col("dst"),
+            "left",
+        ).select("id", F.coalesce("authority", F.lit(0.0)).alias("authority"))
+
+    check_every = 4
     auth = nodes.select("id", F.lit(1.0).alias("authority"))
+    prev_norm: DataFrame | None = None
     iters_run = 0
-    for _ in range(iterations):
-        prev_auth = auth
+    converged = False
+    while iters_run < iterations and not converged:
         iters_run += 1
-        auth = _normalize(
-            nodes.join(
-                e.join(hubs.withColumnRenamed("id", "src"), "src")
-                .groupBy("dst")
-                .agg(F.sum("hub").alias("authority")),
-                nodes.id == F.col("dst"),
-                "left",
-            ).select(
-                "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
-            ),
-            "authority",
-        ).localCheckpoint(eager=True)
-        hubs = _normalize(
-            nodes.join(
-                e.join(auth.withColumnRenamed("id", "dst"), "dst")
-                .groupBy("src")
-                .agg(F.sum("authority").alias("hub")),
-                nodes.id == F.col("src"),
-                "left",
-            ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
-            "hub",
-        ).localCheckpoint(eager=True)
-        if tol > 0:
-            delta = (
-                auth.join(
-                    prev_auth.withColumnRenamed("authority", "pa"), "id")
-                .agg(F.sum(F.abs(F.col("authority") - F.col("pa"))).alias("d"))
-                .first()["d"]
-            )
-            if delta is not None and delta < tol:
-                break
+        # one full round = both half-steps in ONE checkpointed plan;
+        # the intermediate hub frame is never materialized on its own
+        auth = _auth_of(_hub_of(auth)).localCheckpoint(eager=True)
+        at_cadence = tol > 0 and (
+            iters_run % check_every == 0 or iters_run == iterations
+        )
+        if at_cadence:
+            norm = _normalize(auth, "authority").localCheckpoint(eager=True)
+            if prev_norm is not None:
+                delta = (
+                    norm.join(
+                        prev_norm.withColumnRenamed("authority", "pa"), "id")
+                    .agg(F.sum(
+                        F.abs(F.col("authority") - F.col("pa"))).alias("d"))
+                    .first()["d"]
+                )
+                converged = delta is not None and delta < tol
+            prev_norm = norm
+            auth = norm  # keep magnitudes bounded between cadences
     if stats is not None:
         stats["iterations_run"] = iters_run
+    final_auth = _normalize(auth, "authority").localCheckpoint(eager=True)
+    final_hub = _normalize(_hub_of(final_auth), "hub")
     return (
-        hubs.join(auth, "id")
+        final_hub.join(final_auth, "id")
         .select(
             "id",
             F.round("hub", 6).alias("hub"),
             F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    cap: int = 8,
+) -> DataFrame:
+    """Undirected co-occurrence edges: two ids are connected when they
+    share at least one bucket (same event type + time slice, same
+    session, same LSH bucket, ...). The bipartite-projection primitive
+    behind co-visitation graphs, collusion/bot-ring detection, and
+    related-item mining.
+
+    The projection is inherently quadratic PER BUCKET, so the operator
+    carries its scale knob in the plan: each bucket keeps at most
+    ``cap`` members, chosen deterministically by md5 of the id (a
+    seeded uniform sample that any engine reproduces bit-for-bit —
+    same trick as the deterministic samplers in queries_mlprep). Pair
+    fan-out is then bounded by cap²/2 per bucket, so edge volume grows
+    linearly with the number of buckets, never quadratically with
+    bucket membership — the same cap-the-hot-key move as
+    ``ngram_jaccard_pairs(cap=...)``.
+
+    One shuffle keyed on the bucket (the self-join), one on the edge
+    (the distinct). Emits each undirected edge once as (u, v), u < v.
+    """
+    b = df.select(F.col(id_col).alias("id"), *bucket_cols).distinct()
+    w = Window.partitionBy(*bucket_cols).orderBy(
+        F.md5(F.col("id").cast("string"))
+    )
+    capped = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    other = capped.withColumnRenamed("id", "id2")
+    return (
+        capped.join(other, bucket_cols)
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("u"), F.col("id2").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as distinct
+    (u, v) edges with u < v: one row of node count, edge count, wedge
+    (length-2 path) count, triangle count, and the global clustering
+    coefficient 3·triangles/wedges — the graph-health card for a
+    co-occurrence or link graph (clustering near the random-graph
+    expectation ⇒ organic; far above ⇒ cliquey bot rings / mirror
+    farms).
+
+    Scale shape is the degree-ordered orientation of Suri &
+    Vassilvitskii (WWW'11): orient every edge from its lower-(degree,
+    id) endpoint to the higher one, self-join oriented edges on the
+    source to enumerate wedges, then semi-join the wedge's (v, w)
+    endpoint pair against the oriented edge set. Orientation caps
+    out-degree at O(√m) on any graph, so the wedge join materializes
+    O(m^{3/2}) rows instead of Σdeg² — on a skewed graph the hot hub
+    contributes its degree only as IN-links, never as a wedge fan-out.
+    The count is orientation-invariant, so a plain SQL engine can
+    verify it with the naive id-ordered 3-way join.
+
+    Wedge count for the coefficient is Σdeg(v)·(deg(v)−1)/2 over the
+    UNDIRECTED degrees (orientation-independent), computed from the
+    node-cardinality degree frame — never from the wedge join.
+    """
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order by (degree, id) packed into one long: ids are table
+    # keys (< 2^31), degrees < 2^31 — the pack is collision-free
+    key = (F.col("deg").cast("long") * F.lit(2**31) + F.col("id")).alias("k")
+    keyed = deg.select("id", key)
+    e = (
+        edges.join(keyed.withColumnRenamed("id", "u").withColumnRenamed("k", "ku"), "u")
+        .join(keyed.withColumnRenamed("id", "v").withColumnRenamed("k", "kv"), "v")
+    )
+    oriented = e.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("dk"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    a, c = oriented.alias("a"), oriented.alias("c")
+    wedges = a.join(c, "src").filter(F.col("a.dk") < F.col("c.dk")).select(
+        F.col("a.dst").alias("wu"), F.col("c.dst").alias("wv")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("wu"), F.col("dst").alias("wv")),
+        ["wu", "wv"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    card = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg")) / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        card.crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
         )
     )

@@ -241,7 +241,18 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = items.select(
         F.col("url").alias("src"), F.explode("links").alias("dst")
     )
-    return pagerank(edges).orderBy(F.col("rank").desc(), "id")
+    # size the per-iteration shuffles to the graph: the fixture site is
+    # a handful of nodes, so every power-iteration stage at the batch
+    # default (32 partitions) is pure task-scheduling overhead — the
+    # same size-to-the-workload trade the streaming e2e queries make
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
+    )
+    try:
+        return pagerank(edges).orderBy(F.col("rank").desc(), "id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @register("crawl_hits")  # rows-only: iterative link-graph operator
@@ -262,9 +273,17 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = items.select(
         F.col("url").alias("src"), F.explode("links").alias("dst")
     )
-    return hits(edges).orderBy(
-        F.col("authority").desc(), F.col("hub").desc(), "id"
+    # same size-to-the-graph shuffle trade as crawl_pagerank
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
     )
+    try:
+        return hits(edges).orderBy(
+            F.col("authority").desc(), F.col("hub").desc(), "id"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @register("streaming_index_append_e2e")  # rows-only: streaming index maintenance

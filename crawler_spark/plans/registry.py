@@ -51,6 +51,7 @@ def load_all() -> None:
         queries_curation,
         queries_dedup,
         queries_events,
+        queries_graph,
         queries_mlprep,
         queries_pipeline,
         queries_ragprep,

@@ -148,3 +148,72 @@ def test_hits_early_exit_preserves_values(spark):
     }
     assert early == fixed
     assert stats["iterations_run"] < 30
+
+
+# --- co-occurrence projection + triangle census ---------------------------
+from itertools import combinations  # noqa: E402
+
+from crawler_spark.operators.graph import (  # noqa: E402
+    cooccurrence_edges,
+    triangle_stats,
+)
+
+
+def test_cooccurrence_edges_basic(spark):
+    rows = [(1, "a"), (2, "a"), (3, "a"), (3, "b"), (4, "b"), (1, "a")]
+    df = spark.createDataFrame(rows, "id2 long, bucket string")
+    got = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(df, "id2", ["bucket"], cap=10).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+def test_cooccurrence_cap_bounds_fanout_deterministically(spark):
+    rows = [(i, "hot") for i in range(40)] + [(100, "cold"), (101, "cold")]
+    df = spark.createDataFrame(rows, "uid long, bucket string")
+    e1 = cooccurrence_edges(df, "uid", ["bucket"], cap=5)
+    hot = [r for r in e1.collect() if r.u < 100]
+    assert len(hot) == 5 * 4 / 2  # exactly cap-choose-2 survive
+    # deterministic: a second run picks the identical members
+    e2 = cooccurrence_edges(df, "uid", ["bucket"], cap=5)
+    assert set(map(tuple, e1.collect())) == set(map(tuple, e2.collect()))
+
+
+def _brute_triangle_stats(edges):
+    nodes = sorted({x for e in edges for x in e})
+    es = {tuple(sorted(e)) for e in edges}
+    deg = {v: sum(v in e for e in es) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        (min(a, b), max(a, b)) in es
+        and (min(b, c), max(b, c)) in es
+        and (min(a, c), max(a, c)) in es
+        for a, b, c in combinations(nodes, 3)
+    )
+    return len(nodes), len(es), wedges, tris
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = {
+        tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)
+    }
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    row = triangle_stats(df).collect()[0]
+    n, m, w, t = _brute_triangle_stats(edges)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n, m, w, t,
+    )
+    assert abs(row.clustering - round(3.0 * t / w, 6)) < 1e-9
+
+
+def test_triangle_stats_counts_skewed_hub_once_per_triangle(spark):
+    # star + one rim edge: exactly one triangle, hub degree 5
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 1
+    assert row.n_edges == 6
