@@ -62,6 +62,7 @@ _NEVER_DRIVER_VERIFIED = [
     "sample_temperature_mix", "dedup_fuzzy_levenshtein",
     "dedup_fuzzy_seeded", "ev_rollup_incremental",
     "corpus_snapshot_diff", "graph_cooccur_degree", "graph_triangle_stats",
+    "corpus_group_holdout_split", "dq_embedding_coverage",
     # rows-only, never driver-run — ordered so a truncated sample still
     # reaches one representative of every family: the ANN index tier
     # (r3 verdict item 3) first, then streaming e2e, then the round-4

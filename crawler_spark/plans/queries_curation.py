@@ -1045,3 +1045,57 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+# --- group-holdout split: whole sources to val ----------------------------
+_HOLDOUT_PREFIX = "34"  # md5-prefix threshold ≈ 20% of sources
+
+
+@register(
+    "corpus_group_holdout_split",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, {_FP_SQL} AS fp,
+                   substr(md5('holdout:' || source), 1, 2)
+                       < '{_HOLDOUT_PREFIX}' AS is_val
+            FROM documents
+        ),
+        val_fps AS (SELECT DISTINCT fp FROM tagged WHERE is_val)
+        SELECT doc_id,
+               CASE WHEN is_val THEN 'val' ELSE 'train' END AS split
+        FROM tagged
+        WHERE is_val
+           OR fp NOT IN (SELECT fp FROM val_fps)
+    """,
+)
+def corpus_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level holdout: ENTIRE sources go to validation (salted
+    md5 on the source name, ~20% of groups), the complement to the
+    doc-level ``corpus_train_val_split``. Holding out whole groups is
+    how you measure generalization to unseen domains — a doc-level
+    split leaks every near-duplicate a domain publishes twice. The
+    residual risk is CROSS-source duplication (syndicated/mirrored
+    text), so train docs whose normalized fingerprint appears in any
+    held-out source are dropped by the same broadcast anti-join as
+    the doc-level split.
+
+    Scale: the split decision is a pure projection (hash of an
+    attribute already on the row — no group table, no shuffle); only
+    the cross-group fingerprint check joins, against a val-sized
+    broadcast set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        (F.substring(F.md5(F.concat(F.lit("holdout:"), F.col("source"))),
+                     1, 2)
+         < _HOLDOUT_PREFIX).alias("is_val"),
+    )
+    val_fps = tagged.where("is_val").select("fp").distinct()
+    train = (
+        tagged.where(~F.col("is_val"))
+        .join(F.broadcast(val_fps), "fp", "left_anti")
+        .select("doc_id", F.lit("train").alias("split"))
+    )
+    val = tagged.where("is_val").select("doc_id", F.lit("val").alias("split"))
+    return val.unionByName(train)

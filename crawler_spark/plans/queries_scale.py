@@ -564,3 +564,50 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unpivot(ri, "lineitem"))
         .unionByName(unpivot(e, "events"))
     )
+
+
+# --- embedding-coverage audit (cross-table freshness) ---------------------
+@register(
+    "dq_embedding_coverage",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+             e AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0)
+        SELECT (SELECT count(*) FROM d) AS n_docs,
+               (SELECT count(*) FROM e) AS n_embeddings,
+               (SELECT count(*) FROM d
+                WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d.doc_id))
+                   AS docs_missing_embedding,
+               (SELECT count(*) FROM e
+                WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+                   AS orphan_embeddings
+    """,
+)
+def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table coverage audit between the corpus and its embedding
+    side-table: docs the embedding job hasn't reached yet (staleness —
+    they silently vanish from semantic search) and embeddings whose
+    doc was deleted (orphans — they serve ghost results and violate
+    deletion requests). The one-row card a continuous-embedding
+    pipeline alerts on. The fixture tables are born 1:1, so each side
+    is carved deterministically (drop every 11th doc / every 7th
+    embedding — a deletion batch and a lagging embed job) to exercise
+    both failure directions under the value oracle.
+
+    Scale: two left-anti joins on the uniform id key carrying ONE
+    narrow column each, counted map-side; totals ride the same scans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 11 != 0
+    )
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id").filter(
+        F.col("vec_id") % 7 != 0
+    )
+    missing = docs.join(
+        embs.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("docs_missing_embedding"))
+    orphans = embs.join(
+        docs.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_embeddings"))
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        embs.agg(F.count(F.lit(1)).alias("n_embeddings"))
+    )
+    return totals.crossJoin(missing).crossJoin(orphans)
