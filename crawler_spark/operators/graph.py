@@ -38,15 +38,14 @@ def pagerank(
 
     ``iterations`` is a CEILING, not a schedule: iteration stops early
     once the L1 delta between consecutive rank vectors drops below
-    ``tol`` (set ``tol=0`` to force the fixed count). The delta is one
-    node-cardinality join per round — same cost class as the iteration
-    itself — and each round already synchronizes on the eager
-    localCheckpoint, so the early exit costs one scalar collect and
-    saves whole iterations once the walk has mixed. ``tol=1e-7`` is an
-    order below the 6-decimal output rounding, so converged-early and
-    fixed-count results are identical after rounding. Pass a dict as
-    ``stats`` to receive ``{"iterations_run": k}`` back (observability
-    for the early exit; the DataFrame itself can't carry it).
+    ``tol`` (set ``tol=0`` to force the fixed count). The delta is
+    checked every 2nd round — each check is a synchronizing driver
+    job, and a one-round overshoot is cheaper than a scalar collect
+    per round. ``tol=1e-7`` is an order below the 6-decimal output
+    rounding, so converged-early and fixed-count results are identical
+    after rounding. Pass a dict as ``stats`` to receive
+    ``{"iterations_run": k}`` back (observability for the early exit;
+    the DataFrame itself can't carry it).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -68,6 +67,7 @@ def pagerank(
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     iters_run = 0
+    check_every = 2
     for _ in range(iterations):
         prev = ranks
         iters_run += 1
@@ -99,7 +99,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        if tol > 0:
+        if tol > 0 and (
+            iters_run % check_every == 0 or iters_run == iterations
+        ):
             delta = (
                 ranks.join(
                     prev.withColumnRenamed("rank", "prev_rank"), "id")

@@ -317,3 +317,32 @@ def test_crossdoc_spans_no_cartesian_fine_keys(spark):
         plan = plan_text(_QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cooccurrence_projection_is_equi_join(spark):
+    """The bucket self-join must key on the bucket columns (hash/sort
+    join), never degrade to a cartesian + filter; and the triangle
+    census's wedge-close join must be an equi-join on the endpoint
+    pair."""
+    for name in ("graph_cooccur_degree", "graph_triangle_stats"):
+        plan = plan_text(_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian leak"
+    # the degree path must not contain ANY nested-loop join; the census
+    # is allowed exactly its scalar-combine crossJoins (1-row frames)
+    plan = plan_text(_QUERIES["graph_cooccur_degree"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, "nested-loop join leak"
+
+
+def test_triangle_wedge_count_not_from_wedge_join(spark):
+    """The clustering coefficient's wedge total comes from the degree
+    frame (Σd(d-1)/2); the O(m^1.5) wedge materialization exists only
+    under the triangle branch. Locked by checking the one-row output
+    on a fixture where the counts differ wildly."""
+    from crawler_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"  # pure star
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_wedges == 8 * 7 // 2  # hub wedges counted from degrees
+    assert row.n_triangles == 0
