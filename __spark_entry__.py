@@ -68,7 +68,7 @@ _NEVER_DRIVER_VERIFIED = [
     "streaming_neardup_e2e", "streaming_trending_e2e",
     "streaming_dedup_horizon_e2e", "streaming_index_append_e2e",
     "dedup_semantic", "crawl_pagerank", "crawl_hits",
-    "search_mmr_rerank", "diag_ann_recall",
+    "search_mmr_rerank", "diag_ann_recall", "graph_influence_ppr",
     # --- ~50-slot fold: names below land in round 5 if the sample is
     # truncated; every oracle-backed one is value-locked locally ---
     "tok_bpe_train", "tok_bpe_encode",

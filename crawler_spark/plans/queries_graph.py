@@ -120,3 +120,38 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with the naive id-ordered 3-way self-join, which is exactly
     the orientation-invariance of the triangle total."""
     return triangle_stats(_event_cooccurrence_edges(spark, sf_dir))
+
+
+# --- seed-cohort influence via personalized PageRank ----------------------
+@register("graph_influence_ppr")  # rows-only: iterative link-analysis
+def graph_influence_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence of every user RELATIVE to a seed cohort: personalized
+    PageRank over the co-occurrence graph, teleporting to the seeds
+    (deterministic cohort: every 50th user). The seed-expansion tool —
+    rank candidates by proximity to a known-good (or known-bad) set,
+    exactly the Haveliwala topic-sensitive walk. Unlike the fixture
+    `crawl_pagerank`, this runs the iterative operator at DATA scale:
+    the graph is projected from the events table, so iteration joins
+    shuffle real edge volume. Not SQL-expressible (iterative);
+    value-locked against a NumPy reference in tests/test_graph.py.
+
+    Output keeps the top-100 influencers (rank desc, id tiebreak) —
+    the serving shape of a seed-expansion query."""
+    from crawler_spark.operators.graph import personalized_pagerank
+
+    und = _event_cooccurrence_edges(spark, sf_dir)
+    # the projection emits each undirected edge once (u < v); the walk
+    # is directed, so symmetrize before iterating
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("id"))
+        .where(F.col("user_id") % 50 == 0)
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, src_col="u", dst_col="v", iterations=8
+    )
+    return ranks.orderBy(F.col("rank").desc(), "id").limit(100)

@@ -217,3 +217,63 @@ def test_triangle_stats_counts_skewed_hub_once_per_triangle(spark):
     row = triangle_stats(df).collect()[0]
     assert row.n_triangles == 1
     assert row.n_edges == 6
+
+
+# --- personalized PageRank ------------------------------------------------
+from crawler_spark.operators.graph import personalized_pagerank  # noqa: E402
+
+
+def _py_ppr(edges, seeds, d=0.85, iters=10):
+    nodes = sorted({x for e in edges for x in e})
+    out = {v: [t for s, t in set(edges) if s == v] for v in nodes}
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    r = dict(p)
+    for _ in range(iters):
+        dmass = sum(r[v] for v in nodes if not out[v])
+        nr = {}
+        for v in nodes:
+            in_mass = sum(r[u] / len(out[u]) for u in nodes if v in out[u])
+            nr[v] = (1 - d) * p[v] + d * (in_mass + dmass * p[v])
+        r = nr
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=10, tol=0
+        ).collect()
+    }
+    want = _py_ppr(raw, {1})
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+
+
+def test_personalized_pagerank_unreachable_nodes_get_zero(spark):
+    # two components; seed in the first — the second must converge to 0
+    raw = [(1, 2), (2, 1), (8, 9), (9, 8)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds).collect()
+    }
+    assert got[8] == 0.0 and got[9] == 0.0
+    assert got[1] > got[2] > 0  # seed holds the teleport mass
+
+
+def test_personalized_pagerank_ignores_unknown_seeds(spark):
+    raw = [(1, 2), (2, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "id long")  # 99 not in graph
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds).collect()
+    }
+    # teleport weight renormalized over surviving seeds: mass sums to 1
+    assert abs(sum(got.values()) - 1.0) < 1e-5
