@@ -325,6 +325,10 @@ _INVARIANCE_QUERIES = [
     "txt_quality_linear_hashed", "ev_holt_linear", "crawl_pagerank",
     "dedup_semantic", "sample_gumbel_weighted", "decontam_semantic",
     "corpus_curriculum_order", "curation_funnel", "dedup_crossdoc_removal",
+    # md5-capped graph projection, content-fingerprint diff, group-hash
+    # split, seed-teleport walk — all claim engine/cluster determinism
+    "graph_cooccur_degree", "graph_triangle_stats", "corpus_snapshot_diff",
+    "corpus_group_holdout_split", "graph_influence_ppr",
 ]
 
 
