@@ -49,7 +49,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_crossdoc_spans", "dedup_crossdoc_removal", "dedup_containment",
     "corpus_stats_card", "corpus_curriculum_order",
     "privacy_k_anonymity", "dq_expectations", "curation_funnel",
-    "dedup_crossdoc_incremental",
+    "dedup_crossdoc_incremental", "dedup_ngram_jaccard_prefix",
     "corpus_snapshot_diff", "graph_cooccur_degree", "graph_triangle_stats",
     "corpus_group_holdout_split", "dq_embedding_coverage",
     # oracle-backed, never sampled: round-3 era

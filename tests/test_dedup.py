@@ -496,3 +496,48 @@ class TestFuzzyLevenshtein:
         finally:
             QD.load_table = orig
         assert got2 == []
+
+
+# --- prefix-filtered exact Jaccard (SSJoin/PPJoin prefix principle) --------
+def test_prefix_filtered_jaccard_equals_all_shingle_path(spark):
+    from crawler_spark.plans.queries_text import (
+        jaccard_pairs_prefix_filtered,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different sentence about spark joins here"),
+        (4, "a completely different sentence about spark joins there"),
+        (5, "short text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, 3, t).collect())
+        )
+        pref = sorted(
+            map(tuple,
+                jaccard_pairs_prefix_filtered(docs, 3, t).collect())
+        )
+        assert pref == exact, f"threshold {t}"
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The prefix join must generate strictly fewer candidate pairs
+    than documents sharing ANY shingle — the algorithm's reason to
+    exist. Construct docs that share only COMMON shingles (present in
+    every doc, so never in a rarest-first prefix at high threshold)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.queries_text import (
+        jaccard_pairs_prefix_filtered,
+    )
+
+    base = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{base} unique{i} token{i} word{i} mark{i}")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = jaccard_pairs_prefix_filtered(docs, 3, 0.9).collect()
+    assert got == []  # shared boilerplate alone can't reach J >= 0.9
