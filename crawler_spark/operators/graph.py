@@ -205,21 +205,28 @@ def hits(
             "left",
         ).select("id", F.coalesce("authority", F.lit(0.0)).alias("authority"))
 
+    # UNROLLED power iteration: compose `check_every` full rounds (each
+    # = both half-steps) LAZILY and materialize the whole stretch as
+    # ONE job — 16 rounds cost 4 checkpoint jobs, not 16. The plan for
+    # a stretch is linear in check_every (8 join+agg pairs), well
+    # inside Catalyst's comfort zone, and normalization/delta run once
+    # per stretch on the already-materialized frame.
     check_every = 4
     auth = nodes.select("id", F.lit(1.0).alias("authority"))
     prev_norm: DataFrame | None = None
     iters_run = 0
     converged = False
     while iters_run < iterations and not converged:
-        iters_run += 1
-        # one full round = both half-steps in ONE checkpointed plan;
-        # the intermediate hub frame is never materialized on its own
-        auth = _auth_of(_hub_of(auth)).localCheckpoint(eager=True)
-        at_cadence = tol > 0 and (
-            iters_run % check_every == 0 or iters_run == iterations
-        )
-        if at_cadence:
-            norm = _normalize(auth, "authority").localCheckpoint(eager=True)
+        steps = min(check_every, iterations - iters_run)
+        for _ in range(steps):
+            auth = _auth_of(_hub_of(auth))
+        iters_run += steps
+        auth = auth.localCheckpoint(eager=True)
+        # always renormalize at the stretch boundary (bounds magnitudes
+        # at λ₁^check_every between checkpoints even when tol=0 forces
+        # the fixed count); the delta sync is the only tol-gated part
+        norm = _normalize(auth, "authority").localCheckpoint(eager=True)
+        if tol > 0:
             if prev_norm is not None:
                 delta = (
                     norm.join(
@@ -230,7 +237,7 @@ def hits(
                 )
                 converged = delta is not None and delta < tol
             prev_norm = norm
-            auth = norm  # keep magnitudes bounded between cadences
+        auth = norm
     if stats is not None:
         stats["iterations_run"] = iters_run
     final_auth = _normalize(auth, "authority").localCheckpoint(eager=True)
