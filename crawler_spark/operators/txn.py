@@ -1,0 +1,185 @@
+"""Cross-table atomic transactions over manifest tables.
+
+The single-table manifest protocol (streaming/ingest_stream.py) gives
+each table Delta-grade crash-atomic commits — but a pipeline state is
+usually SEVERAL tables that must move together: pages + their
+embeddings (re-embed after an update), pages + the inverted index,
+train shards + their stats card. The reference gets this for free from
+Postgres transactions (backend/src/db.py commits pages and job rows in
+one BEGIN/COMMIT); per-table manifests alone re-open that window — a
+reader between two per-table swaps sees new docs with old embeddings,
+exactly the drift `dq_embedding_coverage` exists to catch.
+
+Protocol (one level above the per-table manifests, same moves):
+
+  * A transaction directory holds ``_txnlog/<ver>.json``, each file
+    the FULL state of every participating table (table dir → its
+    bucket→epoch manifest). The atomic ``os.replace`` of that one
+    file is THE commit point for the whole set of tables.
+  * Participating tables' data is staged exactly as before (new
+    ``v=<epoch>`` directories, never touching live data) — the txn
+    file only swaps pointers, so commit cost is O(1) regardless of
+    table count or size.
+  * After the txn commit, each table's own ``_MANIFEST.json`` is
+    synced (so single-table readers and tools keep working). A crash
+    between txn commit and sync leaves per-table manifests one commit
+    behind but CONSISTENT with each other; ``recover_transactions``
+    replays the newest txn into them idempotently — the same
+    "source of truth first, caches after" ordering the per-table
+    protocol uses for its own mlog.
+
+Cross-table snapshot isolation falls out: ``read_table_at_txn`` reads
+every table from the SAME txn version, so a consumer can never observe
+table A at version n and table B at version n−1. This is the one
+capability even Delta Lake lacks (transactions are per-table there
+too); the miniature is honest because all state lives in one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawler_spark.streaming.ingest_stream import (
+    _bucket_paths,
+    commit_manifest,
+    read_manifest,
+    table_write_lock,
+)
+
+TXNLOG_NAME = "_txnlog"
+
+
+def _txn_versions(txn_dir: str) -> list[int]:
+    log_dir = os.path.join(txn_dir, TXNLOG_NAME)
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def commit_transaction(
+    txn_dir: str,
+    states: dict[str, dict[int, int]],
+    sync_tables: bool = True,
+    use_locks: bool = True,
+) -> int:
+    """Atomically publish a consistent state across every table in
+    ``states`` (table dir → bucket→epoch manifest). The atomic rename
+    of the txn file is the commit point; everything staged before it
+    is invisible, everything after it is cache maintenance.
+
+    ``sync_tables=False`` skips the per-table manifest sync — used by
+    tests to simulate a crash immediately after the commit point, and
+    repaired by ``recover_transactions``. ``use_locks=False`` skips
+    the per-table writer locks during the sync (flock is not
+    reentrant — pass it when the caller already holds them)."""
+    log_dir = os.path.join(txn_dir, TXNLOG_NAME)
+    os.makedirs(log_dir, exist_ok=True)
+    versions = _txn_versions(txn_dir)
+    ver = (versions[-1] + 1) if versions else 1
+    payload = {
+        "tables": {
+            os.path.abspath(t): {str(b): e for b, e in sorted(m.items())}
+            for t, m in states.items()
+        }
+    }
+    tmp = os.path.join(log_dir, f"{ver:08d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(log_dir, f"{ver:08d}.json"))  # COMMIT
+    if sync_tables:
+        _sync_table_manifests(payload, use_locks=use_locks)
+    return ver
+
+
+def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
+    # Each table's manifest swap runs under that table's own writer
+    # lock — the txn file is the source of truth, but the per-table
+    # sync is still a read-modify-write a concurrent single-table
+    # writer could interleave with (raises ConcurrentWriteError
+    # rather than silently losing an update).
+    for t, m in payload["tables"].items():
+        manifest = {int(b): int(e) for b, e in m.items()}
+        if manifest != read_manifest(t):
+            if use_locks:
+                with table_write_lock(t):
+                    commit_manifest(t, manifest)
+            else:
+                commit_manifest(t, manifest)
+
+
+def read_transaction(
+    txn_dir: str, version: int | None = None
+) -> dict[str, dict[int, int]]:
+    """The committed cross-table state at ``version`` (default:
+    latest). Raises KeyError for an unknown version or an empty log."""
+    versions = _txn_versions(txn_dir)
+    if version is None:
+        if not versions:
+            raise KeyError(f"no transactions committed in {txn_dir}")
+        version = versions[-1]
+    p = os.path.join(txn_dir, TXNLOG_NAME, f"{version:08d}.json")
+    if not os.path.isfile(p):
+        raise KeyError(f"no transaction {version} in {txn_dir} "
+                       f"(known: {versions})")
+    with open(p) as f:
+        payload = json.load(f)
+    return {
+        t: {int(b): int(e) for b, e in m.items()}
+        for t, m in payload["tables"].items()
+    }
+
+
+def recover_transactions(txn_dir: str) -> int | None:
+    """Replay the newest committed transaction into every
+    participating table's own manifest (idempotent — syncing an
+    already-synced table is a no-op). Returns the version replayed,
+    or None if no transaction exists. Run at writer startup, like the
+    per-table epoch replay."""
+    versions = _txn_versions(txn_dir)
+    if not versions:
+        return None
+    state = read_transaction(txn_dir, versions[-1])
+    _sync_table_manifests(
+        {"tables": {t: {str(b): e for b, e in m.items()}
+                    for t, m in state.items()}}
+    )
+    return versions[-1]
+
+
+def transaction_history(txn_dir: str) -> list[int]:
+    """Committed transaction versions, oldest first."""
+    return _txn_versions(txn_dir)
+
+
+def read_table_at_txn(
+    spark: SparkSession,
+    txn_dir: str,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Read ONE table exactly as the cross-table transaction committed
+    it — every table read through the same ``version`` is mutually
+    consistent (snapshot isolation across tables). None for a table
+    the transaction recorded as empty."""
+    state = read_transaction(txn_dir, version)
+    key = os.path.abspath(table_dir)
+    if key not in state:
+        raise KeyError(f"table {table_dir} not part of transaction "
+                       f"(tables: {sorted(state)})")
+    manifest = state[key]
+    if not manifest:
+        return None
+    return (
+        spark.read.option("basePath", key)
+        .option("mergeSchema", "true")
+        .parquet(*_bucket_paths(key, manifest))
+        .drop("v")
+    )

@@ -263,6 +263,29 @@ def pages_changes(
     )
 
 
+def stage_bucket_data(pages_dir: str, df: DataFrame, epoch: int) -> set[int]:
+    """Write ``df``'s buckets under ``v=<epoch>`` WITHOUT touching any
+    manifest — the data-staging half of the commit protocol, shared by
+    ``apply_bucket_commit`` (which swaps this table's manifest next)
+    and cross-table transactions (operators/txn.py, where the swap is
+    ONE txn-file rename covering several tables). Staged directories
+    are invisible until some manifest points at them, so staging can
+    never corrupt a live table. The ``localCheckpoint`` materializes
+    the input first (it may read the very directories this write
+    replaces) and pins the returned bucket set to the rows actually
+    written even for non-deterministic inputs. Returns the buckets
+    written, each as one file via one task (parallel across buckets)."""
+    df = df.localCheckpoint(eager=True)
+    (
+        df.repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(os.path.join(pages_dir, f"v={epoch}"))
+    )
+    return {r.bucket for r in df.select("bucket").distinct().collect()}
+
+
 def apply_bucket_commit(
     pages_dir: str,
     df: DataFrame,
@@ -298,15 +321,7 @@ def apply_bucket_commit(
       * the write repartitions BY bucket (one file per bucket, one
         task per bucket — parallel across buckets, unlike a single
         funnel task)."""
-    df = df.localCheckpoint(eager=True)
-    (
-        df.repartition("bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(os.path.join(pages_dir, f"v={epoch}"))
-    )
-    present = {r.bucket for r in df.select("bucket").distinct().collect()}
+    present = stage_bucket_data(pages_dir, df, epoch)
     touched = present | (set(touched) if touched is not None else set())
 
     def update() -> int:

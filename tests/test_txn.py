@@ -1,0 +1,164 @@
+"""Cross-table atomic transactions (operators/txn.py).
+
+The reference gets multi-table atomicity from Postgres (pages + job
+rows move in one BEGIN/COMMIT — reference backend/src/db.py:42-69);
+here the txn log generalizes the per-table manifest protocol: one
+atomic rename publishes a consistent state across N tables, and
+``read_table_at_txn`` gives cross-table snapshot isolation.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.txn import (
+    commit_transaction,
+    read_table_at_txn,
+    read_transaction,
+    recover_transactions,
+    transaction_history,
+)
+from crawler_spark.streaming.ingest_stream import (
+    read_manifest,
+    read_pages_table,
+    stage_bucket_data,
+)
+
+
+def _docs(spark, tag: str):
+    return spark.createDataFrame(
+        [(i, f"{tag}-{i}", i % 4) for i in range(20)],
+        "doc_id long, body string, bucket int",
+    )
+
+
+def _embs(spark, tag: str):
+    return spark.createDataFrame(
+        [(i, float(len(tag)) + i, i % 4) for i in range(20)],
+        "doc_id long, norm double, bucket int",
+    )
+
+
+def _stage(dir_, df, epoch) -> dict[int, int]:
+    return {b: epoch for b in stage_bucket_data(dir_, df, epoch)}
+
+
+class TestCrossTableTxn:
+    def test_commit_is_atomic_across_tables_and_snapshots_isolate(
+        self, spark, tmp_path
+    ):
+        txn = str(tmp_path)
+        docs_dir, embs_dir = str(tmp_path / "docs"), str(tmp_path / "embs")
+
+        v1 = commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "a"), 0),
+            embs_dir: _stage(embs_dir, _embs(spark, "a"), 0),
+        })
+        v2 = commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "bb"), 1),
+            embs_dir: _stage(embs_dir, _embs(spark, "bb"), 1),
+        })
+        assert transaction_history(txn) == [v1, v2]
+
+        # snapshot isolation: BOTH tables read at v1 show the v1 state,
+        # both at latest show v2 — never a mix.
+        d1 = read_table_at_txn(spark, txn, docs_dir, v1)
+        e1 = read_table_at_txn(spark, txn, embs_dir, v1)
+        assert {r.body for r in d1.collect()} == {f"a-{i}" for i in range(20)}
+        assert e1.agg(F.min("norm")).collect()[0][0] == 1.0  # len("a")
+        d2 = read_table_at_txn(spark, txn, docs_dir)
+        e2 = read_table_at_txn(spark, txn, embs_dir)
+        assert {r.body for r in d2.collect()} == {f"bb-{i}" for i in range(20)}
+        assert e2.agg(F.min("norm")).collect()[0][0] == 2.0  # len("bb")
+
+        # per-table manifests were synced: single-table readers see v2
+        assert {r.body for r in read_pages_table(spark, docs_dir).collect()} \
+            == {f"bb-{i}" for i in range(20)}
+
+    def test_staged_data_invisible_until_txn_commit(self, spark, tmp_path):
+        txn = str(tmp_path)
+        docs_dir, embs_dir = str(tmp_path / "docs"), str(tmp_path / "embs")
+        commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "a"), 0),
+            embs_dir: _stage(embs_dir, _embs(spark, "a"), 0),
+        })
+        # stage BOTH tables' next epoch — no commit yet
+        _stage(docs_dir, _docs(spark, "new"), 1)
+        _stage(embs_dir, _embs(spark, "new"), 1)
+        # txn readers and single-table readers still see the old state
+        assert {r.body for r in
+                read_table_at_txn(spark, txn, docs_dir).collect()} \
+            == {f"a-{i}" for i in range(20)}
+        assert {r.body for r in read_pages_table(spark, docs_dir).collect()} \
+            == {f"a-{i}" for i in range(20)}
+        assert read_manifest(docs_dir) == {b: 0 for b in range(4)}
+
+    def test_crash_between_commit_point_and_sync_recovers(
+        self, spark, tmp_path
+    ):
+        txn = str(tmp_path)
+        docs_dir, embs_dir = str(tmp_path / "docs"), str(tmp_path / "embs")
+        commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "a"), 0),
+            embs_dir: _stage(embs_dir, _embs(spark, "a"), 0),
+        })
+        # crash right after the txn-file rename: per-table sync skipped
+        commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "x"), 1),
+            embs_dir: _stage(embs_dir, _embs(spark, "x"), 1),
+        }, sync_tables=False)
+
+        # per-table manifests lag but are CONSISTENT with each other
+        assert read_manifest(docs_dir) == {b: 0 for b in range(4)}
+        assert read_manifest(embs_dir) == {b: 0 for b in range(4)}
+        # the txn itself is durable — txn readers already see the commit
+        assert {r.body for r in
+                read_table_at_txn(spark, txn, docs_dir).collect()} \
+            == {f"x-{i}" for i in range(20)}
+
+        # startup replay repairs the caches; replay again = no-op
+        ver = recover_transactions(txn)
+        assert ver == 2
+        assert read_manifest(docs_dir) == {b: 1 for b in range(4)}
+        assert recover_transactions(txn) == 2
+        embs = read_pages_table(spark, embs_dir)
+        assert embs.agg(F.min("norm")).collect()[0][0] == 1.0  # len("x")
+
+    def test_partial_table_update_carries_other_tables_forward(
+        self, spark, tmp_path
+    ):
+        """A txn that only rewrites one table must still record the
+        other's unchanged manifest so every version is a FULL state."""
+        txn = str(tmp_path)
+        docs_dir, embs_dir = str(tmp_path / "docs"), str(tmp_path / "embs")
+        docs_m = _stage(docs_dir, _docs(spark, "a"), 0)
+        embs_m = _stage(embs_dir, _embs(spark, "a"), 0)
+        commit_transaction(txn, {docs_dir: docs_m, embs_dir: embs_m})
+        # only docs move; embeddings state is carried forward verbatim
+        commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "b"), 1),
+            embs_dir: embs_m,
+        })
+        state = read_transaction(txn)
+        assert state[os.path.abspath(docs_dir)] == {b: 1 for b in range(4)}
+        assert state[os.path.abspath(embs_dir)] == {b: 0 for b in range(4)}
+        e = read_table_at_txn(spark, txn, embs_dir)
+        assert e.count() == 20
+
+    def test_unknown_version_table_and_empty_states(self, spark, tmp_path):
+        txn = str(tmp_path)
+        docs_dir = str(tmp_path / "docs")
+        with pytest.raises(KeyError):
+            read_transaction(txn)  # empty log
+        assert recover_transactions(txn) is None
+        commit_transaction(txn, {
+            docs_dir: _stage(docs_dir, _docs(spark, "a"), 0),
+            str(tmp_path / "empty"): {},  # a table the txn knows is empty
+        })
+        with pytest.raises(KeyError):
+            read_transaction(txn, 99)
+        with pytest.raises(KeyError):
+            read_table_at_txn(spark, txn, str(tmp_path / "nope"))
+        assert read_table_at_txn(spark, txn, str(tmp_path / "empty")) is None
