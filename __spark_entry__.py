@@ -30,65 +30,38 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with no GREEN driver CORRECTNESS row yet, across the union of
-# rounds 1-3 (pruned each round: 47 names went green in r3 and were
-# dropped). The list is HAND-ORDERED for an order-dependent ~50-query
-# sample: with 88 pending names and ~50 slots, a strict oracle-first
-# sort would starve the rows-only ANN/streaming families a second
-# straight round (the r3 verdict's item 3 asks for exactly those rows).
-# So the 50-slot window deliberately mixes: standing-red fixes, every
-# never-sampled oracle-backed family at least once, then the critical
-# rows-only tiers (ANN index paths, streaming e2e, graph). The
-# lower-risk oracle-backed tail (each already value-locked by the local
-# parity suite) is deferred below the fold for round 5.
+# Queries with no GREEN driver CORRECTNESS row yet. After round 4 the
+# union of rounds 1-4 shows every query the driver has EVER sampled is
+# green (158/198); this list is EXACTLY the 40 never-sampled
+# registrations (computed from CORRECTNESS_r0{1..4}.json vs the
+# registry), oracle-backed first, then rows-only, then any queries new
+# in round 5. 40+new < 50 sample slots, so one round drains it.
 _NEVER_DRIVER_VERIFIED = [
-    # fixed / reshaped — need a green row to retire standing red/error rows
-    "ev_pivot_daily_counts", "agg_sources_per_lang", "f2_query_tokens",
-    "inverted_index_postings",
-    # oracle-backed, never sampled: round-4 families first
-    "dedup_crossdoc_spans", "dedup_crossdoc_removal", "dedup_containment",
-    "corpus_stats_card", "corpus_curriculum_order",
-    "privacy_k_anonymity", "dq_expectations", "curation_funnel",
-    "dedup_crossdoc_incremental", "dedup_ngram_jaccard_prefix",
-    "corpus_snapshot_diff", "graph_cooccur_degree", "graph_triangle_stats",
-    "corpus_group_holdout_split", "dq_embedding_coverage",
-    # oracle-backed, never sampled: round-3 era
-    "sample_domain_rebalance", "txt_tfidf_top_terms",
-    "txt_normalize", "search_hybrid_rrf",
-    "ev_span_overlap", "ev_trailing_features", "diag_key_skew",
-    "corpus_train_val_split", "ev_anomaly_zscore", "ev_funnel_sequence",
-    "ev_type_affinity", "ev_resample_ffill", "ev_ewma", "ev_value_bins",
-    "url_normalize_dedup",
-    # rows-only, never driver-run — the families the r3 verdict names:
-    # ANN index tier (item 3), streaming e2e, semantic dedup, graph
-    "knn_index_build", "knn_probe_precomputed", "knn_topk_ivf",
-    "o3_knn_topk_sq8",
-    "ivfpq_index_build", "knn_probe_ivfpq", "knn_topk_ivfpq",
-    "o3_knn_topk_pq", "knn_index_append",
-    "streaming_neardup_e2e", "streaming_trending_e2e",
-    "streaming_dedup_horizon_e2e", "streaming_index_append_e2e",
-    "dedup_semantic", "crawl_pagerank", "crawl_hits",
-    "search_mmr_rerank", "diag_ann_recall", "graph_influence_ppr",
-    # --- ~50-slot fold: names below land in round 5 if the sample is
-    # truncated; every oracle-backed one is value-locked locally ---
-    "tok_bpe_train", "tok_bpe_encode",
-    "timetravel_snapshot_reads", "timetravel_changes_feed",
-    "diag_plan_metrics",
-    "decontam_exact_spans", "pack_sequences_emit",
-    "sample_importance_dsir", "knn_topk_batch", "sample_gumbel_weighted",
-    "dedup_repeated_spans", "join_bloom_prefilter", "txt_bigram_logprob",
-    "sample_perplexity_buckets", "mine_hard_negatives",
-    "txt_heavy_hitters_cms", "crawl_change_detection",
-    "ev_holt_linear", "ev_kmv_distinct_intersect",
-    "doc_chunks_cdc", "txt_quality_linear_hashed", "decontam_semantic",
-    "sample_temperature_mix", "dedup_fuzzy_levenshtein",
-    "dedup_fuzzy_seeded", "ev_rollup_incremental",
-    "multimodal_phash_neardup", "multimodal_clip_filter",
+    # oracle-backed, never sampled (21)
+    "decontam_exact_spans", "decontam_semantic",
+    "dedup_fuzzy_levenshtein", "dedup_fuzzy_seeded",
+    "dedup_repeated_spans", "doc_chunks_cdc",
+    "ev_holt_linear", "ev_kmv_distinct_intersect", "ev_rollup_incremental",
+    "join_bloom_prefilter", "knn_topk_batch", "mine_hard_negatives",
+    "pack_sequences_emit",
+    "sample_gumbel_weighted", "sample_importance_dsir",
+    "sample_perplexity_buckets", "sample_temperature_mix",
+    "txt_bigram_logprob", "txt_heavy_hitters_cms",
+    "txt_quality_linear_hashed", "crawl_change_detection",
+    # rows-only, never driver-run (19)
+    "bucketed_build", "diag_ann_recall", "diag_plan_metrics",
     "embed_random_projection",
-    "bucketed_build", "layout_zorder_build", "layout_compact_build",
+    "ev_hll_distinct_rollup", "ev_value_bins_approx",
+    "ev_value_percentiles_approx",
+    "graph_influence_ppr",
+    "layout_compact_build", "layout_zorder_build",
+    "multimodal_clip_filter", "multimodal_phash_neardup",
+    "search_mmr_rerank",
+    "timetravel_changes_feed", "timetravel_snapshot_reads",
+    "tok_bpe_encode", "tok_bpe_train",
     "txt_compression_ratio", "txt_normalize_nfkc",
-    "ev_value_percentiles_approx", "ev_hll_distinct_rollup",
-    "ev_value_bins_approx",
+    # new in round 5 (never registered before this round)
+    "p4_fts_grammar",
 ]
 
 

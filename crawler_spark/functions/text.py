@@ -93,6 +93,108 @@ def ts_match(col: ColumnOrName, query: str, stem: bool = False) -> Column:
                     lambda t: F.array_contains(toks, t))
 
 
+def _tsquery_parse(query: str):
+    """Parse the Postgres ``to_tsquery`` operator subset — ``&`` ``|``
+    ``!`` parentheses and the prefix marker ``term:*`` — into an AST of
+    nested tuples. Precedence (loosest→tightest): ``|``, ``&``, ``!``,
+    matching Postgres (reference backend/src/search.py:63 passes raw
+    tsquery strings straight to ``to_tsquery``; SURVEY.md §7 decision 2
+    scoped the grammar out originally — this is the subset a user
+    porting real tsquery strings would hit)."""
+    import re
+
+    toks = re.findall(r"\w+:\*|\w+|[&|!()]", query.lower())
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ValueError(
+                f"tsquery syntax error at token {pos} in {query!r}"
+            )
+        pos += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "|":
+            take()
+            node = ("or", node, parse_and())
+        return node
+
+    def parse_and():
+        node = parse_not()
+        while peek() == "&":
+            take()
+            node = ("and", node, parse_not())
+        return node
+
+    def parse_not():
+        if peek() == "!":
+            take()
+            return ("not", parse_not())
+        return parse_primary()
+
+    def parse_primary():
+        t = peek()
+        if t == "(":
+            take()
+            node = parse_or()
+            take(")")
+            return node
+        t = take()
+        if t in {"&", "|", ")", "!"}:
+            raise ValueError(f"tsquery syntax error: unexpected {t!r}")
+        if t.endswith(":*"):
+            return ("prefix", t[:-2])
+        return ("term", t)
+
+    if not toks:
+        return None
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"tsquery trailing tokens in {query!r}")
+    return node
+
+
+def _tsquery_compile(node, toks: Column, stem: bool) -> Column:
+    kind = node[0]
+    if kind == "term":
+        t = _stem_str(node[1]) if stem else node[1]
+        return F.array_contains(toks, t)
+    if kind == "prefix":
+        # prefixes are matched verbatim, never stemmed — stemming a
+        # user-written prefix would silently change which tokens it
+        # covers ("merg:*" stemmed could stop matching "merges")
+        return F.exists(toks, lambda t: t.startswith(node[1]))
+    if kind == "not":
+        return ~_tsquery_compile(node[1], toks, stem)
+    a = _tsquery_compile(node[1], toks, stem)
+    b = _tsquery_compile(node[2], toks, stem)
+    return (a & b) if kind == "and" else (a | b)
+
+
+def ts_match_query(col: ColumnOrName, query: str, stem: bool = False) -> Column:
+    """Full-text match with the tsquery operator grammar: ``&`` ``|``
+    ``!``, parentheses, and prefix terms ``foo:*``. A plain term list
+    (no operators) degrades to ``ts_match``'s AND semantics only if
+    joined with ``&`` — bare adjacent terms are a syntax error, exactly
+    as in Postgres ``to_tsquery``. Pure Column expression (codegen);
+    ``stem=True`` stems plain terms on both sides (prefix terms stay
+    verbatim)."""
+    ast = _tsquery_parse(query)
+    if ast is None:
+        return F.lit(True)
+    toks = tokenize(col)
+    if stem:
+        toks = F.transform(toks, _stem_token)
+    return _tsquery_compile(ast, toks, stem)
+
+
 def snippet(content: ColumnOrName, query: str, max_len: int = 200) -> Column:
     """Reference snippet rule: find the first query term in the lowered
     content; emit "... <±max_len/2 window> ..."; if no term hits, emit

@@ -325,9 +325,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # total order by (degree, id) packed into one long: ids are table
-    # keys (< 2^31), degrees < 2^31 — the pack is collision-free
-    key = (F.col("deg").cast("long") * F.lit(2**31) + F.col("id")).alias("k")
+    # total order by (degree, id) as a struct — struct comparison is
+    # lexicographic, so this is collision-free for ANY id type
+    # (cooccurrence_edges can emit string ids), unlike packing into a
+    # long, which silently nulls/collides for string or >=2^31 ids
+    key = F.struct(F.col("deg"), F.col("id")).alias("k")
     keyed = deg.select("id", key)
     e = (
         edges.join(keyed.withColumnRenamed("id", "u").withColumnRenamed("k", "ku"), "u")

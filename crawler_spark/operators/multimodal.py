@@ -72,9 +72,22 @@ def _decode_fake(payload: bytes) -> dict:
         head = payload[len(FAKE_AUDIO_MAGIC):].split(b":", 1)[0].decode()
         sr, n = (int(x) for x in head.split("x"))
         return {"sample_rate": sr, "n_samples": n, "format": "fakeaud"}
-    raise NotImplementedError(
-        "real media decode requires PIL/libav/soundfile, not present in this image"
-    )
+    # Real-image path, import-gated like the PDF handler's fitz branch
+    # (sources/file_handlers.py): PIL isn't in this image, but on a real
+    # cluster this decodes actual image bytes; video/audio stay
+    # NotImplementedError until libav/soundfile are present.
+    try:
+        import io
+
+        from PIL import Image  # not in this image; real deployments have it
+    except ImportError:
+        raise NotImplementedError(
+            "real media decode requires PIL/libav/soundfile, not present "
+            "in this image"
+        ) from None
+    with Image.open(io.BytesIO(payload)) as img:
+        return {"width": img.width, "height": img.height, "n_frames": 1,
+                "format": (img.format or "unknown").lower()}
 
 
 def decode_metadata(media: DataFrame) -> DataFrame:

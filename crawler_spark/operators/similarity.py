@@ -987,10 +987,20 @@ def mmr_rerank(
         .collect()
     )
     spark = df.sparkSession
+    # Preserve the caller's id type (string ids are legal here, as in
+    # knn_topk) instead of hardcoding long.
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("rank", LongType()),
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("relevance", DoubleType()),
+        StructField("mmr_score", DoubleType()),
+    ])
     if not cand:
-        return spark.createDataFrame(
-            [], f"rank long, {id_col} long, relevance double, mmr_score double"
-        )
+        return spark.createDataFrame([], out_schema)
     ids = [r[id_col] for r in cand]
     mat = np.asarray([r["v"] for r in cand], dtype=np.float64)
     rel = -np.asarray([r["distance"] for r in cand], dtype=np.float64)
@@ -1011,6 +1021,4 @@ def mmr_rerank(
             (rank, ids[best], round(float(rel[best]), 6),
              round(float(score[best]), 6))
         )
-    return spark.createDataFrame(
-        out, f"rank long, {id_col} long, relevance double, mmr_score double"
-    )
+    return spark.createDataFrame(out, out_schema)

@@ -80,20 +80,35 @@ def commit_transaction(
     reentrant — pass it when the caller already holds them)."""
     log_dir = os.path.join(txn_dir, TXNLOG_NAME)
     os.makedirs(log_dir, exist_ok=True)
-    versions = _txn_versions(txn_dir)
-    ver = (versions[-1] + 1) if versions else 1
     payload = {
         "tables": {
             os.path.abspath(t): {str(b): e for b, e in sorted(m.items())}
             for t, m in states.items()
         }
     }
-    tmp = os.path.join(log_dir, f"{ver:08d}.json.tmp")
+    # Stage once under a collision-free name, then publish via
+    # hard-link compare-and-swap: os.link refuses to clobber, so two
+    # concurrent committers racing for the same version get exactly one
+    # winner; the loser retries with the next version instead of
+    # silently overwriting a committed transaction (os.replace would
+    # last-writer-win that race — the per-table layer guards it with
+    # table_write_lock, and this is the txn-level equivalent).
+    tmp = os.path.join(log_dir, f".stage-{os.getpid()}-{id(payload)}.tmp")
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(log_dir, f"{ver:08d}.json"))  # COMMIT
+    try:
+        versions = _txn_versions(txn_dir)
+        ver = (versions[-1] + 1) if versions else 1
+        while True:
+            try:
+                os.link(tmp, os.path.join(log_dir, f"{ver:08d}.json"))
+                break  # COMMIT point
+            except FileExistsError:
+                ver += 1  # lost the race for this version; take the next
+    finally:
+        os.unlink(tmp)
     if sync_tables:
         _sync_table_manifests(payload, use_locks=use_locks)
     return ver

@@ -126,6 +126,37 @@ def p4_fts_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P4b: tsquery operator grammar (search.py:63 passes raw tsquery) ------
+# AND/OR/NOT + parens + prefix `:*` — precedence ! > & > |, so this is
+# (merge & (sort|batch) & !vector) | wind:* ; the oracle spells the same
+# boolean token logic in DuckDB list functions.
+TSQUERY_GRAMMAR = "merge & (sort | batch) & !vector | wind:*"
+
+
+@register(
+    "p4_fts_grammar",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, source FROM toked
+        WHERE (list_contains(toks, 'merge')
+               AND (list_contains(toks, 'sort') OR list_contains(toks, 'batch'))
+               AND NOT list_contains(toks, 'vector'))
+           OR len(list_filter(toks, t -> starts_with(t, 'wind'))) > 0
+    """,
+)
+def p4_fts_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(X.ts_match_query("text", TSQUERY_GRAMMAR))
+        .select("doc_id", "source")
+    )
+
+
 # --- O1: dynamic sort + paginate (search.py:68, main.py:93-101) -----------
 @register(
     "o1_sort_paginate",

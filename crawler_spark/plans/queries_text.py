@@ -212,7 +212,10 @@ def ngram_jaccard_pairs(
 # Shared by the exact query and (on testdata, where no shingle's document
 # frequency reaches the cap — max df is 25 at sf0.1, 7 at sf0.01 — so the
 # cap provably never binds and capped == exact) by the capped variant.
-_NGRAM_PAIRS_ORACLE = f"""
+# The threshold is a named placeholder rendered by _ngram_pairs_oracle —
+# NOT string-replaced — so adding another 0.5 literal to the template
+# can never silently corrupt a derived oracle.
+_NGRAM_PAIRS_ORACLE_TMPL = f"""
         WITH grams AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
@@ -231,11 +234,15 @@ _NGRAM_PAIRS_ORACLE = f"""
         FROM common
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {{threshold}}
     """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_PAIRS_ORACLE)
+def _ngram_pairs_oracle(threshold: float) -> str:
+    return _NGRAM_PAIRS_ORACLE_TMPL.format(threshold=threshold)
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_pairs_oracle(0.5))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact baseline: no cap, so the score is true Jaccard and the
     DuckDB oracle matches value-for-value."""
@@ -353,7 +360,7 @@ def jaccard_pairs_prefix_filtered(
     "dedup_ngram_jaccard_prefix",
     # same oracle as the exact query, at the high-similarity threshold
     # where prefix filtering earns its keep (prefix length ≈ 0.2·|set|)
-    oracle=_NGRAM_PAIRS_ORACLE.replace("0.5", "0.8"),
+    oracle=_ngram_pairs_oracle(0.8),
 )
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard — identical answers to the
@@ -454,7 +461,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard_capped", oracle=_NGRAM_PAIRS_ORACLE)
+@register("dedup_ngram_jaccard_capped", oracle=_ngram_pairs_oracle(0.5))
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: identical to dedup_ngram_jaccard except shingles
     with document frequency > 50 never enter the self-join (hot-key

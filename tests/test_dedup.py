@@ -275,6 +275,46 @@ class TestMultimodal:
         assert bad.count() > 0
         assert all("NotImplementedError" in r.decode_error for r in bad.collect())
 
+    def test_real_image_branch_via_fake_pil(self, monkeypatch):
+        """Drive the real-PIL decode branch's control flow with a fake
+        ``PIL`` module (the lib isn't in this image): non-fake payloads
+        route to Image.open and yield real metadata; decode errors
+        still surface as exceptions for the dead-letter wrapper."""
+        import sys
+        import types
+
+        import pytest as _pytest
+
+        from crawler_spark.operators.multimodal import _decode_fake
+
+        class _FakeImg:
+            width, height, format = 640, 480, "JPEG"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        pil = types.ModuleType("PIL")
+        image_mod = types.ModuleType("PIL.Image")
+
+        def _open(fp):
+            data = fp.read()
+            if data == b"\xffcorrupt":
+                raise OSError("cannot identify image file")
+            return _FakeImg()
+
+        image_mod.open = _open
+        pil.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+        got = _decode_fake(b"\xff\xd8\xff realish jpeg bytes")
+        assert got == {"width": 640, "height": 480, "n_frames": 1,
+                       "format": "jpeg"}
+        with _pytest.raises(OSError):
+            _decode_fake(b"\xffcorrupt")
+
     def test_audio_resample(self, spark):
         from crawler_spark.operators.multimodal import (
             decode_metadata,

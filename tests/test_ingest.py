@@ -82,6 +82,49 @@ class TestFileHandlers:
         assert extract_pdf_text(None) is None
         assert extract_pdf_text(b"\x00notpdf") is None
 
+    def test_pdf_real_branch_via_fake_fitz(self, monkeypatch):
+        """Drive the real PyMuPDF branch's control flow with a fake
+        ``fitz`` module (the lib isn't in this image): page-text
+        concat + strip, empty-text drop, and decode-error drop —
+        mirroring reference file_handler.py:11-49."""
+        import sys
+        import types
+
+        class _FakePage:
+            def __init__(self, text):
+                self._text = text
+
+            def get_text(self):
+                return self._text
+
+        class _FakeDoc:
+            def __init__(self, pages):
+                self._pages = pages
+
+            def __enter__(self):
+                return self._pages
+
+            def __exit__(self, *exc):
+                return False
+
+        fake = types.ModuleType("fitz")
+
+        def _open(stream=None, filetype=None):
+            assert filetype == "pdf"
+            if stream == b"%PDF-boom":
+                raise RuntimeError("corrupt pdf")
+            if stream == b"%PDF-empty":
+                return _FakeDoc([_FakePage("  "), _FakePage("")])
+            return _FakeDoc([_FakePage("page one "), _FakePage("page two")])
+
+        fake.open = _open
+        monkeypatch.setitem(sys.modules, "fitz", fake)
+        assert extract_pdf_text(b"%PDF-1.7 realish") == "page one page two"
+        assert extract_pdf_text(b"%PDF-empty") is None     # empty → dropped
+        assert extract_pdf_text(b"%PDF-boom") is None      # error → dropped
+        # stub magic still short-circuits before the import
+        assert extract_pdf_text(STUB_PDF_MAGIC + b"x") == "x"
+
 
 SITE = {
     "https://site.test/start": ("text/html", FIXTURE_HTML),

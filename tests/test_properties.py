@@ -55,6 +55,81 @@ class TestStemmerLockstep:
         assert not mismatches, f"stemmer drift: {dict(list(mismatches.items())[:5])}"
 
 
+class TestMergeByKeyModel:
+    """merge_by_key vs a dict model over random interleavings of
+    existing/incoming rows with colliding keys and NULL/equal recency
+    (same spirit as the lakehouse model-check in test_txn). The
+    contract: exactly one survivor per key; any incoming row beats
+    every existing row; among candidates with distinct recency the
+    max recency wins (NULLs last); on exact (priority, recency) ties
+    the survivor may be any of the tied rows — the model checks
+    membership in the tied set, not a specific pick."""
+
+    def _cases(self):
+        import random
+
+        rng = random.Random(20260814)
+        cases = []
+        for case_id in range(300):
+            rows = []
+            for uid in range(rng.randint(1, 8)):
+                rows.append((
+                    case_id,
+                    rng.randint(0, 2),                      # key (collides)
+                    rng.choice(["existing", "incoming"]),
+                    rng.choice([None, 0, 1, 1, 2]),          # recency w/ ties
+                    uid,
+                ))
+            cases.append(rows)
+        return cases
+
+    def test_matches_dict_model_with_ties_and_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.upsert import merge_by_key
+
+        cases = self._cases()
+        flat = [r for rows in cases for r in rows]
+        schema = "case_id int, key int, side string, recency int, uid int"
+        df = spark.createDataFrame(flat, schema).withColumn(
+            "ck", F.concat_ws("_", "case_id", "key"))
+        ex = df.filter("side = 'existing'")
+        inc = df.filter("side = 'incoming'")
+        got = merge_by_key(ex, inc, key="ck", recency_col="recency").collect()
+
+        # model: per composite key, the allowed-winner uid set
+        allowed: dict[str, set] = {}
+        for rows in cases:
+            by_key: dict[tuple, list] = {}
+            for case_id, key, side, recency, uid in rows:
+                by_key.setdefault((case_id, key), []).append(
+                    (side, recency, uid))
+            for (case_id, key), rs in by_key.items():
+                inc_rows = [r for r in rs if r[0] == "incoming"]
+                cand = inc_rows if inc_rows else rs
+                with_rec = [r for r in cand if r[1] is not None]
+                best = max(r[1] for r in with_rec) if with_rec else None
+                tied = ([r for r in with_rec if r[1] == best]
+                        if with_rec else cand)
+                allowed[f"{case_id}_{key}"] = {r[2] for r in tied}
+
+        assert len(got) == len(allowed), "one survivor per key"
+        for r in got:
+            assert r["uid"] in allowed[r["ck"]], (
+                f"key {r['ck']}: survivor uid {r['uid']} not in allowed "
+                f"set {allowed[r['ck']]}")
+
+    def test_incoming_always_beats_future_dated_existing(self, spark):
+        from crawler_spark.operators.upsert import merge_by_key
+
+        ex = spark.createDataFrame(
+            [(1, "old", 999)], "k int, v string, recency int")
+        inc = spark.createDataFrame(
+            [(1, "new", 1)], "k int, v string, recency int")
+        out = merge_by_key(ex, inc, key="k", recency_col="recency").collect()
+        assert len(out) == 1 and out[0]["v"] == "new"
+
+
 class TestNormalizePadProperties:
     @given(vectors, st.integers(min_value=1, max_value=64))
     @settings(max_examples=200, deadline=None)

@@ -108,6 +108,70 @@ class TestFtsStemming:
         assert df.filter(ts_match("body", "hashes")).count() == 0
 
 
+class TestTsqueryGrammar:
+    """tsquery operator subset (reference search.py:63 passes raw
+    tsquery strings to to_tsquery): & | ! parens and prefix :* with
+    Postgres precedence ! > & > |."""
+
+    def _hits(self, spark, query, stem=False):
+        from crawler_spark.functions.text import ts_match_query
+
+        df = spark.createDataFrame(
+            [(1, "fast hash join on tables"),
+             (2, "merge sort of sorted runs"),
+             (3, "window functions and windowing"),
+             (4, "hash join with vector probe"),
+             (5, "completely unrelated text")],
+            "id long, body string",
+        )
+        return {r.id for r in
+                df.filter(ts_match_query("body", query, stem=stem)).collect()}
+
+    def test_and_or_not_parens(self, spark):
+        assert self._hits(spark, "hash & join") == {1, 4}
+        assert self._hits(spark, "hash & join & !vector") == {1}
+        assert self._hits(spark, "merge | windowing") == {2, 3}
+        assert self._hits(spark, "(merge | hash) & !vector") == {1, 2}
+        # precedence: ! binds tighter than &, & tighter than |
+        assert self._hits(spark, "hash & !vector | merge") == {1, 2}
+
+    def test_prefix_star(self, spark):
+        assert self._hits(spark, "wind:*") == {3}
+        assert self._hits(spark, "sort:*") == {2}       # sort + sorted
+        assert self._hits(spark, "hash & tabl:*") == {1}
+        # prefix stays verbatim under stem=True but is matched against
+        # STEMMED doc tokens ("windowing"→"window"), so a short prefix
+        # still hits while an inflected full-word prefix does not
+        assert self._hits(spark, "wind:*", stem=True) == {3}
+        assert self._hits(spark, "windowing:*", stem=True) == set()
+
+    def test_stemmed_terms(self, spark):
+        assert self._hits(spark, "sorted & merges", stem=True) == {2}
+
+    def test_empty_query_matches_all(self, spark):
+        assert self._hits(spark, "") == {1, 2, 3, 4, 5}
+
+    def test_syntax_errors_raise(self):
+        import pytest as _pytest
+
+        from crawler_spark.functions.text import _tsquery_parse
+
+        for bad in ["hash join", "& hash", "hash &", "(hash", "hash)",
+                    "hash ! join", "hash & | join"]:
+            with _pytest.raises(ValueError):
+                _tsquery_parse(bad)
+
+    def test_parse_shapes(self):
+        from crawler_spark.functions.text import _tsquery_parse
+
+        assert _tsquery_parse("a & b | c") == (
+            "or", ("and", ("term", "a"), ("term", "b")), ("term", "c"))
+        assert _tsquery_parse("a & !b:*") == (
+            "and", ("term", "a"), ("not", ("prefix", "b")))
+        assert _tsquery_parse("!(a | b)") == (
+            "not", ("or", ("term", "a"), ("term", "b")))
+
+
 class TestWebPages:
     def test_fts_pagination(self, spark):
         from crawler_spark.plans.search_api import web_pages

@@ -147,6 +147,25 @@ class TestCrossTableTxn:
         e = read_table_at_txn(spark, txn, embs_dir)
         assert e.count() == 20
 
+    def test_racing_committers_never_lose_a_transaction(self, tmp_path):
+        """The commit point is a hard-link compare-and-swap: when the
+        version a committer computed is taken by a concurrent commit,
+        it must retry with the next version — never overwrite. Simulate
+        the race by pre-claiming the version the committer will pick."""
+        txn = str(tmp_path)
+        v1 = commit_transaction(txn, {"a": {0: 1}}, sync_tables=False)
+        # another committer that read the same "latest" publishes first
+        log = tmp_path / "_txnlog"
+        (log / f"{v1 + 1:08d}.json").write_text('{"tables": {"b": {"0": 7}}}')
+        v2 = commit_transaction(txn, {"a": {0: 2}}, sync_tables=False)
+        assert v2 == v1 + 2, "loser must take the NEXT free version"
+        assert transaction_history(txn) == [v1, v1 + 1, v1 + 2]
+        # both committed states are intact — nothing overwritten
+        assert read_transaction(txn, v1 + 1) == {"b": {0: 7}}
+        assert list(read_transaction(txn, v2).values()) == [{0: 2}]
+        # no stage-file litter left behind
+        assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
+
     def test_unknown_version_table_and_empty_states(self, spark, tmp_path):
         txn = str(tmp_path)
         docs_dir = str(tmp_path / "docs")
