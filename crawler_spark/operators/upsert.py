@@ -9,10 +9,15 @@ rank-1 per key with incoming rows winning ties. On a Delta-enabled
 cluster, swap `merge_by_key` for `MERGE INTO` — the call sites don't
 change.
 
-Scale note: the window partitions by the merge key, so this is one
-shuffle on a high-cardinality key (url/id) — same shuffle MERGE would
-do. Incremental batches should be small relative to the base table;
-with Delta the rewrite becomes file-pruned instead of full-table.
+Scale note: the window partitions by the merge key, so `merge_by_key`
+alone is one shuffle on a high-cardinality key (url/id) over BOTH
+sides — fine when both fit a stage, wrong at 100 TB where the base
+table dwarfs every batch. `merge_into_bucketed` is the table-format
+answer built on the manifest layer (streaming/ingest_stream.py): the
+table is laid out by a stable key-hash bucket, a batch reads and
+rewrites ONLY the buckets its keys touch, and the commit is one
+manifest swap — Delta's file-pruned MERGE INTO, same O(batch) cost
+shape, without the jars.
 """
 
 from __future__ import annotations
@@ -49,6 +54,105 @@ def merge_by_key(
         .filter(F.col(_RN) == 1)
         .drop(_RN, _PRIO)
     )
+
+
+def key_bucket(key_col: str, num_buckets: int = 16):
+    """Stable hash-bucket for an arbitrary merge key — the partition
+    column a bucketed manifest table is laid out by. A key always
+    lands in the same bucket, so a per-key merge never needs to look
+    outside its partition."""
+    return F.pmod(F.xxhash64(key_col), F.lit(num_buckets)).cast("int")
+
+
+def merge_into_bucketed(
+    spark,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    recency_col: str | None = None,
+    delete_condition=None,
+) -> int:
+    """File-pruned MERGE INTO over a bucketed manifest table (the
+    batch-shaped form of the streaming processor's bucket-pruned merge,
+    streaming/ingest_stream.py): read and rewrite ONLY the buckets the
+    source batch touches, so a merge costs O(touched buckets), not
+    O(table) — the property Delta's file-pruned ``MERGE INTO`` gives
+    you at 100 TB, built here on the same manifest swap the rest of
+    the lakehouse layer uses (reference upserts by url via ``INSERT ..
+    ON CONFLICT``, backend/src/db.py:42-69; this is that statement's
+    table-format form).
+
+    ``source`` must carry the table's ``bucket`` column (use
+    ``key_bucket`` for both the initial load and every batch).
+    ``delete_condition`` is a post-merge predicate: surviving rows
+    matching it are deleted in the same commit (MERGE's WHEN MATCHED
+    DELETE, applied after update-wins resolution). Buckets the batch
+    touches but empties are dropped from the manifest. Returns the
+    committed snapshot version; the whole read-merge-write runs under
+    the table's writer lock."""
+    from crawler_spark.streaming.ingest_stream import (
+        _bucket_paths,
+        apply_bucket_commit,
+        read_manifest,
+        table_write_lock,
+    )
+
+    if "bucket" not in source.columns:
+        raise ValueError("source must carry the table's bucket column "
+                         "(see key_bucket)")
+    touched = {int(r.bucket) for r in source.select("bucket").distinct().collect()}
+    with table_write_lock(table_dir):
+        manifest = read_manifest(table_dir)
+        live = {b: manifest[b] for b in touched if b in manifest}
+        if live:
+            existing = (
+                spark.read.option("basePath", table_dir)
+                .parquet(*_bucket_paths(table_dir, live))
+                .drop("v")
+            )
+            merged = merge_by_key(existing, source, key, recency_col)
+        else:
+            # same within-batch dedup rule even with no live buckets
+            merged = merge_by_key(source.limit(0), source, key, recency_col)
+        if delete_condition is not None:
+            merged = merged.filter(
+                ~F.coalesce(delete_condition, F.lit(False)))
+        epoch = (max(manifest.values()) + 1) if manifest else 0
+        return apply_bucket_commit(
+            table_dir, merged, epoch, touched=touched, use_lock=False)
+
+
+def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> int:
+    """File-pruned DELETE: anti-join only the buckets holding the keys
+    (``keys`` must carry the table's ``bucket`` column); buckets the
+    delete empties are dropped from the manifest. Returns the committed
+    snapshot version."""
+    from crawler_spark.streaming.ingest_stream import (
+        _bucket_paths,
+        apply_bucket_commit,
+        manifest_history,
+        read_manifest,
+        table_write_lock,
+    )
+
+    if "bucket" not in keys.columns:
+        raise ValueError("keys must carry the table's bucket column")
+    touched = {int(r.bucket) for r in keys.select("bucket").distinct().collect()}
+    with table_write_lock(table_dir):
+        manifest = read_manifest(table_dir)
+        live = {b: manifest[b] for b in touched if b in manifest}
+        if not live:  # nothing to delete — current snapshot stands
+            history = manifest_history(table_dir)
+            return history[-1] if history else 0
+        existing = (
+            spark.read.option("basePath", table_dir)
+            .parquet(*_bucket_paths(table_dir, live))
+            .drop("v")
+        )
+        kept = delete_by_key(existing, keys, key)
+        epoch = max(manifest.values()) + 1
+        return apply_bucket_commit(
+            table_dir, kept, epoch, touched=touched, use_lock=False)
 
 
 def delete_by_key(df: DataFrame, keys: DataFrame, key: str) -> DataFrame:

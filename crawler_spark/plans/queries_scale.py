@@ -412,6 +412,65 @@ def timetravel_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type string, n long, min_id long, max_id long")
 
 
+@register(
+    "upsert_merge_pruned",
+    # content after base load → MERGE (doc_id%8<2 batch wins, +1000
+    # chars, source overwritten) → file-pruned DELETE (doc_id%11):
+    # pure row logic, independent of the bucket layout — the bucketing
+    # IS doc_id%8 here precisely so the MERGE batch provably touches
+    # only buckets {0,1} while the oracle never mentions buckets
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 < 2 THEN 'upsert' ELSE source END AS source,
+               CASE WHEN doc_id % 8 < 2 THEN n_chars + 1000 ELSE n_chars END
+                   AS n_chars
+        FROM documents
+        WHERE doc_id % 11 <> 0
+    """,
+)
+def upsert_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end file-pruned MERGE INTO on a bucketed manifest table
+    (operators/upsert.py merge_into_bucketed): base-load documents
+    bucketed by doc_id%8, merge an update batch confined to buckets
+    {0,1} — only those two buckets are read and rewritten; the
+    manifest keeps the other six on the base epoch — then a pruned
+    DELETE, and return the final table content. The oracle states the
+    same row logic straight over ``documents`` — layout-independent,
+    so a hash-pass proves the pruned path changes the plan and not
+    the answer."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.upsert import (
+        delete_from_bucketed,
+        merge_into_bucketed,
+    )
+    from crawler_spark.streaming.ingest_stream import read_pages_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.pmod(F.col("doc_id"), F.lit(NUM_BUCKETS)).cast("int").alias("bucket"),
+    )
+    tdir = tempfile.mkdtemp(prefix="mergepruned_")
+    try:
+        table = f"{tdir}/table"
+        merge_into_bucketed(spark, table, docs, key="doc_id")  # base load
+        batch = (
+            docs.filter(F.col("bucket") < 2)
+            .withColumn("source", F.lit("upsert"))
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+        )
+        merge_into_bucketed(spark, table, batch, key="doc_id")
+        dels = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id", "bucket")
+        delete_from_bucketed(spark, table, dels, key="doc_id")
+        final = read_pages_table(spark, table)
+        out = final.select("doc_id", "source", "n_chars")
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tdir
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 @register("diag_plan_metrics")  # rows-only: post-execution introspection
 def diag_plan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute a representative join+agg (orders⨝customer revenue per

@@ -147,6 +147,80 @@ class TestCrossTableTxn:
         e = read_table_at_txn(spark, txn, embs_dir)
         assert e.count() == 20
 
+    def test_merge_into_bucketed_prunes_and_matches_full_merge(
+        self, spark, tmp_path
+    ):
+        """File-pruned MERGE INTO: a batch touching buckets {0,1} must
+        rewrite ONLY those buckets (manifest keeps the rest on the base
+        epoch) and produce exactly the rows a full-table merge_by_key
+        would; a pruned DELETE that empties a bucket drops it from the
+        manifest."""
+        from crawler_spark.operators.upsert import (
+            delete_from_bucketed,
+            merge_by_key,
+            merge_into_bucketed,
+        )
+
+        table = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, f"v{i}", i % 4) for i in range(40)],
+            "id long, val string, bucket int",
+        )
+        merge_into_bucketed(spark, table, base, key="id")
+        m0 = read_manifest(table)
+        assert set(m0) == {0, 1, 2, 3}
+
+        batch = spark.createDataFrame(
+            [(i, f"new{i}", i % 4) for i in range(40) if i % 4 < 2]
+            + [(100, "ins", 100 % 4)],
+            "id long, val string, bucket int",
+        )
+        merge_into_bucketed(spark, table, batch, key="id")
+        m1 = read_manifest(table)
+        assert m1[2] == m0[2] and m1[3] == m0[3], (
+            "untouched buckets must keep their base epoch (pruning)")
+        assert m1[0] > m0[0] and m1[1] > m0[1]
+
+        got = {(r.id, r.val) for r in read_pages_table(spark, table).collect()}
+        want = {(r.id, r.val)
+                for r in merge_by_key(base, batch, key="id").collect()}
+        assert got == want
+
+        # delete everything in bucket 2 → manifest entry dropped
+        dels = spark.createDataFrame(
+            [(i, i % 4) for i in range(40) if i % 4 == 2],
+            "id long, bucket int")
+        delete_from_bucketed(spark, table, dels, key="id")
+        m2 = read_manifest(table)
+        assert 2 not in m2, "emptied bucket must leave the manifest"
+        assert m2[3] == m0[3], "delete must not rewrite untouched buckets"
+        n = read_pages_table(spark, table).count()
+        assert n == len(want) - 10
+
+        # missing bucket column is a usage error
+        with pytest.raises(ValueError):
+            merge_into_bucketed(
+                spark, table, batch.drop("bucket"), key="id")
+
+    def test_merge_into_bucketed_delete_condition(self, spark, tmp_path):
+        """MERGE's WHEN MATCHED DELETE: rows matching the post-merge
+        predicate are removed in the same commit."""
+        from crawler_spark.operators.upsert import merge_into_bucketed
+
+        table = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "keep", 0, 0), (2, "x", 0, 0), (3, "keep", 1, 0)],
+            "id long, val string, bucket int, dead int",
+        )
+        merge_into_bucketed(spark, table, base, key="id")
+        batch = spark.createDataFrame(
+            [(2, "x", 0, 1)], "id long, val string, bucket int, dead int")
+        merge_into_bucketed(
+            spark, table, batch, key="id",
+            delete_condition=F.col("dead") == 1)
+        got = sorted(r.id for r in read_pages_table(spark, table).collect())
+        assert got == [1, 3]
+
     def test_racing_committers_never_lose_a_transaction(self, tmp_path):
         """The commit point is a hard-link compare-and-swap: when the
         version a committer computed is taken by a concurrent commit,
