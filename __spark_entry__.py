@@ -61,7 +61,8 @@ _NEVER_DRIVER_VERIFIED = [
     "tok_bpe_encode", "tok_bpe_train",
     "txt_compression_ratio", "txt_normalize_nfkc",
     # new in round 5 (never registered before this round)
-    "p4_fts_grammar", "upsert_merge_pruned",
+    "p4_fts_grammar", "upsert_merge_pruned", "knn_topk_ivf_refined",
+    "p4_fts_phrase",
 ]
 
 

@@ -95,15 +95,18 @@ def ts_match(col: ColumnOrName, query: str, stem: bool = False) -> Column:
 
 def _tsquery_parse(query: str):
     """Parse the Postgres ``to_tsquery`` operator subset — ``&`` ``|``
-    ``!`` parentheses and the prefix marker ``term:*`` — into an AST of
-    nested tuples. Precedence (loosest→tightest): ``|``, ``&``, ``!``,
-    matching Postgres (reference backend/src/search.py:63 passes raw
-    tsquery strings straight to ``to_tsquery``; SURVEY.md §7 decision 2
-    scoped the grammar out originally — this is the subset a user
-    porting real tsquery strings would hit)."""
+    ``!``, the phrase operators ``<->`` / ``<N>``, parentheses and the
+    prefix marker ``term:*`` — into an AST of nested tuples. Precedence
+    (loosest→tightest): ``|``, ``&``, ``<->``, ``!``, matching Postgres
+    (reference backend/src/search.py:63 passes raw tsquery strings
+    straight to ``to_tsquery``; SURVEY.md §7 decision 2 scoped the
+    grammar out originally — this is the subset a user porting real
+    tsquery strings would hit). Phrase nodes are ``("phrase", N, a,
+    b)`` = b's match position exactly N tokens after a's (``<->`` ≡
+    ``<1>``)."""
     import re
 
-    toks = re.findall(r"\w+:\*|\w+|[&|!()]", query.lower())
+    toks = re.findall(r"\w+:\*|\w+|<->|<\d+>|[&|!()]", query.lower())
     pos = 0
 
     def peek():
@@ -127,10 +130,18 @@ def _tsquery_parse(query: str):
         return node
 
     def parse_and():
-        node = parse_not()
+        node = parse_phrase()
         while peek() == "&":
             take()
-            node = ("and", node, parse_not())
+            node = ("and", node, parse_phrase())
+        return node
+
+    def parse_phrase():
+        node = parse_not()
+        while (t := peek()) is not None and t.startswith("<"):
+            take()
+            dist = 1 if t == "<->" else int(t[1:-1])
+            node = ("phrase", dist, node, parse_not())
         return node
 
     def parse_not():
@@ -147,7 +158,7 @@ def _tsquery_parse(query: str):
             take(")")
             return node
         t = take()
-        if t in {"&", "|", ")", "!"}:
+        if t in {"&", "|", ")", "!"} or t.startswith("<"):
             raise ValueError(f"tsquery syntax error: unexpected {t!r}")
         if t.endswith(":*"):
             return ("prefix", t[:-2])
@@ -159,6 +170,38 @@ def _tsquery_parse(query: str):
     if pos != len(toks):
         raise ValueError(f"tsquery trailing tokens in {query!r}")
     return node
+
+
+def _phrase_positional(node, toks: Column, stem: bool):
+    """Compile a phrase operand to ``anchored_at(i)``: does this node
+    match with its ANCHOR at 0-based token index ``i``? Following
+    Postgres, a phrase match's anchor is the position of its RIGHTMOST
+    operand — so ``a <N> b`` anchored at ``i`` means b matches at
+    ``i`` and a's anchor is at ``i - N`` (that's how ``a <-> b <-> c``
+    matches the 3-token run "a b c": each link constrains adjacent
+    anchors). Out-of-range ``F.get`` yields NULL → coalesced to False.
+    ``&``/``!`` inside a phrase raise loudly rather than guessing
+    Postgres's rewrite semantics for them."""
+    kind = node[0]
+    if kind == "term":
+        t = _stem_str(node[1]) if stem else node[1]
+        return lambda i: F.coalesce(F.get(toks, i) == F.lit(t),
+                                    F.lit(False))
+    if kind == "prefix":
+        p = node[1]
+        return lambda i: F.coalesce(F.get(toks, i).startswith(p),
+                                    F.lit(False))
+    if kind == "or":
+        fa = _phrase_positional(node[1], toks, stem)
+        fb = _phrase_positional(node[2], toks, stem)
+        return lambda i: fa(i) | fb(i)
+    if kind == "phrase":
+        dist = node[1]
+        fa = _phrase_positional(node[2], toks, stem)
+        fb = _phrase_positional(node[3], toks, stem)
+        return lambda i: fb(i) & fa(i - F.lit(dist))
+    raise ValueError(
+        f"tsquery: {kind!r} operand not supported inside <-> phrases")
 
 
 def _tsquery_compile(node, toks: Column, stem: bool) -> Column:
@@ -173,6 +216,13 @@ def _tsquery_compile(node, toks: Column, stem: bool) -> Column:
         return F.exists(toks, lambda t: t.startswith(node[1]))
     if kind == "not":
         return ~_tsquery_compile(node[1], toks, stem)
+    if kind == "phrase":
+        # existential over anchor positions: one pass over the token
+        # array per phrase, all inside codegen (transform + exists
+        # HOFs) — no shuffle, no Python
+        fn = _phrase_positional(node, toks, stem)
+        return F.exists(F.transform(toks, lambda _t, i: fn(i)),
+                        lambda x: x)
     a = _tsquery_compile(node[1], toks, stem)
     b = _tsquery_compile(node[2], toks, stem)
     return (a & b) if kind == "and" else (a | b)
@@ -180,12 +230,13 @@ def _tsquery_compile(node, toks: Column, stem: bool) -> Column:
 
 def ts_match_query(col: ColumnOrName, query: str, stem: bool = False) -> Column:
     """Full-text match with the tsquery operator grammar: ``&`` ``|``
-    ``!``, parentheses, and prefix terms ``foo:*``. A plain term list
-    (no operators) degrades to ``ts_match``'s AND semantics only if
-    joined with ``&`` — bare adjacent terms are a syntax error, exactly
-    as in Postgres ``to_tsquery``. Pure Column expression (codegen);
-    ``stem=True`` stems plain terms on both sides (prefix terms stay
-    verbatim)."""
+    ``!``, phrase operators ``<->`` / ``<N>`` (b exactly N token
+    positions after a), parentheses, and prefix terms ``foo:*``. A
+    plain term list (no operators) degrades to ``ts_match``'s AND
+    semantics only if joined with ``&`` — bare adjacent terms are a
+    syntax error, exactly as in Postgres ``to_tsquery``. Pure Column
+    expression (codegen); ``stem=True`` stems plain terms on both
+    sides (prefix terms stay verbatim)."""
     ast = _tsquery_parse(query)
     if ast is None:
         return F.lit(True)

@@ -274,6 +274,46 @@ def nearest_centroid_udf(centroids: Sequence[Sequence[float]]):
     return _nearest
 
 
+def refine_centroids(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of a coarse quantizer over the FULL
+    corpus — the scale path past sample-only training: seed with
+    ``train_centroids`` (bounded driver sample), then refine where the
+    sample may under-represent the distribution at 100 TB. Each
+    iteration is one executor-side assignment (the Arrow-batched
+    nearest-centroid matmul) plus ONE groupBy shuffle whose output is
+    exactly ``n_centroids`` rows of per-dimension sums — the corpus
+    never moves to the driver, only k×(dims+1) numbers do. The
+    per-dimension ``F.sum(v[i])`` aggregates stay JVM-side with
+    map-side combine (dims is small and fixed), so no per-row Python
+    runs outside the assignment matmul. Empty clusters keep their
+    previous centroid, matching the driver-side trainer."""
+    import numpy as np
+
+    dims = len(centroids[0])
+    cur = [list(map(float, c)) for c in centroids]
+    norm = df.select(V.l2_normalize(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = norm.withColumn("list_id", nearest_centroid_udf(cur)("v"))
+        rows = assigned.groupBy("list_id").agg(
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()  # ≤ n_centroids rows by construction
+        nxt = [list(c) for c in cur]
+        for r in rows:
+            m = np.asarray([r[f"s{i}"] for i in range(dims)],
+                           dtype=np.float64) / r["n"]
+            nrm = float(np.linalg.norm(m))
+            if nrm > 0:
+                nxt[r["list_id"]] = [float(x) for x in m / nrm]
+        cur = nxt
+    return cur
+
+
 def build_ivf_index(
     df: DataFrame,
     index_path: str,

@@ -157,6 +157,39 @@ def p4_fts_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P4c: tsquery phrase operators (search.py:63; Postgres <-> / <N>) -----
+# "filt:* <-> hash" = a token starting with "filt" immediately followed
+# by "hash"; "merge <2> big" = "big" exactly two positions after
+# "merge". The oracle spells the same positional logic with DuckDB
+# 1-based list lambdas (out-of-range toks[i+n] is NULL, NULL = 'x' is
+# NULL, and list_filter keeps only TRUE — so no bounds guard needed).
+TSQUERY_PHRASE = "filt:* <-> hash | merge <2> big"
+
+
+@register(
+    "p4_fts_phrase",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, source FROM toked
+        WHERE len(list_filter(range(1, len(toks) + 1), i ->
+                  starts_with(toks[i], 'filt') AND toks[i+1] = 'hash')) > 0
+           OR len(list_filter(range(1, len(toks) + 1), i ->
+                  toks[i] = 'merge' AND toks[i+2] = 'big')) > 0
+    """,
+)
+def p4_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(X.ts_match_query("text", TSQUERY_PHRASE))
+        .select("doc_id", "source")
+    )
+
+
 # --- O1: dynamic sort + paginate (search.py:68, main.py:93-101) -----------
 @register(
     "o1_sort_paginate",

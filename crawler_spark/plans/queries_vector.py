@@ -254,6 +254,39 @@ def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@register("knn_topk_ivf_refined")  # rows-only: distributed-Lloyd-refined IVF
+def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the full-corpus refinement pass: sample-seeded
+    centroids (the bounded-driver recipe) refined by distributed Lloyd
+    iterations (operators/similarity.py refine_centroids — one
+    k-row-output groupBy per iteration, corpus never leaves the
+    executors). The scale path when a 10k sample under-represents a
+    100 TB distribution; same serving plan as knn_topk_ivf."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk_ivf,
+        refine_centroids,
+        train_ivf_centroids,
+    )
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = train_ivf_centroids(emb, n_centroids=16)
+    refined = refine_centroids(emb, seeded, iters=2)
+    path = tempfile.mkdtemp(prefix="ivf_refined_") + "/index"
+    try:
+        build_ivf_index(emb, path, refined)
+        top = knn_topk_ivf(spark, path, refined, QUERY_VEC, k=5, nprobe=4)
+        out = top.select("vec_id", F.round("distance", 6).alias("distance"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
 @register(
     "p3_distance_filter",

@@ -49,6 +49,18 @@ def test_projected_scan_prunes_columns(spark):
     )
 
 
+def test_fts_grammar_prunes_columns_no_shuffle(spark):
+    """p4_fts_grammar is a filter+project: the scan must read only the
+    three needed columns (lang/n_chars pruned) and the plan must have
+    no Exchange — the tsquery expression is a per-row predicate."""
+    plan = plan_text(_QUERIES["p4_fts_grammar"](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "lang" not in read[0] and "n_chars" not in read[0], (
+        "grammar filter widened the documents scan"
+    )
+    assert "Exchange" not in plan, "per-row FTS predicate introduced a shuffle"
+
+
 def test_filter_pushed_to_scan(spark):
     plan = plan_text(_QUERIES["p1_filter_eq"](spark, SF))
     assert "PushedFilters" in plan

@@ -180,6 +180,61 @@ class TestStubEmbedderProperties:
         assert abs(n - 1.0) < 1e-9
 
 
+class TestTsqueryParserProperties:
+    """Round-trip property for the tsquery parser (functions/text.py):
+    any AST rendered to a query string with explicit operators parses
+    back to the SAME AST — precedence and parenthesization can never
+    silently reassociate a user's query. Driver-side only (no Spark)."""
+
+    @staticmethod
+    def _asts(depth):
+        term = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True).map(
+            lambda t: ("term", t))
+        prefix = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True).map(
+            lambda t: ("prefix", t))
+        leaf = st.one_of(term, prefix)
+        return st.recursive(
+            leaf,
+            lambda inner: st.one_of(
+                st.tuples(st.just("not"), inner),
+                st.tuples(st.just("and"), inner, inner),
+                st.tuples(st.just("or"), inner, inner),
+                st.tuples(st.just("phrase"), st.integers(0, 5),
+                          inner, inner),
+            ),
+            max_leaves=depth,
+        )
+
+    @staticmethod
+    def _render(node) -> str:
+        kind = node[0]
+        if kind == "term":
+            return node[1]
+        if kind == "prefix":
+            return f"{node[1]}:*"
+        r = TestTsqueryParserProperties._render
+        if kind == "not":
+            return f"!({r(node[1])})"
+        if kind == "phrase":
+            return f"({r(node[2])}) <{node[1]}> ({r(node[3])})"
+        op = "&" if kind == "and" else "|"
+        return f"({r(node[1])}) {op} ({r(node[2])})"
+
+    @given(_asts.__func__(12))
+    @settings(max_examples=300, deadline=None)
+    def test_render_parse_roundtrip(self, ast):
+        from crawler_spark.functions.text import _tsquery_parse
+
+        assert _tsquery_parse(self._render(ast)) == ast
+
+    def test_precedence_not_over_and_over_or(self):
+        from crawler_spark.functions.text import _tsquery_parse
+
+        assert _tsquery_parse("a | b & !c") == (
+            "or", ("term", "a"),
+            ("and", ("term", "b"), ("not", ("term", "c"))))
+
+
 class TestFingerprintProperties:
     @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
                    max_size=300))

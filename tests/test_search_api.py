@@ -172,6 +172,86 @@ class TestTsqueryGrammar:
             "not", ("or", ("term", "a"), ("term", "b")))
 
 
+class TestTsqueryPhrase:
+    """Phrase operators <-> and <N> (Postgres FOLLOWED BY): b's match
+    position exactly N tokens after a's; <-> ≡ <1>. Precedence sits
+    between & and ! (| loosest, then &, then <->, then !)."""
+
+    def _hits(self, spark, query, stem=False):
+        from crawler_spark.functions.text import ts_match_query
+
+        df = spark.createDataFrame(
+            [(1, "fast hash join on tables"),
+             (2, "hash of the join column"),          # hash..join dist 3
+             (3, "join hash"),                         # reversed order
+             (4, "filtered hash probe"),
+             (5, "merge the big runs"),                # merge <2> big
+             (6, "merge big runs"),                    # merge <1> big
+             (7, "hash")],                             # phrase at array end
+            "id long, body string",
+        )
+        return {r.id for r in
+                df.filter(ts_match_query("body", query, stem=stem)).collect()}
+
+    def test_adjacent_and_distance(self, spark):
+        assert self._hits(spark, "hash <-> join") == {1}
+        assert self._hits(spark, "hash <3> join") == {2}
+        assert self._hits(spark, "merge <2> big") == {5}
+        assert self._hits(spark, "merge <-> big") == {6}
+        # order matters, unlike &
+        assert self._hits(spark, "join <-> hash") == {3}
+        assert self._hits(spark, "hash & join") == {1, 2, 3}
+
+    def test_prefix_in_phrase_and_or(self, spark):
+        assert self._hits(spark, "filt:* <-> hash") == {4}
+        assert self._hits(spark, "(merge | hash) <-> big") == {6}
+        assert self._hits(spark, "hash <-> join | merge <2> big") == {1, 5}
+        # OR of different "widths" inside a phrase is fine with anchor
+        # semantics: (join | big <2> runs) <-> X anchors at join/runs
+        assert self._hits(spark, "hash <-> (join | of)") == {1, 2}
+
+    def test_nested_phrase_chains_left(self, spark):
+        # a <-> b <-> c parses left-assoc: ((a<->b)<->c) — trigram
+        assert self._hits(spark, "fast <-> hash <-> join") == {1}
+        assert self._hits(spark, "fast <-> join <-> hash") == set()
+
+    def test_no_out_of_bounds_match(self, spark):
+        # "hash" is the LAST token of docs 2-as-suffix/7 — the i+N
+        # lookup past the end must be False, not null/error
+        assert self._hits(spark, "hash <-> anything") == set()
+
+    def test_phrase_parse_shape_and_precedence(self):
+        from crawler_spark.functions.text import _tsquery_parse
+
+        assert _tsquery_parse("a <-> b") == (
+            "phrase", 1, ("term", "a"), ("term", "b"))
+        assert _tsquery_parse("a <2> b:*") == (
+            "phrase", 2, ("term", "a"), ("prefix", "b"))
+        # <-> binds tighter than &, looser than !
+        assert _tsquery_parse("a & b <-> c") == (
+            "and", ("term", "a"),
+            ("phrase", 1, ("term", "b"), ("term", "c")))
+        assert _tsquery_parse("a <-> b <-> c") == (
+            "phrase", 1, ("phrase", 1, ("term", "a"), ("term", "b")),
+            ("term", "c"))
+
+    def test_unsupported_inside_phrase_raises(self, spark):
+        import pytest as _pytest
+
+        from crawler_spark.functions.text import ts_match_query
+
+        for bad in ["(a & b) <-> c", "(!a) <-> b"]:
+            with _pytest.raises(ValueError):
+                ts_match_query("body", bad)
+        for bad_syntax in ["<-> a", "a <->", "a <x> b"]:
+            with _pytest.raises(ValueError):
+                ts_match_query("body", bad_syntax)
+
+    def test_stemmed_phrase(self, spark):
+        # stem=True stems doc tokens AND plain phrase terms in lockstep
+        assert self._hits(spark, "merged <-> big", stem=True) == {6}
+
+
 class TestWebPages:
     def test_fts_pagination(self, spark):
         from crawler_spark.plans.search_api import web_pages

@@ -127,6 +127,40 @@ def test_ivf_recall_and_exact_rerank(spark, tmp_path):
     ]
 
 
+def test_refine_centroids_lowers_quantization_error(spark):
+    """Distributed Lloyd refinement: mean assignment distance (the
+    k-means objective on unit vectors: 1 - max dot) must not get worse
+    after full-corpus refinement of sample-seeded centroids, centroids
+    stay unit-norm, and the result is deterministic."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        refine_centroids,
+        train_ivf_centroids,
+    )
+    from crawler_spark.functions import vector as V
+    from crawler_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def mean_err(cents):
+        cmat = np.asarray(cents)
+        vs = np.stack([r.v for r in
+                       emb.select(V.l2_normalize("embedding").alias("v"))
+                       .collect()])
+        return float(np.mean(1.0 - (vs @ cmat.T).max(axis=1)))
+
+    # seed deliberately badly (tiny sample) so refinement has room
+    seeded = train_ivf_centroids(emb, n_centroids=8, max_sample=40, seed=7)
+    refined = refine_centroids(emb, seeded, iters=3)
+    assert len(refined) == len(seeded)
+    for c in refined:
+        assert np.linalg.norm(c) == pytest.approx(1.0, abs=1e-9)
+    assert mean_err(refined) <= mean_err(seeded) + 1e-12
+    assert refine_centroids(emb, seeded, iters=3) == refined  # deterministic
+
+
 def test_precomputed_probe_matches_per_query_lsh(spark, tmp_path):
     """The serving path (build_banded_index once + partition-pruned
     probe) must return EXACTLY what the per-query-banding path returns
