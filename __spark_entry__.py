@@ -62,7 +62,7 @@ _NEVER_DRIVER_VERIFIED = [
     "txt_compression_ratio", "txt_normalize_nfkc",
     # new in round 5 (never registered before this round)
     "p4_fts_grammar", "upsert_merge_pruned", "knn_topk_ivf_refined",
-    "p4_fts_phrase",
+    "p4_fts_phrase", "o3_knn_filtered", "o3_knn_filtered_ivf",
 ]
 
 

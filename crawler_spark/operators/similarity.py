@@ -320,14 +320,20 @@ def build_ivf_index(
     centroids: Sequence[Sequence[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Assign every vector to its nearest centroid and write the table
     partitioned by ``list_id`` — FAISS's inverted lists as parquet
-    directories."""
+    directories. ``payload_cols`` are metadata columns carried INTO the
+    index verbatim so filtered probes (``knn_topk_ivf`` with a
+    ``predicate``) can evaluate them on the pruned lists without a join
+    back to the base table — the inline-payload layout every filtered
+    vector store uses."""
     from crawler_spark.operators.dedup import long_id
 
     norm = df.select(
-        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v")
+        long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v"),
+        *payload_cols,
     )
     (
         norm.withColumn("list_id", nearest_centroid_udf(centroids)("v"))
@@ -345,12 +351,21 @@ def knn_topk_ivf(
     k: int = 5,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    predicate=None,
 ) -> DataFrame:
     """IVF probe: rank centroids against the query DRIVER-SIDE (the
     centroid matrix is tiny), read only the ``nprobe`` nearest inverted
     lists (directory-pruned on the partition column), exact re-rank
     against the raw query. Recall rises with nprobe; nprobe = C scans
-    everything and equals the exact path."""
+    everything and equals the exact path.
+
+    ``predicate`` (a Column/SQL string over the index's payload
+    columns) makes this the POST-FILTER arm of filtered vector search:
+    the predicate is applied to every row of the probed lists BEFORE
+    the top-k, so unlike overfetch-style post-filtering it loses no
+    recall beyond what nprobe already concedes — candidate count never
+    caps out under a selective filter. Payload predicates also push
+    down into the parquet scan of the probed lists."""
     import functools
     import numpy as np
     import operator
@@ -363,13 +378,70 @@ def knn_topk_ivf(
         operator.or_, [F.col("list_id") == int(p) for p in probe]
     )
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    scan = spark.read.parquet(index_path).filter(cond)
+    if predicate is not None:
+        scan = scan.filter(predicate)
     return (
-        spark.read.parquet(index_path)
-        .filter(cond)
-        .select(F.col("id").alias(id_col), dist.alias("distance"))
+        scan.select(F.col("id").alias(id_col), dist.alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def choose_filtered_strategy(
+    selectivity: float, prefilter_max_selectivity: float = 0.05
+) -> str:
+    """The pre-vs-post filter decision of filtered vector search, as a
+    pure function so the policy is unit-testable. A SELECTIVE predicate
+    (few survivors) favors PRE-filtering: scan survivors exactly —
+    perfect recall, and at 100 TB the predicate pushes down to the
+    parquet scan so the read is proportional to survivors, while an
+    index probe would read nprobe lists mostly full of rows the filter
+    discards. A BROAD predicate favors the IVF probe with the filter
+    applied inside the probed lists (post-filter): reads nprobe/C of
+    the corpus instead of selectivity·corpus."""
+    if not 0.0 <= selectivity <= 1.0:
+        raise ValueError(f"selectivity must be in [0,1], got {selectivity}")
+    return ("prefilter" if selectivity <= prefilter_max_selectivity
+            else "ivf_postfilter")
+
+
+def knn_topk_filtered(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    predicate,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index_path: str | None = None,
+    centroids: Sequence[Sequence[float]] | None = None,
+    nprobe: int = 4,
+    selectivity: float | None = None,
+    prefilter_max_selectivity: float = 0.05,
+) -> DataFrame:
+    """Filtered vector search: top-k nearest among rows satisfying
+    ``predicate``, dispatched between the two physical strategies every
+    vector store must choose from (see ``choose_filtered_strategy``).
+    ``selectivity`` comes from catalog statistics in a real deployment;
+    when absent it is estimated with one column-pruned JVM aggregate
+    over the predicate column (never the vectors). Without an index the
+    pre-filter exact path is used unconditionally — correct, just not
+    the scale path for broad predicates."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if index_path is None or centroids is None:
+        strategy = "prefilter"
+    else:
+        if selectivity is None:
+            selectivity = float(
+                df.agg(F.avg(pred.cast("int"))).first()[0] or 0.0
+            )
+        strategy = choose_filtered_strategy(
+            selectivity, prefilter_max_selectivity)
+    if strategy == "prefilter":
+        return knn_topk(df.filter(pred), query_vec, k=k, vec_col=vec_col,
+                        id_cols=(id_col,))
+    return knn_topk_ivf(df.sparkSession, index_path, centroids, query_vec,
+                        k=k, nprobe=nprobe, id_col=id_col, predicate=pred)
 
 
 def cosine_pairs_exact(

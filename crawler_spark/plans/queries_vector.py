@@ -287,6 +287,66 @@ def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- O3+P: filtered vector search (predicate + top-k) ---------------------
+@register(
+    "o3_knn_filtered",
+    oracle=f"""
+        SELECT vec_id, round(distance, 6) AS distance FROM (
+            SELECT vec_id,
+                   -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+            FROM embeddings WHERE label = 3
+        ) ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def o3_knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, PRE-FILTER arm (the exact-recall path a
+    selective predicate dispatches to — operators/similarity.py
+    choose_filtered_strategy): predicate pushed to the parquet scan,
+    exact top-k over the survivors. Every vector store's
+    metadata-filter + ANN combination; reference search.py:77-99 only
+    ever filters by distance threshold, so the metadata predicate is
+    part of the engine extension surface."""
+    from crawler_spark.operators.similarity import knn_topk_filtered
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = knn_topk_filtered(emb, QUERY_VEC, "label = 3", k=5)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register("o3_knn_filtered_ivf")  # rows-only: IVF post-filter dispatch arm
+def o3_knn_filtered_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, POST-FILTER arm: the ~10%-selectivity
+    label predicate exceeds the pre-filter threshold, so the dispatcher
+    probes the payload-carrying IVF index (nprobe lists, directory-
+    pruned) and evaluates the predicate inside the probed lists before
+    the top-k — reads nprobe/C of the corpus instead of 10% of it, the
+    winning trade at 100 TB."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk_filtered,
+        train_ivf_centroids,
+    )
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    path = tempfile.mkdtemp(prefix="ivf_filtered_") + "/index"
+    try:
+        build_ivf_index(emb, path, cents, payload_cols=["label"])
+        top = knn_topk_filtered(
+            emb, QUERY_VEC, "label = 3", k=5,
+            index_path=path, centroids=cents, nprobe=6)
+        out = top.select("vec_id", F.round("distance", 6).alias("distance"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
 @register(
     "p3_distance_filter",

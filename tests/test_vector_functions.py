@@ -161,6 +161,96 @@ def test_refine_centroids_lowers_quantization_error(spark):
     assert refine_centroids(emb, seeded, iters=3) == refined  # deterministic
 
 
+class TestFilteredKnn:
+    """Filtered vector search: pre-filter vs IVF-post-filter dispatch
+    (operators/similarity.py knn_topk_filtered)."""
+
+    def test_strategy_policy(self):
+        import pytest as _pytest
+
+        from crawler_spark.operators.similarity import (
+            choose_filtered_strategy,
+        )
+
+        assert choose_filtered_strategy(0.01) == "prefilter"
+        assert choose_filtered_strategy(0.05) == "prefilter"
+        assert choose_filtered_strategy(0.2) == "ivf_postfilter"
+        assert choose_filtered_strategy(1.0) == "ivf_postfilter"
+        with _pytest.raises(ValueError):
+            choose_filtered_strategy(1.5)
+
+    def test_prefilter_matches_bruteforce(self, spark):
+        from crawler_spark.operators.similarity import (
+            knn_topk,
+            knn_topk_filtered,
+        )
+        from crawler_spark.plans.queries_vector import QUERY_VEC as _QV
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        got = knn_topk_filtered(emb, _QV, "label = 3", k=5).collect()
+        want = knn_topk(emb.filter("label = 3"), _QV, k=5).collect()
+        assert [(r.vec_id, round(r.distance, 9)) for r in got] == [
+            (r.vec_id, round(r.distance, 9)) for r in want]
+        assert all(r.vec_id is not None for r in got)
+
+    def test_full_probe_postfilter_equals_exact_filtered(self, spark,
+                                                         tmp_path):
+        """nprobe = C probes every inverted list, so the post-filter
+        arm must return EXACTLY the pre-filter exact answer — the
+        approximation lives only in nprobe, never in the filter."""
+        from crawler_spark.operators.similarity import (
+            build_ivf_index,
+            knn_topk,
+            knn_topk_filtered,
+            train_ivf_centroids,
+        )
+        from crawler_spark.plans.queries_vector import QUERY_VEC as _QV
+        from crawler_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        path = str(tmp_path / "ivf")
+        build_ivf_index(emb, path, cents, payload_cols=["label"])
+        got = knn_topk_filtered(
+            emb, _QV, "label = 3", k=5, index_path=path, centroids=cents,
+            nprobe=8, selectivity=0.5).collect()  # forces ivf_postfilter
+        want = knn_topk(emb.filter("label = 3"), _QV, k=5).collect()
+        assert [(r.vec_id, round(r.distance, 9)) for r in got] == [
+            (r.vec_id, round(r.distance, 9)) for r in want]
+
+    def test_payload_predicate_pushed_to_index_scan(self, spark, tmp_path):
+        """The label predicate must reach the parquet scan of the
+        probed lists (PushedFilters), and the probe must NOT read the
+        unprobed list directories (partition pruning on list_id)."""
+        from crawler_spark.operators.similarity import (
+            build_ivf_index,
+            knn_topk_ivf,
+            train_ivf_centroids,
+        )
+        from crawler_spark.plans.queries_vector import QUERY_VEC as _QV
+        from crawler_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        path = str(tmp_path / "ivf")
+        build_ivf_index(emb, path, cents, payload_cols=["label"])
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            knn_topk_ivf(
+                spark, path, cents, _QV, k=5, nprobe=2,
+                predicate=F.col("label") == 3,
+            ).explain("formatted")
+        plan = buf.getvalue()
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed and "EqualTo(label,3)" in pushed[0], (
+            "label predicate did not push to the index parquet scan")
+
+
 def test_precomputed_probe_matches_per_query_lsh(spark, tmp_path):
     """The serving path (build_banded_index once + partition-pruned
     probe) must return EXACTLY what the per-query-banding path returns
