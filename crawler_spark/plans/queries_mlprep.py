@@ -74,6 +74,63 @@ def ev_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable quantile sketch rollup -------------------------------------
+_QSK_K = 256
+_QSK_H_SQL = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "ev_quantile_merge_rollup",
+    oracle=f"""
+        WITH sk AS (
+            SELECT list_sort(list({{'h': {_QSK_H_SQL}, 'v': value}}))
+                       [1:{_QSK_K}] AS sk
+            FROM events WHERE value IS NOT NULL
+        ),
+        vals AS (
+            SELECT len(sk) AS n,
+                   list_sort(list_transform(sk, s -> s.v)) AS vals
+            FROM sk
+        )
+        SELECT n AS n_sampled,
+               vals[CAST(floor(0.5  * (n - 1) + 0.5) AS BIGINT) + 1] AS p50,
+               vals[CAST(floor(0.9  * (n - 1) + 0.5) AS BIGINT) + 1] AS p90,
+               vals[CAST(floor(0.99 * (n - 1) + 0.5) AS BIGINT) + 1] AS p99
+        FROM vals
+    """,
+)
+def ev_quantile_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile rollup (operators/sketch.py): per-day
+    bottom-k-by-hash (hash, value) sketches merged into a whole-range
+    sketch, selection quantiles read off the merged sample. The SPARK
+    side maintains per-day partials and merges them — the ORACLE
+    recomputes the bottom-k over the raw range in one pass; hash
+    equality is the mergeability proof (same bar `ev_rollup_incremental`
+    sets for sums). This is the any-range-quantile pattern at 100 TB:
+    store days×k tiny structs, answer a quarter's p99 by merging ~90
+    day states — no rescan, no full sort, ~1/√k sampling error
+    (k=256 → ~6%; k is the only knob)."""
+    from crawler_spark.operators.sketch import (
+        bottomk_sketch_agg,
+        merge_sketches,
+        sketch_hash,
+        sketch_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            sketch_hash("event_id").alias("h"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("day")
+        .agg(bottomk_sketch_agg("h", "v", _QSK_K).alias("sk"))
+    )
+    merged = daily.agg(merge_sketches("sk", _QSK_K).alias("sk"))
+    return sketch_quantiles(merged, "sk", [0.5, 0.9, 0.99])
+
+
 # --- deterministic hash sampling ------------------------------------------
 _HASH_KEY = "md5(CAST(doc_id AS VARCHAR))"
 

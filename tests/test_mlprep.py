@@ -360,3 +360,92 @@ class TestRollupIncremental:
         assert rows[(None, "click")] == (1, 1.0)
         assert rows[("2024-01-01", "click")] == (1, 2.0)
         assert rows[("2024-01-02", "view")] == (1, 3.0)
+
+
+class TestQuantileSketch:
+    """Mergeable bottom-k quantile sketch (operators/sketch.py)."""
+
+    def _sketched(self, spark):
+        from crawler_spark.operators.sketch import (
+            bottomk_sketch_agg,
+            sketch_hash,
+        )
+        from crawler_spark.sources import load_table
+
+        ev = load_table(spark, SF, "events").filter(
+            F.col("value").isNotNull())
+        return (
+            ev.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                sketch_hash("event_id").alias("h"),
+                F.col("value").alias("v"),
+            )
+            .groupBy("day")
+            .agg(bottomk_sketch_agg("h", "v", 64).alias("sk"))
+        )
+
+    def test_day_state_bounded_and_sorted(self, spark):
+        rows = self._sketched(spark).collect()
+        assert rows, "no day sketches"
+        for r in rows:
+            assert len(r.sk) <= 64
+            hs = [s.h for s in r.sk]
+            assert hs == sorted(hs)
+
+    def test_merge_of_subset_equals_direct_recompute(self, spark):
+        """The any-range claim: merging HALF the day sketches must
+        hash-equal a from-scratch bottom-k over those days' raw rows —
+        for an arbitrary day subset, not just the full range (the
+        registered oracle proves the full range)."""
+        from crawler_spark.operators.sketch import (
+            bottomk_sketch_agg,
+            merge_sketches,
+            sketch_hash,
+        )
+        from crawler_spark.sources import load_table
+
+        daily = self._sketched(spark)
+        days = sorted(r.day for r in daily.select("day").distinct().collect())
+        subset = days[: max(1, len(days) // 2)]
+        merged = (
+            daily.filter(F.col("day").isin(subset))
+            .agg(merge_sketches("sk", 64).alias("sk"))
+            .first().sk
+        )
+        ev = load_table(spark, SF, "events").filter(
+            F.col("value").isNotNull())
+        direct = (
+            ev.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                sketch_hash("event_id").alias("h"),
+                F.col("value").alias("v"),
+            )
+            .filter(F.col("day").isin(subset))
+            .agg(bottomk_sketch_agg("h", "v", 64).alias("sk"))
+            .first().sk
+        )
+        assert [(s.h, s.v) for s in merged] == [(s.h, s.v) for s in direct]
+
+    def test_quantiles_track_exact_within_sampling_error(self, spark):
+        """Selection quantiles over the merged sample must be
+        bracketed by the exact quantiles at q ± 3/sqrt(k) — the
+        standard sampling-error envelope for a uniform k-sample."""
+        import math
+
+        from crawler_spark.plans.queries_mlprep import (
+            ev_quantile_merge_rollup,
+        )
+        from crawler_spark.sources import load_table
+
+        got = ev_quantile_merge_rollup(spark, SF).first()
+        k = got.n_sampled
+        ev = load_table(spark, SF, "events").filter(
+            F.col("value").isNotNull())
+        eps = 3.0 / math.sqrt(k)
+        for q, v in [(0.5, got.p50), (0.9, got.p90), (0.99, got.p99)]:
+            lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+            lo, hi = ev.agg(
+                F.expr(f"percentile(value, {lo_q})"),
+                F.expr(f"percentile(value, {hi_q})"),
+            ).first()
+            assert lo <= v <= hi, (q, v, lo, hi)
