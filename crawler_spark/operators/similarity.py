@@ -969,8 +969,9 @@ def append_banded_index(
     Like every multi-file append, a mid-write crash can leave orphan
     part-files; production puts this behind the same atomic manifest
     commit the streaming upsert uses (streaming/ingest_stream.py), or
-    Delta when available. Compact small part-files periodically —
-    every append adds ≥1 file per touched bucket.
+    Delta when available. Every append adds ≥1 file per touched
+    bucket — run ``compact_partitioned_index`` periodically to restore
+    one-file-per-bucket.
     """
     from crawler_spark.operators.dedup import hyperplane_bands
 
@@ -980,6 +981,71 @@ def append_banded_index(
         .partitionBy("band", "bucket")
         .parquet(index_path)
     )
+
+
+def compact_partitioned_index(
+    spark,
+    index_path: str,
+    partition_cols: Sequence[str],
+    min_files: int = 2,
+) -> int:
+    """OPTIMIZE for the plain-parquet ANN index layouts: rewrite every
+    leaf partition directory holding ≥ ``min_files`` part-files into
+    one coalesced file. Each ``append_banded_index`` / ``knn_index_append``
+    wave adds ≥1 file per touched bucket, so file count — and probe
+    open() cost — grows linearly with waves; periodic compaction
+    restores one-file-per-bucket. Works for any of the index layouts by
+    naming their partition columns: ``("band", "bucket")`` for the LSH
+    index, ``("list_id",)`` for IVF/IVFPQ.
+
+    One Spark job rewrites ALL touched directories (repartition by the
+    partition key → one task, one output file per directory), staged
+    into a SIBLING of the index (never inside it, so concurrent-free
+    readers cannot half-see it), then swapped directory-by-directory.
+    OFFLINE like the manifest table's compactor
+    (streaming/ingest_stream.py compact_pages_table): run from the
+    single writer between waves — the manifest/Delta commit documented
+    there is the concurrent-reader upgrade. Returns directories
+    rewritten."""
+    import os
+    import shutil
+
+    def leaf_dirs(root: str, depth: int):
+        if depth == 0:
+            yield root
+            return
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if os.path.isdir(p) and "=" in name:
+                yield from leaf_dirs(p, depth - 1)
+
+    touched = []
+    for d in leaf_dirs(index_path, len(partition_cols)):
+        nfiles = sum(1 for f in os.listdir(d)
+                     if not f.startswith((".", "_")))
+        if nfiles >= min_files:
+            touched.append(d)
+    if not touched:
+        return 0
+
+    tmp_root = index_path.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    (
+        spark.read.option("basePath", index_path).parquet(*touched)
+        .repartition(len(touched), *partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp_root)
+    )
+    for d in touched:
+        rel = os.path.relpath(d, index_path)
+        src = os.path.join(tmp_root, rel)
+        trash = d + "__old"
+        os.rename(d, trash)
+        os.rename(src, d)
+        shutil.rmtree(trash)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return len(touched)
 
 
 def build_ivfpq_index(

@@ -510,6 +510,78 @@ def test_append_banded_index_probe_sees_new_vectors(spark, tmp_path):
         (r.vec_id, r.distance) for r in after]
 
 
+def test_compact_banded_index_preserves_probe_results(spark, tmp_path):
+    """Compaction (operators/similarity.py compact_partitioned_index):
+    after two append waves, touched buckets hold multiple part-files;
+    compaction must coalesce each to ONE file and leave every probe
+    result byte-identical. Also exercises the IVF (single partition
+    col) layout."""
+    import os
+
+    from crawler_spark.operators.similarity import (
+        append_banded_index,
+        build_banded_index,
+        build_ivf_index,
+        compact_partitioned_index,
+        knn_topk_ivf,
+        knn_topk_precomputed,
+        train_ivf_centroids,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "banded")
+    build_banded_index(emb, idx)
+    for batch_id in (1, 2):  # two waves → ≥3 files in touched buckets
+        new = spark.createDataFrame(
+            [(100_000 + batch_id, [float(x) for x in QUERY_VEC])],
+            "vec_id long, embedding array<double>",
+        )
+        append_banded_index(new, idx)
+    before = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+
+    def leaf_file_counts(root, depth):
+        out = {}
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if not (os.path.isdir(p) and "=" in name):
+                continue
+            if depth == 1:
+                out[p] = sum(1 for f in os.listdir(p)
+                             if not f.startswith((".", "_")))
+            else:
+                out.update(leaf_file_counts(p, depth - 1))
+        return out
+
+    pre = leaf_file_counts(idx, 2)
+    assert any(n >= 2 for n in pre.values()), "appends made no multi-file dir"
+    n_done = compact_partitioned_index(spark, idx, ("band", "bucket"))
+    assert n_done == sum(1 for n in pre.values() if n >= 2)
+    post = leaf_file_counts(idx, 2)
+    assert all(n == 1 for p, n in post.items() if pre[p] >= 2)
+    after = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+    assert [(r.vec_id, r.distance) for r in after] == [
+        (r.vec_id, r.distance) for r in before]
+    # idempotent: nothing left to do
+    assert compact_partitioned_index(spark, idx, ("band", "bucket")) == 0
+
+    # IVF layout (one partition column)
+    ivf = str(tmp_path / "ivf")
+    cents = train_ivf_centroids(emb, n_centroids=4)
+    build_ivf_index(emb, ivf, cents)
+    build_ivf_index(  # second write, append-style small files
+        emb.limit(20), ivf + "_extra", cents)
+    # append-wave shape: extra part-files land inside existing lists
+    spark.read.parquet(ivf + "_extra").write.mode("append").partitionBy(
+        "list_id").parquet(ivf)
+    b4 = knn_topk_ivf(spark, ivf, cents, QUERY_VEC, k=5, nprobe=4).collect()
+    compact_partitioned_index(spark, ivf, ("list_id",), min_files=2)
+    aft = knn_topk_ivf(spark, ivf, cents, QUERY_VEC, k=5, nprobe=4).collect()
+    assert [(r.vec_id, r.distance) for r in aft] == [
+        (r.vec_id, r.distance) for r in b4]
+
+
 class TestSemanticDecontam:
     def test_planted_duplicate_is_flagged(self, spark):
         """A corpus vector identical to an eval vector must flag at
