@@ -61,6 +61,33 @@ def test_fts_grammar_prunes_columns_no_shuffle(spark):
     assert "Exchange" not in plan, "per-row FTS predicate introduced a shuffle"
 
 
+def test_knn_filtered_pushdown_and_topk(spark):
+    """o3_knn_filtered (pre-filter arm): the label predicate must push
+    to the embeddings parquet scan and the sort+limit must collapse to
+    TakeOrderedAndProject — filtered vector search costs a pruned scan
+    plus a per-partition top-k, never a full sort."""
+    plan = plan_text(_QUERIES["o3_knn_filtered"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(label,3)" in pushed[0], (
+        "label predicate did not push to the scan")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_rollup_two_shuffles_pruned_scan(spark):
+    """ev_quantile_merge_rollup: exactly the day-shuffle and the final
+    single-partition merge — a third Exchange would mean the sketch
+    stopped being a two-level partial aggregate; scan reads only
+    (ts, event_id, value)."""
+    import re
+
+    plan = plan_text(_QUERIES["ev_quantile_merge_rollup"](spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2, f"expected <=2 shuffles, saw {n_ex}"
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "event_type" not in read[0] and "props" not in read[0], (
+        "quantile sketch widened the events scan")
+
+
 def test_filter_pushed_to_scan(spark):
     plan = plan_text(_QUERIES["p1_filter_eq"](spark, SF))
     assert "PushedFilters" in plan
