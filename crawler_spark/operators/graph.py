@@ -26,6 +26,7 @@ def pagerank(
     dst_col: str = "dst",
     tol: float = 1e-7,
     stats: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank. ``edges`` rows are directed links;
     duplicate edges are collapsed (a page linking twice votes once,
@@ -46,6 +47,17 @@ def pagerank(
     after rounding. Pass a dict as ``stats`` to receive
     ``{"iterations_run": k}`` back (observability for the early exit;
     the DataFrame itself can't carry it).
+
+    ``init_ranks`` ((id, rank) frame) WARM-STARTS the iteration — the
+    incremental-recrawl path: after a delta of new edges/pages lands,
+    seed with the previous converged ranks instead of uniform. The
+    power method converges from any probability vector, and a warm
+    start near the new fixed point cuts iterations roughly in
+    proportion to how small the graph delta is (test-pinned). New
+    nodes absent from ``init_ranks`` get uniform mass; the seed is
+    renormalized in-plan to sum 1 (one broadcast scalar), so dropped
+    nodes can't leak mass. Same fixed point either way — the seed only
+    moves the starting point, never the answer.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -65,7 +77,19 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = (1.0 - damping) / n
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    else:
+        seeded = nodes.join(
+            init_ranks.select(F.col("id"), F.col("rank").alias("r0")),
+            "id", "left",
+        ).select("id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
+        total = seeded.agg(F.sum("r0").alias("t"))
+        ranks = (
+            seeded.crossJoin(F.broadcast(total))
+            .select("id", (F.col("r0") / F.col("t")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
     iters_run = 0
     check_every = 2
     for _ in range(iterations):

@@ -77,6 +77,49 @@ def test_convergence_stop_is_early_and_value_preserving(spark):
     assert early2 == fixed2
 
 
+def test_warm_start_same_fixed_point_fewer_iterations(spark):
+    """Incremental-recrawl path: warm-starting from the previous
+    converged ranks after a small edge delta must (a) reach the SAME
+    rounded ranks as a cold run on the new graph, and (b) take fewer
+    power iterations to converge. A new node absent from the seed gets
+    uniform mass and the seed renormalizes, so mass stays 1."""
+    base_raw = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 3), (4, 1)]
+    base = spark.createDataFrame(base_raw, "src long, dst long")
+    s0: dict = {}
+    converged = pagerank(base, iterations=60, stats=s0)
+    converged = spark.createDataFrame(
+        converged.collect(), converged.schema)  # freeze the seed
+
+    # restart on the SAME graph: seeded at the (6-decimal-rounded)
+    # fixed point, the warm run's residual starts ~1e-6 instead of
+    # O(1) — measured 10 vs 54 cold iterations; pin at least a 2× win
+    s_same: dict = {}
+    same = {r.id: r.rank
+            for r in pagerank(base, iterations=60, stats=s_same,
+                              init_ranks=converged).collect()}
+    assert same == {r.id: r.rank for r in converged.collect()}
+    assert s_same["iterations_run"] * 2 < s0["iterations_run"], (
+        s_same, s0)
+
+    # delta: one new page 5 linked from 4, linking back to 1 — warm
+    # start must reach the SAME rounded ranks as the cold run (the
+    # seed moves the starting point, never the fixed point), with mass
+    # conserved through the renormalized seed. No iteration-count
+    # claim here: on a 6-node fixture one new node is 17% of the
+    # graph, so the warm seed is no closer than uniform — the
+    # proportional win only exists when the delta is small relative to
+    # the graph (the production recrawl case; same-graph pin above).
+    full = spark.createDataFrame(
+        base_raw + [(4, 5), (5, 1)], "src long, dst long")
+    cold = {r.id: r.rank
+            for r in pagerank(full, iterations=60).collect()}
+    warm = {r.id: r.rank
+            for r in pagerank(full, iterations=60,
+                              init_ranks=converged).collect()}
+    assert warm == cold
+    assert abs(sum(warm.values()) - 1.0) < 1e-4
+
+
 def test_hub_outranks_leaves(spark):
     # star: everyone links to 0
     edges = spark.createDataFrame(
