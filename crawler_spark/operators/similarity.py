@@ -388,6 +388,64 @@ def knn_topk_ivf(
     )
 
 
+def knn_topk_batch_ivf(
+    spark,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF serving: Q queries answered in ONE pass over the
+    UNION of their probed inverted lists — the missing cell of the
+    serving matrix (single×exact `knn_topk`, batch×exact
+    `knn_topk_batch`, single×index `knn_topk_ivf`). Centroid ranking
+    for all Q queries is one driver-side Q×C matmul (tiny); the scan
+    reads only the probed-list directories (partition-pruned by
+    ``list_id``); each index row is replicated only to the queries
+    that probed its list (≤ Q·nprobe/C on average, never a full
+    cross join); and the per-query top-k goes through the
+    row_number→WindowGroupLimit rewrite, so the shuffle carries
+    k·partitions·Q rows. Distances are exact against the raw query
+    vectors — recall is governed by nprobe exactly as in the
+    single-query probe (nprobe = C ≡ exact, test-pinned)."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    pairs = []
+    for qid, qv in enumerate(query_vecs):
+        q = np.asarray(list(map(float, qv)), dtype=np.float64)
+        qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
+        for p in np.argsort(-(cmat @ qn))[: max(1, nprobe)]:
+            pairs.append((qid, int(p)))
+    probe_df = spark.createDataFrame(pairs, "query_id long, list_id int")
+    queries = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(query_vecs)],
+        "query_id long, qv array<double>",
+    )
+    lists = sorted({l for _, l in pairs})
+    scan = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(lists))  # partition-pruned read
+    d = (
+        scan.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", F.col("id").alias(id_col),
+            V.neg_dot(F.col("v"), F.col("qv")).alias("distance"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "distance")
+        .orderBy("query_id", "distance", id_col)
+    )
+
+
 def choose_filtered_strategy(
     selectivity: float, prefilter_max_selectivity: float = 0.05
 ) -> str:

@@ -118,6 +118,38 @@ def knn_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_topk_batch_ivf")  # rows-only: batched probe of the IVF index
+def knn_topk_batch_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch×index serving: the Q-query batch probes the IVF inverted
+    lists in one partition-pruned pass (operators/similarity.py
+    knn_topk_batch_ivf) — reads the union of probed lists instead of
+    Q corpus scans or one corpus×Q cross join; per-query top-k via the
+    WindowGroupLimit rewrite exactly like the exact batch."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk_batch_ivf,
+        train_ivf_centroids,
+    )
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    path = tempfile.mkdtemp(prefix="ivf_batch_") + "/index"
+    try:
+        build_ivf_index(emb, path, cents)
+        top = knn_topk_batch_ivf(
+            spark, path, cents, _BATCH_VECS, k=5, nprobe=6)
+        out = top.select(
+            "query_id", "vec_id", F.round("distance", 6).alias("distance"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 # --- O3 scale path: LSH-pruned approximate top-k --------------------------
 @register("o3_knn_topk_lsh")  # rows-only: approximate (band-bucket pruned) top-k
 def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -510,6 +510,61 @@ def test_append_banded_index_probe_sees_new_vectors(spark, tmp_path):
         (r.vec_id, r.distance) for r in after]
 
 
+def test_batch_ivf_full_probe_equals_exact_batch(spark, tmp_path):
+    """knn_topk_batch_ivf with nprobe = C must return, per query,
+    EXACTLY the exact batch answer (same values, same tie-breaks) —
+    the approximation lives only in nprobe. With nprobe < C every
+    returned distance is still the exact distance for its id."""
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk,
+        knn_topk_batch_ivf,
+        train_ivf_centroids,
+    )
+    from crawler_spark.plans.queries_vector import _BATCH_VECS
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, cents)
+
+    full = knn_topk_batch_ivf(
+        spark, idx, cents, _BATCH_VECS, k=5, nprobe=8).collect()
+    for qid, qv in enumerate(_BATCH_VECS):
+        want = knn_topk(emb, qv, k=5).collect()
+        got = [r for r in full if r.query_id == qid]
+        assert [(r.vec_id, round(r.distance, 9)) for r in got] == [
+            (r.vec_id, round(r.distance, 9)) for r in want], f"query {qid}"
+
+    exact_all = {
+        (qid, r.vec_id): r.distance
+        for qid, qv in enumerate(_BATCH_VECS)
+        for r in knn_topk(emb, qv, k=500).collect()
+    }
+    part = knn_topk_batch_ivf(
+        spark, idx, cents, _BATCH_VECS, k=5, nprobe=2).collect()
+    assert len(part) == 5 * len(_BATCH_VECS)
+    for r in part:
+        assert r.distance == pytest.approx(
+            exact_all[(r.query_id, r.vec_id)], abs=1e-12)
+
+    # plan: rn<=k must take the WindowGroupLimit rewrite (map-side
+    # per-query top-k before the exchange), and the probed-list filter
+    # must prune index partitions
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn_topk_batch_ivf(
+            spark, idx, cents, _BATCH_VECS, k=5, nprobe=2
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
 def test_compact_banded_index_preserves_probe_results(spark, tmp_path):
     """Compaction (operators/similarity.py compact_partitioned_index):
     after two append waves, touched buckets hold multiple part-files;
