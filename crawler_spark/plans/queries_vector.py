@@ -124,30 +124,16 @@ def knn_topk_batch_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists in one partition-pruned pass (operators/similarity.py
     knn_topk_batch_ivf) — reads the union of probed lists instead of
     Q corpus scans or one corpus×Q cross join; per-query top-k via the
-    WindowGroupLimit rewrite exactly like the exact batch."""
-    import shutil
-    import tempfile
+    WindowGroupLimit rewrite exactly like the exact batch. Serves from
+    the same cached index as knn_topk_ivf."""
+    from crawler_spark.operators.similarity import knn_topk_batch_ivf
 
-    from crawler_spark.operators.similarity import (
-        build_ivf_index,
-        knn_topk_batch_ivf,
-        train_ivf_centroids,
+    path, cents = _ensure_ivf_index(spark, sf_dir)
+    return (
+        knn_topk_batch_ivf(spark, path, cents, _BATCH_VECS, k=5, nprobe=6)
+        .select("query_id", "vec_id",
+                F.round("distance", 6).alias("distance"))
     )
-    from crawler_spark.sources import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=16)
-    path = tempfile.mkdtemp(prefix="ivf_batch_") + "/index"
-    try:
-        build_ivf_index(emb, path, cents)
-        top = knn_topk_batch_ivf(
-            spark, path, cents, _BATCH_VECS, k=5, nprobe=6)
-        out = top.select(
-            "query_id", "vec_id", F.round("distance", 6).alias("distance"))
-        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return out
 
 
 # --- O3 scale path: LSH-pruned approximate top-k --------------------------
@@ -239,7 +225,9 @@ def knn_probe_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
-def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+def _ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, payload_cols: tuple[str, ...] = ()
+) -> tuple[str, list[list[float]]]:
     import json
     import os
 
@@ -247,7 +235,8 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     from crawler_spark.sources import load_table
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42"
+    suffix = ("_" + "_".join(payload_cols)) if payload_cols else ""
+    path = f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42{suffix}"
     cent_file = path + ".centroids.json"
     # centroids json is written AFTER the parquet lists, so its presence
     # plus the _SUCCESS marker means the whole index landed atomically
@@ -265,7 +254,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
         os.remove(cent_file)
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb, n_centroids=16)
-    build_ivf_index(emb, path, centroids)
+    build_ivf_index(emb, path, centroids, payload_cols=list(payload_cols))
     with open(cent_file, "w") as f:
         json.dump(centroids, f)
     _IVF_CENTROIDS[path] = centroids
@@ -351,32 +340,19 @@ def o3_knn_filtered_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search, POST-FILTER arm: the ~10%-selectivity
     label predicate exceeds the pre-filter threshold, so the dispatcher
     probes the payload-carrying IVF index (nprobe lists, directory-
-    pruned) and evaluates the predicate inside the probed lists before
-    the top-k — reads nprobe/C of the corpus instead of 10% of it, the
-    winning trade at 100 TB."""
-    import shutil
-    import tempfile
-
-    from crawler_spark.operators.similarity import (
-        build_ivf_index,
-        knn_topk_filtered,
-        train_ivf_centroids,
-    )
+    pruned, cached across queries like the unfiltered probe) and
+    evaluates the predicate inside the probed lists before the top-k —
+    reads nprobe/C of the corpus instead of 10% of it, the winning
+    trade at 100 TB."""
+    from crawler_spark.operators.similarity import knn_topk_filtered
     from crawler_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=16)
-    path = tempfile.mkdtemp(prefix="ivf_filtered_") + "/index"
-    try:
-        build_ivf_index(emb, path, cents, payload_cols=["label"])
-        top = knn_topk_filtered(
-            emb, QUERY_VEC, "label = 3", k=5,
-            index_path=path, centroids=cents, nprobe=6)
-        out = top.select("vec_id", F.round("distance", 6).alias("distance"))
-        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return out
+    path, cents = _ensure_ivf_index(spark, sf_dir, payload_cols=("label",))
+    top = knn_topk_filtered(
+        emb, QUERY_VEC, "label = 3", k=5,
+        index_path=path, centroids=cents, nprobe=6)
+    return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
 # --- P3+V1: vector-distance range predicate (db.py:82) --------------------
