@@ -338,12 +338,18 @@ def txt_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus-sized) to compute a per-row number.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokenize("text")
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # bind the token array once (X.bind_once): the inner filter's
+    # lambda captures the tokenizer expression, and HOF lambdas
+    # re-evaluate captured expressions per reference — unbound this
+    # re-tokenized the document once per DISTINCT token
+    top = X.bind_once(
+        X.tokenize("text"),
+        lambda arr: F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        ),
     )
     n_tok = X.word_token_count("text")
     return docs.select(
