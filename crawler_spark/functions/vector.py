@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.text import bind_once
+
 ColumnOrName = Column | str
 
 
@@ -60,10 +62,24 @@ def l2_norm(col: ColumnOrName) -> Column:
 
 
 def l2_normalize(col: ColumnOrName) -> Column:
-    """v / ||v||2 with zero-vector passthrough (reference embeddings.py:65-71)."""
-    arr = to_double_array(col)
-    nrm = l2_norm(col)
-    return F.when(nrm == 0.0, arr).otherwise(F.transform(arr, lambda x: x / nrm))
+    """v / ||v||2 with zero-vector passthrough (reference embeddings.py:65-71).
+
+    The norm is bound once (text.bind_once) before the per-element
+    divide: HOF lambdas re-evaluate captured outer expressions per
+    reference, so an unbound ``nrm`` re-runs the O(d) norm aggregate
+    for EVERY element — O(d²) per vector on the hot index-build path."""
+    return bind_once(
+        to_double_array(col),
+        lambda arr: bind_once(
+            F.sqrt(
+                F.aggregate(arr, F.lit(0.0).cast("double"),
+                            lambda acc, x: acc + x * x)
+            ),
+            lambda nrm: F.when(nrm == 0.0, arr).otherwise(
+                F.transform(arr, lambda x: x / nrm)
+            ),
+        ),
+    )
 
 
 def truncate_or_pad(col: ColumnOrName, dims: int) -> Column:
@@ -81,11 +97,30 @@ def neg_dot(col: ColumnOrName, query: Column) -> Column:
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName | Column) -> Column:
     bcol = (b if isinstance(b, Column) else _c(b)).cast("array<double>")
-    bn = F.sqrt(
-        F.aggregate(bcol, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+
+    def _sumsq(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0).cast("double"),
+                           lambda acc, x: acc + x * x)
+
+    # both arrays and the denominator bound once — the when/otherwise
+    # referenced denom twice, each re-running two O(d) norm folds
+    return bind_once(
+        to_double_array(a),
+        lambda aa: bind_once(
+            bcol,
+            lambda bb: bind_once(
+                F.sqrt(_sumsq(aa)) * F.sqrt(_sumsq(bb)),
+                lambda denom: F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    F.aggregate(
+                        F.zip_with(aa, bb, lambda x, y: x * y),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, x: acc + x,
+                    )
+                    / denom
+                ),
+            ),
+        ),
     )
-    denom = l2_norm(a) * bn
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, bcol) / denom)
 
 
 # --- int8 scalar quantization (SQ8) ---------------------------------------
@@ -105,10 +140,19 @@ def sq8_quantize(col: ColumnOrName) -> Column:
     vs f64), and ANN scans over cold storage are bandwidth-bound. The
     whole codec is expressions — quantize, integer dot, and rescale
     all stay inside whole-stage codegen."""
-    arr = to_double_array(col)
-    scale = sq8_scale(col)
-    return F.when(scale == 0.0, F.transform(arr, lambda x: (x * 0).cast("tinyint"))).otherwise(
-        F.transform(arr, lambda x: F.round(x / scale).cast("tinyint"))
+    return bind_once(
+        to_double_array(col),
+        lambda arr: bind_once(
+            F.aggregate(arr, F.lit(0.0).cast("double"),
+                        lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0),
+            # scale bound once — captured unbound it would re-run the
+            # O(d) max-abs fold per element (O(d²) per vector)
+            lambda scale: F.when(
+                scale == 0.0, F.transform(arr, lambda x: (x * 0).cast("tinyint"))
+            ).otherwise(
+                F.transform(arr, lambda x: F.round(x / scale).cast("tinyint"))
+            ),
+        ),
     )
 
 

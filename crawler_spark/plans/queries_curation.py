@@ -623,24 +623,28 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
     add-one-smoothed bigram LM — the plan behind ``txt_bigram_logprob``
     and the score feeding ``sample_perplexity_buckets``."""
     toks = X.tokenize("text")
-    n = F.size(toks)
-    # adjacent pairs via two slices + zip_with, NOT transform-with-
-    # element_at: a lambda that indexes back into `toks` re-evaluates
-    # the tokenizer expression PER POSITION (Catalyst inlines the
-    # alias), turning an O(len) parse into O(len²) per document —
-    # measured 17.7 s → 1.4 s at sf0.1. The slice form evaluates the
-    # tokenizer a constant ~4 times per row.
-    zipped = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    # adjacent pairs via two slices + zip_with over a ONCE-bound token
+    # array (X.bind_once), NOT transform-with-element_at: a lambda that
+    # indexes back into an unbound `toks` re-evaluates the tokenizer
+    # expression PER POSITION (Catalyst inlines the alias), turning an
+    # O(len) parse into O(len²) per document — measured 17.7 s → 1.4 s
+    # at sf0.1. Binding cuts the remaining constant ~6 tokenizer evals
+    # per row (2 slices + 2 sizes + guard) to exactly 1.
+
+    def _pairs(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.when(n >= 2, zipped).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("g"),
+        F.explode(X.bind_once(toks, _pairs)).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     cbg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     cleft = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

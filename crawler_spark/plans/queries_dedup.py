@@ -145,20 +145,35 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream, deterministic argmax (ties break en>de>es>fr). Pure
     expressions — no UDF, scales as a projection."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokenize("text")
 
-    def score(lang: str) -> F.Column:
+    def score(arr: F.Column, lang: str) -> F.Column:
         prof = F.array(*[F.lit(w) for w in _PROFILES[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+        return F.size(F.filter(arr, lambda t: F.array_contains(prof, t)))
 
-    s_en, s_de, s_es, s_fr = (score(l) for l in ["en", "de", "es", "fr"])
+    # One tokenize + one profile-filter per language per row: the
+    # argmax when-chain references each score up to 4 times, and with
+    # the filter HOF blocking codegen CSE every reference would
+    # re-tokenize — so compute all scores in ONE bound projection
+    # (X.bind_once) and argmax over the struct's fields in a second
+    # select (CollapseProject keeps multi-referenced non-cheap
+    # aliases in their own projection).
+    scored = docs.select(
+        "doc_id",
+        X.bind_once(
+            X.tokenize("text"),
+            lambda arr: F.struct(
+                *[score(arr, l).alias(l) for l in ["en", "de", "es", "fr"]]
+            ),
+        ).alias("s"),
+    )
+    s_en, s_de, s_es, s_fr = (F.col("s")[l] for l in ["en", "de", "es", "fr"])
     guess = (
         F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr), "en")
         .when((s_de >= s_es) & (s_de >= s_fr), "de")
         .when(s_es >= s_fr, "es")
         .otherwise("fr")
     )
-    return docs.select(
+    return scored.select(
         "doc_id",
         guess.alias("lang_guess"),
         (s_en + s_de + s_es + s_fr).alias("stopword_hits"),

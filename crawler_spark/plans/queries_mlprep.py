@@ -729,17 +729,21 @@ def txt_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode, one per-doc agg with map-side combine — one shuffle
     total, no joins, no parameter table to co-locate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokenize("text")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat_ws("_", a, b),
-    )
-    feats = F.concat(
-        toks,
-        F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
-    )
+    def _feats(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        bigrams = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        )
+        return F.concat(
+            arr,
+            F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
+        )
+
+    # token array bound once (X.bind_once): the zip_with HOF blocks
+    # codegen CSE, so the unbound form re-tokenized ~6x per row
+    feats = X.bind_once(X.tokenize("text"), _feats)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
         F.lit(_QC_BUCKETS),

@@ -170,19 +170,31 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, mean word length, symbol ratio, stopword presence, and the
     composite pass flag. Pure projection — no shuffle, codegen-friendly."""
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    n_ws = n_chars - F.length(F.regexp_replace("text", r"\s", ""))
-    n_words = X.token_count("text")
-    n_alnum_ws = F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(X.tokenize("text")),
-        F.array(*[F.lit(s) for s in _STOPWORDS])))
-    mean_word_len = (n_chars - n_ws).cast("double") / F.greatest(n_words, F.lit(1))
-    return docs.select(
+    # two-stage select: the tokenize/regex metrics feed several
+    # outputs each, and with the tokenize HOF blocking codegen CSE
+    # every reference re-scanned the text — compute each metric ONCE,
+    # then derive outputs from the attributes (CollapseProject keeps
+    # multi-referenced non-cheap aliases in their own projection)
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonws"),
+        X.token_count("text").alias("n_words"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+        .alias("n_alnum_ws"),
+        F.size(F.array_intersect(
+            F.array_distinct(X.tokenize("text")),
+            F.array(*[F.lit(s) for s in _STOPWORDS]))).alias("stop_hits"),
+    )
+    n_chars, n_words = F.col("n_chars"), F.col("n_words")
+    stop_hits = F.col("stop_hits")
+    mean_word_len = F.col("n_nonws").cast("double") / F.greatest(
+        n_words, F.lit(1))
+    return m.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round((n_chars - n_alnum_ws).cast("double")
+        F.round((n_chars - F.col("n_alnum_ws")).cast("double")
                 / F.greatest(n_chars, F.lit(1)), 6).alias("symbol_ratio"),
         stop_hits.cast("long").alias("stopword_hits"),
         ((n_words >= 20) & mean_word_len.between(3, 10)
@@ -536,9 +548,12 @@ def doc_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     story as ``doc_chunks``: output rows ≈ n_tokens/8 per doc,
     handled by input-split sizing, not a repartition."""
     docs = load_table(spark, sf_dir, "documents")
-    raw_toks = X.tokenize("text")
-    tokd = docs.where(F.size(raw_toks) >= 1).select(
-        "doc_id", F.explode(F.array(raw_toks)).alias("ts"))
+    # tokenize once in the projection, filter on the bound attribute
+    # after — the where-before-select form evaluated the tokenizer a
+    # second time for the size guard
+    tokd = docs.select(
+        "doc_id", F.explode(F.array(X.tokenize("text"))).alias("ts")
+    ).where(F.size("ts") >= 1)
     toks = F.col("ts")
     n = F.size(toks)
     # boundary flag for positions 2..n (1-indexed), via shifted slices

@@ -365,3 +365,51 @@ class TestBpeProperties:
             [("abac", 5), ("bade", 3), ("face", 7)], 20)
         ranks = {p: i for i, p in enumerate(merges)}
         assert "".join(encode_word(word, ranks)) == word + END_OF_WORD
+
+
+class TestBindOnce:
+    """text.bind_once(arr, fn) must be a pure let-binding: same value
+    as inlining fn(arr), for any element type fn returns, including
+    NULL input arrays (HOF lambdas would otherwise re-evaluate the
+    captured expression per reference — the O(n²) tokenizer trap)."""
+
+    def test_value_and_null_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import bind_once
+
+        df = spark.createDataFrame(
+            [("a b a",), (None,), ("",)], "text string")
+        from crawler_spark.functions.text import tokenize
+
+        out = df.select(
+            # non-boolean return type (int)
+            bind_once(tokenize("text"),
+                      lambda arr: F.size(arr) * 2).alias("n2"),
+            # boolean return type
+            bind_once(tokenize("text"),
+                      lambda arr: F.array_contains(arr, "b")).alias("has_b"),
+            # array return type, referencing the bound var twice
+            bind_once(tokenize("text"),
+                      lambda arr: F.concat(arr, arr)).alias("dbl"),
+        ).collect()
+        assert [r["n2"] for r in out] == [6, None, 0]
+        assert [r["has_b"] for r in out] == [True, None, False]
+        assert out[0]["dbl"] == ["a", "b", "a", "a", "b", "a"]
+        assert out[1]["dbl"] is None
+        assert out[2]["dbl"] == []
+
+    def test_matches_unbound_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import bind_once, tokenize
+
+        df = spark.createDataFrame(
+            [("x y z y",), ("q",)], "text string")
+        toks = tokenize("text")
+        unbound = df.select(
+            F.size(F.array_distinct(toks)).alias("u")).collect()
+        bound = df.select(
+            bind_once(toks, lambda a: F.size(F.array_distinct(a)))
+            .alias("b")).collect()
+        assert [r["u"] for r in unbound] == [r["b"] for r in bound]
