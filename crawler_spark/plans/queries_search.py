@@ -344,3 +344,95 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, QUERY_VEC, k=10, fetch_k=30, lam=0.7)
+
+
+# --- BM25 lexical ranking (Robertson & Zaragoza 2009) ----------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+
+
+def _bm25_oracle(terms: list[str], k1: float, b: float, top: int) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '\\W+'), "
+            "t -> t <> '')")
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, t -> t = {t!r})) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * tf{i} / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms)))
+    return f"""
+        WITH m AS (
+            SELECT doc_id, len(toks) AS dl, {tf_cols}
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        ),
+        s AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM m
+        )
+        SELECT doc_id, bm25 FROM (
+            SELECT doc_id, round({score}, 6) AS bm25 FROM m, s
+        ) WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {top}
+    """
+
+
+@register(
+    "search_bm25_topk",
+    oracle=_bm25_oracle(_RRF_TERMS, _BM25_K1, _BM25_B, _BM25_TOP),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the documents table — the lexical ranker the
+    reference's ILIKE/FTS search (search.py:63-87) upgrades to at
+    scale, and the standard keyword side of a hybrid RAG stack (pair
+    with `search_hybrid_rrf`).
+
+    Scale story: per-doc term frequencies and doc length come from ONE
+    bound tokenize per row (pure projection, no shuffle — the query
+    term list is a static literal); corpus stats (N, avgdl, per-term
+    df) reduce to a single 1-row aggregate broadcast back with a
+    crossJoin; the final ranking is TakeOrderedAndProject. Total cost
+    at 100 TB: two scans (the stats-aggregate pass, then the scoring
+    pass — plan-locked) — no corpus-sized shuffle, no join on doc_id;
+    a serving deployment precomputes (N, avgdl, df) as a maintained
+    stats table, leaving a single scan per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _RRF_TERMS
+    idx = range(len(terms))
+
+    m = docs.select(
+        "doc_id",
+        X.bind_once(
+            X.tokenize("text"),
+            lambda toks: F.struct(
+                F.size(toks).alias("dl"),
+                *[F.size(F.filter(toks, lambda t: t == F.lit(q)))
+                  .alias(f"tf{i}") for i, q in enumerate(terms)],
+            ),
+        ).alias("m"),
+    ).select("doc_id", "m.dl", *[f"m.tf{i}" for i in idx])
+
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in idx],
+    )
+
+    norm = _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    score = sum(
+        (F.log((F.col("n_docs") - F.col(f"df{i}") + 0.5)
+               / (F.col(f"df{i}") + 0.5) + 1.0)
+         * F.col(f"tf{i}") / (F.col(f"tf{i}") + norm))
+        for i in idx
+    )
+    return (
+        m.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )

@@ -385,3 +385,23 @@ def test_triangle_wedge_count_not_from_wedge_join(spark):
     row = triangle_stats(edges).collect()[0]
     assert row.n_wedges == 8 * 7 // 2  # hub wedges counted from degrees
     assert row.n_triangles == 0
+
+
+def test_bm25_one_scalar_agg_no_doc_join(spark):
+    """search_bm25_topk: corpus stats come back via a BROADCAST nested
+    loop over the 1-row aggregate (never a doc_id join), tf/dl from one
+    projection per pass, and the ranking collapses to
+    TakeOrderedAndProject — two scans (stats pass + scoring pass) and a
+    scalar broadcast are the whole 100 TB cost."""
+    plan = plan_text(_QUERIES["search_bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "corpus stats must broadcast as a 1-row frame"
+    )
+    assert "SortMergeJoin" not in plan
+    # formatted explain lists each node twice (tree + detail section):
+    # 4 occurrences = exactly 2 scans, the stats pass and the scoring
+    # pass — a third would mean a lineage fork re-reading the corpus
+    assert plan.count("Scan parquet") == 4, (
+        "BM25 must read documents exactly twice (stats + scoring pass)"
+    )
