@@ -413,3 +413,64 @@ class TestBindOnce:
             bind_once(toks, lambda a: F.size(F.array_distinct(a)))
             .alias("b")).collect()
         assert [r["u"] for r in unbound] == [r["b"] for r in bound]
+
+
+class TestMergeByKeyModel:
+    """merge_by_key vs a dict model over random interleavings of
+    existing/incoming rows with colliding keys and NULL/equal recency
+    (the lakehouse-style model check applied to the merge primitive
+    itself). 200 independent scenarios ride ONE Spark job by folding
+    the scenario id into the merge key."""
+
+    def _scenarios(self, with_recency: bool):
+        import random
+
+        rng = random.Random(0xC0FFEE if with_recency else 0xBEEF)
+        ex_rows, inc_rows, model = [], [], {}
+        for s in range(200):
+            per_key: dict[str, dict] = {}
+            for side, bucket in (("e", "ex"), ("i", "inc")):
+                for j in range(rng.randint(0, 4)):
+                    k = f"{s}:{rng.randint(0, 3)}"
+                    ts = rng.choice([None, 0, 1, 2, 2, 3]) if with_recency else None
+                    row = (k, f"{side}{s}_{j}", ts)
+                    (ex_rows if side == "e" else inc_rows).append(row)
+                    per_key.setdefault(k, {"ex": [], "inc": []})[bucket].append(row)
+            model.update({k: v for k, v in per_key.items()})
+        return ex_rows, inc_rows, model
+
+    def _check(self, got_rows, model, with_recency: bool):
+        got = {r["k"]: r for r in got_rows}
+        assert set(got) == set(model), "output keys != union of input keys"
+        assert len(got_rows) == len(model), "must emit exactly one row per key"
+        for k, sides in model.items():
+            winner = got[k]
+            # incoming beats existing unconditionally (ON CONFLICT DO
+            # UPDATE), even when an existing row has a later timestamp
+            pool = sides["inc"] or sides["ex"]
+            pairs = {(p, t) for _, p, t in pool}
+            assert (winner["payload"], winner["ts"]) in pairs, (
+                f"{k}: winner not an exact row from the winning side")
+            if with_recency:
+                non_null = [t for _, _, t in pool if t is not None]
+                if non_null:
+                    assert winner["ts"] == max(non_null), (
+                        f"{k}: winner must carry the max non-null recency")
+
+    def _run(self, spark, with_recency: bool):
+        from crawler_spark.operators.upsert import merge_by_key
+
+        ex_rows, inc_rows, model = self._scenarios(with_recency)
+        schema = "k string, payload string, ts int"
+        ex = spark.createDataFrame(ex_rows, schema)
+        inc = spark.createDataFrame(inc_rows, schema)
+        got = merge_by_key(
+            ex, inc, key="k",
+            recency_col="ts" if with_recency else None).collect()
+        self._check(got, model, with_recency)
+
+    def test_recency_tiebreak_interleavings(self, spark):
+        self._run(spark, with_recency=True)
+
+    def test_priority_only_interleavings(self, spark):
+        self._run(spark, with_recency=False)
