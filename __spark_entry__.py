@@ -64,7 +64,7 @@ _NEVER_DRIVER_VERIFIED = [
     "p4_fts_grammar", "upsert_merge_pruned", "knn_topk_ivf_refined",
     "p4_fts_phrase", "o3_knn_filtered", "o3_knn_filtered_ivf",
     "ev_quantile_merge_rollup", "knn_topk_batch_ivf",
-    "search_bm25_topk",
+    "search_bm25_topk", "search_hybrid_bm25",
 ]
 
 

@@ -399,6 +399,17 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — plan-locked) — no corpus-sized shuffle, no join on doc_id;
     a serving deployment precomputes (N, avgdl, df) as a maintained
     stats table, leaving a single scan per query."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document with a positive score — the
+    shared scoring frame behind `search_bm25_topk` and the lexical arm
+    of `search_hybrid_bm25`."""
     docs = load_table(spark, sf_dir, "documents")
     terms = _RRF_TERMS
     idx = range(len(terms))
@@ -433,6 +444,87 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0)
+    )
+
+
+# --- hybrid retrieval, BM25 arm: RRF over BM25 + vector ranks --------------
+def _bm25_cand_sql(terms: list[str], k1: float, b: float, cand: int) -> str:
+    """The BM25 oracle reshaped into a rank-assigning candidate CTE."""
+    body = _bm25_oracle(terms, k1, b, cand)
+    # strip the trailing ORDER/LIMIT select into a ranked candidate list
+    return f"""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank
+        FROM ({body})
+    """
+
+
+@register(
+    "search_hybrid_bm25",
+    oracle=f"""
+        WITH text_cand AS ({_bm25_cand_sql(_RRF_TERMS, _BM25_K1, _BM25_B,
+                                           _RRF_CAND)}),
+        vec_cand AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY distance, vec_id) AS vec_rank
+            FROM (
+                SELECT vec_id,
+                       -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+                FROM embeddings
+            ) ORDER BY distance, doc_id LIMIT {_RRF_CAND}
+        )
+        SELECT doc_id,
+               CAST(coalesce(text_rank, 0) AS BIGINT) AS text_rank,
+               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+               round(coalesce(1.0 / ({_RRF_K} + text_rank), 0)
+                     + coalesce(1.0 / ({_RRF_K} + vec_rank), 0), 6) AS rrf
+        FROM text_cand FULL OUTER JOIN vec_cand USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def search_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`search_hybrid_rrf` with the production-default lexical arm:
+    BM25 candidates (idf-weighted, length-normalized) instead of raw
+    match counts, fused with the vector retriever by reciprocal-rank
+    fusion. Same scale shape as both parents — the BM25 arm is two
+    scans + a 1-row stats broadcast ending in TakeOrderedAndProject,
+    the vector arm is TakeOrderedAndProject, and RRF joins two
+    {cand}-row lists; ranks are assigned on the bounded candidate
+    lists, never as a corpus-wide window."""
+    from pyspark.sql import Window
+
+    from crawler_spark.functions import vector as V
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+
+    text_cand = (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_BM25_TOP)
+        .limit(_RRF_CAND)
+        .withColumn("text_rank", F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), "doc_id")))
+        .select("doc_id", "text_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist = V.neg_dot(V.l2_normalize("embedding"), V.vector_lit(QUERY_VEC))
+    vec_cand = (
+        emb.select(F.col("vec_id").alias("doc_id"), dist.alias("distance"))
+        .orderBy("distance", "doc_id")
+        .limit(_RRF_CAND)
+        .withColumn("vec_rank", F.row_number().over(
+            Window.orderBy("distance", "doc_id")))
+        .select("doc_id", "vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("text_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)), 6)
+    return (
+        text_cand.join(vec_cand, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("text_rank", F.lit(0)).cast("long").alias("text_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
     )

@@ -405,3 +405,16 @@ def test_bm25_one_scalar_agg_no_doc_join(spark):
     assert plan.count("Scan parquet") == 4, (
         "BM25 must read documents exactly twice (stats + scoring pass)"
     )
+
+
+def test_hybrid_bm25_bounded_candidates(spark):
+    """search_hybrid_bm25: both retriever arms produce their candidate
+    lists via TakeOrderedAndProject (never a corpus-wide rank window),
+    exactly 3 scans feed the fusion (BM25 scoring + BM25 stats +
+    embeddings), and no cartesian product appears."""
+    plan = plan_text(_QUERIES["search_hybrid_bm25"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 4  # 2 arms + final, x2 detail
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 6, (
+        "hybrid must read exactly 3 inputs (scoring, stats, embeddings)"
+    )
