@@ -80,10 +80,16 @@ def pagerank(
     if init_ranks is None:
         ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     else:
-        seeded = nodes.join(
-            init_ranks.select(F.col("id"), F.col("rank").alias("r0")),
-            "id", "left",
-        ).select("id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
+        # collapse duplicate seed ids (e.g. a union of snapshot
+        # outputs) BEFORE the join — a duplicated id would otherwise
+        # fan the node row out and carry doubled mass through every
+        # iteration's joins with no error
+        init_dedup = (
+            init_ranks.select(F.col("id"), F.col("rank").alias("r0"))
+            .groupBy("id").agg(F.sum("r0").alias("r0"))
+        )
+        seeded = nodes.join(init_dedup, "id", "left").select(
+            "id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
         total = seeded.agg(F.sum("r0").alias("t"))
         ranks = (
             seeded.crossJoin(F.broadcast(total))

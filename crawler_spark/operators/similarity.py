@@ -490,8 +490,13 @@ def knn_topk_filtered(
         strategy = "prefilter"
     else:
         if selectivity is None:
+            # coalesce NULL predicate rows to False first: avg over a
+            # bare cast skips NULLs, overestimating selectivity (a 90%-
+            # NULL column with pred true on the rest reads as 1.0, not
+            # 0.1) and misdispatching to the recall-lossy post-filter
             selectivity = float(
-                df.agg(F.avg(pred.cast("int"))).first()[0] or 0.0
+                df.agg(F.avg(F.coalesce(pred, F.lit(False)).cast("int")))
+                .first()[0] or 0.0
             )
         strategy = choose_filtered_strategy(
             selectivity, prefilter_max_selectivity)
@@ -1095,15 +1100,46 @@ def compact_partitioned_index(
         .partitionBy(*partition_cols)
         .parquet(tmp_root)
     )
+    # Displaced originals go to a trash SIBLING, never `<dir>__old`
+    # inside the index: a stray dir under the root corrupts partition
+    # discovery (a string '2__old' value breaks the int partition
+    # column) and nothing would ever sweep it. With the trash outside,
+    # the worst crash window leaves one bucket temporarily absent —
+    # recovered by _recover_compact_trash on the next run.
+    trash_root = index_path.rstrip("/") + "__compact_trash"
+    _recover_compact_trash(index_path, trash_root)
     for d in touched:
         rel = os.path.relpath(d, index_path)
         src = os.path.join(tmp_root, rel)
-        trash = d + "__old"
+        trash = os.path.join(trash_root, rel)
+        os.makedirs(os.path.dirname(trash), exist_ok=True)
         os.rename(d, trash)
         os.rename(src, d)
         shutil.rmtree(trash)
+    shutil.rmtree(trash_root, ignore_errors=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return len(touched)
+
+
+def _recover_compact_trash(index_path: str, trash_root: str) -> None:
+    """Crash recovery for compact_partitioned_index's directory swap:
+    any trash entry whose live directory is MISSING was displaced by a
+    run that died between its two renames — move it back; entries whose
+    live directory exists are already-replaced leftovers — drop them."""
+    import os
+    import shutil
+
+    if not os.path.isdir(trash_root):
+        return
+    for root, dirs, files in os.walk(trash_root):
+        if files:  # a leaf partition directory holding part-files
+            rel = os.path.relpath(root, trash_root)
+            live = os.path.join(index_path, rel)
+            if not os.path.isdir(live):
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(root, live)
+            dirs[:] = []
+    shutil.rmtree(trash_root, ignore_errors=True)
 
 
 def build_ivfpq_index(

@@ -93,6 +93,7 @@ def merge_into_bucketed(
     from crawler_spark.streaming.ingest_stream import (
         _bucket_paths,
         apply_bucket_commit,
+        next_commit_epoch,
         read_manifest,
         table_write_lock,
     )
@@ -115,9 +116,22 @@ def merge_into_bucketed(
             # same within-batch dedup rule even with no live buckets
             merged = merge_by_key(source.limit(0), source, key, recency_col)
         if delete_condition is not None:
-            merged = merged.filter(
-                ~F.coalesce(delete_condition, F.lit(False)))
-        epoch = (max(manifest.values()) + 1) if manifest else 0
+            # WHEN MATCHED DELETE scopes to rows whose KEY is in the
+            # batch — applying the predicate to every surviving row of
+            # a touched bucket would make deletion depend on hash-
+            # bucket co-location (layout-dependent data loss)
+            matched = source.select(key).distinct().withColumn(
+                "__matched", F.lit(True))
+            merged = (
+                merged.join(F.broadcast(matched), key, "left")
+                .filter(~(F.coalesce(delete_condition, F.lit(False))
+                          & F.coalesce(F.col("__matched"), F.lit(False))))
+                .drop("__matched")
+            )
+        # epoch from the snapshot log, not max(live manifest): a delete
+        # that emptied the max-epoch bucket would otherwise regress the
+        # counter and overwrite directories old snapshots reference
+        epoch = next_commit_epoch(table_dir)
         return apply_bucket_commit(
             table_dir, merged, epoch, touched=touched, use_lock=False)
 
@@ -131,6 +145,7 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
         _bucket_paths,
         apply_bucket_commit,
         manifest_history,
+        next_commit_epoch,
         read_manifest,
         table_write_lock,
     )
@@ -150,7 +165,7 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
             .drop("v")
         )
         kept = delete_by_key(existing, keys, key)
-        epoch = max(manifest.values()) + 1
+        epoch = next_commit_epoch(table_dir)  # see merge_into_bucketed
         return apply_bucket_commit(
             table_dir, kept, epoch, touched=touched, use_lock=False)
 

@@ -368,7 +368,8 @@ def _bm25_oracle(terms: list[str], k1: float, b: float, top: int) -> str:
     return f"""
         WITH m AS (
             SELECT doc_id, len(toks) AS dl, {tf_cols}
-            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+            FROM (SELECT doc_id, {toks} AS toks FROM documents
+                  WHERE text IS NOT NULL)
         ),
         s AS (
             SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM m
@@ -410,7 +411,12 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document with a positive score — the
     shared scoring frame behind `search_bm25_topk` and the lexical arm
     of `search_hybrid_bm25`."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text excluded in BOTH engines: unguarded, Spark's legacy
+    # sizeOfNull turns dl/tf into -1 (a positive garbage score) while
+    # DuckDB's NULL score row silently drops — an oracle split and a
+    # polluted avgdl the moment the corpus holds a NULL document
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
     terms = _RRF_TERMS
     idx = range(len(terms))
 

@@ -297,14 +297,15 @@ def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeded = train_ivf_centroids(emb, n_centroids=16)
     refined = refine_centroids(emb, seeded, iters=2)
-    path = tempfile.mkdtemp(prefix="ivf_refined_") + "/index"
+    root = tempfile.mkdtemp(prefix="ivf_refined_")
+    path = root + "/index"
     try:
         build_ivf_index(emb, path, refined)
         top = knn_topk_ivf(spark, path, refined, QUERY_VEC, k=5, nprobe=4)
         out = top.select("vec_id", F.round("distance", 6).alias("distance"))
         out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)  # the mkdtemp root, not /index
     return out
 
 

@@ -140,6 +140,26 @@ def manifest_history(pages_dir: str) -> list[int]:
     return _snapshot_versions(pages_dir)
 
 
+def next_commit_epoch(pages_dir: str) -> int:
+    """Smallest epoch strictly greater than every epoch referenced by a
+    surviving snapshot. ``max(current manifest) + 1`` is NOT safe: a
+    delete that empties the max-epoch bucket drops it from the live
+    manifest, so the next commit would reuse a published epoch and
+    dynamic-overwrite ``v=<e>/bucket=<b>`` directories an older
+    snapshot still references — silently corrupting time travel and
+    the changes feed. Epochs a vacuum pruned may be reused: their
+    directories and the snapshots referencing them are gone together."""
+    top = -1
+    for v in _snapshot_versions(pages_dir):
+        try:
+            snap = read_manifest_at(pages_dir, v)
+        except KeyError:  # raced with a vacuum
+            continue
+        if snap:
+            top = max(top, max(snap.values()))
+    return top + 1
+
+
 def _bucket_paths(pages_dir: str, manifest: dict[int, int]) -> list[str]:
     return [
         os.path.join(pages_dir, f"v={e}", f"bucket={b}")

@@ -320,3 +320,28 @@ def test_personalized_pagerank_ignores_unknown_seeds(spark):
     }
     # teleport weight renormalized over surviving seeds: mass sums to 1
     assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_warm_start_duplicate_seed_ids(spark):
+    """init_ranks with a duplicated id (e.g. a union of two snapshot
+    outputs) must not double that node's mass through the seed join —
+    duplicates collapse before seeding, so the result matches the
+    deduplicated seed exactly."""
+    from crawler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    seed = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.25), ("c", 0.25)], "id string, rank double")
+    dup_seed = seed.unionAll(
+        spark.createDataFrame([("a", 0.5)], "id string, rank double"))
+    clean = {r.id: r.rank for r in
+             pagerank(edges, iterations=3, init_ranks=seed).collect()}
+    dup = {r.id: r.rank for r in
+           pagerank(edges, iterations=3, init_ranks=dup_seed).collect()}
+    assert set(clean) == set(dup) == {"a", "b", "c"}
+    assert len(dup) == 3, "duplicated seed id fanned out node rows"
+    # duplicate mass is summed then renormalized: a gets 1.0/1.5 of the
+    # start mass instead of doubled rows; totals stay a distribution
+    assert abs(sum(dup.values()) - 1.0) < 1e-9

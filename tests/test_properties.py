@@ -415,12 +415,12 @@ class TestBindOnce:
         assert [r["u"] for r in unbound] == [r["b"] for r in bound]
 
 
-class TestMergeByKeyModel:
-    """merge_by_key vs a dict model over random interleavings of
-    existing/incoming rows with colliding keys and NULL/equal recency
-    (the lakehouse-style model check applied to the merge primitive
-    itself). 200 independent scenarios ride ONE Spark job by folding
-    the scenario id into the merge key."""
+class TestMergeByKeyInterleavings:
+    """Companion to TestMergeByKeyModel (above): exact-row membership
+    instead of uid-set membership, plus the recency_col=None
+    priority-only path the model class doesn't exercise. 200
+    independent scenarios ride ONE Spark job by folding the scenario
+    id into the merge key."""
 
     def _scenarios(self, with_recency: bool):
         import random

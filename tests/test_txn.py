@@ -255,3 +255,66 @@ class TestCrossTableTxn:
         with pytest.raises(KeyError):
             read_table_at_txn(spark, txn, str(tmp_path / "nope"))
         assert read_table_at_txn(spark, txn, str(tmp_path / "empty")) is None
+
+
+class TestMergeEpochIntegrity:
+    def test_epoch_never_reused_after_delete(self, spark, tmp_path):
+        """A delete that empties the max-epoch bucket must NOT let the
+        next commit reuse a published epoch: the reused directory would
+        dynamic-overwrite files an older snapshot still references,
+        silently corrupting time travel (epochs come from the snapshot
+        log, not max over the LIVE manifest)."""
+        from crawler_spark.operators.upsert import (
+            delete_from_bucketed,
+            merge_into_bucketed,
+        )
+        from crawler_spark.streaming.ingest_stream import (
+            manifest_history,
+            read_pages_table_at,
+        )
+
+        table = str(tmp_path / "t")
+        schema = "id long, val string, bucket int"
+        base = spark.createDataFrame(
+            [(0, "a0", 0), (1, "b0", 1)], schema)
+        merge_into_bucketed(spark, table, base, key="id")
+        # bump bucket 0 to the max epoch
+        merge_into_bucketed(
+            spark, table,
+            spark.createDataFrame([(0, "a1", 0)], schema), key="id")
+        v_pre = manifest_history(table)[-1]
+        pre = {(r.id, r.val)
+               for r in read_pages_table_at(spark, table, v_pre).collect()}
+        assert (0, "a1") in pre
+        # empty the max-epoch bucket, then write NEW bucket-0 content
+        delete_from_bucketed(
+            spark, table,
+            spark.createDataFrame([(0, 0)], "id long, bucket int"), key="id")
+        merge_into_bucketed(
+            spark, table,
+            spark.createDataFrame([(0, "a2", 0)], schema), key="id")
+        # the pre-delete snapshot must still read its OWN rows
+        got = {(r.id, r.val)
+               for r in read_pages_table_at(spark, table, v_pre).collect()}
+        assert got == pre, "old snapshot sees rows written after it"
+
+    def test_delete_condition_scoped_to_matched_keys(self, spark, tmp_path):
+        """WHEN MATCHED DELETE applies only to rows whose KEY is in the
+        batch — a pre-existing row sharing a hash bucket with the batch
+        must survive even when it satisfies the delete predicate."""
+        from crawler_spark.operators.upsert import merge_into_bucketed
+        from crawler_spark.streaming.ingest_stream import read_pages_table
+
+        table = str(tmp_path / "t")
+        schema = "id long, val string, bucket int, dead int"
+        base = spark.createDataFrame(
+            [(1, "bystander", 0, 1), (2, "target", 0, 1), (3, "other", 1, 1)],
+            schema)
+        merge_into_bucketed(spark, table, base, key="id")
+        batch = spark.createDataFrame([(2, "target", 0, 1)], schema)
+        merge_into_bucketed(
+            spark, table, batch, key="id",
+            delete_condition=F.col("dead") == 1)
+        got = sorted(r.id for r in read_pages_table(spark, table).collect())
+        assert got == [1, 3], (
+            "unmatched rows were deleted by bucket co-location")

@@ -663,3 +663,44 @@ class TestSemanticDecontam:
         assert got[1].contaminated and got[1].max_eval_cos == 1.0
         assert not got[2].contaminated and got[2].max_eval_cos == 0.0
         assert got[3].contaminated
+
+
+def test_compact_crash_recovery_restores_displaced_bucket(spark, tmp_path):
+    """compact_partitioned_index's swap window: a crash after the
+    original directory moved to the trash sibling but before its
+    replacement landed leaves that bucket missing. The next compaction
+    run (or any direct _recover_compact_trash call) must restore the
+    displaced original — and the trash lives OUTSIDE the index root so
+    a half-finished swap never corrupts partition discovery."""
+    import os
+    import shutil
+
+    from crawler_spark.operators.similarity import (
+        _recover_compact_trash,
+        build_banded_index,
+        knn_topk_precomputed,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "banded")
+    build_banded_index(emb, idx)
+    before = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+
+    # simulate the crash window: displace one leaf dir into the trash
+    band = sorted(d for d in os.listdir(idx) if d.startswith("band="))[0]
+    bucket = sorted(os.listdir(os.path.join(idx, band)))[0]
+    live = os.path.join(idx, band, bucket)
+    trash_root = idx + "__compact_trash"
+    trash = os.path.join(trash_root, band, bucket)
+    os.makedirs(os.path.dirname(trash))
+    os.rename(live, trash)
+    assert not os.path.isdir(live)
+
+    _recover_compact_trash(idx, trash_root)
+    assert os.path.isdir(live), "displaced bucket not restored"
+    assert not os.path.isdir(trash_root), "trash not swept"
+    after = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
+    assert [(r.vec_id, r.distance) for r in after] == [
+        (r.vec_id, r.distance) for r in before]
