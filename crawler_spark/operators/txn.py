@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from crawler_spark.streaming.ingest_stream import (
     _bucket_paths,
     commit_manifest,
+    manifest_history,
     read_manifest,
     table_write_lock,
 )
@@ -84,7 +85,18 @@ def commit_transaction(
         "tables": {
             os.path.abspath(t): {str(b): e for b, e in sorted(m.items())}
             for t, m in states.items()
-        }
+        },
+        # each table's per-table mlog version AT COMMIT TIME: the sync
+        # (and any later recovery replay) applies this txn's state only
+        # while the table has no NEWER per-table commit — without the
+        # fence, recover_transactions would regress a table past data
+        # a later single-table merge committed (and vacuum would then
+        # reclaim that data's directories permanently)
+        "mlog_at_commit": {
+            os.path.abspath(t): (manifest_history(t)[-1]
+                                 if manifest_history(t) else 0)
+            for t in states
+        },
     }
     # Stage once under a collision-free name, then publish via
     # hard-link compare-and-swap: os.link refuses to clobber, so two
@@ -120,14 +132,29 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
     # sync is still a read-modify-write a concurrent single-table
     # writer could interleave with (raises ConcurrentWriteError
     # rather than silently losing an update).
+    fences = payload.get("mlog_at_commit", {})
     for t, m in payload["tables"].items():
         manifest = {int(b): int(e) for b, e in m.items()}
-        if manifest != read_manifest(t):
-            if use_locks:
-                with table_write_lock(t):
-                    commit_manifest(t, manifest)
-            else:
+
+        def _sync_if_not_superseded():
+            # ordering fence (checked UNDER the lock): the table has
+            # moved past this txn if its mlog advanced beyond the
+            # version recorded at txn commit — a later single-table
+            # commit (or this txn's own completed sync) owns the live
+            # state now; replaying the txn would regress it
+            fence = fences.get(t)
+            if fence is not None:
+                history = manifest_history(t)
+                if history and history[-1] > int(fence):
+                    return
+            if manifest != read_manifest(t):
                 commit_manifest(t, manifest)
+
+        if use_locks:
+            with table_write_lock(t):
+                _sync_if_not_superseded()
+        else:
+            _sync_if_not_superseded()
 
 
 def read_transaction(
@@ -161,11 +188,13 @@ def recover_transactions(txn_dir: str) -> int | None:
     versions = _txn_versions(txn_dir)
     if not versions:
         return None
-    state = read_transaction(txn_dir, versions[-1])
-    _sync_table_manifests(
-        {"tables": {t: {str(b): e for b, e in m.items()}
-                    for t, m in state.items()}}
-    )
+    # replay the RAW payload so the mlog_at_commit ordering fence rides
+    # along — without it, recovery would regress a table that a later
+    # single-table commit has already moved past
+    p = os.path.join(txn_dir, TXNLOG_NAME, f"{versions[-1]:08d}.json")
+    with open(p) as f:
+        payload = json.load(f)
+    _sync_table_manifests(payload)
     return versions[-1]
 
 
@@ -192,9 +221,20 @@ def read_table_at_txn(
     manifest = state[key]
     if not manifest:
         return None
+    paths = _bucket_paths(key, manifest)
+    # per-table vacuum retention doesn't know about the txn log: if a
+    # vacuum reclaimed this snapshot's directories, fail with the same
+    # loud KeyError contract read_pages_table_at gives, not a raw
+    # path-not-found mid-scan
+    gone = [p for p in paths if not os.path.isdir(p)]
+    if gone:
+        raise KeyError(
+            f"transaction {version}'s data for {table_dir} was vacuumed "
+            f"({len(gone)}/{len(paths)} bucket dirs missing); retain more "
+            f"per-table snapshots than the txn horizon")
     return (
         spark.read.option("basePath", key)
         .option("mergeSchema", "true")
-        .parquet(*_bucket_paths(key, manifest))
+        .parquet(*paths)
         .drop("v")
     )

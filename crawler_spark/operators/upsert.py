@@ -101,27 +101,43 @@ def merge_into_bucketed(
     if "bucket" not in source.columns:
         raise ValueError("source must carry the table's bucket column "
                          "(see key_bucket)")
+    # pin the batch BEFORE deriving `touched`: a non-deterministic
+    # source re-evaluated inside the merge could emit rows for a
+    # bucket the existing-read never loaded, silently erasing that
+    # bucket's live rows (the streaming processor guards the same
+    # window with its eager checkpoint)
+    source = source.localCheckpoint(eager=True)
     touched = {int(r.bucket) for r in source.select("bucket").distinct().collect()}
     with table_write_lock(table_dir):
         manifest = read_manifest(table_dir)
         live = {b: manifest[b] for b in touched if b in manifest}
         if live:
+            # mergeSchema: additive evolution means touched buckets may
+            # carry columns a one-file schema inference would drop —
+            # and a dropped column would be REWRITTEN away
             existing = (
                 spark.read.option("basePath", table_dir)
+                .option("mergeSchema", "true")
                 .parquet(*_bucket_paths(table_dir, live))
                 .drop("v")
             )
             merged = merge_by_key(existing, source, key, recency_col)
         else:
+            existing = None
             # same within-batch dedup rule even with no live buckets
             merged = merge_by_key(source.limit(0), source, key, recency_col)
         if delete_condition is not None:
-            # WHEN MATCHED DELETE scopes to rows whose KEY is in the
-            # batch — applying the predicate to every surviving row of
-            # a touched bucket would make deletion depend on hash-
-            # bucket co-location (layout-dependent data loss)
-            matched = source.select(key).distinct().withColumn(
-                "__matched", F.lit(True))
+            # WHEN MATCHED DELETE scopes to rows whose key is in BOTH
+            # the batch and the live target: batch-only keys are WHEN
+            # NOT MATCHED inserts (never deleted), and target rows
+            # whose key isn't in the batch must not be deleted just
+            # for sharing a hash bucket (layout-dependent data loss)
+            src_keys = source.select(key).distinct()
+            matched = (
+                src_keys.join(existing.select(key).distinct(),
+                              key, "left_semi")
+                if existing is not None else src_keys.limit(0)
+            ).withColumn("__matched", F.lit(True))
             merged = (
                 merged.join(F.broadcast(matched), key, "left")
                 .filter(~(F.coalesce(delete_condition, F.lit(False))
@@ -152,6 +168,7 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
 
     if "bucket" not in keys.columns:
         raise ValueError("keys must carry the table's bucket column")
+    keys = keys.localCheckpoint(eager=True)  # see merge_into_bucketed
     touched = {int(r.bucket) for r in keys.select("bucket").distinct().collect()}
     with table_write_lock(table_dir):
         manifest = read_manifest(table_dir)
@@ -161,6 +178,7 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
             return history[-1] if history else 0
         existing = (
             spark.read.option("basePath", table_dir)
+            .option("mergeSchema", "true")
             .parquet(*_bucket_paths(table_dir, live))
             .drop("v")
         )

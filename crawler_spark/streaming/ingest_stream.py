@@ -148,8 +148,20 @@ def next_commit_epoch(pages_dir: str) -> int:
     dynamic-overwrite ``v=<e>/bucket=<b>`` directories an older
     snapshot still references — silently corrupting time travel and
     the changes feed. Epochs a vacuum pruned may be reused: their
-    directories and the snapshots referencing them are gone together."""
+    directories and the snapshots referencing them are gone together.
+
+    The LIVE manifest is included too: a crash between the live-manifest
+    swap and its mlog snapshot write leaves the newest epoch referenced
+    only by the live state — allocating it again would dynamic-overwrite
+    live directories in place.
+
+    Cost is O(surviving snapshots) per commit (tiny JSON files; vacuum
+    bounds the history). A production swap tracks the max in a sidecar
+    or uses Delta, where the log IS the allocator."""
     top = -1
+    live = read_manifest(pages_dir)
+    if live:
+        top = max(live.values())
     for v in _snapshot_versions(pages_dir):
         try:
             snap = read_manifest_at(pages_dir, v)
@@ -490,12 +502,27 @@ def vacuum_pages_table(pages_dir: str, retain_last: int = 1) -> int:
     mutating live data). Snapshots older than the retention window are
     pruned from the log too, so ``read_pages_table_at`` fails loudly
     (KeyError) instead of reading half-reclaimed data — Delta's VACUUM
-    retention semantics. Returns dirs removed."""
+    retention semantics. Returns dirs removed.
+
+    Runs under the table's writer lock: like compaction, vacuum must
+    not interleave with a writer — staged-but-uncommitted ``v=``
+    directories are referenced by nothing and would be reclaimed out
+    from under the in-flight commit. ``retain_last`` must be ≥ 1:
+    pruning EVERY snapshot would reset ``next_commit_epoch`` to 0
+    while live directories still exist, re-enabling the epoch-reuse
+    overwrite the allocator exists to prevent."""
     import shutil
 
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1: the newest snapshot "
+                         "anchors the epoch allocator")
+    with table_write_lock(pages_dir):
+        return _vacuum_locked(pages_dir, retain_last, shutil)
+
+
+def _vacuum_locked(pages_dir: str, retain_last: int, shutil) -> int:
     manifest = read_manifest(pages_dir)
-    retained_versions = _snapshot_versions(pages_dir)[-max(retain_last, 0):] \
-        if retain_last > 0 else []
+    retained_versions = _snapshot_versions(pages_dir)[-retain_last:]
     live = {(e, b) for b, e in manifest.items()}
     for ver in retained_versions:
         live |= {(e, b) for b, e in read_manifest_at(pages_dir, ver).items()}
@@ -546,12 +573,45 @@ def make_batch_processor(
     embedder: StubEmbedder | None = None,
     dims: int = schemas.EMBEDDING_DIMS,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    checkpoint_dir: str | None = None,
 ):
     """The foreachBatch body, exposed so tests can drive a micro-batch
-    (and REPLAY one with the same epoch_id) without a running stream."""
+    (and REPLAY one with the same epoch_id) without a running stream.
+
+    ``checkpoint_dir`` set (the real-stream path via
+    ``start_ingest_stream``): the stream's 0-based ``epoch_id`` is
+    OFFSET by a base persisted in the checkpoint, so stream epochs
+    never collide with table epochs a batch tool (merge_into_bucketed)
+    committed before the stream started — an unoffset epoch 0 would
+    ``mode('overwrite')`` a bulk-loaded ``v=0`` directory wholesale.
+    The base lives in the checkpoint because that is the stream
+    incarnation's identity: restarts (replays) resolve the same base,
+    a NEW stream (fresh checkpoint) allocates a fresh base above
+    everything committed. One writer at a time remains the table's
+    contract — batch tools run between stream incarnations, not
+    between micro-batches."""
     from crawler_spark.operators.upsert import merge_by_key
 
+    def _resolve_epoch(epoch_id: int) -> int:
+        if checkpoint_dir is None:
+            return int(epoch_id)
+        p = os.path.join(checkpoint_dir, "_table_epoch_base.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                base = int(json.load(f)["base"])
+        else:
+            base = next_commit_epoch(pages_dir)
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"base": base}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+        return base + int(epoch_id)
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = _resolve_epoch(epoch_id)
         spark = batch_df.sparkSession
         # parse once: both the pages chain and the dead-letter write
         # hang off this frame, and without the boundary each action
@@ -572,15 +632,19 @@ def make_batch_processor(
         manifest = read_manifest(pages_dir)
         live_touched = {b: manifest[b] for b in touched if b in manifest}
         if live_touched:
-            # read ONLY the touched buckets' live version directories
+            # read ONLY the touched buckets' live version directories;
+            # mergeSchema honors additive evolution — a plain read
+            # infers from one file and would silently drop (then
+            # rewrite away) a column newer-epoch buckets carry
             existing = (
                 spark.read.option("basePath", pages_dir)
+                .option("mergeSchema", "true")
                 .parquet(*_bucket_paths(pages_dir, live_touched))
                 .drop("v")
             )
             pages = merge_by_key(existing, pages, key="url",
                                  recency_col="last_crawled")
-            if any(e == int(epoch_id) for e in live_touched.values()):
+            if any(e == epoch for e in live_touched.values()):
                 # replay of an epoch that already committed (crash fell
                 # between manifest commit and checkpoint commit): the
                 # merge reads the very v=<epoch> directory the write
@@ -595,10 +659,10 @@ def make_batch_processor(
         (
             pages.write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(pages_dir, f"v={epoch_id}"))
+            .parquet(os.path.join(pages_dir, f"v={epoch}"))
         )
         commit_manifest(pages_dir, {**manifest,
-                                    **{b: int(epoch_id) for b in touched}})
+                                    **{b: epoch for b in touched}})
         # epoch-keyed dead-letter: replayed batches overwrite their own
         # partition instead of appending duplicates
         (
@@ -627,7 +691,8 @@ def start_ingest_stream(
     docstring for the partition-pruned merge discipline)."""
     return (
         fetched_stream.writeStream.foreachBatch(
-            make_batch_processor(pages_dir, dead_dir, embedder, dims, num_buckets)
+            make_batch_processor(pages_dir, dead_dir, embedder, dims,
+                                 num_buckets, checkpoint_dir=checkpoint_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

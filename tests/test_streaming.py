@@ -1040,3 +1040,52 @@ class TestApplyBucketCommitHardening:
         with mod.table_write_lock(pages_dir):
             with _pytest.raises(mod.ConcurrentWriteError):
                 mod.apply_bucket_commit(pages_dir, df, 0)
+
+
+class TestStreamBatchEpochCoexistence:
+    def test_stream_epochs_offset_past_batch_commits(self, spark, tmp_path):
+        """A stream attached to a bulk-loaded table (epochs 0..k already
+        committed by merge_into_bucketed) must not reuse epoch 0: its
+        wholesale v=<epoch> overwrite would truncate the bulk load. The
+        checkpoint-persisted base offsets stream epochs above everything
+        committed, and a REPLAY (same checkpoint, same epoch_id)
+        resolves the same directory."""
+        import os
+
+        from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
+        from crawler_spark.streaming.ingest_stream import (
+            make_batch_processor,
+            read_pages_table,
+        )
+
+        pages_dir = str(tmp_path / "pages")
+        dead_dir = str(tmp_path / "dead")
+        ckpt = str(tmp_path / "ckpt")
+        bulk = spark.createDataFrame(
+            [(f"https://bulk{i}.com/", f"body {i}") for i in range(8)],
+            "url string, content string",
+        ).withColumn("bucket", key_bucket("url"))
+        merge_into_bucketed(spark, pages_dir, bulk, key="url")
+        assert os.path.isdir(os.path.join(pages_dir, "v=0"))
+        n_bulk = read_pages_table(spark, pages_dir).count()
+
+        process = make_batch_processor(pages_dir, dead_dir,
+                                       checkpoint_dir=ckpt)
+        batch = spark.createDataFrame(
+            [("https://s1.com/", "text/html",
+              b"<title>s1</title><body>stream one</body>", None)],
+            schemas.FETCHED,
+        )
+        process(batch, 0)
+        # bulk data intact, stream row merged in
+        got = read_pages_table(spark, pages_dir)
+        assert got.filter("url like 'https://bulk%'").count() == n_bulk
+        assert got.filter("url = 'https://s1.com/'").count() == 1
+        # the stream's epoch 0 landed ABOVE the batch epochs
+        vdirs = sorted(int(d[2:]) for d in os.listdir(pages_dir)
+                       if d.startswith("v="))
+        assert vdirs[0] == 0 and vdirs[-1] >= 1
+        n_before = got.count()  # materialize before replay rewrites v dirs
+        # replay resolves the same base → same state, no duplicates
+        process(batch, 0)
+        assert read_pages_table(spark, pages_dir).count() == n_before

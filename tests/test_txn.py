@@ -318,3 +318,75 @@ class TestMergeEpochIntegrity:
         got = sorted(r.id for r in read_pages_table(spark, table).collect())
         assert got == [1, 3], (
             "unmatched rows were deleted by bucket co-location")
+
+
+class TestTxnRecoveryOrdering:
+    def test_recovery_never_regresses_a_newer_table_commit(
+        self, spark, tmp_path
+    ):
+        """recover_transactions must NOT replay a txn over a table that
+        a LATER single-table commit has moved past — the mlog version
+        recorded at txn-commit time fences the replay."""
+        from crawler_spark.operators.upsert import merge_into_bucketed
+
+        a = str(tmp_path / "a")
+        m0 = _stage(a, _docs(spark, "t0"), 0)
+        ver = commit_transaction(str(tmp_path / "txn"), {a: m0})
+        # later single-table commit advances the table past the txn
+        newer = spark.createDataFrame(
+            [(0, "newer-0", 0)], "doc_id long, body string, bucket int")
+        merge_into_bucketed(spark, a, newer, key="doc_id")
+        live_before = {(r.doc_id, r.body)
+                       for r in read_pages_table(spark, a).collect()}
+        assert (0, "newer-0") in live_before
+        # a writer restart replays the newest txn — it must be fenced
+        assert recover_transactions(str(tmp_path / "txn")) == ver
+        live_after = {(r.doc_id, r.body)
+                      for r in read_pages_table(spark, a).collect()}
+        assert live_after == live_before, (
+            "recovery regressed the table to the txn's older state")
+
+    def test_vacuum_rejects_zero_retention(self, spark, tmp_path):
+        """retain_last=0 would prune the snapshot anchoring the epoch
+        allocator while live data still exists — rejected loudly."""
+        from crawler_spark.operators.upsert import merge_into_bucketed
+        from crawler_spark.streaming.ingest_stream import vacuum_pages_table
+
+        t = str(tmp_path / "t")
+        merge_into_bucketed(
+            spark, t,
+            spark.createDataFrame([(1, "x", 0)],
+                                  "id long, val string, bucket int"),
+            key="id")
+        with pytest.raises(ValueError):
+            vacuum_pages_table(t, retain_last=0)
+
+    def test_merge_preserves_evolved_column_values(self, spark, tmp_path):
+        """Schema evolution: a column present only in newer-epoch
+        buckets must survive a merge touching those buckets — the
+        existing-read uses mergeSchema, so the rewrite cannot silently
+        null a column one file's inferred schema lacks."""
+        from crawler_spark.operators.upsert import merge_into_bucketed
+        from crawler_spark.streaming.ingest_stream import read_pages_table
+
+        t = str(tmp_path / "t")
+        merge_into_bucketed(
+            spark, t,
+            spark.createDataFrame([(1, "v1", 0)],
+                                  "id long, val string, bucket int"),
+            key="id")
+        # additive evolution: second commit carries a new column
+        merge_into_bucketed(
+            spark, t,
+            spark.createDataFrame([(2, "v2", 0, "en")],
+                                  "id long, val string, bucket int, lang string"),
+            key="id")
+        # merge an unrelated key into the same bucket
+        merge_into_bucketed(
+            spark, t,
+            spark.createDataFrame([(3, "v3", 0)],
+                                  "id long, val string, bucket int"),
+            key="id")
+        rows = {r.id: r.asDict() for r in read_pages_table(spark, t).collect()}
+        assert rows[2].get("lang") == "en", (
+            "merge rewrote the bucket without the evolved column's data")
