@@ -42,6 +42,9 @@ def build_bloom_bits(
     (m = 10n bits ⇒ fpp ≈ 1%); k = num_hashes ≈ 0.7·m/n."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    # no .distinct(): bit_or is idempotent, so duplicate positions are
+    # free, while a distinct would add a full extra shuffle of
+    # n·num_hashes rows before the word aggregation's map-side combine
     positions = df.select(
         F.explode(
             F.array(
@@ -51,7 +54,7 @@ def build_bloom_bits(
                 ]
             )
         ).alias("p")
-    ).distinct()
+    )
     words = (
         positions.select(
             (F.col("p") / 64).cast("int").alias("w"),
@@ -79,7 +82,11 @@ def bloom_might_contain(
     member, so it is always safe as a join PREfilter."""
     key = F.col(key) if isinstance(key, str) else key
     num_bits = len(bits) * 64
-    lit_bits = F.array(*[F.lit(int(b)).cast("long") for b in bits])
+    # ONE array literal, not an F.array of per-word F.lit columns: a
+    # production-sized filter is millions of words, and a million-child
+    # expression node blows up plan construction/serialization long
+    # before execution
+    lit_bits = F.lit([int(b) for b in bits]).cast("array<long>")
     cond = F.lit(True)
     for s in range(num_hashes):
         p = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits))
@@ -102,7 +109,16 @@ def bloom_prefiltered_join(
 ) -> DataFrame:
     """Exact ``fact ⋈ dim`` with the fact side Bloom-prefiltered on the
     join key before the shuffle. Same answer as the plain join; the
-    shuffle carries only (matching + fpp·non-matching) fact rows."""
+    shuffle carries only (matching + fpp·non-matching) fact rows.
+
+    Only match-preserving join types are accepted: under outer/anti
+    joins the prefilter would DELETE non-matching fact rows the join
+    semantics require to survive (left rows with NULL dim columns,
+    or the anti-join's entire output)."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom prefilter is only answer-preserving for inner/semi "
+            f"joins, got how={how!r}")
     bits = build_bloom_bits(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
     pruned = fact.filter(
         bloom_might_contain(fact_key, bits, num_hashes=num_hashes)

@@ -121,15 +121,20 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_arr = F.filter(
-        F.flatten(F.transform(
-            "ids", lambda x: F.transform("ids", lambda y: F.struct(
-                x.alias("id_a"), y.alias("id_b"))),
-        )),
-        lambda p: p["id_a"] < p["id_b"],
+    # pairs stream out via posexplode + per-row slice: each generated
+    # row holds O(|bucket|) state instead of one O(|bucket|²) flat
+    # array (a genuine duplicate cluster's pairs are still the output,
+    # but row-at-a-time, never as a single in-memory value)
+    pairs_for_row = F.transform(
+        F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1),
+        lambda y: F.struct(
+            F.least(F.col("x"), y).alias("id_a"),
+            F.greatest(F.col("x"), y).alias("id_b"),
+        ),
     )
     candidates = (
-        groups.select(F.explode(pair_arr).alias("p"))
+        groups.select("ids", F.posexplode("ids").alias("i", "x"))
+        .select(F.explode(pairs_for_row).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()  # over surviving pairs only, not the banded blow-up
     )
@@ -190,16 +195,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidates from 4×16-bit band buckets (pigeonhole: ≤3 differing
-    bits can't touch all 4 bands), verified by bit_count(a xor b).
+    Candidates from (max_hamming+1) band buckets (pigeonhole — see
+    hamming_pairs_from_signatures), verified by bit_count(a xor b).
 
     Pair generation is ONE groupBy(band, bucket) that packs each
     bucket's (id, simhash) rows and explodes the in-bucket pairs with
     pure expressions — no banded self-join, no distinct over candidate
     rows; the final dedup groupBy runs over surviving pairs only.
-    Bucket sizes are tiny by construction (65536 buckets per band)
-    except for genuine duplicate clusters, whose pairs are the output
-    anyway.
+    Bucket sizes are tiny by construction (2^16 buckets per band at
+    the default max_hamming=3) except for genuine duplicate clusters,
+    whose pairs are the output anyway.
 
     ``sig`` is cached: without the materialization boundary Catalyst
     collapses the projection and re-evaluates the (large) signature
@@ -214,36 +219,59 @@ def hamming_pairs_from_signatures(
 ) -> DataFrame:
     """Banded hamming-pair machinery over ANY (id, simhash) 64-bit
     signature frame — shared by text SimHash (``simhash_pairs``) and
-    image perceptual hashes (operators/multimodal.py phash_images):
-    4×16-bit band buckets for candidates (pigeonhole: ≤3 differing
-    bits can't touch all 4 bands), bit_count(xor) verification, pairs
-    exploded in-bucket from ONE groupBy."""
+    image perceptual hashes (operators/multimodal.py phash_images).
+
+    Band count DERIVES from ``max_hamming``: splitting 64 bits into
+    ``max_hamming + 1`` bands guarantees (pigeonhole) that a pair with
+    ≤ max_hamming differing bits shares at least one untouched band —
+    a FIXED 4-band split would silently miss pairs whose ≥4 diffs
+    spread across all four bands the moment max_hamming exceeds 3.
+    max_hamming=3 reproduces the classic 4×16-bit geometry exactly.
+    Candidates verify by bit_count(xor); pairs stream out of each
+    bucket via posexplode + per-row slice (each generated row holds
+    O(|bucket|) state, never the O(|bucket|²) flat pair array — a
+    genuine duplicate cluster's pairs are still the output, but they
+    materialize row-at-a-time, not as one in-memory value)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] (banding needs "
+                         "max_hamming+1 bands of >=2 bits over 64)")
+    bands = max_hamming + 1
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    offsets = [sum(widths[:b]) for b in range(bands)]
     banded = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                F.shiftrightunsigned("simhash", offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(bands)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
 
     groups = banded.groupBy("band", "bucket").agg(
         F.collect_list(F.struct("id", "simhash")).alias("rows")
     ).filter(F.size("rows") >= 2)
-    pair_arr = F.filter(
-        F.flatten(F.transform(
-            "rows",
-            lambda x: F.transform("rows", lambda y: F.struct(
-                x["id"].alias("id_a"), y["id"].alias("id_b"),
-                F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-            )),
-        )),
-        lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= F.lit(max_hamming)),
+    exploded = groups.select(
+        "rows", F.posexplode("rows").alias("i", "x"))
+    pairs_for_row = F.filter(
+        F.transform(
+            F.slice("rows", F.col("i") + 2,
+                    F.size("rows") - F.col("i") - 1),
+            lambda y: F.struct(
+                F.least(F.col("x.id"), y["id"]).alias("id_a"),
+                F.greatest(F.col("x.id"), y["id"]).alias("id_b"),
+                F.bit_count(
+                    F.col("x.simhash").bitwiseXOR(y["simhash"])
+                ).alias("hamming"),
+            ),
+        ),
+        lambda p: p["hamming"] <= F.lit(max_hamming),
     )
     return (
-        groups.select(F.explode(pair_arr).alias("p"))
+        exploded.select(F.explode(pairs_for_row).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
@@ -305,6 +333,9 @@ def hyperplane_bands(
     (embedding_lsh_pairs) and the top-k query search (knn_topk_lsh) —
     both sides of a lookup MUST use identical (num_planes, bands,
     seed) for buckets to align."""
+    assert num_planes % bands == 0, (
+        "num_planes must divide evenly into bands — leftover planes "
+        "would be projected then silently dropped from every bucket")
     rows_per_band = num_planes // bands
     proj = hyperplane_projections(df, vec_col, id_col, num_planes, seed)
     sig = proj.select(
@@ -355,27 +386,46 @@ def embedding_lsh_pairs(
     adapts to whatever dimensionality each row has.
 
     Skew note: a bucket of near-identical vectors concentrates in one
-    group; its cost is quadratic in bucket size. At extreme scale,
-    split oversized buckets by salting them with an extra plane.
+    group; its COMPUTE is quadratic in bucket size, but peak memory is
+    bounded: the similarity product runs in 1024-row tiles (tile×|bucket|
+    floats at a time), never the full |bucket|² gram — at the default
+    16-planes/4-bands geometry a band has only 2^4 buckets, so an
+    untiled gram would be (n/16)² and OOM a worker on ~10⁶ rows of
+    DEFAULT-CONFIG input, not just on adversarial skew. Raise
+    num_planes for large corpora (selectivity) and salt oversized
+    buckets with an extra plane (skew).
     """
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
     banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
+    _TILE = 1024
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64),
-                                 "cosine": np.array([], dtype=np.float64)})
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64),
+                              "cosine": np.array([], dtype=np.float64)})
+        n = len(pdf)
+        if n < 2:
+            return empty
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["v"]).astype(np.float64, copy=False)
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
-        ida, idb = ids[ii], ids[jj]
-        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+        chunks = []
+        for s0 in range(0, n, _TILE):
+            block = mat[s0:s0 + _TILE]
+            sims = block @ mat.T  # tile×n, never n×n
+            ii, jj = np.nonzero(sims >= thr)
+            gi = ii + s0
+            keep = jj > gi  # strict upper triangle in global indices
+            if not keep.any():
+                continue
+            gi, jj2 = gi[keep], jj[keep]
+            ida, idb = ids[gi], ids[jj2]
+            lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+            chunks.append(pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": sims[ii[keep], jj2]}))
+        return pd.concat(chunks, ignore_index=True) if chunks else empty
 
     pairs = banded.groupBy("band", "bucket").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cosine double"

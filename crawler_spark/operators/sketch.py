@@ -19,11 +19,15 @@ and quantile extraction is SELECTION (nearest-rank on the sorted
 sample) rather than interpolation, so the reported quantile is an
 exact stored double — no float arithmetic that could split engines.
 
-Scale shape: one groupBy(unit) whose per-group state is exactly k
-(hash, value) structs — partial aggregation applies because bottom-k
-is associative/commutative under merge; the merge stage reduces
-units×k structs to k. No full sort of the data, no driver
-materialization.
+Scale shape: BUILD sketches from raw events with ``bottomk_sketches``
+(window rank ≤ k: one shuffle on the unit key, a spillable per-unit
+sort, k rows retained — per-task memory never holds a unit's full row
+list). MERGE with the ``merge_sketches`` aggregate expression — its
+input is units×k structs, bounded by construction. The
+``bottomk_sketch_agg`` expression form buffers the whole group in its
+collect_list before truncating, so it is only safe where the group is
+already sketch-sized — building from raw events with it would hold a
+billion-event day in one aggregation buffer.
 """
 
 from __future__ import annotations
@@ -50,13 +54,50 @@ def bottomk_sketch_agg(
 ) -> Column:
     """Aggregate expression building one bottom-k (hash, value) sketch
     per group: sorted struct array, hash leading so array_sort's
-    lexicographic struct order IS the bottom-k-by-hash order."""
+    lexicographic struct order IS the bottom-k-by-hash order.
+
+    State warning: collect_list buffers EVERY row of the group before
+    the slice truncates — use this form only where groups are already
+    small (unit tests, re-sketching sketch-sized data). Building from
+    raw events belongs to ``bottomk_sketches``, whose per-task state
+    is bounded."""
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     return F.slice(
         F.array_sort(F.collect_list(F.struct(h.alias("h"), v.alias("v")))),
         1, k,
     )
+
+
+def bottomk_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    hash_col: Column | str,
+    value_col: Column | str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Bounded per-group sketch BUILDER for raw-event scale: window
+    rank ≤ k over (hash, value) within each group, then a collect_list
+    over exactly the k survivors. Same answer as ``bottomk_sketch_agg``
+    (rank ties are full-struct ties, so any pick yields the identical
+    sorted array) but the heavy stage is a SPILLABLE per-group sort
+    retaining k rows — never an aggregation buffer holding the group's
+    entire row list. The rank filter and the final groupBy hash-
+    partition on the same key, so the planner reuses one exchange."""
+    from pyspark.sql import Window
+
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("h").asc(), F.col("v").asc())
+    kept = (
+        df.select(*group_cols, h.alias("h"), v.alias("v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("sk"))
 
 
 def merge_sketches(sketch_col: Column | str, k: int = DEFAULT_K) -> Column:

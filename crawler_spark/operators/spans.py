@@ -146,8 +146,13 @@ def remove_crossdoc_spans(
 
     The drop-set per document is a sorted position array bounded by
     the document's own length — spans are disjoint by construction
-    (islands merged), so the explode emits each dropped position
-    once and the per-doc array needs no distinct."""
+    (islands merged), so the explode emits each dropped position once,
+    the per-doc array needs no distinct, and ``n_removed`` is simply
+    its size. The rewrite keeps positions via ONE hash-based
+    ``array_except`` over the index range — O(tokens + dropped) per
+    doc, where a per-token ``array_contains`` scan of the drop array
+    was O(tokens × dropped) and was evaluated twice (once for the
+    text, once for the removed count)."""
     spans = crossdoc_duplicate_spans(df, text_col, id_col, k, keep_first_doc=True)
     drops = (
         spans.select(
@@ -157,21 +162,32 @@ def remove_crossdoc_spans(
         .agg(F.sort_array(F.collect_list("p")).alias("drop"))
     )
     no_drop: Column = F.array().cast("array<bigint>")
-    keep_pred = lambda t, i: ~F.array_contains(  # noqa: E731
-        F.coalesce(F.col("drop"), no_drop), i.cast("long")
-    )
-    tk = X.tokenize(text_col)
+    drop_arr = F.coalesce(F.col("drop"), no_drop)
+
+    def _rewrite(tks: Column) -> Column:
+        n = F.size(tks)
+        kept_pos = F.when(
+            n > 0,
+            F.array_except(
+                F.sequence(F.lit(0).cast("long"), (n - 1).cast("long")),
+                drop_arr,
+            ),
+        ).otherwise(no_drop)
+        return F.struct(
+            F.concat_ws(
+                " ",
+                F.transform(kept_pos,
+                            lambda p: F.element_at(tks, (p + 1).cast("int"))),
+            ).alias("clean_text"),
+            n.cast("long").alias("n_tokens"),
+            F.size(drop_arr).cast("long").alias("n_removed"),
+        )
+
     return (
         df.join(drops, id_col, "left")
-        .select(F.col(id_col), tk.alias("tk"), "drop")
-        .select(
-            id_col,
-            F.concat_ws(" ", F.filter("tk", keep_pred)).alias("clean_text"),
-            F.size("tk").cast("long").alias("n_tokens"),
-            (F.size("tk") - F.size(F.filter("tk", keep_pred)))
-            .cast("long")
-            .alias("n_removed"),
-        )
+        .select(F.col(id_col), X.bind_once(X.tokenize(text_col), _rewrite)
+                .alias("s"))
+        .select(id_col, "s.clean_text", "s.n_tokens", "s.n_removed")
     )
 
 

@@ -67,7 +67,13 @@ def asof_join(
     # a tie is visible looking back; forward: right rows sort AFTER so
     # a tie is visible looking ahead — merge_asof in both directions
     right_src = 0 if direction == "backward" else 2
-    tagged_right = right.select(
+    # right rows with a NULL key or NULL timestamp can never be a
+    # legitimate asof match (merge_asof raises on them; DuckDB ASOF
+    # never matches NULL) — kept in, a NULL-`by` right row would pair
+    # with NULL-`by` left rows through the window partition
+    tagged_right = right.where(
+        F.col(on).isNotNull() & F.col(by).isNotNull()
+    ).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in (on, by) else F.col(c)
           for c in lcols],
@@ -90,10 +96,15 @@ def asof_join(
         carry = F.first("__r", ignorenulls=True)
     unioned = tagged_left.unionByName(tagged_right)
     carried = unioned.select("*", carry.over(w).alias("__asof"))
+    # a left row with a NULL timestamp matches nothing: NULLs sort
+    # first, so under direction='forward' the unbounded-following
+    # frame would otherwise hand it the chronologically FIRST right
+    # row as a spurious match
+    matched = F.when(F.col(on).isNotNull(), F.col("__asof"))
     return (
         carried.filter(F.col("__src") == 1)
         .select(*lcols,
-                *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in value_cols])
+                *[matched[c].alias(f"asof_{c}") for c in value_cols])
     )
 
 

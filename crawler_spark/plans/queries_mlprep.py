@@ -111,21 +111,23 @@ def ev_quantile_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day states — no rescan, no full sort, ~1/√k sampling error
     (k=256 → ~6%; k is the only knob)."""
     from crawler_spark.operators.sketch import (
-        bottomk_sketch_agg,
+        bottomk_sketches,
         merge_sketches,
         sketch_hash,
         sketch_quantiles,
     )
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    daily = (
+    # bounded builder (window rank ≤ k, spillable sort) — the
+    # aggregate-expression form would buffer a whole day's events in
+    # one collect_list before truncating to k
+    daily = bottomk_sketches(
         ev.select(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
             sketch_hash("event_id").alias("h"),
             F.col("value").alias("v"),
-        )
-        .groupBy("day")
-        .agg(bottomk_sketch_agg("h", "v", _QSK_K).alias("sk"))
+        ),
+        ["day"], "h", "v", _QSK_K,
     )
     merged = daily.agg(merge_sketches("sk", _QSK_K).alias("sk"))
     return sketch_quantiles(merged, "sk", [0.5, 0.9, 0.99])

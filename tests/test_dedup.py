@@ -581,3 +581,19 @@ def test_prefix_filter_prunes_candidates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = jaccard_pairs_prefix_filtered(docs, 3, 0.9).collect()
     assert got == []  # shared boilerplate alone can't reach J >= 0.9
+
+
+def test_hamming_bands_derive_from_max_hamming(spark):
+    """max_hamming > 3 must still find every qualifying pair: with the
+    old FIXED 4x16-bit banding, 4 differing bits placed one per band
+    (bits 0, 16, 32, 48) share no band bucket and the pair silently
+    vanishes. Band count now derives from max_hamming (pigeonhole)."""
+    from crawler_spark.operators.dedup import hamming_pairs_from_signatures
+
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # hamming 4
+    sig = spark.createDataFrame([(1, a), (2, b)], "id long, simhash long")
+    got = hamming_pairs_from_signatures(sig, max_hamming=8).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]
+    # and the classic geometry still enforces its own bound
+    assert hamming_pairs_from_signatures(sig, max_hamming=3).count() == 0

@@ -474,3 +474,17 @@ class TestMergeByKeyInterleavings:
 
     def test_priority_only_interleavings(self, spark):
         self._run(spark, with_recency=False)
+
+
+def test_bloom_prefiltered_join_rejects_outer_joins(spark):
+    """The Bloom prefilter deletes non-matching fact rows, so any
+    outer/anti `how` would return wrong answers — rejected loudly."""
+    import pytest as _pytest
+
+    from crawler_spark.operators.bloom import bloom_prefiltered_join
+
+    fact = spark.createDataFrame([(1, "a")], "k long, x string")
+    dim = spark.createDataFrame([(1, "d")], "j long, y string")
+    with _pytest.raises(ValueError):
+        bloom_prefiltered_join(fact, dim, "k", "j", how="left")
+    assert bloom_prefiltered_join(fact, dim, "k", "j").count() == 1

@@ -293,3 +293,26 @@ class TestKMVSketch:
             spark, str(tmp_path)).collect()[0]
         assert r.est_union_u6 == 40_000_000      # 40 exactly
         assert r.est_intersect_u6 == 10_000_000  # 10 exactly
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL timestamps and NULL by-keys are non-matching on BOTH sides
+    (merge_asof raises on them; DuckDB ASOF never matches NULL): a
+    forward-direction left row with a NULL timestamp must not grab the
+    chronologically first right row, and NULL by-keys must not pair
+    with each other."""
+    from crawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", None), ("u1", 50), (None, 10)],
+        "uid string, t long")
+    right = spark.createDataFrame(
+        [("u1", 100, "first"), ("u1", 200, "second"),
+         (None, 5, "null-key"), ("u1", None, "null-ts")],
+        "uid string, t long, val string")
+    out = {(r.uid, r.t): r.asof_val for r in asof_join(
+        left, right, on="t", by="uid", value_cols=["val"],
+        direction="forward").collect()}
+    assert out[("u1", 50)] == "first"      # genuine forward match
+    assert out[("u1", None)] is None        # NULL ts: no spurious match
+    assert out[(None, 10)] is None          # NULL key: no null-key pairing
