@@ -29,7 +29,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+    # hamming <= 3 is the published 64-bit simhash near-dup bound
+    # (Manku et al. WWW'07) and the streaming twin's default; the
+    # operator derives its banding from the bound, so looser bounds
+    # work too — at the cost LSH theory charges for them (h+1 ever-
+    # narrower, ever-less-selective bands)
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 @register("simsearch_lsh_pairs")  # rows-only: hyperplane-LSH ANN pairs
