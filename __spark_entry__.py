@@ -65,6 +65,10 @@ _NEVER_DRIVER_VERIFIED = [
     "p4_fts_phrase", "o3_knn_filtered", "o3_knn_filtered_ivf",
     "ev_quantile_merge_rollup", "knn_topk_batch_ivf",
     "search_bm25_topk", "search_hybrid_bm25",
+    # interchange-source family (queries_sources.py), added mid-round 5
+    # AFTER the 50-slot window above — expected to sample in round 6
+    "source_warc_roundtrip", "crawl_sitemap_seed",
+    "txt_boilerplate_strip", "curation_llm_judge",
 ]
 
 

@@ -358,3 +358,42 @@ def quality_stats(col: ColumnOrName) -> dict[str, Column]:
         "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
         "ws_ratio": n_ws.cast("double") / F.greatest(n_chars, F.lit(1)),
     }
+
+
+def strip_boilerplate(
+    col: ColumnOrName,
+    min_len: int = 35,
+    max_upper_ratio: float = 0.3,
+) -> Column:
+    """Main-content extraction over a line-structured page: keep a line
+    iff it looks like prose, drop the nav/promo/cookie/footer chrome
+    around it (the jusText / trafilatura line-density heuristic, cut to
+    the signals expressible as pure JVM columns — no UDF, stays inside
+    whole-stage codegen except the HOF filter itself).
+
+    A line survives only if ALL hold:
+      * length ≥ ``min_len`` (nav items, buttons, cookie banners are
+        short);
+      * no ``" | "`` separator (pipe-delimited link bars);
+      * uppercase ratio ≤ ``max_upper_ratio`` (ALL-CAPS promo/menu
+        lines);
+      * does not open with a copyright mark (``©`` / ``(c)``).
+
+    Scale: a per-row projection — no shuffle, no Python; output size ≤
+    input size, so partition sizing is untouched. Empty/NULL input
+    yields ''/NULL respectively (array_join over NULL propagates)."""
+    lines = F.split(_c(col), "\n")
+
+    def is_content(line: Column) -> Column:
+        n = F.length(line)
+        n_upper = F.length(F.regexp_replace(line, "[^A-Z]", ""))
+        return (
+            (n >= F.lit(min_len))
+            & ~line.contains(" | ")
+            & ~line.startswith("©")
+            & ~line.startswith("(c)")
+            & (n_upper.cast("double")
+               <= F.lit(max_upper_ratio) * n.cast("double"))
+        )
+
+    return F.array_join(F.filter(lines, is_content), "\n")

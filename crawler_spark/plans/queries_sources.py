@@ -1,0 +1,235 @@
+"""Interchange-source queries: WARC ingest, sitemap-seeded frontier,
+boilerplate stripping, and LLM-as-judge scoring — the front door of a
+crawl→corpus pipeline (the reference covers this tier with Scrapy +
+Postgres rows, backend/src/crawler.py; here it is batch-shaped for
+corpus-scale re-processing).
+
+Each query follows the roundtrip-value-oracle pattern from
+``url_normalize_dedup``: the Spark side SERIALIZES real container
+bytes (WARC records, sitemap XML, a boilerplate-framed page) from the
+documents table, runs the genuine generic parser/classifier over
+them, and the DuckDB oracle CONSTRUCTS the expected output
+independently — it never sees the parser, so it cannot share its
+bugs. The parse plumbing (mapInPandas over blobs) is byte-identical
+to what runs over real .warc.gz / sitemap.xml files via
+``read_warc_files`` / ``read_sitemap_blobs``.
+
+Scale notes (100 TB):
+  * WARC/sitemap parsing is mapInPandas over blobs — one task per
+    blob, no shuffle; per-record gzip members keep memory bounded by
+    one record (sources/warc.py module docstring has the full
+    argument);
+  * the build side here (applyInPandas groupBy) exists only to
+    synthesize test blobs from parquet — a real ingest reads files,
+    which is a scan, not a shuffle;
+  * the sitemap frontier anti-join keys on url (high-cardinality,
+    uniform — no salt needed) and broadcasts whichever side is small
+    under AQE;
+  * boilerplate stripping is a pure JVM projection (functions/text
+    .strip_boilerplate) — no Python, no shuffle;
+  * judge scoring is an Arrow-batched pandas_udf whose real
+    deployment points at per-executor inference sidecars
+    (functions/judge.py) — data never funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.plans.registry import register
+from crawler_spark.sources import load_table
+
+# url synthesized per doc — same convention both engines render
+_URL_SQL = (
+    "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _with_url(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+# --- WARC roundtrip -------------------------------------------------------
+
+_WARC_GROUPS = 8  # blobs per run; odd groups serialize as .warc.gz members
+
+
+@register(
+    "source_warc_roundtrip",
+    oracle=f"""
+        SELECT {_URL_SQL} AS url,
+               CAST(200 AS INTEGER) AS http_status,
+               'text/plain; charset=utf-8' AS content_type,
+               text,
+               CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents
+    """,
+)
+def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → WARC/1.0 response records (half the blobs as
+    per-record gzip members, the Common Crawl layout) → the generic
+    WARC+HTTP parser (sources/warc.py) → (url, status, content_type,
+    text, n_bytes). The oracle reconstructs the expected rows straight
+    from the table: any header/payload/gzip-framing bug surfaces as a
+    hash mismatch. Dead-letter handling and record-level resync are
+    covered by unit tests on crafted garbage (tests/test_sources.py).
+    """
+    from crawler_spark.sources.warc import (
+        build_http_response, build_warc_record, read_warc_blobs,
+    )
+
+    docs = _with_url(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).withColumn("grp", F.col("doc_id") % _WARC_GROUPS)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        gz = bool(int(pdf["grp"].iloc[0]) % 2)
+        blob = b"".join(
+            build_warc_record(
+                u, build_http_response(t.encode("utf-8")), gzip_member=gz
+            )
+            for u, t in zip(pdf["url"], pdf["text"])
+        )
+        return pd.DataFrame({"blob": [blob]})
+
+    blobs = docs.groupBy("grp").applyInPandas(build, "blob binary")
+    recs = read_warc_blobs(blobs)
+    return recs.filter(
+        F.col("parse_error").isNull() & (F.col("warc_type") == "response")
+    ).select(
+        "url",
+        "http_status",
+        "content_type",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.length(F.col("body")).cast("int").alias("n_bytes"),
+    )
+
+
+# --- sitemap-seeded frontier ----------------------------------------------
+
+_LASTMOD_SQL = (
+    "'2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+)
+
+
+@register(
+    "crawl_sitemap_seed",
+    oracle=f"""
+        SELECT {_URL_SQL} AS url, {_LASTMOD_SQL} AS lastmod
+        FROM documents
+        WHERE doc_id % 3 <> 0
+    """,
+)
+def crawl_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one sitemaps.org urlset per source domain → the
+    namespace-tolerant XML parser (sources/sitemap.py) → anti-join the
+    already-crawled set (doc_id % 3 == 0 plays the role of the pages
+    table) → the frontier delta a recrawl scheduler feeds into
+    plans/crawl.py. Matches the public SitemapSpider behavior the
+    reference's Scrapy tier inherits (loc + lastmod extraction,
+    crawled-set suppression)."""
+    from crawler_spark.sources.sitemap import (
+        build_sitemap_xml, frontier_from_sitemaps,
+    )
+
+    docs = _with_url(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ).withColumn(
+        "lastmod",
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        xml = build_sitemap_xml(list(zip(pdf["url"], pdf["lastmod"])))
+        return pd.DataFrame({"xml": [xml]})
+
+    blobs = docs.groupBy("source").applyInPandas(build, "xml string")
+    crawled = docs.filter(F.col("doc_id") % 3 == 0).select("url")
+    return frontier_from_sitemaps(blobs, crawled).select("url", "lastmod")
+
+
+# --- boilerplate stripping --------------------------------------------------
+
+
+@register(
+    "txt_boilerplate_strip",
+    oracle="SELECT doc_id, text AS main_content FROM documents",
+)
+def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame every document in realistic page chrome — a pipe-separated
+    nav bar, an ALL-CAPS promo line, a short cookie prompt, a ©-footer
+    — then run the generic line-density classifier
+    (functions/text.strip_boilerplate, pure JVM columns). Each chrome
+    line is crafted to be caught by a DIFFERENT rule (pipes, caps
+    ratio, min length, copyright mark), so the oracle equality
+    ``main_content == text`` only holds if all four rules fire and the
+    prose rule does NOT — a value oracle over the whole rule set.
+    Documents are single prose lines ≥44 chars at every SF
+    (TESTDATA.md), safely above the 35-char keep threshold."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    page = F.concat_ws(
+        "\n",
+        F.lit("HOME | ABOUT | CONTACT | PRODUCTS | BLOG"),
+        F.lit("SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG"),
+        F.col("text"),
+        F.lit("Accept cookies?"),
+        F.concat(F.lit("© 2026 "), F.col("source"),
+                 F.lit(" Media Group — all rights reserved.")),
+    )
+    return docs.select(
+        "doc_id", X.strip_boilerplate(page).alias("main_content")
+    )
+
+
+# --- LLM-as-judge scoring ---------------------------------------------------
+
+_JUDGE_SCORE_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT % 101"
+
+
+@register(
+    "curation_llm_judge",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_JUDGE_SCORE_SQL} AS INTEGER) AS score,
+               CASE WHEN {_JUDGE_SCORE_SQL} >= 30
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM documents
+    """,
+)
+def curation_llm_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: every document through the judge
+    client seam (functions/judge.py — Arrow-batched pandas_udf, JSON
+    reply, from_json parse, failure → NULL struct), emitting (doc_id,
+    score, verdict). The deterministic StubJudge derives the score
+    from md5(text) alone, so the oracle reproduces it in SQL without
+    seeing the client — what is actually verified is the full
+    prompt→client→JSON→from_json pipeline shape, the same seam the
+    OllamaJudge HTTP path plugs into (transport-injected tests in
+    tests/test_model_clients.py)."""
+    from crawler_spark.functions.judge import judge_udf, parse_judgment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    judged = docs.withColumn("raw", judge_udf()(F.col("text"))).withColumn(
+        "j", parse_judgment("raw")
+    )
+    return judged.select(
+        "doc_id",
+        F.col("j.score").alias("score"),
+        F.col("j.verdict").alias("verdict"),
+    )

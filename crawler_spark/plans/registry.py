@@ -58,6 +58,7 @@ def load_all() -> None:
         queries_reference,
         queries_scale,
         queries_search,
+        queries_sources,
         queries_spandedup,
         queries_temporal,
         queries_text,

@@ -1,0 +1,127 @@
+"""Sitemap (sitemaps.org XML) source: seed a crawl frontier from the
+urlset/sitemapindex documents sites publish. The reference's Scrapy
+tier gets this from SitemapSpider (scrapy/spiders/sitemap.py is the
+public behavior being matched: follow <sitemap> indirection, yield
+<url><loc> entries); here it is a batch operator — parse sitemap XML
+blobs into (url, lastmod) rows, anti-join the already-crawled set,
+and the remainder IS the frontier delta (plans/crawl.py consumes it
+exactly like any other seed list).
+
+Stdlib ElementTree only, namespace-tolerant (real sitemaps come with
+and without the xmlns, and with stray whitespace in <loc>). Malformed
+XML dead-letters the whole blob as one error row — a sitemap is a
+single logical document, unlike WARC where records fail singly.
+
+Scale: parsing is mapInPandas over blobs (no shuffle; parallel in the
+blob count — a big site publishes a sitemapindex of ≤50k-url files,
+which is exactly the blob unit). The anti-join against the crawled
+set is the frontier dedup from plans/crawl.py: broadcast when the
+crawled side is small, shuffle-hash on url otherwise — Spark/AQE
+picks per stats, and url is high-cardinality/uniform so there is no
+skew to salt.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+SITEMAP_ROWS_SCHEMA = "url string, lastmod string, parse_error string"
+
+
+def build_sitemap_xml(entries: list[tuple[str, str | None]]) -> str:
+    """Serialize a urlset sitemap (url, lastmod-or-None per entry) —
+    fixture builder and the emit side of a recrawl scheduler."""
+    parts = [f'<?xml version="1.0" encoding="UTF-8"?>\n'
+             f'<urlset xmlns="{SITEMAP_NS}">']
+    for url, lastmod in entries:
+        parts.append("<url>")
+        parts.append(f"<loc>{url}</loc>")
+        if lastmod is not None:
+            parts.append(f"<lastmod>{lastmod}</lastmod>")
+        parts.append("</url>")
+    parts.append("</urlset>")
+    return "".join(parts)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """(url, lastmod, parse_error) rows from one sitemap document.
+    Handles urlset and sitemapindex (index entries come back with
+    lastmod=None — the caller fetches and re-parses them, the same
+    two-level walk SitemapSpider does). Unparseable XML → one
+    dead-letter row."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as exc:
+        return [{"url": None, "lastmod": None,
+                 "parse_error": f"sitemap XML parse error: {exc}"}]
+    rows: list[dict] = []
+    for entry in root:
+        if _local(entry.tag) not in ("url", "sitemap"):
+            continue
+        loc, lastmod = None, None
+        for child in entry:
+            name = _local(child.tag)
+            text = (child.text or "").strip() or None
+            if name == "loc":
+                loc = text
+            elif name == "lastmod":
+                lastmod = text
+        if loc is None:
+            rows.append({"url": None, "lastmod": None,
+                         "parse_error": "entry without <loc>"})
+        else:
+            rows.append({"url": loc, "lastmod": lastmod,
+                         "parse_error": None})
+    return rows
+
+
+def read_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """One row per sitemap entry from a DataFrame of XML strings —
+    mapInPandas, no shuffle, parallel in the blob count."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "lastmod", "parse_error"]
+        for pdf in batches:
+            rows = [
+                r
+                for xml_text in pdf[xml_col]
+                if xml_text is not None
+                for r in parse_sitemap(xml_text)
+            ]
+            yield pd.DataFrame(rows, columns=cols) if rows else (
+                pd.DataFrame({c: [] for c in cols})
+            )
+
+    return blobs.mapInPandas(parse, SITEMAP_ROWS_SCHEMA)
+
+
+def frontier_from_sitemaps(
+    blobs: DataFrame,
+    crawled: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+) -> DataFrame:
+    """Parsed sitemap entries minus the already-crawled set: the
+    frontier delta. Dead-letter rows are excluded here (route
+    ``read_sitemap_blobs`` output through the ingest dead-letter
+    branch to keep them); duplicates across sitemaps collapse."""
+    entries = (
+        read_sitemap_blobs(blobs, xml_col)
+        .filter("parse_error IS NULL AND url IS NOT NULL")
+        .select("url", "lastmod")
+        .dropDuplicates(["url"])
+    )
+    return entries.join(
+        crawled.select(url_col).withColumnRenamed(url_col, "url"),
+        on="url",
+        how="left_anti",
+    )

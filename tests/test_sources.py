@@ -1,0 +1,232 @@
+"""Unit tests for the interchange sources (WARC, sitemap), the
+boilerplate classifier, and the judge client seam — the edge cases the
+roundtrip value-oracles (queries_sources.py) cannot reach: dead-letter
+rows, record-level resync after garbage, gzip member framing, sitemap
+index indirection, transport failure degradation."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from crawler_spark.sources.warc import (
+    build_http_response,
+    build_warc_record,
+    iter_warc_records,
+    parse_http_response,
+)
+
+
+def _rec(url="https://a.example.com/1", body=b"hello world", **kw):
+    return build_warc_record(url, build_http_response(body), **kw)
+
+
+class TestWarcParser:
+    def test_roundtrip_plain(self):
+        blob = _rec() + _rec("https://a.example.com/2", b"second")
+        out = list(iter_warc_records(blob))
+        assert [r["url"] for r in out] == [
+            "https://a.example.com/1", "https://a.example.com/2"]
+        assert out[0]["body"] == b"hello world"
+        assert out[0]["http_status"] == 200
+        assert out[0]["content_type"] == "text/plain; charset=utf-8"
+        assert all(r["parse_error"] is None for r in out)
+
+    def test_gzip_members_equal_plain(self):
+        recs = [("https://x/1", b"a" * 10), ("https://x/2", b"b" * 20)]
+        plain = b"".join(
+            build_warc_record(u, build_http_response(b)) for u, b in recs)
+        gz = b"".join(
+            build_warc_record(u, build_http_response(b), gzip_member=True)
+            for u, b in recs)
+        assert list(iter_warc_records(plain)) == list(iter_warc_records(gz))
+
+    def test_whole_blob_gzip(self):
+        # a .warc.gz written as ONE member (legal, just not splittable)
+        blob = gzip.compress(_rec())
+        (r,) = iter_warc_records(blob)
+        assert r["body"] == b"hello world" and r["parse_error"] is None
+
+    def test_non_response_record_rides_along(self):
+        info = build_warc_record("https://x/i", b"software: test",
+                                 warc_type="warcinfo")
+        out = list(iter_warc_records(info + _rec()))
+        assert out[0]["warc_type"] == "warcinfo"
+        assert out[0]["http_status"] is None and out[0]["body"] is None
+        assert out[1]["parse_error"] is None
+
+    def test_bad_content_length_dead_letters_and_resyncs(self):
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://bad/1\r\n"
+               b"Content-Length: nope\r\n\r\n")
+        out = list(iter_warc_records(bad + _rec()))
+        assert out[0]["parse_error"] is not None
+        assert out[0]["url"] == "https://bad/1"
+        # the record AFTER the garbage still parses
+        assert out[1]["url"] == "https://a.example.com/1"
+        assert out[1]["parse_error"] is None
+
+    def test_truncated_payload_dead_letters(self):
+        blob = _rec()[:-30]  # cut into the payload
+        out = list(iter_warc_records(blob))
+        assert out[-1]["parse_error"] is not None
+
+    def test_non_http_payload_dead_letters(self):
+        rec = build_warc_record("https://x/1", b"this is not http")
+        (r,) = iter_warc_records(rec)
+        assert r["parse_error"] is not None and r["url"] == "https://x/1"
+
+    def test_http_parse_respects_content_length(self):
+        status, ctype, body = parse_http_response(
+            build_http_response(b"abc") + b"trailing-junk")
+        assert (status, body) == (200, b"abc")
+
+    def test_read_warc_files(self, spark, tmp_path):
+        p = tmp_path / "seg-00000.warc.gz"
+        p.write_bytes(_rec(gzip_member=True)
+                      + _rec("https://a.example.com/2", b"x", gzip_member=True))
+        from crawler_spark.sources.warc import read_warc_files
+
+        rows = read_warc_files(spark, str(tmp_path)).collect()
+        assert sorted(r.url for r in rows) == [
+            "https://a.example.com/1", "https://a.example.com/2"]
+        assert all(r.parse_error is None for r in rows)
+
+
+from crawler_spark.sources.sitemap import (  # noqa: E402
+    build_sitemap_xml,
+    parse_sitemap,
+)
+
+
+class TestSitemap:
+    def test_roundtrip(self):
+        xml = build_sitemap_xml(
+            [("https://s/a", "2026-01-02"), ("https://s/b", None)])
+        rows = parse_sitemap(xml)
+        assert rows == [
+            {"url": "https://s/a", "lastmod": "2026-01-02",
+             "parse_error": None},
+            {"url": "https://s/b", "lastmod": None, "parse_error": None},
+        ]
+
+    def test_no_namespace_and_whitespace(self):
+        xml = ("<urlset><url><loc>\n  https://s/a \n</loc>"
+               "<lastmod>2026-02-03</lastmod></url></urlset>")
+        (r,) = parse_sitemap(xml)
+        assert r["url"] == "https://s/a" and r["lastmod"] == "2026-02-03"
+
+    def test_sitemapindex_entries(self):
+        xml = (f'<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+               f'sitemap/0.9"><sitemap><loc>https://s/map1.xml</loc>'
+               f"</sitemap></sitemapindex>")
+        (r,) = parse_sitemap(xml)
+        assert r["url"] == "https://s/map1.xml" and r["parse_error"] is None
+
+    def test_missing_loc_is_error_row(self):
+        xml = "<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>"
+        (r,) = parse_sitemap(xml)
+        assert r["url"] is None and "loc" in r["parse_error"]
+
+    def test_malformed_xml_single_dead_letter(self):
+        rows = parse_sitemap("<urlset><url><loc>https://s/a")
+        assert len(rows) == 1 and rows[0]["parse_error"] is not None
+
+    def test_frontier_anti_join_and_dedup(self, spark):
+        from crawler_spark.sources.sitemap import frontier_from_sitemaps
+
+        xml1 = build_sitemap_xml([("https://s/a", "2026-01-01"),
+                                  ("https://s/b", "2026-01-02")])
+        xml2 = build_sitemap_xml([("https://s/b", "2026-01-02"),
+                                  ("https://s/c", None)])
+        blobs = spark.createDataFrame([(xml1,), (xml2,)], "xml string")
+        crawled = spark.createDataFrame([("https://s/a",)], "url string")
+        out = {r.url for r in frontier_from_sitemaps(blobs, crawled).collect()}
+        assert out == {"https://s/b", "https://s/c"}
+
+
+class TestJudgeClient:
+    def test_stub_deterministic_and_bounded(self):
+        from crawler_spark.functions.judge import KEEP_THRESHOLD, StubJudge
+
+        j = StubJudge()
+        a, b = j.judge("some doc"), j.judge("some doc")
+        assert a == b
+        parsed = json.loads(a)
+        assert 0 <= parsed["score"] <= 100
+        expect = "keep" if parsed["score"] >= KEEP_THRESHOLD else "drop"
+        assert parsed["verdict"] == expect
+        assert j.judge(None) == "{}"
+
+    def test_ollama_judge_happy_path_via_transport(self):
+        from crawler_spark.functions.judge import OllamaJudge, judge_prompt
+
+        calls = []
+
+        def transport(url, payload):
+            calls.append((url, payload))
+            return {"message": {"content":
+                                '{"score": 88, "verdict": "keep"}'}}
+
+        j = OllamaJudge(transport=transport)
+        assert json.loads(j.judge("doc text")) == {
+            "score": 88, "verdict": "keep"}
+        url, payload = calls[0]
+        assert url.endswith("/api/chat") and payload["format"] == "json"
+        assert payload["messages"][0]["content"] == judge_prompt("doc text")
+
+    @pytest.mark.parametrize("reply", [
+        {"message": {"content": "not json"}},
+        {"message": {"content": "[1, 2]"}},  # JSON but not a dict
+        {},                                   # missing keys
+    ])
+    def test_ollama_judge_degrades_to_empty(self, reply):
+        from crawler_spark.functions.judge import OllamaJudge
+
+        j = OllamaJudge(transport=lambda u, p: reply)
+        assert j.judge("x") == "{}"
+
+    def test_ollama_judge_transport_exception_degrades(self):
+        from crawler_spark.functions.judge import OllamaJudge
+
+        def boom(u, p):
+            raise OSError("connection refused")
+
+        assert OllamaJudge(transport=boom).judge("x") == "{}"
+
+
+class TestStripBoilerplate:
+    def _run(self, spark, page):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import strip_boilerplate
+
+        df = spark.createDataFrame([(page,)], "page string")
+        return df.select(strip_boilerplate(F.col("page")).alias("m")) \
+                 .first()["m"]
+
+    def test_each_rule_fires_independently(self, spark):
+        prose = ("the quick brown fox jumps over the lazy dog near the "
+                 "riverbank at dawn")
+        page = "\n".join([
+            "HOME | ABOUT | CONTACT | PRODUCTS | BLOG",   # pipes
+            "SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG",  # caps ratio
+            prose,
+            "Accept cookies?",                            # too short
+            "© 2026 example Media Group — all rights reserved.",  # © mark
+            "(c) 2026 example media group all rights reserved here",  # (c)
+        ])
+        assert self._run(spark, page) == prose
+
+    def test_multiline_prose_preserved_in_order(self, spark):
+        l1 = "first paragraph of the article with plenty of words here"
+        l2 = "second paragraph of the article with plenty of words too"
+        assert self._run(spark, f"NAV | NAV\n{l1}\n{l2}") == f"{l1}\n{l2}"
+
+    def test_all_chrome_yields_empty(self, spark):
+        assert self._run(spark, "HOME | ABOUT\nAccept cookies?") == ""
+
+    def test_null_propagates(self, spark):
+        assert self._run(spark, None) is None
