@@ -69,6 +69,7 @@ _NEVER_DRIVER_VERIFIED = [
     # AFTER the 50-slot window above — expected to sample in round 6
     "source_warc_roundtrip", "crawl_sitemap_seed",
     "txt_boilerplate_strip", "curation_llm_judge",
+    "scd2_customer_addresses", "layout_dpp_probe",
 ]
 
 

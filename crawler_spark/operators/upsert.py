@@ -56,6 +56,78 @@ def merge_by_key(
     )
 
 
+def scd2_apply(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_date,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 merge (Kimball): apply an
+    update batch to a versioned dimension, KEEPING history — a changed
+    row's current version is closed (``valid_to`` = effective date,
+    ``is_current`` = false) and a new current version opens; a no-op
+    update (every tracked column equal, null-safely) changes NOTHING;
+    a brand-new key inserts as current. The reference's pages table
+    overwrites on conflict (backend/src/db.py:42-58) — SCD2 is what a
+    recrawl pipeline needs instead when downstream training snapshots
+    must be reproducible against the dimension AS OF their build date
+    (the as-of join, operators/temporal.py, is the natural reader).
+
+    ``existing`` carries ``key``, ``tracked``, and the three validity
+    columns; ``updates`` carries ``key`` + ``tracked`` only, at most
+    one row per key (enforce upstream with ``merge_by_key``).
+
+    Scale: closed history rows pass through UNTOUCHED (no join) — only
+    the current slice joins the batch, one shuffle on the key, and the
+    batch side broadcasts when small, so cost tracks the CURRENT
+    dimension size, never accumulated history. At lakehouse scale,
+    partition the table on ``is_current`` so the history scan prunes
+    away entirely."""
+    eff = F.lit(effective_date).cast("date")
+    changed_pred = None
+    for c in tracked:
+        ne = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+        changed_pred = ne if changed_pred is None else (changed_pred | ne)
+
+    history = existing.filter(~F.col(is_current))
+    current = existing.filter(F.col(is_current))
+    out_cols = [key, *tracked, valid_from, valid_to, is_current]
+
+    # presence flags via validity/tracked cols can be fooled by NULL
+    # payloads — tag each side explicitly instead
+    cur_tag = current.alias("cur").withColumn("__has_cur", F.lit(True))
+    upd_tag = updates.alias("upd").withColumn("__has_upd", F.lit(True))
+    joined = cur_tag.join(upd_tag, on=key, how="full_outer")
+    has_cur = F.coalesce(F.col("__has_cur"), F.lit(False))
+    has_upd = F.coalesce(F.col("__has_upd"), F.lit(False))
+    closes = has_cur & has_upd & changed_pred
+
+    kept_or_closed = joined.filter(has_cur).select(
+        F.col(key),
+        *[F.col(f"cur.{c}").alias(c) for c in tracked],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.when(closes, eff).otherwise(F.col(f"cur.{valid_to}"))
+         .alias(valid_to),
+        (~closes).alias(is_current),
+    )
+    opens = joined.filter(has_upd & (closes | ~has_cur)).select(
+        F.col(key),
+        *[F.col(f"upd.{c}").alias(c) for c in tracked],
+        eff.alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return (
+        history.select(*out_cols)
+        .unionByName(kept_or_closed)
+        .unionByName(opens)
+    )
+
+
 def key_bucket(key_col: str, num_buckets: int = 16):
     """Stable hash-bucket for an arbitrary merge key — the partition
     column a bucketed manifest table is laid out by. A key always

@@ -670,3 +670,127 @@ def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.agg(F.count(F.lit(1)).alias("n_embeddings"))
     )
     return totals.crossJoin(missing).crossJoin(orphans)
+
+
+# --- SCD2 dimension merge ---------------------------------------------------
+@register(
+    "scd2_customer_addresses",
+    oracle="""
+        SELECT c_custkey, c_mktsegment AS segment,
+               '2020-01-01' AS valid_from,
+               CASE WHEN c_custkey % 7 = 3 THEN '2024-06-01' END
+                   AS valid_to,
+               (c_custkey % 7 <> 3) AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'SEG-' || CAST(c_custkey AS VARCHAR),
+               '2024-06-01', NULL, true
+        FROM customer WHERE c_custkey % 7 = 3
+        UNION ALL
+        SELECT c_custkey + 9000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+               '2024-06-01', NULL, true
+        FROM customer WHERE c_custkey % 7 = 6
+    """,
+)
+def scd2_customer_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/upsert.scd2_apply) under a value
+    oracle that covers all four batch behaviors at once: changed rows
+    (key%7==3 — old version closes at the effective date, new version
+    opens), NO-OP updates carrying identical tracked values (key%7==4
+    — must leave the dimension untouched, the classic SCD2 bug), new
+    keys (key+9M for key%7==6 — insert as current), and untouched keys
+    (everything else passes through). The oracle builds the expected
+    dimension state directly from the base table without seeing the
+    merge. History-preserving recrawl dimensions are what the as-of
+    join (``asof_last_signup``) reads at training-snapshot time."""
+    from crawler_spark.operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    existing = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    k = F.col("c_custkey")
+    updates = (
+        cust.filter((k % 7 == 3) | (k % 7 == 4) | (k % 7 == 6))
+        .select(
+            F.when(k % 7 == 6, k + 9000000).otherwise(k).alias("c_custkey"),
+            F.when(k % 7 == 3,
+                   F.concat(F.lit("SEG-"), k.cast("string")))
+             .when(k % 7 == 6,
+                   F.concat(F.lit("NEW-"), k.cast("string")))
+             .otherwise(F.col("c_mktsegment")).alias("segment"),
+        )
+    )
+    dim = scd2_apply(
+        existing, updates, key="c_custkey", tracked=["segment"],
+        effective_date="2024-06-01",
+    )
+    # dates → ISO strings on the output edge only: DuckDB's pandas
+    # bridge returns DATE as datetime64, which the value hash would
+    # see as a different type
+    return dim.select(
+        "c_custkey", "segment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+# --- dynamic partition pruning probe ----------------------------------------
+@register(
+    "layout_dpp_probe",
+    oracle="""
+        WITH dim AS (
+            SELECT o_orderpriority, min(o_orderkey) AS first_key
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders o
+        JOIN dim ON o.o_orderpriority = dim.o_orderpriority
+        WHERE dim.first_key % 2 = 0
+        GROUP BY o.o_orderpriority
+    """,
+)
+def layout_dpp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: land the fact table
+    partitioned by the join key, join it to a dim whose filter is on a
+    NON-key column (first_key%2 — underivable from the join key, so
+    static constraint propagation CANNOT push it to the fact scan),
+    and let Spark's DPP inject the dim's surviving keys into the fact
+    scan's PartitionFilters at runtime. tests/test_plan_shapes.py
+    locks ``dynamicpruningexpression`` into the fact FileScan — the
+    mechanism that turns a 100 TB date-partitioned fact ⨝ filtered dim
+    into a scan of only the qualifying partitions. The oracle computes
+    the same join unpartitioned."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_part")
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.min("o_orderkey").alias("first_key"))
+        .filter(F.col("first_key") % 2 == 0)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+             .cast("double").alias("total_price"),
+        )
+    )

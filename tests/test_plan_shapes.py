@@ -418,3 +418,22 @@ def test_hybrid_bm25_bounded_candidates(spark):
     assert plan.count("Scan parquet") == 6, (
         "hybrid must read exactly 3 inputs (scoring, stats, embeddings)"
     )
+
+
+def test_dpp_probe_fact_scan_dynamically_pruned(spark):
+    """layout_dpp_probe: the dim filter is on a non-key column, so the
+    ONLY way partition pruning reaches the fact scan is Spark's
+    dynamic partition pruning — the fact FileScan must carry a
+    dynamicpruning expression in its PartitionFilters."""
+    plan = plan_text(_QUERIES["layout_dpp_probe"](spark, SF))
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan lost its DynamicPruningExpression — the 100 TB "
+        "partitioned-fact join would scan every partition"
+    )
+
+
+def test_boilerplate_strip_zero_shuffle(spark):
+    """txt_boilerplate_strip is a pure projection — any Exchange is a
+    regression."""
+    plan = plan_text(_QUERIES["txt_boilerplate_strip"](spark, SF))
+    assert "Exchange" not in plan, "boilerplate strip acquired a shuffle"

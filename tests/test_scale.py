@@ -356,3 +356,72 @@ class TestClusterSizeInvariance:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert res["3"] == res["29"], name
+
+
+class TestScd2Apply:
+    """SCD2 merge semantics beyond what the value oracle covers:
+    null-safe no-op detection, multi-column tracking, history
+    pass-through, and idempotence of a repeated batch."""
+
+    def _dim(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "k int, a string, b string, valid_from string, "
+            "valid_to string, is_current boolean",
+        ).select(
+            "k", "a", "b",
+            F.to_date("valid_from").alias("valid_from"),
+            F.to_date("valid_to").alias("valid_to"),
+            "is_current",
+        )
+
+    def _apply(self, existing, updates, eff="2024-06-01"):
+        from crawler_spark.operators.upsert import scd2_apply
+
+        return scd2_apply(existing, updates, key="k",
+                          tracked=["a", "b"], effective_date=eff)
+
+    def test_noop_null_and_multicol(self, spark):
+        existing = self._dim(spark, [
+            (1, "x", None, "2020-01-01", None, True),    # null tracked
+            (2, "y", "q", "2020-01-01", None, True),     # will change b
+            (3, "z", "r", "2019-01-01", "2020-01-01", False),  # history
+            (3, "z2", "r", "2020-01-01", None, True),
+        ])
+        updates = spark.createDataFrame(
+            [(1, "x", None),    # identical incl. NULL → must be a no-op
+             (2, "y", "q2"),    # second tracked col changes
+             (9, "new", "n")],  # brand-new key
+            "k int, a string, b string")
+        out = {(r.k, r.a, r.b, str(r.valid_from), str(r.valid_to),
+                r.is_current)
+               for r in self._apply(existing, updates).collect()}
+        assert (1, "x", None, "2020-01-01", "None", True) in out
+        assert (2, "y", "q", "2020-01-01", "2024-06-01", False) in out
+        assert (2, "y", "q2", "2024-06-01", "None", True) in out
+        # history row untouched, current key-3 row untouched
+        assert (3, "z", "r", "2019-01-01", "2020-01-01", False) in out
+        assert (3, "z2", "r", "2020-01-01", "None", True) in out
+        assert (9, "new", "n", "2024-06-01", "None", True) in out
+        assert len(out) == 6
+
+    def test_reapplying_same_batch_is_idempotent(self, spark):
+        existing = self._dim(spark, [(1, "x", "p", "2020-01-01", None, True)])
+        updates = spark.createDataFrame([(1, "x2", "p")],
+                                        "k int, a string, b string")
+        once = self._apply(existing, updates)
+        twice = self._apply(once, updates)
+        assert row_multiset(once) == row_multiset(twice)
+
+    def test_exactly_one_current_row_per_key(self, spark):
+        existing = self._dim(spark, [
+            (1, "x", "p", "2020-01-01", None, True),
+            (2, "y", "q", "2020-01-01", None, True),
+        ])
+        updates = spark.createDataFrame(
+            [(1, "x2", "p"), (3, "n", "n")], "k int, a string, b string")
+        out = self._apply(existing, updates)
+        per_key = (out.filter("is_current")
+                   .groupBy("k").count().collect())
+        assert all(r["count"] == 1 for r in per_key)
+        assert {r.k for r in per_key} == {1, 2, 3}
