@@ -30,46 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with no GREEN driver CORRECTNESS row yet. After round 4 the
-# union of rounds 1-4 shows every query the driver has EVER sampled is
-# green (158/198); this list is EXACTLY the 40 never-sampled
-# registrations (computed from CORRECTNESS_r0{1..4}.json vs the
-# registry), oracle-backed first, then rows-only, then any queries new
-# in round 5. 40+new < 50 sample slots, so one round drains it.
+# Queries with no GREEN driver CORRECTNESS row yet. After round 5 the
+# union of rounds 1-5 shows every query the driver has EVER sampled is
+# green (208/214); this list is EXACTLY the 6 never-sampled
+# registrations (the interchange-source family registered mid-round 5
+# AFTER that round's 50-slot window), followed by anything new in
+# round 6. 6 + new < 50 slots, so round 6 drains the backlog fully.
 _NEVER_DRIVER_VERIFIED = [
-    # oracle-backed, never sampled (21)
-    "decontam_exact_spans", "decontam_semantic",
-    "dedup_fuzzy_levenshtein", "dedup_fuzzy_seeded",
-    "dedup_repeated_spans", "doc_chunks_cdc",
-    "ev_holt_linear", "ev_kmv_distinct_intersect", "ev_rollup_incremental",
-    "join_bloom_prefilter", "knn_topk_batch", "mine_hard_negatives",
-    "pack_sequences_emit",
-    "sample_gumbel_weighted", "sample_importance_dsir",
-    "sample_perplexity_buckets", "sample_temperature_mix",
-    "txt_bigram_logprob", "txt_heavy_hitters_cms",
-    "txt_quality_linear_hashed", "crawl_change_detection",
-    # rows-only, never driver-run (19)
-    "bucketed_build", "diag_ann_recall", "diag_plan_metrics",
-    "embed_random_projection",
-    "ev_hll_distinct_rollup", "ev_value_bins_approx",
-    "ev_value_percentiles_approx",
-    "graph_influence_ppr",
-    "layout_compact_build", "layout_zorder_build",
-    "multimodal_clip_filter", "multimodal_phash_neardup",
-    "search_mmr_rerank",
-    "timetravel_changes_feed", "timetravel_snapshot_reads",
-    "tok_bpe_encode", "tok_bpe_train",
-    "txt_compression_ratio", "txt_normalize_nfkc",
-    # new in round 5 (never registered before this round)
-    "p4_fts_grammar", "upsert_merge_pruned", "knn_topk_ivf_refined",
-    "p4_fts_phrase", "o3_knn_filtered", "o3_knn_filtered_ivf",
-    "ev_quantile_merge_rollup", "knn_topk_batch_ivf",
-    "search_bm25_topk", "search_hybrid_bm25",
-    # interchange-source family (queries_sources.py), added mid-round 5
-    # AFTER the 50-slot window above — expected to sample in round 6
+    # interchange-source family (queries_sources.py) + late r5 scale
+    # queries — all oracle-backed and locally green, never sampled
     "source_warc_roundtrip", "crawl_sitemap_seed",
     "txt_boilerplate_strip", "curation_llm_judge",
     "scd2_customer_addresses", "layout_dpp_probe",
+    # --- new in round 6 (registered this round, in priority order) ---
+    "pipeline_corpus_e2e",
 ]
 
 

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from crawler_spark.streaming.ingest_stream import (
+    ConcurrentWriteError,
     _bucket_paths,
     commit_manifest,
     manifest_history,
@@ -130,8 +131,20 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
     # Each table's manifest swap runs under that table's own writer
     # lock — the txn file is the source of truth, but the per-table
     # sync is still a read-modify-write a concurrent single-table
-    # writer could interleave with (raises ConcurrentWriteError
-    # rather than silently losing an update).
+    # writer could interleave with.
+    #
+    # The sync runs AFTER the commit point, so it must never make a
+    # durable transaction look failed: on a lock held by a live writer
+    # it retries briefly, then SKIPS that table — whoever holds the
+    # lock is publishing some committed state of its own, the
+    # mlog_at_commit fence prevents regression either way, and
+    # ``recover_transactions`` converges any table whose cache was
+    # left behind (the same repair path as a crash between commit and
+    # sync). Found by the two-process race test (tests/test_txn.py):
+    # raising ConcurrentWriteError here invited the caller to retry a
+    # transaction that had already committed.
+    import time
+
     fences = payload.get("mlog_at_commit", {})
     for t, m in payload["tables"].items():
         manifest = {int(b): int(e) for b, e in m.items()}
@@ -150,11 +163,18 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
             if manifest != read_manifest(t):
                 commit_manifest(t, manifest)
 
-        if use_locks:
-            with table_write_lock(t):
-                _sync_if_not_superseded()
-        else:
+        if not use_locks:
             _sync_if_not_superseded()
+            continue
+        for attempt in range(10):
+            try:
+                with table_write_lock(t):
+                    _sync_if_not_superseded()
+                break
+            except ConcurrentWriteError:
+                if attempt == 9:
+                    break  # best-effort: leave the cache to recovery
+                time.sleep(0.02 * (attempt + 1))
 
 
 def read_transaction(

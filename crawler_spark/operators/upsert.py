@@ -87,6 +87,10 @@ def scd2_apply(
     dimension size, never accumulated history. At lakehouse scale,
     partition the table on ``is_current`` so the history scan prunes
     away entirely."""
+    if not tracked:
+        # without tracked columns there is no change predicate — fail
+        # loudly instead of a Py4J Column-type error downstream
+        raise ValueError("scd2_apply: tracked must be non-empty")
     eff = F.lit(effective_date).cast("date")
     changed_pred = None
     for c in tracked:

@@ -225,39 +225,62 @@ def knn_probe_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
-def _ensure_ivf_index(
-    spark: SparkSession, sf_dir: str, payload_cols: tuple[str, ...] = ()
-) -> tuple[str, list[list[float]]]:
+def _ensure_ivf_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[list[float]]:
+    """Train (or load) JUST the k-means coarse quantizer for ``sf_dir``
+    — deterministic (seeded sample), cached as JSON. Split from
+    ``_ensure_ivf_index`` because the centroid-only consumers
+    (``dedup_semantic``'s cluster assignment) shouldn't pay for the
+    inverted-list parquet build they never read."""
     import json
     import os
 
-    from crawler_spark.operators.similarity import build_ivf_index, train_ivf_centroids
+    from crawler_spark.operators.similarity import train_ivf_centroids
+    from crawler_spark.sources import load_table
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    cent_file = (
+        f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42.centroids.json"
+    )
+    if cent_file not in _IVF_CENTROIDS:
+        if os.path.isfile(cent_file):
+            with open(cent_file) as f:
+                _IVF_CENTROIDS[cent_file] = json.load(f)
+        else:
+            emb = load_table(spark, sf_dir, "embeddings")
+            centroids = train_ivf_centroids(emb, n_centroids=16)
+            os.makedirs(os.path.dirname(cent_file), exist_ok=True)
+            tmp = cent_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(centroids, f)
+            os.replace(tmp, cent_file)
+            _IVF_CENTROIDS[cent_file] = centroids
+    return _IVF_CENTROIDS[cent_file]
+
+
+def _ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, payload_cols: tuple[str, ...] = ()
+) -> tuple[str, list[list[float]]]:
+    import os
+
+    from crawler_spark.operators.similarity import build_ivf_index
     from crawler_spark.sources import load_table
 
     base = os.path.basename(os.path.normpath(sf_dir))
     suffix = ("_" + "_".join(payload_cols)) if payload_cols else ""
     path = f"/tmp/crawler_spark_ann_index/{base}_ivf_c16_s42{suffix}"
-    cent_file = path + ".centroids.json"
-    # centroids json is written AFTER the parquet lists, so its presence
-    # plus the _SUCCESS marker means the whole index landed atomically
-    # enough for reuse; anything less is rebuilt from scratch.
-    if os.path.isfile(cent_file) and os.path.isfile(
-            os.path.join(path, "_SUCCESS")):
-        if path not in _IVF_CENTROIDS:
-            with open(cent_file) as f:
-                _IVF_CENTROIDS[path] = json.load(f)
-        return path, _IVF_CENTROIDS[path]
+    # the shared quantizer: all payload variants index against the SAME
+    # centroids (trained once, cached), so lists are comparable across
+    # variants and the train cost is paid exactly once per sf_dir
+    centroids = _ensure_ivf_centroids(spark, sf_dir)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path, centroids
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    if os.path.isfile(cent_file):
-        os.remove(cent_file)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, n_centroids=16)
     build_ivf_index(emb, path, centroids, payload_cols=list(payload_cols))
-    with open(cent_file, "w") as f:
-        json.dump(centroids, f)
-    _IVF_CENTROIDS[path] = centroids
     return path, centroids
 
 
@@ -514,7 +537,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.similarity import semantic_dedup_keep
     from crawler_spark.sources import load_table
 
-    _path, centroids = _ensure_ivf_index(spark, sf_dir)
+    centroids = _ensure_ivf_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     keep = semantic_dedup_keep(emb, centroids, threshold=0.35)
     return keep.select(

@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from xml.sax.saxutils import escape
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
@@ -40,10 +42,13 @@ def build_sitemap_xml(entries: list[tuple[str, str | None]]) -> str:
     parts = [f'<?xml version="1.0" encoding="UTF-8"?>\n'
              f'<urlset xmlns="{SITEMAP_NS}">']
     for url, lastmod in entries:
+        # XML-escape values: any query-string URL carries '&', which
+        # unescaped would corrupt the document and (since parse_sitemap
+        # dead-letters per-blob) silently lose every entry in it.
         parts.append("<url>")
-        parts.append(f"<loc>{url}</loc>")
+        parts.append(f"<loc>{escape(url)}</loc>")
         if lastmod is not None:
-            parts.append(f"<lastmod>{lastmod}</lastmod>")
+            parts.append(f"<lastmod>{escape(lastmod)}</lastmod>")
         parts.append("</url>")
     parts.append("</urlset>")
     return "".join(parts)
@@ -113,12 +118,14 @@ def frontier_from_sitemaps(
     """Parsed sitemap entries minus the already-crawled set: the
     frontier delta. Dead-letter rows are excluded here (route
     ``read_sitemap_blobs`` output through the ingest dead-letter
-    branch to keep them); duplicates across sitemaps collapse."""
+    branch to keep them); duplicates across sitemaps collapse to the
+    max lastmod — deterministic regardless of partitioning, and the
+    newest modification time is the right recrawl-priority signal."""
     entries = (
         read_sitemap_blobs(blobs, xml_col)
         .filter("parse_error IS NULL AND url IS NOT NULL")
-        .select("url", "lastmod")
-        .dropDuplicates(["url"])
+        .groupBy("url")
+        .agg(F.max("lastmod").alias("lastmod"))
     )
     return entries.join(
         crawled.select(url_col).withColumnRenamed(url_col, "url"),

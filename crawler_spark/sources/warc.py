@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 
 CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
 
 # Output schema of the Spark-side parse (see read_warc_blobs): one row
 # per WARC record, dead-letter rows carry parse_error and NULL fields.
@@ -113,13 +114,35 @@ def build_warc_record(
 # parser (pure functions — unit-testable without Spark)
 # --------------------------------------------------------------------------
 
-def _split_gzip_members(blob: bytes) -> Iterator[bytes]:
+def _split_gzip_members(blob: bytes) -> Iterator[tuple[bytes, str | None]]:
     """Decompress a multi-member gzip stream one member at a time —
-    memory bounded by a single member regardless of file size."""
+    memory bounded by a single member regardless of file size.
+
+    Yields ``(data, error)`` pairs. A corrupted member or trailing
+    garbage yields ``(partial_data, message)`` and resynchronizes at
+    the next gzip magic (``\\x1f\\x8b``) — upholding the module
+    contract that malformed input dead-letters rows, never fails the
+    task (a bit-flip in one Common Crawl member must cost one row,
+    not the segment)."""
     rest = blob
     while rest:
         d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
-        yield d.decompress(rest)
+        try:
+            data = d.decompress(rest)
+        except zlib.error as exc:
+            # Corrupt member or non-gzip garbage between members: scan
+            # past the current magic for the next member boundary.
+            nxt = rest.find(_GZ_MAGIC, 2)
+            yield b"", f"corrupt gzip member: {exc}"
+            if nxt < 0:
+                return
+            rest = rest[nxt:]
+            continue
+        if not d.eof:
+            # Stream ended mid-member: salvage what decompressed, flag it.
+            yield data, "truncated gzip member"
+            return
+        yield data, None
         rest = d.unused_data
 
 
@@ -161,11 +184,16 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     set, other fields None) and parsing continues at the NEXT record —
     one mangled record in a 1 GiB segment costs one row, not the file.
     """
-    if blob[:2] == b"\x1f\x8b":
-        chunks: Iterable[bytes] = _split_gzip_members(blob)
+    if blob[:2] == _GZ_MAGIC:
+        chunks: Iterable[tuple[bytes, str | None]] = _split_gzip_members(blob)
     else:
-        chunks = [blob]
-    for chunk in chunks:
+        chunks = [(blob, None)]
+    for chunk, gz_err in chunks:
+        if gz_err is not None:
+            # One dead-letter row per damaged member; any salvaged
+            # prefix still gets parsed below (complete records in a
+            # truncated member survive).
+            yield _dead(gz_err)
         pos = 0
         while True:
             start = chunk.find(b"WARC/", pos)

@@ -405,6 +405,17 @@ class TestScd2Apply:
         assert (9, "new", "n", "2024-06-01", "None", True) in out
         assert len(out) == 6
 
+    def test_empty_tracked_raises_clear_error(self, spark):
+        # ADVICE r5: used to surface as a confusing Py4J Column error
+        from crawler_spark.operators.upsert import scd2_apply
+
+        existing = self._dim(spark, [(1, "x", "p", "2020-01-01", None, True)])
+        updates = spark.createDataFrame([(1, "x", "p")],
+                                        "k int, a string, b string")
+        with pytest.raises(ValueError, match="tracked must be non-empty"):
+            scd2_apply(existing, updates, key="k", tracked=[],
+                       effective_date="2024-06-01")
+
     def test_reapplying_same_batch_is_idempotent(self, spark):
         existing = self._dim(spark, [(1, "x", "p", "2020-01-01", None, True)])
         updates = spark.createDataFrame([(1, "x2", "p")],

@@ -83,6 +83,36 @@ class TestWarcParser:
             build_http_response(b"abc") + b"trailing-junk")
         assert (status, body) == (200, b"abc")
 
+    def test_trailing_garbage_after_last_gzip_member(self):
+        # garbage after the final member must dead-letter ONE row, not
+        # fail the task (ADVICE r5: zlib.error used to propagate)
+        blob = _rec(gzip_member=True) + b"\x00\x01GARBAGE"
+        out = list(iter_warc_records(blob))
+        good = [r for r in out if r["parse_error"] is None]
+        dead = [r for r in out if r["parse_error"] is not None]
+        assert [r["url"] for r in good] == ["https://a.example.com/1"]
+        assert len(dead) == 1 and "gzip" in dead[0]["parse_error"]
+
+    def test_corrupt_gzip_member_resyncs_to_next(self):
+        # bit-flip inside member 2 of 3: members 1 and 3 survive,
+        # member 2 becomes a dead-letter row
+        m1 = _rec(gzip_member=True)
+        m2 = bytearray(_rec("https://x/2", b"b" * 50, gzip_member=True))
+        m2[len(m2) // 2] ^= 0xFF
+        m3 = _rec("https://x/3", b"c" * 10, gzip_member=True)
+        out = list(iter_warc_records(m1 + bytes(m2) + m3))
+        good = [r["url"] for r in out if r["parse_error"] is None]
+        dead = [r for r in out if r["parse_error"] is not None
+                and "gzip" in r["parse_error"]]
+        assert "https://a.example.com/1" in good and "https://x/3" in good
+        assert "https://x/2" not in good
+        assert len(dead) >= 1
+
+    def test_truncated_gzip_member_flagged(self):
+        blob = _rec(gzip_member=True)[:-8]  # cut into the member
+        out = list(iter_warc_records(blob))
+        assert any(r["parse_error"] is not None for r in out)
+
     def test_read_warc_files(self, spark, tmp_path):
         p = tmp_path / "seg-00000.warc.gz"
         p.write_bytes(_rec(gzip_member=True)
@@ -111,6 +141,14 @@ class TestSitemap:
              "parse_error": None},
             {"url": "https://s/b", "lastmod": None, "parse_error": None},
         ]
+
+    def test_roundtrip_with_query_string_url(self):
+        # '&' in a loc must be XML-escaped on serialize (ADVICE r5:
+        # unescaped it corrupted the blob and lost EVERY entry in it)
+        url = "https://s/a?x=1&y=2"
+        rows = parse_sitemap(build_sitemap_xml([(url, "2026<01&02")]))
+        assert rows == [{"url": url, "lastmod": "2026<01&02",
+                         "parse_error": None}]
 
     def test_no_namespace_and_whitespace(self):
         xml = ("<urlset><url><loc>\n  https://s/a \n</loc>"
@@ -145,6 +183,19 @@ class TestSitemap:
         crawled = spark.createDataFrame([("https://s/a",)], "url string")
         out = {r.url for r in frontier_from_sitemaps(blobs, crawled).collect()}
         assert out == {"https://s/b", "https://s/c"}
+
+    def test_frontier_cross_sitemap_lastmod_deterministic(self, spark):
+        # same URL in two sitemaps with DIFFERENT lastmods must collapse
+        # to max(lastmod), not an arbitrary partition-dependent survivor
+        from crawler_spark.sources.sitemap import frontier_from_sitemaps
+
+        xml1 = build_sitemap_xml([("https://s/b", "2026-01-02")])
+        xml2 = build_sitemap_xml([("https://s/b", "2026-03-09")])
+        blobs = spark.createDataFrame([(xml1,), (xml2,)], "xml string") \
+                     .repartition(4)
+        crawled = spark.createDataFrame([], "url string")
+        (r,) = frontier_from_sitemaps(blobs, crawled).collect()
+        assert (r.url, r.lastmod) == ("https://s/b", "2026-03-09")
 
 
 class TestJudgeClient:

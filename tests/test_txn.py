@@ -45,6 +45,67 @@ def _stage(dir_, df, epoch) -> dict[int, int]:
     return {b: epoch for b in stage_bucket_data(dir_, df, epoch)}
 
 
+def _race_committer(txn_dir, table_a, table_b, marker_base, n, barrier):
+    """Worker for the two-process commit race (module-level so the
+    child can import it regardless of multiprocessing start method)."""
+    from crawler_spark.operators.txn import commit_transaction
+
+    barrier.wait()
+    for i in range(n):
+        commit_transaction(txn_dir, {
+            table_a: {0: marker_base + i},
+            table_b: {0: marker_base + i},
+        })
+
+
+class TestTwoProcessCommitRace:
+    def test_concurrent_processes_never_lose_a_transaction(self, tmp_path):
+        """TRUE multiprocess race (not the in-process simulation below):
+        two OS processes commit interleaved transactions against the
+        same txn log. Every transaction must land under its own version
+        (the hard-link CAS retries, never overwrites), every committed
+        marker must survive exactly once, and after recovery both
+        tables' manifests agree with the newest transaction."""
+        import json
+        import multiprocessing as mp
+
+        txn = str(tmp_path)
+        ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+        n = 8
+        barrier = mp.Barrier(2)
+        procs = [
+            mp.Process(target=_race_committer,
+                       args=(txn, ta, tb, base, n, barrier))
+            for base in (1000, 2000)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(120)
+        assert all(p.exitcode == 0 for p in procs), \
+            [p.exitcode for p in procs]
+
+        hist = transaction_history(txn)
+        assert hist == list(range(1, 2 * n + 1)), hist
+        key_a = os.path.abspath(ta)
+        markers = sorted(read_transaction(txn, v)[key_a][0] for v in hist)
+        assert markers == sorted(
+            list(range(1000, 1000 + n)) + list(range(2000, 2000 + n)))
+        # no stage-file litter from either process
+        assert not [f for f in os.listdir(tmp_path / "_txnlog")
+                    if f.endswith(".tmp")]
+        # concurrent syncs may leave the per-table manifest CACHES at
+        # different (each individually committed) txns — the log is the
+        # source of truth; recovery converges both to the newest txn
+        recover_transactions(txn)
+        newest = read_transaction(txn)
+        assert read_manifest(ta) == newest[key_a]
+        assert read_manifest(tb) == newest[os.path.abspath(tb)]
+        # and each pre-recovery manifest state was SOME committed state
+        states = {json.dumps(read_transaction(txn, v)[key_a]) for v in hist}
+        assert json.dumps(read_manifest(ta)) in states
+
+
 class TestCrossTableTxn:
     def test_commit_is_atomic_across_tables_and_snapshots_isolate(
         self, spark, tmp_path

@@ -429,6 +429,43 @@ def test_random_projection_preserves_distances_and_is_deterministic(spark):
     assert mean_err < 0.2, f"mean JL distortion {mean_err}"
 
 
+def test_ann_recall_floors_pinned(spark, tmp_path):
+    """Recall@10 FLOORS for the production ANN tiers at the fixture's
+    geometry (8 centroids, nprobe=4, rerank 20 — all seeded, so the
+    measured numbers are deterministic: IVF 0.9, IVFPQ 0.9 on this
+    corpus). A banding/codebook regression must fail HERE loudly
+    instead of silently shifting the rows-only diag_ann_recall row
+    (VERDICT r5 item 8). Floors sit at/below measured: IVF >= 0.9,
+    IVFPQ >= 0.8."""
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        knn_topk,
+        knn_topk_ivf,
+        knn_topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    books = train_pq_codebooks(emb, n_subspaces=8, n_codes=32, seed=42)
+    idx = str(tmp_path / "floors")
+    build_ivf_index(emb, idx, cents)
+
+    exact = {r.vec_id for r in knn_topk(emb, QUERY_VEC, k=10).collect()}
+    ivf = {r.vec_id for r in knn_topk_ivf(
+        spark, idx, cents, QUERY_VEC, k=10, nprobe=4).collect()}
+    ivfpq = {r.vec_id for r in knn_topk_ivfpq(
+        spark, idx, cents, books, QUERY_VEC, k=10, nprobe=4,
+        rerank_factor=20).collect()}
+    r_ivf = len(ivf & exact) / 10
+    r_ivfpq = len(ivfpq & exact) / 10
+    assert r_ivf >= 0.9, f"IVF recall@10 regressed: {r_ivf} < 0.9"
+    assert r_ivfpq >= 0.8, f"IVFPQ recall@10 regressed: {r_ivfpq} < 0.8"
+
+
 def test_ivfpq_compose_exact_rerank_and_recall(spark, tmp_path):
     """IVFPQ: distances are exact for returned ids; recall rises with
     nprobe and reaches the IVF-only answer at full probe (ADC pruning
