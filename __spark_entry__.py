@@ -43,7 +43,7 @@ _NEVER_DRIVER_VERIFIED = [
     "txt_boilerplate_strip", "curation_llm_judge",
     "scd2_customer_addresses", "layout_dpp_probe",
     # --- new in round 6 (registered this round, in priority order) ---
-    "pipeline_corpus_e2e",
+    "pipeline_corpus_e2e", "curation_judge_calibration",
 ]
 
 

@@ -153,6 +153,7 @@ def hits(
     dst_col: str = "dst",
     tol: float = 1e-6,
     stats: dict | None = None,
+    check_every: int = 4,
 ) -> DataFrame:
     """HITS hubs/authorities (Kleinberg, JACM 1999) — the second
     classic link-analysis signal beside ``pagerank``: an AUTHORITY is
@@ -238,10 +239,17 @@ def hits(
     # UNROLLED power iteration: compose `check_every` full rounds (each
     # = both half-steps) LAZILY and materialize the whole stretch as
     # ONE job — 16 rounds cost 4 checkpoint jobs, not 16. The plan for
-    # a stretch is linear in check_every (8 join+agg pairs), well
-    # inside Catalyst's comfort zone, and normalization/delta run once
-    # per stretch on the already-materialized frame.
-    check_every = 4
+    # a stretch is linear in check_every (2·check_every join+agg
+    # pairs), well inside Catalyst's comfort zone, and normalization/
+    # delta run once per stretch on the already-materialized frame.
+    # ``check_every`` trades driver-sync count against unnormalized
+    # growth (λ₁(AᵀA)^check_every between renormalizations — 8 is still
+    # comfortably inside double range for real link graphs) and exit
+    # granularity (converged work overshoots by < one stretch; the
+    # fixed point, hence the rounded output, is unchanged). Tiny
+    # fixture graphs pass a wider stretch because per-job scheduling
+    # dwarfs their compute; corpus-scale graphs keep the default.
+    check_every = max(1, int(check_every))
     auth = nodes.select("id", F.lit(1.0).alias("authority"))
     prev_norm: DataFrame | None = None
     iters_run = 0

@@ -182,6 +182,19 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
                 elif kind == "image":
                     rows.append({**base, "file_type": "image",
                                  "embedding_type": "vision"})
+                elif kind == "text":
+                    # plain text: the body IS the content, newlines
+                    # preserved (the line-based boilerplate classifier
+                    # consumes this tier); no links to extract
+                    body = (bytes(r.body).decode("utf-8", errors="replace")
+                            if r.body is not None else None)
+                    body = body.strip() if body else None
+                    if not body:
+                        rows.append({**base, "file_type": "text",
+                                     "error": "text: empty body"})
+                    else:
+                        rows.append({**base, "file_type": "text",
+                                     "content": body})
                 else:
                     rows.append({**base, "error": f"unsupported content type: {r.content_type}"})
             yield pd.DataFrame(rows, columns=[f.name for f in schemas.PAGE_ITEM.fields])

@@ -1109,3 +1109,102 @@ def corpus_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = tagged.where("is_val").select("doc_id", F.lit("val").alias("split"))
     return val.unionByName(train)
+
+
+# --- judge-vs-classifier calibration ----------------------------------------
+_CAL_JUDGE_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT % 101"
+_CAL_QC_BUCKETS = 4096
+_CAL_LOGIT_SQL = f"""
+    SELECT doc_id,
+           round(CAST(SUM(w_milli) AS DOUBLE)
+                 / (1000.0 * count(*)), 6) AS logit,
+           SUM(w_milli) > 0 AS clf_keep
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('w:' || CAST(
+                   ('0x' || substr(md5(feat), 1, 8))::BIGINT
+                       % {_CAL_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
+                   % 2001 - 1000 AS w_milli
+        FROM (
+            SELECT doc_id, u.t AS feat
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+                 unnest(ts) AS u(t)
+            UNION ALL
+            SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+                 unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        )
+    )
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "curation_judge_calibration",
+    oracle=f"""
+        WITH logits AS ({_CAL_LOGIT_SQL}),
+        joined AS (
+            SELECT l.doc_id, l.logit, l.clf_keep,
+                   {_CAL_JUDGE_SQL} >= 30 AS judge_keep
+            FROM logits l JOIN documents d USING (doc_id)
+        ),
+        tiled AS (
+            SELECT *, ntile(10) OVER (ORDER BY logit, doc_id) AS decile
+            FROM joined
+        )
+        SELECT decile,
+               count(*) AS n_docs,
+               CAST(SUM(CASE WHEN clf_keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS clf_keeps,
+               CAST(SUM(CASE WHEN judge_keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS judge_keeps,
+               round(CAST(SUM(CASE WHEN clf_keep = judge_keep
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS agreement
+        FROM tiled
+        GROUP BY decile
+    """,
+)
+def curation_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the two-tier quality gate: does the CHEAP
+    hashed-linear classifier (txt_quality_linear_hashed — runs on every
+    document) track the EXPENSIVE LLM judge (curation_llm_judge — runs
+    on whatever the cheap tier lets through)? Per classifier-logit
+    decile: doc count, each gate's keep count, and the agreement rate.
+    This is the measurement behind the standard curation design of
+    "heuristics gate what reaches the model" (SCALING.md judge row) —
+    a decile where agreement collapses is where the cheap tier needs
+    retraining or the threshold moves.
+
+    Composes the two REGISTERED queries' logic by joining their
+    outputs (both deterministic md5 derivations here, which is what
+    makes the oracle able to reproduce the whole report in SQL; a real
+    deployment persists judge scores and joins the same way).
+
+    Scale: the classifier side is one explode+agg (its own row), the
+    judge side an Arrow UDF projection; the join keys on doc_id
+    (high-card, uniform). The ntile window is a TOTAL ORDER over
+    doc-cardinality rows — the documented local-mode cost; at 100 TB
+    swap cutpoints for approx_percentile exactly like
+    sample_perplexity_buckets. Tie-break (logit, doc_id) makes decile
+    membership engine-identical."""
+    from crawler_spark.plans.queries_mlprep import txt_quality_linear_hashed
+    from crawler_spark.plans.queries_sources import curation_llm_judge
+
+    clf = txt_quality_linear_hashed(spark, sf_dir).select(
+        "doc_id", F.col("quality_logit").alias("logit"),
+        F.col("keep").alias("clf_keep"))
+    judge = curation_llm_judge(spark, sf_dir).select(
+        "doc_id", (F.col("verdict") == "keep").alias("judge_keep"))
+    joined = clf.join(judge, "doc_id")
+    w = Window.orderBy("logit", "doc_id")
+    tiled = joined.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("clf_keep").cast("long")).alias("clf_keeps"),
+        F.sum(F.col("judge_keep").cast("long")).alias("judge_keeps"),
+        F.round(
+            F.sum((F.col("clf_keep") == F.col("judge_keep")).cast("long"))
+            / F.count(F.lit(1)), 6
+        ).alias("agreement"),
+    )

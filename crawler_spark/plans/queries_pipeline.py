@@ -239,17 +239,29 @@ def _fixture_edges(spark: SparkSession) -> DataFrame:
     if _FIXTURE_EDGES_CACHE is None:
         from crawler_spark.plans.crawl import crawl
 
-        items, _dead = crawl(
-            spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
-            allowed_domains=["fixture.test"], depth_limit=2,
-            obey_robots=True,
+        # the crawl's wave joins/distincts are sized to the fixture too
+        # (a handful of urls per wave — 32-partition shuffles are pure
+        # scheduling overhead); the collect below materializes every
+        # wave while the setting is in force
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
         )
-        _FIXTURE_EDGES_CACHE = [
-            (r.src, r.dst)
-            for r in items.select(
-                F.col("url").alias("src"), F.explode("links").alias("dst")
-            ).collect()
-        ]
+        try:
+            items, _dead = crawl(
+                spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
+                allowed_domains=["fixture.test"], depth_limit=2,
+                obey_robots=True,
+            )
+            _FIXTURE_EDGES_CACHE = [
+                (r.src, r.dst)
+                for r in items.select(
+                    F.col("url").alias("src"),
+                    F.explode("links").alias("dst"),
+                ).collect()
+            ]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         _FIXTURE_EDGES_CACHE, "src string, dst string"
     )
@@ -267,15 +279,22 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size the per-iteration shuffles to the graph: the fixture site is
     # a handful of nodes, so every power-iteration stage at the batch
     # default (32 partitions) is pure task-scheduling overhead — the
-    # same size-to-the-workload trade the streaming e2e queries make
+    # same size-to-the-workload trade the streaming e2e queries make.
+    # AQE off for the same reason: per-stage runtime re-planning costs
+    # more than these 6-node stages; corpus-scale graph runs keep it.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
     )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # the iteration materializes INSIDE pagerank (localCheckpoint
+        # per round), so the sized-down confs cover the real work
         return pagerank(edges).orderBy(F.col("rank").desc(), "id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 @register("crawl_hits")  # rows-only: iterative link-graph operator
@@ -289,17 +308,23 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.graph import hits
 
     edges = _fixture_edges(spark)
-    # same size-to-the-graph shuffle trade as crawl_pagerank
+    # same size-to-the-graph shuffle/AQE trade as crawl_pagerank; the
+    # wider stretch (check_every=8) halves driver syncs on a graph
+    # whose per-round compute is microseconds — the fixed point, hence
+    # the rounded rows, is stretch-invariant (operators/graph.py)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
     )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return hits(edges).orderBy(
+        return hits(edges, check_every=8).orderBy(
             F.col("authority").desc(), F.col("hub").desc(), "id"
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 @register("streaming_index_append_e2e")  # rows-only: streaming index maintenance

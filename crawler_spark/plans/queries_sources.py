@@ -202,6 +202,149 @@ def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JUDGE_SCORE_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT % 101"
 
 
+def _corpus_prose():
+    """Fixture prose with PRE-COMPUTED StubJudge verdicts (score =
+    md5(text)[:4] % 101, keep >= 30 — functions/judge.py): two keepers,
+    one judge-reject, one sitemap-only orphan keeper."""
+    return {
+        "art1": ("the distributed query engine shuffles partitions "
+                 "across the cluster racks"),                    # 54 keep
+        "art2": ("columnar scans prune row groups using zone maps "
+                 "and bloom filters today"),                     # 92 keep
+        "low": ("broadcast joins avoid the shuffle when one side "
+                "fits in executor memory"),                      # 21 drop
+        "orphan": ("watermark semantics bound the state a streaming "
+                   "aggregation must retain"),                   # 59 keep
+    }
+
+
+def _corpus_site() -> dict:
+    """Fixture site for the front-door pipeline: an HTML hub linking
+    text/plain articles, every article framed in the chrome lines the
+    boilerplate rules are built for, one article duplicated verbatim
+    at a second URL, one orphan reachable only via the sitemap."""
+    prose = _corpus_prose()
+
+    def _article(body: str) -> tuple[str, bytes]:
+        page = "\n".join([
+            "HOME | ABOUT | CONTACT | PRODUCTS | BLOG",
+            "SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG",
+            body,
+            "Accept cookies?",
+            "© 2026 corpus Media Group — all rights reserved.",
+        ])
+        return ("text/plain; charset=utf-8", page.encode("utf-8"))
+
+    hub = ('<title>corpus hub</title><body>corpus index '
+           '<a href="/a/art1">1</a><a href="/a/art2">2</a>'
+           '<a href="/a/dup">d</a><a href="/a/low">l</a></body>')
+    return {
+        "https://corpus.test/": ("text/html", hub.encode()),
+        "https://corpus.test/a/art1": _article(prose["art1"]),
+        "https://corpus.test/a/art2": _article(prose["art2"]),
+        "https://corpus.test/a/dup": _article(prose["art1"]),  # exact dup
+        "https://corpus.test/a/low": _article(prose["low"]),
+        "https://corpus.test/orphan": _article(prose["orphan"]),
+        "https://corpus.test/already": _article(prose["art2"]),
+    }
+
+
+_CORPUS_TABLE_DIR: list[str | None] = [None]
+
+
+@register("pipeline_corpus_e2e")  # rows-only: crawl loop + judge UDF not SQL
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL front-door corpus pipeline as one composition — the
+    crawl DAG the reference actually runs (SURVEY §3.2), each stage
+    the operator the registry verifies in isolation:
+
+      sitemap seed (sources/sitemap.py) → BFS crawl (plans/crawl.py)
+      → text-tier dispatch (plans/ingest.py parse_stage)
+      → boilerplate strip (functions/text.py)
+      → LLM-judge gate (functions/judge.py)
+      → exact dedup (min-url keeper)
+      → file-pruned MERGE into a bucketed pages table
+        (operators/upsert.py) → read back.
+
+    Deterministic fixture: the sitemap lists the hub, an orphan
+    article (reachable ONLY via the sitemap — proves seeding adds
+    coverage), and an already-crawled URL (anti-joined away, never
+    fetched). The crawl follows hub links to four articles; the judge
+    drops the low-scoring one; dedup collapses the verbatim duplicate
+    to its lexicographically-first URL; three rows land in the table.
+    Value-level lockstep asserts live in tests/test_sources.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from crawler_spark.functions.judge import judge_udf, parse_judgment
+    from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
+    from crawler_spark.plans.crawl import crawl
+    from crawler_spark.sources.fetch import StubFetcher
+    from crawler_spark.sources.sitemap import (
+        build_sitemap_xml, frontier_from_sitemaps,
+    )
+    from crawler_spark.streaming.ingest_stream import read_pages_table
+
+    site = _corpus_site()
+
+    # 1. sitemap → frontier delta (minus the already-crawled set)
+    xml = build_sitemap_xml([
+        ("https://corpus.test/", "2026-01-05"),
+        ("https://corpus.test/orphan", "2026-01-06"),
+        ("https://corpus.test/already", "2026-01-02"),
+    ])
+    blobs = spark.createDataFrame([(xml,)], "xml string")
+    crawled = spark.createDataFrame(
+        [("https://corpus.test/already",)], "url string")
+    frontier = frontier_from_sitemaps(blobs, crawled)
+    # the seed list is the one bounded driver materialization a crawl
+    # always starts from (plans/crawl.py head collect) — a sitemap
+    # frontier is ≤50k urls per blob by spec
+    seeds = [r.url for r in frontier.collect()]
+
+    # 2-3. BFS crawl + content-type dispatch (text tier keeps newlines)
+    items, _dead = crawl(
+        spark, StubFetcher(site), seeds,
+        allowed_domains=["corpus.test"], depth_limit=1, obey_robots=True,
+    )
+    articles = items.filter(F.col("file_type") == "text").select(
+        "url", "content")
+
+    # 4. line-density boilerplate strip (pure JVM columns)
+    cleaned = articles.select(
+        "url", X.strip_boilerplate(F.col("content")).alias("main_content")
+    ).filter(F.length("main_content") > 0)
+
+    # 5. model-judge quality gate (Arrow pandas_udf seam)
+    judged = (
+        cleaned.withColumn("raw", judge_udf()(F.col("main_content")))
+        .withColumn("j", parse_judgment("raw"))
+        .filter(F.col("j.verdict") == "keep")
+        .select("url", "main_content", F.col("j.score").alias("score"))
+    )
+
+    # 6. exact dedup: one keeper per identical cleaned text, min url
+    # (one shuffle on the content hash — the same keeper rule as the
+    # dedup_exact family)
+    keeper = judged.groupBy("main_content").agg(
+        F.min("url").alias("url"), F.first("score").alias("score"))
+
+    # 7. MERGE into a bucketed pages table and read the table back —
+    # the landed table IS the result. One table dir per process
+    # (removed at exit); the merge is idempotent by key, so re-runs
+    # converge to the same three rows.
+    if _CORPUS_TABLE_DIR[0] is None:
+        d = tempfile.mkdtemp(prefix="corpus_pages_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CORPUS_TABLE_DIR[0] = d
+    batch = keeper.select(
+        "url", "main_content", "score", key_bucket("url", 4).alias("bucket"))
+    merge_into_bucketed(spark, _CORPUS_TABLE_DIR[0], batch, key="url")
+    landed = read_pages_table(spark, _CORPUS_TABLE_DIR[0])
+    return landed.select("url", "main_content", "score").orderBy("url")
+
+
 @register(
     "curation_llm_judge",
     oracle=f"""

@@ -42,8 +42,13 @@ def extract_pdf_text(body: bytes | None) -> str | None:
 
 def classify_content_type(content_type: str | None) -> str | None:
     """Content-type dispatch (reference dynamic_spider.py:34-50):
-    application/pdf → pdf, image/* → image, text/html → html,
-    anything else → None (dropped)."""
+    application/pdf → pdf, image/* → image, text/html → html.
+    text/plain → text is an addition beyond the reference (it drops
+    everything else): a corpus pipeline ingesting WARC/exports meets
+    plain-text documents constantly, and dead-lettering them loses
+    exactly the rows the line-based text-cleaning tier
+    (functions/text.strip_boilerplate) is built for. Anything else →
+    None (dropped)."""
     if not content_type:
         return None
     ct = content_type.split(";")[0].strip().lower()
@@ -53,4 +58,6 @@ def classify_content_type(content_type: str | None) -> str | None:
         return "image"
     if ct == "text/html":
         return "html"
+    if ct == "text/plain":
+        return "text"
     return None

@@ -198,6 +198,68 @@ class TestSitemap:
         assert (r.url, r.lastmod) == ("https://s/b", "2026-03-09")
 
 
+class TestCorpusPipelineE2E:
+    """Value-level lockstep for the registered ``pipeline_corpus_e2e``
+    composition (sitemap → crawl → text dispatch → boilerplate strip →
+    judge gate → dedup → MERGE): the rows-only driver check proves it
+    runs; this pins the exact rows."""
+
+    def test_exact_rows_and_stage_semantics(self, spark):
+        from crawler_spark.plans import registry
+        from crawler_spark.plans.queries_sources import (
+            _corpus_prose,
+            pipeline_corpus_e2e,
+        )
+
+        registry.load_all()
+        prose = _corpus_prose()
+        rows = [(r.url, r.main_content, r.score)
+                for r in pipeline_corpus_e2e(spark, "unused").collect()]
+        assert rows == [
+            # dup collapsed to the lexicographically-first url
+            ("https://corpus.test/a/art1", prose["art1"], 54),
+            ("https://corpus.test/a/art2", prose["art2"], 92),
+            # reachable only through the sitemap seed
+            ("https://corpus.test/orphan", prose["orphan"], 59),
+        ]
+        # the judge-rejected article and the already-crawled sitemap
+        # entry never land
+        urls = {u for u, _, _ in rows}
+        assert "https://corpus.test/a/low" not in urls
+        assert "https://corpus.test/already" not in urls
+        # idempotent: re-running the pipeline re-merges the same keys
+        again = [(r.url, r.main_content, r.score)
+                 for r in pipeline_corpus_e2e(spark, "unused").collect()]
+        assert again == rows
+
+
+class TestTextContentType:
+    def test_classify_text_plain(self):
+        from crawler_spark.sources.file_handlers import classify_content_type
+
+        assert classify_content_type("text/plain") == "text"
+        assert classify_content_type("text/plain; charset=utf-8") == "text"
+        assert classify_content_type("application/json") is None
+
+    def test_parse_stage_text_tier_preserves_newlines(self, spark):
+        from crawler_spark.plans.ingest import parse_stage, split_dead_letter
+
+        fetched = spark.createDataFrame(
+            [("https://t/1", "text/plain; charset=utf-8",
+              b"line one\nline two\n", None),
+             ("https://t/2", "text/plain", b"   ", None)],
+            "url string, content_type string, body binary, "
+            "fetch_error string",
+        )
+        ok, dead = split_dead_letter(parse_stage(fetched))
+        (r,) = ok.collect()
+        assert r.url == "https://t/1"
+        assert r.content == "line one\nline two"  # newlines intact
+        assert r.file_type == "text"
+        (d,) = dead.collect()
+        assert d.url == "https://t/2" and "empty" in d.error
+
+
 class TestJudgeClient:
     def test_stub_deterministic_and_bounded(self):
         from crawler_spark.functions.judge import KEEP_THRESHOLD, StubJudge
