@@ -44,6 +44,7 @@ _NEVER_DRIVER_VERIFIED = [
     "scd2_customer_addresses", "layout_dpp_probe",
     # --- new in round 6 (registered this round, in priority order) ---
     "pipeline_corpus_e2e", "curation_judge_calibration",
+    "dedup_cluster_histogram",
 ]
 
 

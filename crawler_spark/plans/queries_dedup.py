@@ -503,3 +503,53 @@ def dedup_fuzzy_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _fuzzy_blocked_pairs(spark, variants, "vid")
     return pairs.where(
         (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 2 == 0))
+
+
+# --- dedup cluster-size histogram -------------------------------------------
+@register(
+    "dedup_cluster_histogram",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id * 4 + u.k AS vid, text
+            FROM documents,
+                 unnest(generate_series(0, doc_id % 4)) AS u(k)
+        ),
+        clusters AS (
+            SELECT text, count(*) AS cluster_size FROM corpus GROUP BY text
+        )
+        SELECT CAST(cluster_size AS INT) AS cluster_size,
+               count(*) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM clusters
+        GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health card for dedup: the DISTRIBUTION of duplicate-
+    cluster sizes (how many clusters of 1, of 2, ... and how many
+    documents they hold). This is the first number a dedup pass
+    reports — keep-one savings = 1 − Σn_clusters/Σn_docs — and its
+    shape diagnoses the corpus: a fat tail of large clusters means
+    mirror farms / templated spam, near-uniform singletons mean dedup
+    is done. Seeded like ``dedup_fuzzy_seeded``: every document spawns
+    1 + doc_id % 4 verbatim copies, so the planted histogram is
+    structurally known and both engines derive it independently.
+
+    Scale: two groupBys with map-side combine (text key → size key);
+    at 100 TB key the first on a 128-bit fingerprint instead of raw
+    text (X.fingerprint — collision odds ≪ corpus size) so shuffle
+    rows are hash-narrow; the histogram side is at most
+    max-cluster-size rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)).alias("k"),
+    ).select((F.col("doc_id") * 4 + F.col("k")).alias("vid"), "text")
+    clusters = corpus.groupBy("text").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy(
+        F.col("cluster_size").cast("int").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
