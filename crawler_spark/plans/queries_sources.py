@@ -222,7 +222,11 @@ def _corpus_site() -> dict:
     """Fixture site for the front-door pipeline: an HTML hub linking
     text/plain articles, every article framed in the chrome lines the
     boilerplate rules are built for, one article duplicated verbatim
-    at a second URL, one orphan reachable only via the sitemap."""
+    at a second URL, one orphan reachable only via the sitemap — which
+    is itself served by the site and advertised through robots.txt's
+    Sitemap: directive, the standard discovery channel."""
+    from crawler_spark.sources.sitemap import build_sitemap_xml
+
     prose = _corpus_prose()
 
     def _article(body: str) -> tuple[str, bytes]:
@@ -238,7 +242,17 @@ def _corpus_site() -> dict:
     hub = ('<title>corpus hub</title><body>corpus index '
            '<a href="/a/art1">1</a><a href="/a/art2">2</a>'
            '<a href="/a/dup">d</a><a href="/a/low">l</a></body>')
+    sitemap = build_sitemap_xml([
+        ("https://corpus.test/", "2026-01-05"),
+        ("https://corpus.test/orphan", "2026-01-06"),
+        ("https://corpus.test/already", "2026-01-02"),
+    ])
+    robots = ("User-agent: *\nAllow: /\n"
+              "Sitemap: https://corpus.test/sitemap.xml\n")
     return {
+        "https://corpus.test/robots.txt": ("text/plain", robots.encode()),
+        "https://corpus.test/sitemap.xml": ("application/xml",
+                                            sitemap.encode()),
         "https://corpus.test/": ("text/html", hub.encode()),
         "https://corpus.test/a/art1": _article(prose["art1"]),
         "https://corpus.test/a/art2": _article(prose["art2"]),
@@ -282,19 +296,19 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.plans.crawl import crawl
     from crawler_spark.sources.fetch import StubFetcher
     from crawler_spark.sources.sitemap import (
-        build_sitemap_xml, frontier_from_sitemaps,
+        discover_sitemaps, fetch_sitemap_blobs, frontier_from_sitemaps,
     )
     from crawler_spark.streaming.ingest_stream import read_pages_table
 
     site = _corpus_site()
+    fetcher = StubFetcher(site)
 
-    # 1. sitemap → frontier delta (minus the already-crawled set)
-    xml = build_sitemap_xml([
-        ("https://corpus.test/", "2026-01-05"),
-        ("https://corpus.test/orphan", "2026-01-06"),
-        ("https://corpus.test/already", "2026-01-02"),
-    ])
-    blobs = spark.createDataFrame([(xml,)], "xml string")
+    # 1. robots.txt Sitemap: discovery → fetch → frontier delta (minus
+    # the already-crawled set) — the standard discovery channel, same
+    # bounded driver-side shape as the crawl's robots handling
+    sitemap_urls = discover_sitemaps(fetcher, ["https://corpus.test"])
+    xmls = fetch_sitemap_blobs(fetcher, sitemap_urls)
+    blobs = spark.createDataFrame([(x,) for x in xmls], "xml string")
     crawled = spark.createDataFrame(
         [("https://corpus.test/already",)], "url string")
     frontier = frontier_from_sitemaps(blobs, crawled)
@@ -305,7 +319,7 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2-3. BFS crawl + content-type dispatch (text tier keeps newlines)
     items, _dead = crawl(
-        spark, StubFetcher(site), seeds,
+        spark, fetcher, seeds,
         allowed_domains=["corpus.test"], depth_limit=1, obey_robots=True,
     )
     articles = items.filter(F.col("file_type") == "text").select(

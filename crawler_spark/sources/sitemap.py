@@ -109,6 +109,74 @@ def read_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
     return blobs.mapInPandas(parse, SITEMAP_ROWS_SCHEMA)
 
 
+def _root_is_index(xml_text: str) -> bool:
+    """True when the document's root element is <sitemapindex> —
+    parse_sitemap flattens both document kinds to (url, lastmod) rows,
+    so indirection-following needs the root tag itself."""
+    try:
+        return _local(ET.fromstring(xml_text).tag) == "sitemapindex"
+    except ET.ParseError:
+        return False
+
+
+def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
+    """Sitemap URLs advertised by each origin's robots.txt — the
+    standard discovery channel (sitemaps.org protocol / RFC 9309
+    ``Sitemap:`` directives: any position in the file, case-
+    insensitive key). One robots fetch per origin, like
+    ``robots_allowed_map``; a missing/unfetchable robots.txt or one
+    without directives contributes nothing. Order preserved,
+    duplicates dropped. Driver-side by design: the origin list is the
+    crawl's seed set (bounded); a 100k-origin discovery sweep runs
+    this same function inside ``mapInPandas`` partitioned by host,
+    exactly the ``robots_filter`` pattern."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for origin in origins:
+        _, body, err = fetcher.fetch(origin.rstrip("/") + "/robots.txt")
+        if err is not None or body is None:
+            continue
+        for line in body.decode("utf-8", errors="replace").splitlines():
+            key, _, value = line.partition(":")
+            if key.strip().lower() == "sitemap":
+                u = value.strip()
+                if u and u not in seen:
+                    seen.add(u)
+                    out.append(u)
+    return out
+
+
+def fetch_sitemap_blobs(
+    fetcher, sitemap_urls: list[str], max_index_depth: int = 1
+) -> list[str]:
+    """Fetch sitemap documents, following <sitemapindex> indirection
+    up to ``max_index_depth`` levels (the two-level walk SitemapSpider
+    does — an index's entries are themselves sitemap URLs). Returns
+    the leaf urlset XML strings for ``read_sitemap_blobs``/
+    ``frontier_from_sitemaps``; fetch failures skip (the crawl's
+    retry/dead-letter tier owns transport errors). Bounded: a
+    sitemapindex holds ≤50k entries by spec and depth is capped."""
+    blobs: list[str] = []
+    frontier = list(dict.fromkeys(sitemap_urls))
+    for depth in range(max_index_depth + 1):
+        next_urls: list[str] = []
+        for u in frontier:
+            _, body, err = fetcher.fetch(u)
+            if err is not None or body is None:
+                continue
+            xml = body.decode("utf-8", errors="replace")
+            if depth < max_index_depth and _root_is_index(xml):
+                next_urls.extend(
+                    r["url"] for r in parse_sitemap(xml) if r["url"]
+                )
+            else:
+                blobs.append(xml)
+        frontier = next_urls
+        if not frontier:
+            break
+    return blobs
+
+
 def frontier_from_sitemaps(
     blobs: DataFrame,
     crawled: DataFrame,

@@ -114,36 +114,49 @@ def build_warc_record(
 # parser (pure functions — unit-testable without Spark)
 # --------------------------------------------------------------------------
 
-def _split_gzip_members(blob: bytes) -> Iterator[tuple[bytes, str | None]]:
-    """Decompress a multi-member gzip stream one member at a time —
-    memory bounded by a single member regardless of file size.
+def _segments(blob: bytes) -> Iterator[tuple[bytes, str | None]]:
+    """Walk a WARC blob as a sequence of plaintext segments: a gzip
+    member (decompressed one at a time — memory bounded by a single
+    member regardless of file size) or a plain span running to the
+    next gzip magic.
 
-    Yields ``(data, error)`` pairs. A corrupted member or trailing
-    garbage yields ``(partial_data, message)`` and resynchronizes at
-    the next gzip magic (``\\x1f\\x8b``) — upholding the module
-    contract that malformed input dead-letters rows, never fails the
-    task (a bit-flip in one Common Crawl member must cost one row,
-    not the segment)."""
-    rest = blob
-    while rest:
-        d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
-        try:
-            data = d.decompress(rest)
-        except zlib.error as exc:
-            # Corrupt member or non-gzip garbage between members: scan
-            # past the current magic for the next member boundary.
-            nxt = rest.find(_GZ_MAGIC, 2)
-            yield b"", f"corrupt gzip member: {exc}"
-            if nxt < 0:
+    Yields ``(data, error)`` pairs. A corrupted/truncated member or
+    non-gzip garbage yields a flagged pair and resynchronizes at the
+    NEXT gzip magic (``\\x1f\\x8b``) — from ANY position, including a
+    damaged magic at offset 0 (fuzz-found: the old leading-bytes sniff
+    silently lost every member behind a single flipped first byte).
+    Upholds the module contract that malformed input dead-letters
+    rows, never fails the task: a bit-flip anywhere in a Common Crawl
+    segment costs at most the member it lands in (property-tested
+    over every byte position, tests/test_sources.py)."""
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos:pos + 2] == _GZ_MAGIC:
+            d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
+            try:
+                data = d.decompress(view[pos:])
+            except zlib.error as exc:
+                # corrupt member: scan past this magic for the next one
+                nxt = blob.find(_GZ_MAGIC, pos + 2)
+                yield b"", f"corrupt gzip member: {exc}"
+                if nxt < 0:
+                    return
+                pos = nxt
+                continue
+            if not d.eof:
+                # ended mid-member: salvage what decompressed, flag it
+                yield data, "truncated gzip member"
                 return
-            rest = rest[nxt:]
-            continue
-        if not d.eof:
-            # Stream ended mid-member: salvage what decompressed, flag it.
-            yield data, "truncated gzip member"
-            return
-        yield data, None
-        rest = d.unused_data
+            yield data, None
+            pos = n - len(d.unused_data)
+        else:
+            # plain span (an uncompressed .warc, or damaged bytes in
+            # front of the next member)
+            nxt = blob.find(_GZ_MAGIC, pos)
+            end = n if nxt < 0 else nxt
+            yield bytes(view[pos:end]), None
+            pos = end
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -184,16 +197,18 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     set, other fields None) and parsing continues at the NEXT record —
     one mangled record in a 1 GiB segment costs one row, not the file.
     """
-    if blob[:2] == _GZ_MAGIC:
-        chunks: Iterable[tuple[bytes, str | None]] = _split_gzip_members(blob)
-    else:
-        chunks = [(blob, None)]
-    for chunk, gz_err in chunks:
+    for chunk, gz_err in _segments(blob):
         if gz_err is not None:
             # One dead-letter row per damaged member; any salvaged
             # prefix still gets parsed below (complete records in a
             # truncated member survive).
             yield _dead(gz_err)
+        if chunk and gz_err is None and b"WARC/" not in chunk:
+            # a non-empty segment carrying no records at all is
+            # damage (e.g. a member whose magic was corrupted parses
+            # as a plain span of compressed bytes) — surface it
+            yield _dead("no WARC records in segment")
+            continue
         pos = 0
         while True:
             start = chunk.find(b"WARC/", pos)
