@@ -437,3 +437,39 @@ def test_boilerplate_strip_zero_shuffle(spark):
     regression."""
     plan = plan_text(_QUERIES["txt_boilerplate_strip"](spark, SF))
     assert "Exchange" not in plan, "boilerplate strip acquired a shuffle"
+
+
+def test_cluster_histogram_no_joins_no_python(spark):
+    """dedup_cluster_histogram is explode + two groupBys: no joins of
+    any kind and no Python evaluation may appear — both would signal
+    the corpus-health card stopped being a pure aggregation pass."""
+    plan = plan_text(_QUERIES["dedup_cluster_histogram"](spark, SF))
+    import re
+
+    assert "Join" not in plan, "histogram grew a join"
+    assert "EvalPython" not in plan, "histogram fell off the JVM path"
+    # formatted-explain lists each node twice (tree + detail) — count
+    # distinct node ids
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, (
+        f"histogram shuffles {n_exchanges}x, expected its two groupBys"
+    )
+
+
+def test_judge_calibration_classifier_side_jvm(spark):
+    """curation_judge_calibration: the only Python in the plan must be
+    the judge's Arrow UDF — the hashed-linear classifier side stays
+    whole-stage JVM (its features/weights are pure expressions), and
+    the doc_id join must not be a cartesian product."""
+    import re
+
+    plan = plan_text(_QUERIES["curation_judge_calibration"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly one Arrow-batched python node (the judge); the
+    # classifier's md5 feature hashing shows up nowhere as Python.
+    # formatted-explain lists each node twice — count distinct ids
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert n_arrow == 1, (
+        f"expected exactly the judge UDF on the Python path, saw {n_arrow}"
+    )
+    assert "BatchEvalPython" not in plan, "row-at-a-time UDF leaked in"

@@ -221,6 +221,27 @@ class TestSitemap:
         out = {r.url for r in frontier_from_sitemaps(blobs, crawled).collect()}
         assert out == {"https://s/b", "https://s/c"}
 
+    def test_roundtrip_property_any_text(self):
+        """Property (hypothesis): serialize→parse is identity for ANY
+        printable loc/lastmod content (XML metacharacters included) —
+        the escaping fix generalized, not just the '&' case."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        text = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=1, max_size=40,
+        ).map(str.strip).filter(bool)
+
+        @given(text, text)
+        @settings(max_examples=200, deadline=None)
+        def check(loc, lastmod):
+            rows = parse_sitemap(build_sitemap_xml([(loc, lastmod)]))
+            assert rows == [{"url": loc, "lastmod": lastmod,
+                             "parse_error": None}], (loc, lastmod)
+
+        check()
+
     def test_discover_sitemaps_from_robots(self):
         from crawler_spark.sources.fetch import StubFetcher
         from crawler_spark.sources.sitemap import discover_sitemaps
