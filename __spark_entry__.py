@@ -44,7 +44,8 @@ _NEVER_DRIVER_VERIFIED = [
     "scd2_customer_addresses", "layout_dpp_probe",
     # --- new in round 6 (registered this round, in priority order) ---
     "pipeline_corpus_e2e", "curation_judge_calibration",
-    "dedup_cluster_histogram",
+    "dedup_cluster_histogram", "curation_filter_overlap",
+    "sample_unimax_quota",
 ]
 
 

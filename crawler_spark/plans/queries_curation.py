@@ -1208,3 +1208,71 @@ def curation_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)), 6
         ).alias("agreement"),
     )
+
+
+# --- filter-overlap (upset) report ------------------------------------------
+@register(
+    "curation_filter_overlap",
+    oracle=f"""
+        WITH gopher AS (
+            SELECT doc_id,
+                   (n_words >= 20
+                    AND CAST(n_nonws AS DOUBLE) / greatest(n_words, 1)
+                        BETWEEN 3 AND 10
+                    AND stopword_hits >= 1) AS gopher_pass
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) AS n_words,
+                       length(regexp_replace(text, '\\s', '', 'g'))
+                           AS n_nonws,
+                       len(list_intersect(list_distinct({_TOKENS_SQL}),
+                           ['the','of','and','to','in','a','is','that']))
+                           AS stopword_hits
+                FROM documents
+            )
+        ),
+        clf AS ({_CAL_LOGIT_SQL}),
+        judge AS (
+            SELECT doc_id, {_CAL_JUDGE_SQL} >= 30 AS judge_keep
+            FROM documents
+        )
+        SELECT g.gopher_pass, c.clf_keep, j.judge_keep,
+               count(*) AS n_docs
+        FROM gopher g
+        JOIN clf c USING (doc_id)
+        JOIN judge j USING (doc_id)
+        GROUP BY g.gopher_pass, c.clf_keep, j.judge_keep
+    """,
+)
+def curation_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upset-style overlap report for the three quality gates (Gopher
+    heuristics, hashed-linear classifier, LLM judge): one row per
+    pass/fail combination with its document count. This is the other
+    half of the calibration story — ``curation_funnel`` shows
+    SEQUENTIAL survivor counts, this shows which gates agree on WHICH
+    documents: a large (gopher_pass, clf_drop, judge_keep) cell means
+    the cheap classifier is throwing away documents both the
+    heuristics and the model would keep — the cell a curation team
+    inspects before tightening any threshold.
+
+    Composes the three REGISTERED gate queries by doc_id joins; all
+    three are deterministic here, so the oracle reproduces every cell
+    exactly. Scale: each gate is its own documented pass (projection /
+    explode+agg / Arrow UDF), the joins key on doc_id (high-card,
+    uniform), and the output is ≤8 rows by construction."""
+    from crawler_spark.plans.queries_mlprep import txt_quality_linear_hashed
+    from crawler_spark.plans.queries_ragprep import txt_gopher_rules
+    from crawler_spark.plans.queries_sources import curation_llm_judge
+
+    gopher = txt_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher_pass"))
+    clf = txt_quality_linear_hashed(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep"))
+    judge = curation_llm_judge(spark, sf_dir).select(
+        "doc_id", (F.col("verdict") == "keep").alias("judge_keep"))
+    return (
+        gopher.join(clf, "doc_id").join(judge, "doc_id")
+        .groupBy("gopher_pass", "clf_keep", "judge_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

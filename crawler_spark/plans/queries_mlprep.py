@@ -868,3 +868,141 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("keep_p") >= 1.0) | (u < thresh))
         .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
     )
+
+
+# --- UniMax epoch-capped budget allocation ---------------------------------
+_UNIMAX_EPOCH_CAP = 2      # no language repeats more than C epochs
+_UNIMAX_BUDGET_X = 1.8     # total budget = floor(1.8 x corpus docs)
+
+
+@register(
+    "sample_unimax_quota",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS s
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(floor({_UNIMAX_BUDGET_X} * SUM(s)) AS BIGINT) AS b,
+                   count(*) AS l
+            FROM sizes
+        ),
+        ordered AS (
+            SELECT lang, s, {_UNIMAX_EPOCH_CAP} * s AS cap,
+                   row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * s, lang)
+                       AS i,
+                   SUM({_UNIMAX_EPOCH_CAP} * s) OVER (
+                       ORDER BY {_UNIMAX_EPOCH_CAP} * s, lang
+                       ROWS UNBOUNDED PRECEDING) AS cumcap
+            FROM sizes
+        ),
+        flagged AS (
+            SELECT o.*, t.b, t.l,
+                   (o.cap * (t.l - o.i + 1) <= t.b - (o.cumcap - o.cap))
+                       AS capped
+            FROM ordered o CROSS JOIN tot t
+        ),
+        kf AS (
+            SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS k,
+                   coalesce(max(CASE WHEN capped THEN cumcap END), 0)
+                       AS cumcap_k
+            FROM flagged
+        ),
+        q AS (
+            SELECT f.lang, f.s, f.cap, f.i, f.capped, f.b, f.l, kf.k,
+                   CAST(floor(CAST(f.b - kf.cumcap_k AS DOUBLE)
+                              / greatest(f.l - kf.k, 1)) AS BIGINT) AS base,
+                   (f.b - kf.cumcap_k)
+                       - CAST(floor(CAST(f.b - kf.cumcap_k AS DOUBLE)
+                              / greatest(f.l - kf.k, 1)) AS BIGINT)
+                         * (f.l - kf.k) AS rem
+            FROM flagged f CROSS JOIN kf
+        )
+        SELECT lang, s AS n_docs, cap,
+               CASE WHEN capped OR l = k THEN cap
+                    ELSE base + CASE WHEN i - k <= rem THEN 1 ELSE 0 END
+               END AS quota,
+               round(CAST(CASE WHEN capped OR l = k THEN cap
+                    ELSE base + CASE WHEN i - k <= rem THEN 1 ELSE 0 END
+               END AS DOUBLE) / s, 6) AS epochs
+        FROM q
+    """,
+)
+def sample_unimax_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): spread a
+    total document budget across languages AS UNIFORMLY AS POSSIBLE
+    subject to a per-language epoch cap — no language repeats more
+    than C times, and the freed budget water-fills into the larger
+    languages. The published successor to temperature sampling
+    (``sample_temperature_mix``): temperature still over-samples tiny
+    languages into many epochs (memorization) while UniMax caps
+    repetition explicitly.
+
+    Exact water-filling, closed form: sort languages by cap = C·size
+    ascending; a language is CAPPED iff granting every not-yet-
+    processed language its own cap-level share still fits the
+    remaining budget; the first k languages cap, the rest split the
+    remainder evenly (integer floor, the ≤L−k leftover docs assigned
+    one each in sort order, so quotas sum EXACTLY to the budget on
+    any engine). Output: per-language quota table (lang, n_docs, cap,
+    quota, epochs) — the rate table a membership sampler (the
+    md5-prefix rule, sample_temperature_mix) consumes downstream.
+
+    Scale: one lang-cardinality aggregate off the corpus scan; every
+    window after it runs over L languages (dozens), never documents —
+    the same tiny-rate-table-broadcast shape as temperature mixing."""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("s"))
+    return unimax_quotas(sizes, _UNIMAX_BUDGET_X, _UNIMAX_EPOCH_CAP)
+
+
+def unimax_quotas(
+    sizes: DataFrame, budget_x: float, epoch_cap: int
+) -> DataFrame:
+    """The water-filling allocator behind ``sample_unimax_quota``,
+    factored over a (lang, s) sizes frame so edge cases (budget beyond
+    every cap, budget below every cap, exact-sum invariants) are
+    directly testable. Budget = floor(budget_x · Σs) documents."""
+    tot = sizes.agg(
+        F.floor(F.lit(budget_x) * F.sum("s")).cast("long").alias("b"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    cap = (F.lit(epoch_cap) * F.col("s")).alias("cap")
+    w = Window.orderBy("cap", "lang")
+    ordered = (
+        sizes.select("lang", "s", cap)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cumcap",
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    flagged = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "capped",
+        F.col("cap") * (F.col("l") - F.col("i") + 1)
+        <= F.col("b") - (F.col("cumcap") - F.col("cap")),
+    )
+    kf = flagged.agg(
+        F.coalesce(F.max(F.when(F.col("capped"), F.col("i"))), F.lit(0))
+        .alias("k"),
+        F.coalesce(F.max(F.when(F.col("capped"), F.col("cumcap"))), F.lit(0))
+        .alias("cumcap_k"),
+    )
+    q = flagged.crossJoin(F.broadcast(kf))
+    denom = F.greatest(F.col("l") - F.col("k"), F.lit(1))
+    base = F.floor(
+        (F.col("b") - F.col("cumcap_k")).cast("double") / denom
+    ).cast("long")
+    rem = (F.col("b") - F.col("cumcap_k")) - base * (F.col("l") - F.col("k"))
+    quota = F.when(
+        F.col("capped") | (F.col("l") == F.col("k")), F.col("cap")
+    ).otherwise(
+        base + F.when(F.col("i") - F.col("k") <= rem, 1).otherwise(0)
+    )
+    return q.select(
+        "lang",
+        F.col("s").alias("n_docs"),
+        "cap",
+        quota.alias("quota"),
+        F.round(quota.cast("double") / F.col("s"), 6).alias("epochs"),
+    )

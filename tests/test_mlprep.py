@@ -449,3 +449,64 @@ class TestQuantileSketch:
                 F.expr(f"percentile(value, {hi_q})"),
             ).first()
             assert lo <= v <= hi, (q, v, lo, hi)
+
+
+class TestUnimaxQuotas:
+    """Water-filling edge cases for the UniMax allocator
+    (queries_mlprep.unimax_quotas) the registered oracle can't reach:
+    exact budget sum, all-capped, none-capped, remainder spread."""
+
+    def _sizes(self, spark, rows):
+        return spark.createDataFrame(rows, "lang string, s long")
+
+    def _quotas(self, spark, rows, budget_x, epoch_cap=2):
+        from crawler_spark.plans.queries_mlprep import unimax_quotas
+
+        out = unimax_quotas(
+            self._sizes(spark, rows), budget_x, epoch_cap).collect()
+        return {r.lang: r for r in out}
+
+    def test_quotas_sum_exactly_to_budget(self, spark):
+        rows = [("a", 10), ("b", 100), ("c", 37), ("d", 3)]
+        total = sum(s for _, s in rows)
+        for x in (0.3, 0.7, 1.0, 1.5, 1.9):
+            q = self._quotas(spark, rows, x)
+            budget = int(x * total)
+            assert sum(r.quota for r in q.values()) == budget, x
+            for r in q.values():
+                assert 0 <= r.quota <= 2 * r.n_docs
+
+    def test_budget_beyond_all_caps_grants_every_cap(self, spark):
+        q = self._quotas(spark, [("a", 10), ("b", 20)], 5.0, epoch_cap=2)
+        assert q["a"].quota == 20 and q["b"].quota == 40
+        assert q["a"].epochs == 2.0 and q["b"].epochs == 2.0
+
+    def test_tiny_budget_splits_evenly_no_caps(self, spark):
+        # budget 30 over 3 langs, all caps far above → 10 each
+        q = self._quotas(
+            spark, [("a", 100), ("b", 200), ("c", 300)], 0.05, epoch_cap=2)
+        assert [q[l].quota for l in "abc"] == [10, 10, 10]
+
+    def test_remainder_goes_to_first_uncapped_in_order(self, spark):
+        # budget = 32: caps 4 ("t" capped: 4*... ), then 28 over 2
+        # uncapped → base 14 each, remainder 0; make remainder nonzero:
+        # budget 33 → base 14, rem 1 → first uncapped (by cap,lang) +1
+        rows = [("tiny", 2), ("big1", 50), ("big2", 50)]
+        from crawler_spark.plans.queries_mlprep import unimax_quotas
+
+        out = {r.lang: r for r in unimax_quotas(
+            self._sizes(spark, rows), 33 / 102, 2).collect()}
+        assert out["tiny"].quota == 4          # capped at 2 epochs
+        assert out["big1"].quota == 15         # base 14 + remainder
+        assert out["big2"].quota == 14
+        assert sum(r.quota for r in out.values()) == 33
+
+    def test_monotone_in_budget(self, spark):
+        rows = [("a", 10), ("b", 100), ("c", 37)]
+        prev = None
+        for x in (0.2, 0.5, 0.9, 1.3, 1.7):
+            q = self._quotas(spark, rows, x)
+            if prev is not None:
+                for lang in q:
+                    assert q[lang].quota >= prev[lang].quota, (lang, x)
+            prev = q
