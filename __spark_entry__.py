@@ -45,7 +45,7 @@ _NEVER_DRIVER_VERIFIED = [
     # --- new in round 6 (registered this round, in priority order) ---
     "pipeline_corpus_e2e", "curation_judge_calibration",
     "dedup_cluster_histogram", "curation_filter_overlap",
-    "sample_unimax_quota",
+    "sample_unimax_quota", "streaming_sessionize_e2e",
 ]
 
 

@@ -380,3 +380,80 @@ def streaming_index_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     top = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5)
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# Normalized events replay directory, written once per (process,
+# sf_dir): the raw events.parquet carries TIMESTAMP(NANOS) which
+# readStream's vectorized reader rejects, so the stream replays a
+# load_table-normalized multi-file copy (4 files → 4 micro-batches,
+# real cross-batch session-state merging).
+_EVENT_REPLAY_DIRS: dict[str, str] = {}
+
+
+def _event_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    path = _EVENT_REPLAY_DIRS.get(sf_dir)
+    if path is None:
+        from crawler_spark.sources import load_table
+
+        path = tempfile.mkdtemp(prefix="ev_replay_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.col("value").cast("double").alias("value"),
+                    F.col("props").cast("string").alias("props"))
+            .repartition(4)
+            .write.mode("overwrite").parquet(path)
+        )
+        _EVENT_REPLAY_DIRS[sf_dir] = path
+    return path
+
+
+@register("streaming_sessionize_e2e")  # rows-only: stream state semantics
+def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table replayed as a MULTI-batch file stream through
+    the native ``session_window`` operator (streaming/event_stream.py
+    session_windows — per-open-session state, closed by watermark):
+    sessions opened in one micro-batch extend through later batches,
+    which is precisely the state-merge semantics the batch lag-gap
+    rewrite (``ev_sessionize``) cannot express. Complete-mode memory
+    sink, final table returned. Value lockstep vs the batch
+    sessionizer — identical (user_id, session_start, n_events) and
+    stream end = batch last-event + gap — is pinned in
+    tests/test_streaming.py."""
+    import uuid
+
+    from crawler_spark.streaming.event_stream import (
+        read_event_stream,
+        session_windows,
+    )
+
+    name = f"sessionize_e2e_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, _event_replay_dir(spark, sf_dir))
+    # session-state shards = shuffle partitions at query start; size to
+    # the stream like the other streaming e2e queries
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+    )
+    # the replay's 4 files are round-robin slices, not time slices, so
+    # a production-width watermark would drop the "late" half of every
+    # later batch — widen it past the dataset's span so the lockstep
+    # equality with the batch sessionizer holds exactly (watermark
+    # EVICTION semantics are pinned by streaming_dedup_horizon_e2e and
+    # the stateful.py tests; this query pins session-state MERGING)
+    q = (
+        session_windows(stream, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -55,6 +55,31 @@ class TestEventStreams:
         want = {(r.b, r.event_type): (r.n, r.v) for r in batch.collect()}
         assert got == want
 
+    def test_streaming_sessionize_e2e_matches_batch(self, spark):
+        """The registered streaming sessionize query must equal the
+        oracle-backed batch lag-gap sessionizer value-for-value:
+        identical (user_id, session_start, n_events) sets, and the
+        stream's session end = batch last-event + the 30-minute gap
+        (session_window's documented end semantics)."""
+        from datetime import timedelta
+
+        from crawler_spark.plans import registry
+
+        registry.load_all()
+        stream_rows = registry.QUERIES["streaming_sessionize_e2e"](
+            spark, SF).collect()
+        batch_rows = registry.QUERIES["ev_sessionize"](spark, SF).collect()
+        got = {(r.user_id, r.session_start, r.n_events)
+               for r in stream_rows}
+        want = {(r.user_id, r.session_start, r.n_events)
+                for r in batch_rows}
+        assert got == want
+        ends_got = {(r.user_id, r.session_start): r.session_end
+                    for r in stream_rows}
+        for r in batch_rows:
+            assert ends_got[(r.user_id, r.session_start)] == (
+                r.session_end + timedelta(minutes=30))
+
     def test_session_windows_respect_gap(self, spark, event_dir):
         from crawler_spark.streaming.event_stream import (
             read_event_stream,
