@@ -173,7 +173,21 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
                 break
             except ConcurrentWriteError:
                 if attempt == 9:
-                    break  # best-effort: leave the cache to recovery
+                    # best-effort, but never SILENT: the staleness
+                    # self-heals at the next commit touching this
+                    # table (its fence sees the unadvanced mlog) or
+                    # via recover_transactions; the warning is the
+                    # operator's signal that the live manifest lags
+                    import warnings
+
+                    warnings.warn(
+                        f"txn sync skipped for {t}: table lock held "
+                        "by a live writer through 10 retries; its "
+                        "manifest lags the txn log until the next "
+                        "sync or recover_transactions()",
+                        stacklevel=2,
+                    )
+                    break
                 time.sleep(0.02 * (attempt + 1))
 
 

@@ -1112,29 +1112,22 @@ def corpus_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- judge-vs-classifier calibration ----------------------------------------
-_CAL_JUDGE_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT % 101"
-_CAL_QC_BUCKETS = 4096
+# The composed oracles BUILD ON the component queries' own fragments
+# (review finding: verbatim re-inlines meant a weight-hash/threshold
+# change would silently diverge the composition from its components).
+from crawler_spark.plans.queries_mlprep import (  # noqa: E402
+    _QC_WEIGHTED_SQL,
+)
+from crawler_spark.plans.queries_sources import (  # noqa: E402
+    _JUDGE_SCORE_SQL as _CAL_JUDGE_SQL,
+)
+
 _CAL_LOGIT_SQL = f"""
     SELECT doc_id,
            round(CAST(SUM(w_milli) AS DOUBLE)
                  / (1000.0 * count(*)), 6) AS logit,
            SUM(w_milli) > 0 AS clf_keep
-    FROM (
-        SELECT doc_id,
-               ('0x' || substr(md5('w:' || CAST(
-                   ('0x' || substr(md5(feat), 1, 8))::BIGINT
-                       % {_CAL_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
-                   % 2001 - 1000 AS w_milli
-        FROM (
-            SELECT doc_id, u.t AS feat
-            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
-                 unnest(ts) AS u(t)
-            UNION ALL
-            SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
-            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
-                 unnest(generate_series(1, len(ts) - 1)) AS u(i)
-        )
-    )
+    FROM ({_QC_WEIGHTED_SQL})
     GROUP BY doc_id
 """
 
@@ -1211,23 +1204,27 @@ def curation_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- filter-overlap (upset) report ------------------------------------------
+from crawler_spark.plans.queries_ragprep import (  # noqa: E402
+    _GOPHER_PASS_SQL,
+    _STOPWORDS,
+)
+
+
 @register(
     "curation_filter_overlap",
     oracle=f"""
         WITH gopher AS (
-            SELECT doc_id,
-                   (n_words >= 20
-                    AND CAST(n_nonws AS DOUBLE) / greatest(n_words, 1)
-                        BETWEEN 3 AND 10
-                    AND stopword_hits >= 1) AS gopher_pass
+            SELECT doc_id, {_GOPHER_PASS_SQL} AS gopher_pass
             FROM (
                 SELECT doc_id,
                        len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) AS n_words,
-                       length(regexp_replace(text, '\\s', '', 'g'))
-                           AS n_nonws,
+                       length(text) AS n_chars,
+                       length(text)
+                         - length(regexp_replace(text, '\\s', '', 'g'))
+                           AS n_ws,
                        len(list_intersect(list_distinct({_TOKENS_SQL}),
-                           ['the','of','and','to','in','a','is','that']))
+                           [{", ".join(repr(s) for s in _STOPWORDS)}]))
                            AS stopword_hits
                 FROM documents
             )

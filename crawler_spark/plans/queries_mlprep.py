@@ -678,28 +678,31 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hashed linear quality classifier (fastText-shaped) -------------------
 _QC_BUCKETS = 4096
 
+# Per-feature milli-weight derivation, shared with the composed
+# calibration/overlap oracles (queries_curation.py) so a change to the
+# bucket count or weight hash can never diverge between them.
+_QC_WEIGHTED_SQL = f"""
+        SELECT doc_id,
+               ('0x' || substr(md5('w:' || CAST(
+                   ('0x' || substr(md5(feat), 1, 8))::BIGINT
+                       % {_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
+                   % 2001 - 1000 AS w_milli
+        FROM (
+            SELECT doc_id, u.t AS feat
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+                 unnest(ts) AS u(t)
+            UNION ALL
+            SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+                 unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        )
+"""
+
 
 @register(
     "txt_quality_linear_hashed",
     oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
-        ),
-        feats AS (
-            SELECT doc_id, u.t AS feat
-            FROM toks, unnest(ts) AS u(t)
-            UNION ALL
-            SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
-            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
-        ),
-        weighted AS (
-            SELECT doc_id,
-                   ('0x' || substr(md5('w:' || CAST(
-                       ('0x' || substr(md5(feat), 1, 8))::BIGINT
-                           % {_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
-                       % 2001 - 1000 AS w_milli
-            FROM feats
-        )
+        WITH weighted AS ({_QC_WEIGHTED_SQL})
         SELECT doc_id,
                count(*) AS n_feats,
                round(CAST(SUM(w_milli) AS DOUBLE)

@@ -132,6 +132,20 @@ def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gopher-style quality gates -------------------------------------------
 _STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that"]
+# Composite-pass thresholds, shared with the composed filter-overlap
+# oracle (queries_curation.py) so a tuning change cannot diverge them.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_WORD_LEN_LO = 3
+_GOPHER_WORD_LEN_HI = 10
+# the pass predicate over the sig CTE's columns, verbatim in both
+# consumers (sig must expose n_words, n_ws/n_nonws-derived mean, and
+# stopword_hits — see each oracle)
+_GOPHER_PASS_SQL = (
+    f"(n_words >= {_GOPHER_MIN_WORDS} "
+    f"AND CAST(n_chars - n_ws AS DOUBLE) / greatest(n_words, 1) "
+    f"BETWEEN {_GOPHER_WORD_LEN_LO} AND {_GOPHER_WORD_LEN_HI} "
+    f"AND stopword_hits >= 1)"
+)
 
 
 @register(
@@ -158,10 +172,7 @@ _STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that"]
                round(CAST(n_chars - n_alnum_ws AS DOUBLE)
                      / greatest(n_chars, 1), 6) AS symbol_ratio,
                CAST(stopword_hits AS BIGINT) AS stopword_hits,
-               (n_words >= 20
-                AND CAST(n_chars - n_ws AS DOUBLE) / greatest(n_words, 1)
-                    BETWEEN 3 AND 10
-                AND stopword_hits >= 1) AS passes
+               {_GOPHER_PASS_SQL} AS passes
         FROM sig
     """,
 )
@@ -197,7 +208,8 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n_chars - F.col("n_alnum_ws")).cast("double")
                 / F.greatest(n_chars, F.lit(1)), 6).alias("symbol_ratio"),
         stop_hits.cast("long").alias("stopword_hits"),
-        ((n_words >= 20) & mean_word_len.between(3, 10)
+        ((n_words >= _GOPHER_MIN_WORDS)
+         & mean_word_len.between(_GOPHER_WORD_LEN_LO, _GOPHER_WORD_LEN_HI)
          & (stop_hits >= 1)).alias("passes"),
     )
 

@@ -69,6 +69,10 @@ def parse_sitemap(xml_text: str) -> list[dict]:
     except ET.ParseError as exc:
         return [{"url": None, "lastmod": None,
                  "parse_error": f"sitemap XML parse error: {exc}"}]
+    return _rows_from_root(root)
+
+
+def _rows_from_root(root: ET.Element) -> list[dict]:
     rows: list[dict] = []
     for entry in root:
         if _local(entry.tag) not in ("url", "sitemap"):
@@ -109,40 +113,46 @@ def read_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
     return blobs.mapInPandas(parse, SITEMAP_ROWS_SCHEMA)
 
 
-def _root_is_index(xml_text: str) -> bool:
-    """True when the document's root element is <sitemapindex> —
+def _classify_sitemap(xml_text: str) -> tuple[bool, list[dict]]:
+    """(root is <sitemapindex>, parsed rows) in ONE parse —
     parse_sitemap flattens both document kinds to (url, lastmod) rows,
-    so indirection-following needs the root tag itself."""
+    so indirection-following needs the root tag, and parsing a 50k-url
+    document twice just to learn it is waste."""
     try:
-        return _local(ET.fromstring(xml_text).tag) == "sitemapindex"
-    except ET.ParseError:
-        return False
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as exc:
+        return False, [{"url": None, "lastmod": None,
+                        "parse_error": f"sitemap XML parse error: {exc}"}]
+    return _local(root.tag) == "sitemapindex", _rows_from_root(root)
 
 
 def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
     """Sitemap URLs advertised by each origin's robots.txt — the
     standard discovery channel (sitemaps.org protocol / RFC 9309
     ``Sitemap:`` directives: any position in the file, case-
-    insensitive key). One robots fetch per origin, like
-    ``robots_allowed_map``; a missing/unfetchable robots.txt or one
-    without directives contributes nothing. Order preserved,
-    duplicates dropped. Driver-side by design: the origin list is the
-    crawl's seed set (bounded); a 100k-origin discovery sweep runs
-    this same function inside ``mapInPandas`` partitioned by host,
-    exactly the ``robots_filter`` pattern."""
+    insensitive key, trailing ``# comment`` stripped). Parsing is the
+    stdlib ``robotparser`` the crawl's robots gate already uses
+    (plans/ingest.py) — one grammar, not two. One robots fetch per
+    origin; a missing/unfetchable robots.txt or one without directives
+    contributes nothing. Order preserved, duplicates dropped.
+    Driver-side by design: the origin list is the crawl's seed set
+    (bounded); a 100k-origin discovery sweep runs this same function
+    inside ``mapInPandas`` partitioned by host, exactly the
+    ``robots_filter`` pattern."""
+    from urllib import robotparser
+
     out: list[str] = []
     seen: set[str] = set()
     for origin in origins:
         _, body, err = fetcher.fetch(origin.rstrip("/") + "/robots.txt")
         if err is not None or body is None:
             continue
-        for line in body.decode("utf-8", errors="replace").splitlines():
-            key, _, value = line.partition(":")
-            if key.strip().lower() == "sitemap":
-                u = value.strip()
-                if u and u not in seen:
-                    seen.add(u)
-                    out.append(u)
+        rp = robotparser.RobotFileParser()
+        rp.parse(body.decode("utf-8", errors="replace").splitlines())
+        for u in rp.site_maps() or []:
+            if u and u not in seen:
+                seen.add(u)
+                out.append(u)
     return out
 
 
@@ -154,8 +164,11 @@ def fetch_sitemap_blobs(
     does — an index's entries are themselves sitemap URLs). Returns
     the leaf urlset XML strings for ``read_sitemap_blobs``/
     ``frontier_from_sitemaps``; fetch failures skip (the crawl's
-    retry/dead-letter tier owns transport errors). Bounded: a
-    sitemapindex holds ≤50k entries by spec and depth is capped."""
+    retry/dead-letter tier owns transport errors). An index found AT
+    the depth cap is SKIPPED, not returned — flattened, its entries
+    are sitemap URLs that would leak into the frontier as crawlable
+    page URLs (review-found). Bounded: a sitemapindex holds ≤50k
+    entries by spec and depth is capped."""
     blobs: list[str] = []
     frontier = list(dict.fromkeys(sitemap_urls))
     for depth in range(max_index_depth + 1):
@@ -165,12 +178,12 @@ def fetch_sitemap_blobs(
             if err is not None or body is None:
                 continue
             xml = body.decode("utf-8", errors="replace")
-            if depth < max_index_depth and _root_is_index(xml):
-                next_urls.extend(
-                    r["url"] for r in parse_sitemap(xml) if r["url"]
-                )
-            else:
+            is_index, rows = _classify_sitemap(xml)
+            if is_index and depth < max_index_depth:
+                next_urls.extend(r["url"] for r in rows if r["url"])
+            elif not is_index:
                 blobs.append(xml)
+            # index at the depth cap: dropped (never a leaf blob)
         frontier = next_urls
         if not frontier:
             break

@@ -114,49 +114,7 @@ def build_warc_record(
 # parser (pure functions — unit-testable without Spark)
 # --------------------------------------------------------------------------
 
-def _segments(blob: bytes) -> Iterator[tuple[bytes, str | None]]:
-    """Walk a WARC blob as a sequence of plaintext segments: a gzip
-    member (decompressed one at a time — memory bounded by a single
-    member regardless of file size) or a plain span running to the
-    next gzip magic.
-
-    Yields ``(data, error)`` pairs. A corrupted/truncated member or
-    non-gzip garbage yields a flagged pair and resynchronizes at the
-    NEXT gzip magic (``\\x1f\\x8b``) — from ANY position, including a
-    damaged magic at offset 0 (fuzz-found: the old leading-bytes sniff
-    silently lost every member behind a single flipped first byte).
-    Upholds the module contract that malformed input dead-letters
-    rows, never fails the task: a bit-flip anywhere in a Common Crawl
-    segment costs at most the member it lands in (property-tested
-    over every byte position, tests/test_sources.py)."""
-    view = memoryview(blob)
-    pos, n = 0, len(blob)
-    while pos < n:
-        if blob[pos:pos + 2] == _GZ_MAGIC:
-            d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
-            try:
-                data = d.decompress(view[pos:])
-            except zlib.error as exc:
-                # corrupt member: scan past this magic for the next one
-                nxt = blob.find(_GZ_MAGIC, pos + 2)
-                yield b"", f"corrupt gzip member: {exc}"
-                if nxt < 0:
-                    return
-                pos = nxt
-                continue
-            if not d.eof:
-                # ended mid-member: salvage what decompressed, flag it
-                yield data, "truncated gzip member"
-                return
-            yield data, None
-            pos = n - len(d.unused_data)
-        else:
-            # plain span (an uncompressed .warc, or damaged bytes in
-            # front of the next member)
-            nxt = blob.find(_GZ_MAGIC, pos)
-            end = n if nxt < 0 else nxt
-            yield bytes(view[pos:end]), None
-            pos = end
+_GAP_PAD = b"\r\n\x00 \t"  # separator bytes legitimately between records
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -189,69 +147,116 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     return int(parts[1]), headers.get("content-type", ""), body
 
 
-def iter_warc_records(blob: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record in ``blob`` (plain or gzip —
-    sniffed from the magic bytes). Each dict has url/warc_type/
-    warc_date/http_status/content_type/body/parse_error; a record that
-    fails either parse layer yields a dead-letter dict (parse_error
-    set, other fields None) and parsing continues at the NEXT record —
-    one mangled record in a 1 GiB segment costs one row, not the file.
-    """
-    for chunk, gz_err in _segments(blob):
-        if gz_err is not None:
-            # One dead-letter row per damaged member; any salvaged
-            # prefix still gets parsed below (complete records in a
-            # truncated member survive).
-            yield _dead(gz_err)
-        if chunk and gz_err is None and b"WARC/" not in chunk:
-            # a non-empty segment carrying no records at all is
-            # damage (e.g. a member whose magic was corrupted parses
-            # as a plain span of compressed bytes) — surface it
-            yield _dead("no WARC records in segment")
+def _records_in(chunk: bytes, pos: int = 0,
+                stop_at_gzip: bool = False) -> tuple[list[dict], int]:
+    """Content-Length-aware record walk over plaintext bytes starting
+    at ``pos``: payload bytes are SKIPPED, never scanned, so a gzip
+    magic inside a record body (a crawled .gz download — common) can
+    never split a record (review-found regression in the segment
+    pre-split). With ``stop_at_gzip`` a magic in the INTER-record gap
+    ends the walk (the framing switches back to gzip members there).
+    Returns (rows, position where the walk stopped)."""
+    rows: list[dict] = []
+    n = len(chunk)
+    while True:
+        start = chunk.find(b"WARC/", pos)
+        if stop_at_gzip:
+            gz = chunk.find(_GZ_MAGIC, pos)
+            if gz >= 0 and (start < 0 or gz < start):
+                return rows, gz
+        if start < 0:
+            return rows, n
+        hdr_end = chunk.find(_HDR_END, start)
+        if hdr_end < 0:
+            rows.append(_dead("truncated WARC header block"))
+            return rows, n
+        headers = _parse_headers(chunk[start:hdr_end])
+        url = headers.get("warc-target-uri")
+        wtype = headers.get("warc-type", "")
+        wdate = headers.get("warc-date", "")
+        cl = headers.get("content-length", "")
+        if not cl.isdigit():
+            rows.append(_dead("missing/invalid WARC Content-Length", url))
+            pos = hdr_end + len(_HDR_END)
             continue
-        pos = 0
-        while True:
-            start = chunk.find(b"WARC/", pos)
-            if start < 0:
-                break
-            hdr_end = chunk.find(_HDR_END, start)
-            if hdr_end < 0:
-                yield _dead("truncated WARC header block")
-                break
-            headers = _parse_headers(chunk[start:hdr_end])
-            url = headers.get("warc-target-uri")
-            wtype = headers.get("warc-type", "")
-            wdate = headers.get("warc-date", "")
-            n = headers.get("content-length", "")
-            if not n.isdigit():
-                yield _dead("missing/invalid WARC Content-Length", url)
-                pos = hdr_end + len(_HDR_END)
-                continue
-            payload = chunk[hdr_end + len(_HDR_END):
-                            hdr_end + len(_HDR_END) + int(n)]
-            pos = hdr_end + len(_HDR_END) + int(n)
-            if len(payload) < int(n):
-                yield _dead("truncated WARC payload", url)
-                break
-            if wtype != "response":
-                # warcinfo/request/metadata records ride along in real
-                # files; surface them with NULL http fields
-                yield {
-                    "url": url, "warc_type": wtype, "warc_date": wdate,
-                    "http_status": None, "content_type": None,
-                    "body": None, "parse_error": None,
-                }
-                continue
-            try:
-                status, ctype, body = parse_http_response(payload)
-            except ValueError as exc:
-                yield _dead(str(exc), url, wtype, wdate)
-                continue
-            yield {
+        payload = chunk[hdr_end + len(_HDR_END):
+                        hdr_end + len(_HDR_END) + int(cl)]
+        pos = hdr_end + len(_HDR_END) + int(cl)
+        if len(payload) < int(cl):
+            rows.append(_dead("truncated WARC payload", url))
+            return rows, n
+        if wtype != "response":
+            # warcinfo/request/metadata records ride along in real
+            # files; surface them with NULL http fields
+            rows.append({
                 "url": url, "warc_type": wtype, "warc_date": wdate,
-                "http_status": status, "content_type": ctype,
-                "body": body, "parse_error": None,
-            }
+                "http_status": None, "content_type": None,
+                "body": None, "parse_error": None,
+            })
+            continue
+        try:
+            status, ctype, body = parse_http_response(payload)
+        except ValueError as exc:
+            rows.append(_dead(str(exc), url, wtype, wdate))
+            continue
+        rows.append({
+            "url": url, "warc_type": wtype, "warc_date": wdate,
+            "http_status": status, "content_type": ctype,
+            "body": body, "parse_error": None,
+        })
+
+
+def iter_warc_records(blob: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record in ``blob`` (plain, gzip-member,
+    or a mix — the framing is re-sniffed between records). Each dict
+    has url/warc_type/warc_date/http_status/content_type/body/
+    parse_error; a record that fails either parse layer yields a
+    dead-letter dict (parse_error set, other fields None) and parsing
+    continues at the NEXT record — one mangled record in a 1 GiB
+    segment costs one row, not the file.
+
+    Damage handling (property-tested over every byte position,
+    tests/test_sources.py): a corrupted or truncated gzip member
+    dead-letters one row and the walk resynchronizes at the next gzip
+    magic — from ANY position, including a damaged magic at offset 0
+    (fuzz-found: a leading-bytes-only sniff silently lost every member
+    behind one flipped first byte). A plain region that yields no
+    records at all (e.g. a member whose magic was corrupted, now
+    unrecognizable compressed bytes) surfaces as one flagged row;
+    ordinary record separators between regions stay silent."""
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos:pos + 2] == _GZ_MAGIC:
+            d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
+            try:
+                data = d.decompress(view[pos:])
+            except zlib.error as exc:
+                yield _dead(f"corrupt gzip member: {exc}")
+                nxt = blob.find(_GZ_MAGIC, pos + 2)
+                if nxt < 0:
+                    return
+                pos = nxt
+                continue
+            truncated = not d.eof
+            # member data is self-contained plaintext: no gzip-boundary
+            # scan inside it (embedded magic in trailing garbage is
+            # skipped like any other inter-record junk, old semantics)
+            rows, _ = _records_in(data)
+            yield from rows
+            if not rows and data.strip(_GAP_PAD):
+                yield _dead("no WARC records in segment")
+            if truncated:
+                # ended mid-member: complete records salvaged above
+                yield _dead("truncated gzip member")
+                return
+            pos = n - len(d.unused_data)
+        else:
+            rows, new_pos = _records_in(blob, pos, stop_at_gzip=True)
+            yield from rows
+            if not rows and bytes(view[pos:new_pos]).strip(_GAP_PAD):
+                yield _dead("no WARC records in segment")
+            pos = max(new_pos, pos + 1)
 
 
 def _dead(msg: str, url=None, wtype=None, wdate=None) -> dict:

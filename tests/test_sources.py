@@ -83,6 +83,39 @@ class TestWarcParser:
             build_http_response(b"abc") + b"trailing-junk")
         assert (status, body) == (200, b"abc")
 
+    def test_embedded_gzip_magic_in_plain_record_body(self):
+        """Review-found regression: a PLAIN record whose body contains
+        the gzip magic (a crawled .gz download) must parse whole —
+        Content-Length skipping makes embedded magic invisible, and
+        the record after it still parses."""
+        gz_payload = b"PK\x03\x04 fake zip then " + b"\x1f\x8b" + b"\x08tail"
+        blob = (_rec("https://x/a", gz_payload)
+                + _rec("https://x/b", b"after"))
+        out = list(iter_warc_records(blob))
+        assert [r["url"] for r in out] == ["https://x/a", "https://x/b"]
+        assert out[0]["body"] == gz_payload
+        assert all(r["parse_error"] is None for r in out)
+
+    def test_embedded_magic_inside_gzip_member_body(self):
+        # same property through the gzip-member path
+        gz_payload = b"\x1f\x8b inside a compressed record body"
+        blob = (_rec("https://x/a", gz_payload, gzip_member=True)
+                + _rec("https://x/b", b"after", gzip_member=True))
+        out = list(iter_warc_records(blob))
+        assert [r["url"] for r in out] == ["https://x/a", "https://x/b"]
+        assert out[0]["body"] == gz_payload
+
+    def test_mixed_plain_then_gzip_framing(self):
+        # framing re-sniffed between records: plain record followed by
+        # gzip members parses completely, no spurious dead letters
+        blob = (_rec("https://x/plain", b"plaintext record")
+                + _rec("https://x/gz1", b"member one", gzip_member=True)
+                + _rec("https://x/gz2", b"member two", gzip_member=True))
+        out = list(iter_warc_records(blob))
+        assert [r["url"] for r in out] == [
+            "https://x/plain", "https://x/gz1", "https://x/gz2"]
+        assert all(r["parse_error"] is None for r in out)
+
     def test_trailing_garbage_after_last_gzip_member(self):
         # garbage after the final member must dead-letter ONE row, not
         # fail the task (ADVICE r5: zlib.error used to propagate)
@@ -249,10 +282,13 @@ class TestSitemap:
         robots = (b"User-agent: *\nDisallow: /private\n"
                   b"sitemap: https://s/map1.xml\n"   # lower-case key
                   b"Sitemap:https://s/map2.xml\n"    # no space
+                  b"Sitemap: https://s/map3.xml # updated weekly\n"
                   b"Sitemap: https://s/map1.xml\n")  # duplicate
         f = StubFetcher({"https://s/robots.txt": ("text/plain", robots)})
+        # comments stripped (review-found: hand-rolled parse kept them)
         assert discover_sitemaps(f, ["https://s", "https://missing.example"]) \
-            == ["https://s/map1.xml", "https://s/map2.xml"]
+            == ["https://s/map1.xml", "https://s/map2.xml",
+                "https://s/map3.xml"]
 
     def test_fetch_sitemap_blobs_follows_index(self):
         from crawler_spark.sources.fetch import StubFetcher
@@ -267,11 +303,34 @@ class TestSitemap:
             "https://s/index.xml": ("application/xml", index.encode()),
             "https://s/leaf.xml": ("application/xml", leaf.encode()),
         })
-        # the index resolves to its leaf; the 404 entry skips; depth 0
-        # treats the index itself as a leaf blob
+        # the index resolves to its leaf; the 404 entry skips
         assert fetch_sitemap_blobs(f, ["https://s/index.xml"]) == [leaf]
+        # an index AT the depth cap is dropped, never returned as a
+        # leaf (review-found: flattened, its entries would leak into
+        # the frontier as crawlable page URLs)
         assert fetch_sitemap_blobs(
-            f, ["https://s/index.xml"], max_index_depth=0) == [index]
+            f, ["https://s/index.xml"], max_index_depth=0) == []
+
+    def test_fetch_sitemap_blobs_two_level_index(self):
+        from crawler_spark.sources.fetch import StubFetcher
+        from crawler_spark.sources.sitemap import fetch_sitemap_blobs
+
+        leaf = build_sitemap_xml([("https://s/a", None)])
+        inner = ('<sitemapindex><sitemap><loc>https://s/leaf.xml</loc>'
+                 "</sitemap></sitemapindex>")
+        outer = ('<sitemapindex><sitemap><loc>https://s/inner.xml</loc>'
+                 "</sitemap></sitemapindex>")
+        f = StubFetcher({
+            "https://s/outer.xml": ("application/xml", outer.encode()),
+            "https://s/inner.xml": ("application/xml", inner.encode()),
+            "https://s/leaf.xml": ("application/xml", leaf.encode()),
+        })
+        # depth 2 reaches the leaf through both index levels
+        assert fetch_sitemap_blobs(
+            f, ["https://s/outer.xml"], max_index_depth=2) == [leaf]
+        # default depth 1 stops at the inner index and DROPS it — no
+        # sitemap URLs masquerading as page URLs
+        assert fetch_sitemap_blobs(f, ["https://s/outer.xml"]) == []
 
     def test_frontier_cross_sitemap_lastmod_deterministic(self, spark):
         # same URL in two sitemaps with DIFFERENT lastmods must collapse
