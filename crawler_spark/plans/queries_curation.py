@@ -1273,3 +1273,92 @@ def curation_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gopher_pass", "clf_keep", "judge_keep")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- Gopher duplicate-n-gram metrics ----------------------------------------
+@register(
+    "txt_gopher_repetition",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len({_TOKENS_SQL}) - 1, 0)),
+                       i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1])
+                       AS bi,
+                   list_transform(
+                       generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)),
+                       i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1]
+                            || ' ' || {_TOKENS_SQL}[i+2]) AS tri
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(bi) AS BIGINT) AS n_bigrams,
+               round(CASE WHEN len(bi) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                               / len(bi) END, 6) AS dup_bigram_frac,
+               round(CASE WHEN len(tri) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                               / len(tri) END, 6) AS dup_trigram_frac,
+               round(CASE WHEN len(bi) = 0 THEN 0.0
+                    ELSE CAST(list_max(list_transform(list_distinct(bi),
+                         t -> len(list_filter(bi, x -> x = t))))
+                         AS DOUBLE) / len(bi) END, 6) AS top_bigram_share
+        FROM g
+    """,
+)
+def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-filter metrics beyond the single
+    top-token share (``txt_repetition_ratio``): per document, the
+    FRACTION OF DUPLICATE 2-GRAMS and 3-GRAMS (extra occurrences /
+    total — Rae et al. 2021 §A1.1 drop docs above ~0.2) and the share
+    of the most frequent 2-gram. Degenerate generations and keyword
+    stuffing light up the dup fractions even when no single token
+    dominates.
+
+    Scale shape: identical to txt_repetition_ratio — every metric is a
+    PURE PROJECTION over HOF-built gram arrays (zip_with over shifted
+    slices, O(n) per row; the top-share count is O(d·n) over distinct
+    grams like the token variant), zero shuffles, scan speed at
+    100 TB. The token array binds once (bind_once) so the HOF lambdas
+    can't re-tokenize per reference."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _metrics(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        bi = F.when(n >= 2, F.zip_with(
+            F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )).otherwise(F.array().cast("array<string>"))
+
+        def _with_bi(big: F.Column) -> F.Column:
+            tri = F.when(n >= 3, F.zip_with(
+                F.slice(big, 1, n - 2), F.slice(arr, 3, n - 2),
+                lambda g, c: F.concat_ws(" ", g, c),
+            )).otherwise(F.array().cast("array<string>"))
+            nb = F.size(big).cast("double")
+            nt = F.size(tri).cast("double")
+            dup2 = F.when(nb > 0, F.lit(1.0)
+                          - F.size(F.array_distinct(big)) / nb) \
+                    .otherwise(F.lit(0.0))
+            dup3 = F.when(nt > 0, F.lit(1.0)
+                          - F.size(F.array_distinct(tri)) / nt) \
+                    .otherwise(F.lit(0.0))
+            top2 = F.when(nb > 0, F.array_max(F.transform(
+                F.array_distinct(big),
+                lambda t: F.size(F.filter(big, lambda x: x == t)),
+            )).cast("double") / nb).otherwise(F.lit(0.0))
+            return F.struct(
+                F.size(big).cast("long").alias("n_bigrams"),
+                F.round(dup2, 6).alias("dup_bigram_frac"),
+                F.round(dup3, 6).alias("dup_trigram_frac"),
+                F.round(top2, 6).alias("top_bigram_share"),
+            )
+
+        return X.bind_once(bi, _with_bi)
+
+    m = docs.select(
+        "doc_id", X.bind_once(X.tokenize("text"), _metrics).alias("m"))
+    return m.select(
+        "doc_id", "m.n_bigrams", "m.dup_bigram_frac",
+        "m.dup_trigram_frac", "m.top_bigram_share",
+    )
