@@ -473,3 +473,16 @@ def test_judge_calibration_classifier_side_jvm(spark):
         f"expected exactly the judge UDF on the Python path, saw {n_arrow}"
     )
     assert "BatchEvalPython" not in plan, "row-at-a-time UDF leaked in"
+
+
+def test_gopher_repetition_zero_shuffle(spark):
+    """txt_gopher_repetition claims scan-speed: a pure projection over
+    HOF gram arrays — no Exchange, no Python, no joins may appear."""
+    import re
+
+    plan = plan_text(_QUERIES["txt_gopher_repetition"](spark, SF))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan), (
+        "repetition metrics grew a shuffle"
+    )
