@@ -161,7 +161,11 @@ def _records_in(chunk: bytes, pos: int = 0,
     while True:
         start = chunk.find(b"WARC/", pos)
         if stop_at_gzip:
-            gz = chunk.find(_GZ_MAGIC, pos)
+            # search ONLY the inter-record gap for a framing switch —
+            # an unbounded find here scans to end-of-blob per record,
+            # turning a 1 GiB plain segment quadratic (bench-found)
+            gap_end = n if start < 0 else start
+            gz = chunk.find(_GZ_MAGIC, pos, gap_end + 1)
             if gz >= 0 and (start < 0 or gz < start):
                 return rows, gz
         if start < 0:
