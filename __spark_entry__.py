@@ -46,7 +46,7 @@ _NEVER_DRIVER_VERIFIED = [
     "pipeline_corpus_e2e", "curation_judge_calibration",
     "dedup_cluster_histogram", "curation_filter_overlap",
     "sample_unimax_quota", "streaming_sessionize_e2e",
-    "txt_gopher_repetition",
+    "txt_gopher_repetition", "curation_threshold_sweep",
 ]
 
 
