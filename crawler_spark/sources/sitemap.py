@@ -113,17 +113,21 @@ def read_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
     return blobs.mapInPandas(parse, SITEMAP_ROWS_SCHEMA)
 
 
-def _classify_sitemap(xml_text: str) -> tuple[bool, list[dict]]:
-    """(root is <sitemapindex>, parsed rows) in ONE parse —
+def _classify_sitemap(xml_text: str) -> tuple[bool, "ET.Element | None"]:
+    """(root is <sitemapindex>, parsed root-or-None) in ONE parse —
     parse_sitemap flattens both document kinds to (url, lastmod) rows,
-    so indirection-following needs the root tag, and parsing a 50k-url
-    document twice just to learn it is waste."""
+    so indirection-following needs the root tag itself. Row extraction
+    stays LAZY: leaf urlsets (the common case, up to 50k entries) are
+    re-parsed distributed by ``read_sitemap_blobs`` anyway, so building
+    their row dicts here would be pure waste; only index documents'
+    entries are extracted (by the caller, from the returned root).
+    Unparseable XML → (False, None): the caller keeps the blob so the
+    distributed parse dead-letters it."""
     try:
         root = ET.fromstring(xml_text)
-    except ET.ParseError as exc:
-        return False, [{"url": None, "lastmod": None,
-                        "parse_error": f"sitemap XML parse error: {exc}"}]
-    return _local(root.tag) == "sitemapindex", _rows_from_root(root)
+    except ET.ParseError:
+        return False, None
+    return _local(root.tag) == "sitemapindex", root
 
 
 def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
@@ -178,9 +182,10 @@ def fetch_sitemap_blobs(
             if err is not None or body is None:
                 continue
             xml = body.decode("utf-8", errors="replace")
-            is_index, rows = _classify_sitemap(xml)
+            is_index, root = _classify_sitemap(xml)
             if is_index and depth < max_index_depth:
-                next_urls.extend(r["url"] for r in rows if r["url"])
+                next_urls.extend(
+                    r["url"] for r in _rows_from_root(root) if r["url"])
             elif not is_index:
                 blobs.append(xml)
             # index at the depth cap: dropped (never a leaf blob)

@@ -172,8 +172,13 @@ def _records_in(chunk: bytes, pos: int = 0,
             return rows, n
         hdr_end = chunk.find(_HDR_END, start)
         if hdr_end < 0:
+            # damaged header: dead-letter it and KEEP SCANNING — a
+            # gzip member (or further plain record) after the damage
+            # must still parse (review-found: returning here cost the
+            # rest of the file for one mangled record)
             rows.append(_dead("truncated WARC header block"))
-            return rows, n
+            pos = start + 5
+            continue
         headers = _parse_headers(chunk[start:hdr_end])
         url = headers.get("warc-target-uri")
         wtype = headers.get("warc-type", "")
@@ -183,12 +188,30 @@ def _records_in(chunk: bytes, pos: int = 0,
             rows.append(_dead("missing/invalid WARC Content-Length", url))
             pos = hdr_end + len(_HDR_END)
             continue
-        payload = chunk[hdr_end + len(_HDR_END):
-                        hdr_end + len(_HDR_END) + int(cl)]
-        pos = hdr_end + len(_HDR_END) + int(cl)
+        payload_end = hdr_end + len(_HDR_END) + int(cl)
+        payload = chunk[hdr_end + len(_HDR_END):payload_end]
         if len(payload) < int(cl):
+            # short payload = genuine truncation at EOF (scan finds
+            # nothing more, loop ends) OR a Content-Length inflated
+            # past EOF by damage — either way dead-letter this record
+            # and keep scanning so intact framing after it survives
             rows.append(_dead("truncated WARC payload", url))
-            return rows, n
+            pos = hdr_end + len(_HDR_END)
+            continue
+        # frame check: a record's content block is followed by the
+        # CRLF separator (or EOF). A corrupted Content-Length lands
+        # payload_end on arbitrary bytes instead — trusting it there
+        # would silently swallow whatever follows (review-found: one
+        # flipped digit ate the next gzip member). Dead-letter and
+        # resync right after the header; the payload's OWN bytes are
+        # never scanned, so embedded magic/"WARC/" stays harmless in
+        # the valid case.
+        if payload_end < n and chunk[payload_end:payload_end + 2] != CRLF:
+            rows.append(_dead(
+                "record frame mismatch (corrupt Content-Length?)", url))
+            pos = hdr_end + len(_HDR_END)
+            continue
+        pos = payload_end
         if wtype != "response":
             # warcinfo/request/metadata records ride along in real
             # files; surface them with NULL http fields

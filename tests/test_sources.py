@@ -105,6 +105,37 @@ class TestWarcParser:
         assert [r["url"] for r in out] == ["https://x/a", "https://x/b"]
         assert out[0]["body"] == gz_payload
 
+    def test_corrupt_content_length_never_swallows_next_member(self):
+        """Review-found: a plain record whose Content-Length was
+        inflated by damage must dead-letter (frame mismatch), not
+        silently absorb the following gzip member into its body — and
+        the member's record must survive via resync."""
+        plain = bytearray(_rec("https://x/p", b"x" * 100))
+        # the FIRST Content-Length in the bytes is the WARC-level one
+        # (WARC headers precede the HTTP payload); inflate its leading
+        # digit — one flipped byte, the reviewer's exact scenario
+        digit = plain.index(b"Content-Length: ") + len(b"Content-Length: ")
+        plain[digit] = ord("9")
+        blob = bytes(plain) + _rec("https://x/gz", b"after",
+                                   gzip_member=True)
+        out = list(iter_warc_records(blob))
+        good = [r["url"] for r in out if r["parse_error"] is None]
+        assert "https://x/gz" in good, out
+        assert "https://x/p" not in good
+        assert any(r["parse_error"] is not None for r in out)
+
+    def test_truncated_plain_header_keeps_following_members(self):
+        """Review-found: a plain record cut inside its header block
+        must cost one dead-letter row — gzip members after it still
+        parse."""
+        cut = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/t"
+        blob = cut + _rec("https://x/gz1", b"one", gzip_member=True) \
+                   + _rec("https://x/gz2", b"two", gzip_member=True)
+        out = list(iter_warc_records(blob))
+        good = [r["url"] for r in out if r["parse_error"] is None]
+        assert good == ["https://x/gz1", "https://x/gz2"], out
+        assert any("header" in (r["parse_error"] or "") for r in out)
+
     def test_mixed_plain_then_gzip_framing(self):
         # framing re-sniffed between records: plain record followed by
         # gzip members parses completely, no spurious dead letters
