@@ -260,10 +260,16 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
                 data = d.decompress(view[pos:])
             except zlib.error as exc:
                 yield _dead(f"corrupt gzip member: {exc}")
-                nxt = blob.find(_GZ_MAGIC, pos + 2)
-                if nxt < 0:
+                # resync at whichever comes first: the next member OR
+                # a plain record header (mixed framing — fuzz-found: a
+                # magic-only scan skipped plain records sitting between
+                # a damaged member and the next one)
+                nxt = [x for x in (blob.find(_GZ_MAGIC, pos + 2),
+                                   blob.find(b"WARC/", pos + 2))
+                       if x >= 0]
+                if not nxt:
                     return
-                pos = nxt
+                pos = min(nxt)
                 continue
             truncated = not d.eof
             # member data is self-contained plaintext: no gzip-boundary

@@ -214,6 +214,44 @@ class TestWarcParser:
 
         check()
 
+    def test_mixed_framing_single_flip_bounded_loss(self):
+        """Property (hypothesis): in a MIXED plain+gzip blob, flipping
+        any single byte never raises and every unit the flip does not
+        touch still parses with its exact body — the damage-bounding
+        contract across framing switches (second-pass review found two
+        holes here: inflated Content-Length and truncated headers both
+        used to swallow following members)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        units = [("https://m/p1", b"plain-one " * 4, False),
+                 ("https://m/g1", b"gzip-one " * 5, True),
+                 ("https://m/p2", b"plain-two " * 6, False),
+                 ("https://m/g2", b"gzip-two " * 3, True)]
+        recs = [_rec(u, body, gzip_member=gz) for u, body, gz in units]
+        lens = [len(r) for r in recs]
+        blob = bytearray(b"".join(recs))
+        bodies = {u: body for u, body, _ in units}
+
+        @given(st.integers(min_value=0, max_value=len(blob) - 1),
+               st.integers(min_value=1, max_value=255))
+        @settings(max_examples=200, deadline=None)
+        def check(pos, flip):
+            damaged = bytearray(blob)
+            damaged[pos] ^= flip
+            hit, off = 0, pos
+            while off >= lens[hit]:
+                off -= lens[hit]
+                hit += 1
+            out = list(iter_warc_records(bytes(damaged)))  # never raises
+            good = {r["url"]: r["body"] for r in out
+                    if r["parse_error"] is None and r["url"] is not None}
+            for i, (u, body, _gz) in enumerate(units):
+                if i != hit:
+                    assert good.get(u) == body, (pos, flip, u, out)
+
+        check()
+
     def test_read_warc_files(self, spark, tmp_path):
         p = tmp_path / "seg-00000.warc.gz"
         p.write_bytes(_rec(gzip_member=True)
