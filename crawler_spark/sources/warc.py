@@ -29,10 +29,13 @@ Scale notes (how this maps to a 1000-executor cluster):
   synthesizes blobs from the documents table instead (the container
   has no WARC fixtures), exercising the identical parse plumbing.
 * **binaryFile loads a whole file per row** — fine for the standard
-  ~1 GiB WARC segment size. Files beyond executor memory need a
-  range-reading custom data source; that seam is this module's
-  ``iter_warc_records(stream)`` which already consumes an incremental
-  byte iterator.
+  ~1 GiB WARC segment size. Files beyond executor memory split by BYTE
+  RANGE with the Hadoop-split ownership rule, realized here by
+  ``iter_warc_records_range``: a split parses exactly the gzip members
+  whose first byte lies inside it (reading past its end to finish the
+  last one), so a partition of [0, size) reproduces the whole-file
+  parse record-for-record — property-tested over random cut points. A
+  range-reading datasource only has to hand tasks (path, start, end).
 """
 
 from __future__ import annotations
@@ -298,6 +301,49 @@ def _dead(msg: str, url=None, wtype=None, wdate=None) -> dict:
         "http_status": None, "content_type": None, "body": None,
         "parse_error": msg,
     }
+
+
+def iter_warc_records_range(
+    blob: bytes, start: int, end: int
+) -> Iterator[dict]:
+    """Records of every gzip member whose FIRST BYTE lies in
+    ``[start, end)`` — the Hadoop input-split ownership rule: each
+    member belongs to exactly the split containing its magic, a split
+    reads past its end to finish its last member, and a split landing
+    mid-member self-synchronizes forward to the next magic it owns.
+    Concatenating all splits' outputs over any partition of
+    ``[0, len(blob))`` therefore reproduces ``iter_warc_records``
+    record-for-record (property-tested over random cut points).
+
+    This is the beyond-memory seam for .warc.gz (the Common Crawl
+    layout, per-record members): a range-reading datasource hands each
+    task (path, start, end) and tasks parse independently with no
+    coordination. Plain uncompressed .warc has no self-synchronizing
+    frame, so it stays whole-file (``read_warc_files``)."""
+    if blob[start:start + 2] == _GZ_MAGIC:
+        pos = start
+    else:
+        pos = blob.find(_GZ_MAGIC, start)
+    n = len(blob)
+    while 0 <= pos < end:
+        if blob[pos:pos + 2] != _GZ_MAGIC:
+            pos = blob.find(_GZ_MAGIC, pos)
+            continue
+        d = zlib.decompressobj(wbits=47)
+        try:
+            data = d.decompress(memoryview(blob)[pos:])
+        except zlib.error as exc:
+            yield _dead(f"corrupt gzip member: {exc}")
+            pos = blob.find(_GZ_MAGIC, pos + 2)
+            continue
+        rows, _ = _records_in(data)
+        yield from rows
+        if not rows and data.strip(_GAP_PAD):
+            yield _dead("no WARC records in segment")
+        if not d.eof:
+            yield _dead("truncated gzip member")
+            return
+        pos = n - len(d.unused_data)
 
 
 # --------------------------------------------------------------------------

@@ -252,6 +252,46 @@ class TestWarcParser:
 
         check()
 
+    def test_range_splits_reproduce_whole_parse(self):
+        """Property (hypothesis): for ANY partition of a .warc.gz into
+        byte-range splits, concatenating iter_warc_records_range over
+        the splits yields exactly the whole-file VALID records, each
+        once, in order — the Hadoop-split ownership contract the
+        beyond-memory seam rests on. (A split whose start lands inside
+        a member may emit a spurious dead-letter while resyncing if
+        the compressed bytes contain a stray magic; valid records are
+        the contract.)"""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from crawler_spark.sources.warc import iter_warc_records_range
+
+        recs = [
+            _rec(f"https://r/{i}", (f"payload {i} " * (i + 1)).encode(),
+                 gzip_member=True)
+            for i in range(10)
+        ]
+        blob = b"".join(recs)
+        whole = [(r["url"], r["body"])
+                 for r in iter_warc_records(blob)
+                 if r["parse_error"] is None]
+
+        @given(st.lists(st.integers(min_value=1, max_value=len(blob) - 1),
+                        min_size=0, max_size=5))
+        @settings(max_examples=100, deadline=None)
+        def check(cuts):
+            bounds = sorted({0, len(blob), *cuts})
+            got = []
+            for a, b in zip(bounds, bounds[1:]):
+                got.extend(
+                    (r["url"], r["body"])
+                    for r in iter_warc_records_range(blob, a, b)
+                    if r["parse_error"] is None
+                )
+            assert got == whole, (bounds, [u for u, _ in got])
+
+        check()
+
     def test_read_warc_files(self, spark, tmp_path):
         p = tmp_path / "seg-00000.warc.gz"
         p.write_bytes(_rec(gzip_member=True)
