@@ -384,3 +384,56 @@ def read_warc_files(spark, path: str) -> DataFrame:
         .select("content")
     )
     return read_warc_blobs(files, "content")
+
+
+def read_warc_files_ranged(
+    spark, path: str, split_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """WARC records from .warc.gz files under ``path`` via BYTE-RANGE
+    splits — the beyond-memory path ``read_warc_files`` (whole-file
+    binaryFile rows) can't take: the driver lists (file, start, end)
+    split rows (bounded by file count × splits per file, metadata
+    only), each task mmaps ITS file and runs the range walk, so a task
+    touches ~split_bytes of pages plus one member's decompressed
+    bytes — a 100 GiB segment costs no task more than its split.
+    Split-ownership equivalence with the whole-file parse is
+    property-tested (iter_warc_records_range).
+
+    mmap needs a POSIX path visible on every executor (local, NFS,
+    fuse mounts); on object stores the same walk runs over ranged
+    GETs — the seam is identical, only the byte source changes."""
+    import os
+
+    splits = []
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if ".warc" not in name:
+                continue
+            p = os.path.join(root, name)
+            size = os.path.getsize(p)
+            for off in range(0, max(size, 1), split_bytes):
+                splits.append((p, off, min(off + split_bytes, size)))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import mmap
+
+        cols = ["url", "warc_type", "warc_date", "http_status",
+                "content_type", "body", "parse_error"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                with open(r.file, "rb") as f:
+                    if r.end <= r.start:
+                        continue
+                    with mmap.mmap(f.fileno(), 0,
+                                   access=mmap.ACCESS_READ) as mm:
+                        rows.extend(
+                            iter_warc_records_range(mm, r.start, r.end))
+            yield pd.DataFrame(rows, columns=cols) if rows else (
+                pd.DataFrame({c: [] for c in cols})
+            )
+
+    df = spark.createDataFrame(splits, "file string, start long, end long")
+    # one task per split: the split list IS the parallelism
+    return df.repartition(max(1, len(splits))).mapInPandas(
+        parse, WARC_ROWS_SCHEMA)

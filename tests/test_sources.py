@@ -304,6 +304,37 @@ class TestWarcParser:
         assert all(r.parse_error is None for r in rows)
 
 
+    def test_read_warc_files_ranged_equals_whole(self, spark, tmp_path):
+        """The Spark ranged reader (mmap + byte-range splits) must
+        yield exactly the whole-file reader's records, with several
+        splits per file actually exercised."""
+        from crawler_spark.sources.warc import (
+            read_warc_files,
+            read_warc_files_ranged,
+        )
+
+        recs = b"".join(
+            _rec(f"https://r/{i}", (f"text {i} " * 20).encode(),
+                 gzip_member=True)
+            for i in range(12)
+        )
+        (tmp_path / "a.warc.gz").write_bytes(recs)
+        (tmp_path / "b.warc.gz").write_bytes(recs[: len(recs) // 2])
+
+        whole = sorted(
+            (r.url, bytes(r.body)) for r in
+            read_warc_files(spark, str(tmp_path)).collect()
+            if r.parse_error is None)
+        # 200-byte splits → many ranges per file, most starting
+        # mid-member
+        ranged = sorted(
+            (r.url, bytes(r.body)) for r in
+            read_warc_files_ranged(spark, str(tmp_path),
+                                   split_bytes=200).collect()
+            if r.parse_error is None)
+        assert ranged == whole and len(whole) >= 12
+
+
 from crawler_spark.sources.sitemap import (  # noqa: E402
     build_sitemap_xml,
     parse_sitemap,
