@@ -258,35 +258,21 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     pos, n = 0, len(blob)
     while pos < n:
         if blob[pos:pos + 2] == _GZ_MAGIC:
-            d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
-            try:
-                data = d.decompress(view[pos:])
-            except zlib.error as exc:
-                yield _dead(f"corrupt gzip member: {exc}")
+            rows, pos, failed = _gzip_member_at(blob, pos)
+            yield from rows
+            if failed:
                 # resync at whichever comes first: the next member OR
                 # a plain record header (mixed framing — fuzz-found: a
                 # magic-only scan skipped plain records sitting between
                 # a damaged member and the next one)
-                nxt = [x for x in (blob.find(_GZ_MAGIC, pos + 2),
-                                   blob.find(b"WARC/", pos + 2))
+                nxt = [x for x in (blob.find(_GZ_MAGIC, pos),
+                                   blob.find(b"WARC/", pos))
                        if x >= 0]
                 if not nxt:
                     return
                 pos = min(nxt)
-                continue
-            truncated = not d.eof
-            # member data is self-contained plaintext: no gzip-boundary
-            # scan inside it (embedded magic in trailing garbage is
-            # skipped like any other inter-record junk, old semantics)
-            rows, _ = _records_in(data)
-            yield from rows
-            if not rows and data.strip(_GAP_PAD):
-                yield _dead("no WARC records in segment")
-            if truncated:
-                # ended mid-member: complete records salvaged above
-                yield _dead("truncated gzip member")
-                return
-            pos = n - len(d.unused_data)
+            if pos < 0:
+                return  # truncated member: EOF by definition
         else:
             rows, new_pos = _records_in(blob, pos, stop_at_gzip=True)
             yield from rows
@@ -301,6 +287,36 @@ def _dead(msg: str, url=None, wtype=None, wdate=None) -> dict:
         "http_status": None, "content_type": None, "body": None,
         "parse_error": msg,
     }
+
+
+def _gzip_member_at(blob, pos: int) -> tuple[list[dict], int, bool]:
+    """Decompress and parse ONE gzip member starting at ``pos`` (the
+    hardened member arm shared by the whole-file and range walkers —
+    review-found: two drifting copies of fuzz-fixed logic). Returns
+    ``(rows, next_pos, failed)``:
+
+    * success → (records [+ a 'no WARC records' dead row for a
+      non-empty recordless member], position after the member, False)
+    * corrupt member → ([dead row], pos + 2 — the caller resyncs from
+      there with ITS framing rules, True)
+    * truncated member → (salvaged records + dead row, -1 — truncation
+      consumes the rest of the buffer by definition, False)
+    """
+    d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
+    try:
+        data = d.decompress(memoryview(blob)[pos:])
+    except zlib.error as exc:
+        return [_dead(f"corrupt gzip member: {exc}")], pos + 2, True
+    # member data is self-contained plaintext: no gzip-boundary scan
+    # inside it (embedded magic in trailing garbage is skipped like
+    # any other inter-record junk)
+    rows, _ = _records_in(data)
+    if not rows and data.strip(_GAP_PAD):
+        rows.append(_dead("no WARC records in segment"))
+    if not d.eof:
+        rows.append(_dead("truncated gzip member"))
+        return rows, -1, False
+    return rows, len(blob) - len(d.unused_data), False
 
 
 def iter_warc_records_range(
@@ -319,31 +335,37 @@ def iter_warc_records_range(
     layout, per-record members): a range-reading datasource hands each
     task (path, start, end) and tasks parse independently with no
     coordination. Plain uncompressed .warc has no self-synchronizing
-    frame, so it stays whole-file (``read_warc_files``)."""
-    if blob[start:start + 2] == _GZ_MAGIC:
-        pos = start
-    else:
-        pos = blob.find(_GZ_MAGIC, start)
-    n = len(blob)
+    frame, so it stays whole-file (``read_warc_files`` /
+    ``read_warc_files_ranged``'s sniffed whole-file arm).
+
+    Dead-letter accounting at split boundaries is CONFIRMED-BOUNDARY
+    only (review-found): a decompress failure at a position reached by
+    scanning (the resync prefix — possibly a stray ``\\x1f\\x8b``
+    inside the previous split's healthy member) is skipped silently;
+    failures at positions CHAINED from a successful member (exact
+    ``unused_data`` arithmetic) are genuine corruption in bytes this
+    split owns and dead-letter. Without this rule a healthy 100 GiB
+    segment would emit a false corruption row for a sizable fraction
+    of its splits, poisoning the monitoring channel."""
+    pos = blob.find(_GZ_MAGIC, start)
+    confirmed = pos == start  # a split handed a member boundary owns it
     while 0 <= pos < end:
         if blob[pos:pos + 2] != _GZ_MAGIC:
             pos = blob.find(_GZ_MAGIC, pos)
+            confirmed = False
             continue
-        d = zlib.decompressobj(wbits=47)
-        try:
-            data = d.decompress(memoryview(blob)[pos:])
-        except zlib.error as exc:
-            yield _dead(f"corrupt gzip member: {exc}")
-            pos = blob.find(_GZ_MAGIC, pos + 2)
+        rows, nxt, failed = _gzip_member_at(blob, pos)
+        if failed:
+            if confirmed:
+                yield from rows
+            pos = blob.find(_GZ_MAGIC, nxt)
+            confirmed = False
             continue
-        rows, _ = _records_in(data)
         yield from rows
-        if not rows and data.strip(_GAP_PAD):
-            yield _dead("no WARC records in segment")
-        if not d.eof:
-            yield _dead("truncated gzip member")
-            return
-        pos = n - len(d.unused_data)
+        if nxt < 0:
+            return  # truncated member consumed the rest of the buffer
+        pos = nxt
+        confirmed = True
 
 
 # --------------------------------------------------------------------------
@@ -387,51 +409,79 @@ def read_warc_files(spark, path: str) -> DataFrame:
 
 
 def read_warc_files_ranged(
-    spark, path: str, split_bytes: int = 128 * 1024 * 1024
+    spark, path: str, split_bytes: int = 128 * 1024 * 1024,
+    flush_rows: int = 2048,
 ) -> DataFrame:
-    """WARC records from .warc.gz files under ``path`` via BYTE-RANGE
-    splits — the beyond-memory path ``read_warc_files`` (whole-file
-    binaryFile rows) can't take: the driver lists (file, start, end)
-    split rows (bounded by file count × splits per file, metadata
-    only), each task mmaps ITS file and runs the range walk, so a task
-    touches ~split_bytes of pages plus one member's decompressed
-    bytes — a 100 GiB segment costs no task more than its split.
-    Split-ownership equivalence with the whole-file parse is
-    property-tested (iter_warc_records_range).
+    """WARC records from .warc / .warc.gz files at ``path`` (a
+    directory tree or a single file) via BYTE-RANGE splits — the
+    beyond-memory path ``read_warc_files`` (whole-file binaryFile
+    rows) can't take: the driver lists (file, start, end) split rows
+    (metadata only, bounded by file count × splits per file), each
+    task mmaps ITS file and runs the range walk, yielding Arrow
+    batches every ``flush_rows`` records so task memory tracks the
+    batch, not the split's decompressed size. Files are SNIFFED: a
+    gzip leading magic gets ranged splits (per-record members make
+    ranges self-synchronizing); a plain .warc has no such frame and
+    becomes one whole-file split — admitted, never silently dropped
+    (both review-found). Raises on a path with no WARC files: an
+    empty frame from a typo'd path is silent data loss.
 
-    mmap needs a POSIX path visible on every executor (local, NFS,
-    fuse mounts); on object stores the same walk runs over ranged
-    GETs — the seam is identical, only the byte source changes."""
+    Split-ownership equivalence with the whole-file parse is
+    property-tested (iter_warc_records_range). mmap needs a POSIX
+    path visible on every executor (local, NFS, fuse mounts); on
+    object stores the same walk runs over ranged GETs — the seam is
+    identical, only the byte source changes."""
     import os
 
-    splits = []
-    for root, _dirs, names in os.walk(path):
-        for name in names:
-            if ".warc" not in name:
-                continue
-            p = os.path.join(root, name)
-            size = os.path.getsize(p)
-            for off in range(0, max(size, 1), split_bytes):
-                splits.append((p, off, min(off + split_bytes, size)))
+    def _file_splits(p: str) -> list[tuple[str, int, int]]:
+        size = os.path.getsize(p)
+        if size == 0:
+            return []
+        with open(p, "rb") as f:
+            gz = f.read(2) == _GZ_MAGIC
+        if not gz:
+            # plain framing can't range-split; (-1, -1) = whole-file
+            return [(p, -1, -1)]
+        return [(p, off, min(off + split_bytes, size))
+                for off in range(0, size, split_bytes)]
+
+    splits: list[tuple[str, int, int]] = []
+    if os.path.isfile(path):
+        splits = _file_splits(path)
+    else:
+        for root, _dirs, names in os.walk(path):
+            for name in sorted(names):
+                if ".warc" in name:
+                    splits.extend(_file_splits(os.path.join(root, name)))
+    if not splits:
+        raise FileNotFoundError(
+            f"no non-empty .warc/.warc.gz files under {path!r}")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import mmap
 
         cols = ["url", "warc_type", "warc_date", "http_status",
                 "content_type", "body", "parse_error"]
+        buf: list[dict] = []
+
+        def _flush():
+            out = pd.DataFrame(buf, columns=cols)
+            buf.clear()
+            return out
+
         for pdf in batches:
-            rows = []
             for r in pdf.itertuples(index=False):
-                with open(r.file, "rb") as f:
-                    if r.end <= r.start:
-                        continue
-                    with mmap.mmap(f.fileno(), 0,
-                                   access=mmap.ACCESS_READ) as mm:
-                        rows.extend(
+                with open(r.file, "rb") as f, \
+                        mmap.mmap(f.fileno(), 0,
+                                  access=mmap.ACCESS_READ) as mm:
+                    recs = (iter_warc_records(bytes(mm))
+                            if r.start < 0 else
                             iter_warc_records_range(mm, r.start, r.end))
-            yield pd.DataFrame(rows, columns=cols) if rows else (
-                pd.DataFrame({c: [] for c in cols})
-            )
+                    for rec in recs:
+                        buf.append(rec)
+                        if len(buf) >= flush_rows:
+                            yield _flush()
+        yield _flush() if buf else pd.DataFrame({c: [] for c in cols})
 
     df = spark.createDataFrame(splits, "file string, start long, end long")
     # one task per split: the split list IS the parallelism

@@ -281,16 +281,51 @@ class TestWarcParser:
         @settings(max_examples=100, deadline=None)
         def check(cuts):
             bounds = sorted({0, len(blob), *cuts})
-            got = []
+            got, dead = [], []
             for a, b in zip(bounds, bounds[1:]):
-                got.extend(
-                    (r["url"], r["body"])
-                    for r in iter_warc_records_range(blob, a, b)
-                    if r["parse_error"] is None
-                )
+                for r in iter_warc_records_range(blob, a, b):
+                    if r["parse_error"] is None:
+                        got.append((r["url"], r["body"]))
+                    else:
+                        dead.append(r)
             assert got == whole, (bounds, [u for u, _ in got])
+            # confirmed-boundary rule: a HEALTHY file emits zero dead
+            # rows no matter where splits land (a stray magic in a
+            # resync prefix is skipped silently, not flagged)
+            assert dead == [], (bounds, dead)
 
         check()
+
+    def test_ranged_reader_plain_file_and_file_path(self, spark, tmp_path):
+        """Review-found: the lister admitted plain .warc files the
+        range walk can't parse (silent loss) and returned an empty
+        frame for single-file or missing paths. Plain files now parse
+        whole-file; a file path works; a missing path raises."""
+        import pytest as _pytest
+
+        from crawler_spark.sources.warc import read_warc_files_ranged
+
+        plain = _rec("https://pl/1", b"plain body one") + _rec(
+            "https://pl/2", b"plain body two")
+        gz = b"".join(_rec(f"https://gz/{i}", b"zzz " * 10,
+                           gzip_member=True) for i in range(4))
+        (tmp_path / "plain.warc").write_bytes(plain)
+        (tmp_path / "comp.warc.gz").write_bytes(gz)
+
+        rows = read_warc_files_ranged(spark, str(tmp_path),
+                                      split_bytes=150).collect()
+        urls = sorted(r.url for r in rows if r.parse_error is None)
+        assert urls == sorted(
+            ["https://pl/1", "https://pl/2"]
+            + [f"https://gz/{i}" for i in range(4)])
+
+        # single-file path
+        one = read_warc_files_ranged(
+            spark, str(tmp_path / "plain.warc")).collect()
+        assert sorted(r.url for r in one) == ["https://pl/1",
+                                              "https://pl/2"]
+        with _pytest.raises(FileNotFoundError):
+            read_warc_files_ranged(spark, str(tmp_path / "nope"))
 
     def test_read_warc_files(self, spark, tmp_path):
         p = tmp_path / "seg-00000.warc.gz"
