@@ -47,6 +47,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_cluster_histogram", "curation_filter_overlap",
     "sample_unimax_quota", "streaming_sessionize_e2e",
     "txt_gopher_repetition", "curation_threshold_sweep",
+    "source_warc_ranged_roundtrip",
 ]
 
 

@@ -115,6 +115,89 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ranged WARC roundtrip --------------------------------------------------
+# The on-disk fixture is built once per (process, sf_dir): files are
+# what the ranged reader reads, and rebuilding identical bytes per
+# invocation would only re-measure the write.
+_WARC_FIXTURE_DIRS: dict[str, str] = {}
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _WARC_FIXTURE_DIRS.get(sf_dir)
+    if path is None:
+        from crawler_spark.sources.warc import (
+            build_http_response, build_warc_record,
+        )
+
+        path = tempfile.mkdtemp(prefix="warc_fixture_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        docs = _with_url(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+        ).withColumn("grp", F.col("doc_id") % _WARC_GROUPS)
+        # bounded collect: _WARC_GROUPS files' worth of fixture bytes —
+        # the fixture BUILD is driver-side by design (a real pipeline
+        # reads existing files; only this synthesis step fakes them)
+        rows = docs.select("grp", "url", "text").collect()
+        by_grp: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r.grp, r.url)):
+            by_grp.setdefault(int(r.grp), []).append(r)
+        for grp, members in by_grp.items():
+            gz = bool(grp % 2)
+            blob = b"".join(
+                build_warc_record(
+                    r.url, build_http_response(r.text.encode("utf-8")),
+                    gzip_member=gz,
+                )
+                for r in members
+            )
+            name = f"seg-{grp:05d}.warc" + (".gz" if gz else "")
+            with open(os.path.join(path, name), "wb") as f:
+                f.write(blob)
+        _WARC_FIXTURE_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "source_warc_ranged_roundtrip",
+    oracle=f"""
+        SELECT {_URL_SQL} AS url,
+               CAST(200 AS INTEGER) AS http_status,
+               'text/plain; charset=utf-8' AS content_type,
+               text,
+               CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents
+    """,
+)
+def source_warc_ranged_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BYTE-RANGE twin of ``source_warc_roundtrip``: the same WARC
+    bytes land as real files on disk (half .warc.gz with per-record
+    members, half plain .warc), and ``read_warc_files_ranged`` reads
+    them through mmap-backed splits small enough that most splits
+    start MID-member — exercising split ownership, forward resync,
+    the sniffed plain-file arm, and batched emission end-to-end. The
+    oracle is identical to the whole-file roundtrip's: any record a
+    split loses or duplicates is a row-count/hash mismatch."""
+    from crawler_spark.sources.warc import read_warc_files_ranged
+
+    recs = read_warc_files_ranged(
+        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024)
+    return recs.filter(
+        F.col("parse_error").isNull() & (F.col("warc_type") == "response")
+    ).select(
+        "url",
+        "http_status",
+        "content_type",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.length(F.col("body")).cast("int").alias("n_bytes"),
+    )
+
+
 # --- sitemap-seeded frontier ----------------------------------------------
 
 _LASTMOD_SQL = (
