@@ -140,9 +140,9 @@ def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
     origin; a missing/unfetchable robots.txt or one without directives
     contributes nothing. Order preserved, duplicates dropped.
     Driver-side by design: the origin list is the crawl's seed set
-    (bounded); a 100k-origin discovery sweep runs this same function
-    inside ``mapInPandas`` partitioned by host, exactly the
-    ``robots_filter`` pattern."""
+    (bounded); ``discover_sitemaps_distributed`` below is the
+    100k-origin sweep (mapInPandas partitioned by host, the
+    ``robots_filter`` pattern)."""
     from urllib import robotparser
 
     out: list[str] = []
@@ -158,6 +158,46 @@ def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
                 seen.add(u)
                 out.append(u)
     return out
+
+
+def discover_sitemaps_distributed(
+    spark, fetcher, origins: DataFrame, origin_col: str = "origin"
+) -> DataFrame:
+    """The at-scale form of ``discover_sitemaps``: one (origin,
+    sitemap_url) row per directive, robots fetched ON THE EXECUTORS
+    with origins repartitioned by host so each partition fetches each
+    origin's robots.txt once — the exact shape of
+    ``plans/ingest.robots_filter``. Origins without a fetchable
+    robots.txt or without directives simply contribute no rows (route
+    fetch errors through the crawl's dead-letter tier if they must be
+    audited)."""
+    from collections.abc import Iterator as _Iterator
+    from urllib import robotparser
+
+    from pyspark.sql import functions as F2
+
+    def sweep(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for origin in pdf[origin_col]:
+                if origin is None:
+                    continue
+                _, body, err = fetcher.fetch(
+                    origin.rstrip("/") + "/robots.txt")
+                if err is not None or body is None:
+                    continue
+                rp = robotparser.RobotFileParser()
+                rp.parse(body.decode("utf-8", errors="replace").splitlines())
+                rows.extend({"origin": origin, "sitemap_url": u}
+                            for u in dict.fromkeys(rp.site_maps() or [])
+                            if u)
+            yield pd.DataFrame(rows, columns=["origin", "sitemap_url"]) \
+                if rows else pd.DataFrame({"origin": [], "sitemap_url": []})
+
+    par = spark.sparkContext.defaultParallelism
+    df = origins.select(F2.col(origin_col).alias(origin_col)).distinct()
+    return df.repartition(par, F2.col(origin_col)).mapInPandas(
+        sweep, "origin string, sitemap_url string")
 
 
 def fetch_sitemap_blobs(

@@ -465,6 +465,29 @@ class TestSitemap:
             == ["https://s/map1.xml", "https://s/map2.xml",
                 "https://s/map3.xml"]
 
+    def test_discover_sitemaps_distributed(self, spark):
+        from crawler_spark.sources.fetch import StubFetcher
+        from crawler_spark.sources.sitemap import (
+            discover_sitemaps_distributed,
+        )
+
+        f = StubFetcher({
+            "https://a/robots.txt": (
+                "text/plain", b"Sitemap: https://a/m1.xml\n"
+                              b"Sitemap: https://a/m2.xml\n"),
+            "https://b/robots.txt": ("text/plain", b"User-agent: *\n"),
+        })
+        origins = spark.createDataFrame(
+            [("https://a",), ("https://b",), ("https://missing",),
+             ("https://a",)],  # duplicate origin collapses
+            "origin string")
+        rows = sorted(
+            (r.origin, r.sitemap_url)
+            for r in discover_sitemaps_distributed(spark, f, origins)
+            .collect())
+        assert rows == [("https://a", "https://a/m1.xml"),
+                        ("https://a", "https://a/m2.xml")]
+
     def test_fetch_sitemap_blobs_follows_index(self):
         from crawler_spark.sources.fetch import StubFetcher
         from crawler_spark.sources.sitemap import fetch_sitemap_blobs
