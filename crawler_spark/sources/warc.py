@@ -120,6 +120,16 @@ def build_warc_record(
 _GAP_PAD = b"\r\n\x00 \t"  # separator bytes legitimately between records
 
 
+def _ascii_int(s: str | None) -> int | None:
+    """int(s) iff s is a plain ASCII decimal, else None. Not
+    ``str.isdigit()``: latin-1-decoded damage can produce characters
+    like '³' (U+00B3) for which isdigit() is True but int() RAISES —
+    the byte-flip fuzz found exactly that task-killing pair."""
+    if s is not None and s.isascii() and s.isdecimal():
+        return int(s)
+    return None
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(CRLF)[1:]:  # [0] is the version/status line
@@ -140,14 +150,15 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     head = payload[:end]
     status_line = head.split(CRLF, 1)[0].decode("latin-1", "replace")
     parts = status_line.split(" ", 2)
-    if len(parts) < 2 or not parts[1].isdigit():
+    status = _ascii_int(parts[1]) if len(parts) >= 2 else None
+    if status is None:
         raise ValueError(f"bad HTTP status line: {status_line!r}")
     headers = _parse_headers(head)
     body = payload[end + len(_HDR_END):]
-    n = headers.get("content-length")
-    if n is not None and n.isdigit():
-        body = body[: int(n)]
-    return int(parts[1]), headers.get("content-type", ""), body
+    n = _ascii_int(headers.get("content-length"))
+    if n is not None:
+        body = body[:n]
+    return status, headers.get("content-type", ""), body
 
 
 def _records_in(chunk: bytes, pos: int = 0,
@@ -186,14 +197,14 @@ def _records_in(chunk: bytes, pos: int = 0,
         url = headers.get("warc-target-uri")
         wtype = headers.get("warc-type", "")
         wdate = headers.get("warc-date", "")
-        cl = headers.get("content-length", "")
-        if not cl.isdigit():
+        cl = _ascii_int(headers.get("content-length"))
+        if cl is None:
             rows.append(_dead("missing/invalid WARC Content-Length", url))
             pos = hdr_end + len(_HDR_END)
             continue
-        payload_end = hdr_end + len(_HDR_END) + int(cl)
+        payload_end = hdr_end + len(_HDR_END) + cl
         payload = chunk[hdr_end + len(_HDR_END):payload_end]
-        if len(payload) < int(cl):
+        if len(payload) < cl:
             # short payload = genuine truncation at EOF (scan finds
             # nothing more, loop ends) OR a Content-Length inflated
             # past EOF by damage — either way dead-letter this record
@@ -271,8 +282,6 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
                 if not nxt:
                     return
                 pos = min(nxt)
-            if pos < 0:
-                return  # truncated member: EOF by definition
         else:
             rows, new_pos = _records_in(blob, pos, stop_at_gzip=True)
             yield from rows
@@ -299,8 +308,12 @@ def _gzip_member_at(blob, pos: int) -> tuple[list[dict], int, bool]:
       non-empty recordless member], position after the member, False)
     * corrupt member → ([dead row], pos + 2 — the caller resyncs from
       there with ITS framing rules, True)
-    * truncated member → (salvaged records + dead row, -1 — truncation
-      consumes the rest of the buffer by definition, False)
+    * truncated member → (salvaged records + dead row, pos + 2, True):
+      truncation consumed the rest of the BUFFER, but the raw bytes of
+      any members behind it are still in the blob — a flipped header
+      flag bit (e.g. FEXTRA) can make zlib silently eat everything
+      without erroring (fuzz-found), so the caller must resync exactly
+      as for corruption; genuine truncation-at-EOF just finds nothing.
     """
     d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
     try:
@@ -315,7 +328,7 @@ def _gzip_member_at(blob, pos: int) -> tuple[list[dict], int, bool]:
         rows.append(_dead("no WARC records in segment"))
     if not d.eof:
         rows.append(_dead("truncated gzip member"))
-        return rows, -1, False
+        return rows, pos + 2, True
     return rows, len(blob) - len(d.unused_data), False
 
 
@@ -356,14 +369,17 @@ def iter_warc_records_range(
             continue
         rows, nxt, failed = _gzip_member_at(blob, pos)
         if failed:
-            if confirmed:
-                yield from rows
+            # valid salvaged records always surface (a truncated REAL
+            # member this split owns); dead rows only from confirmed
+            # positions — scanned-prefix failures belong to the
+            # previous split's healthy bytes
+            for r in rows:
+                if r["parse_error"] is None or confirmed:
+                    yield r
             pos = blob.find(_GZ_MAGIC, nxt)
             confirmed = False
             continue
         yield from rows
-        if nxt < 0:
-            return  # truncated member consumed the rest of the buffer
         pos = nxt
         confirmed = True
 
