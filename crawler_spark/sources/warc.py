@@ -31,10 +31,11 @@ Scale notes (how this maps to a 1000-executor cluster):
 * **binaryFile loads a whole file per row** — fine for the standard
   ~1 GiB WARC segment size. Files beyond executor memory split by BYTE
   RANGE with the Hadoop-split ownership rule, realized here by
-  ``iter_warc_records_range``: a split parses exactly the gzip members
-  whose first byte lies inside it (reading past its end to finish the
-  last one), so a partition of [0, size) reproduces the whole-file
-  parse record-for-record — property-tested over random cut points. A
+  ``iter_warc_records_range``: a split parses exactly the units — gzip
+  members OR frame-validated plain ``WARC/`` records — whose first
+  byte lies inside it (reading past its end to finish the last one),
+  so a partition of [0, size) reproduces the whole-file parse
+  record-for-record — property-tested over random cut points. A
   range-reading datasource only has to hand tasks (path, start, end).
 """
 
@@ -118,6 +119,8 @@ def build_warc_record(
 # --------------------------------------------------------------------------
 
 _GAP_PAD = b"\r\n\x00 \t"  # separator bytes legitimately between records
+_MAX_HDR = 64 * 1024  # a WARC header block beyond this is damage
+_ZWIN = 1 << 20  # bounded feed window for the gzip decompressor
 
 
 def _ascii_int(s: str | None) -> int | None:
@@ -161,6 +164,77 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     return status, headers.get("content-type", ""), body
 
 
+def _record_at(chunk, start: int, n: int | None = None
+               ) -> tuple[dict, int, bool]:
+    """Parse ONE record whose ``WARC/`` anchor sits at ``start`` — the
+    single shared record parser (whole-file walk, plain pre-split and
+    the byte-range walk all call it, so the fuzz-hardened logic can't
+    drift between copies). Returns ``(row, next_pos, framed)``:
+
+    * ``framed=True`` — the record FRAME is structurally sound (header
+      block, ASCII Content-Length, CRLF/EOF after the payload). The
+      row may still be a dead-letter (an HTTP payload that fails to
+      parse), but the walk continues at ``next_pos`` with full
+      confidence.
+    * ``framed=False`` — truncated/corrupt header, bad Content-Length
+      or a lying one (frame check). ``row`` is the dead-letter to emit
+      in CONFIRMED contexts; a range walk probing a scanned anchor
+      (possibly a stray ``WARC/`` inside a payload or inside
+      compressed bytes) skips it silently instead.
+
+    Frame check detail: a record's content block must be followed by
+    the CRLF separator (or EOF). A corrupted Content-Length lands
+    ``payload_end`` on arbitrary bytes — trusting it there would
+    silently swallow whatever follows (review-found: one flipped digit
+    ate the next gzip member). The payload's OWN bytes are never
+    scanned, so embedded magic/``WARC/`` stays harmless in the valid
+    case. Header search is bounded at ``_MAX_HDR``: real WARC header
+    blocks are <1 KiB, and an unbounded find from a false anchor would
+    scan O(split) bytes per probe."""
+    if n is None:
+        n = len(chunk)
+    hdr_end = chunk.find(_HDR_END, start, start + _MAX_HDR)
+    if hdr_end < 0:
+        return _dead("truncated WARC header block"), start + 5, False
+    headers = _parse_headers(chunk[start:hdr_end])
+    url = headers.get("warc-target-uri")
+    wtype = headers.get("warc-type", "")
+    wdate = headers.get("warc-date", "")
+    cl = _ascii_int(headers.get("content-length"))
+    body_start = hdr_end + len(_HDR_END)
+    if cl is None:
+        return (_dead("missing/invalid WARC Content-Length", url),
+                body_start, False)
+    payload_end = body_start + cl
+    payload = chunk[body_start:payload_end]
+    if len(payload) < cl:
+        # short payload = genuine truncation at EOF OR a Content-Length
+        # inflated past EOF by damage — either way dead-letter this
+        # record and resync right after the header so intact framing
+        # after it survives
+        return _dead("truncated WARC payload", url), body_start, False
+    if payload_end < n and chunk[payload_end:payload_end + 2] != CRLF:
+        return (_dead("record frame mismatch (corrupt Content-Length?)",
+                      url), body_start, False)
+    if wtype != "response":
+        # warcinfo/request/metadata records ride along in real files;
+        # surface them with NULL http fields
+        return ({
+            "url": url, "warc_type": wtype, "warc_date": wdate,
+            "http_status": None, "content_type": None,
+            "body": None, "parse_error": None,
+        }, payload_end, True)
+    try:
+        status, ctype, body = parse_http_response(payload)
+    except ValueError as exc:
+        return _dead(str(exc), url, wtype, wdate), payload_end, True
+    return ({
+        "url": url, "warc_type": wtype, "warc_date": wdate,
+        "http_status": status, "content_type": ctype,
+        "body": body, "parse_error": None,
+    }, payload_end, True)
+
+
 def _records_in(chunk: bytes, pos: int = 0,
                 stop_at_gzip: bool = False) -> tuple[list[dict], int]:
     """Content-Length-aware record walk over plaintext bytes starting
@@ -184,67 +258,12 @@ def _records_in(chunk: bytes, pos: int = 0,
                 return rows, gz
         if start < 0:
             return rows, n
-        hdr_end = chunk.find(_HDR_END, start)
-        if hdr_end < 0:
-            # damaged header: dead-letter it and KEEP SCANNING — a
-            # gzip member (or further plain record) after the damage
-            # must still parse (review-found: returning here cost the
-            # rest of the file for one mangled record)
-            rows.append(_dead("truncated WARC header block"))
-            pos = start + 5
-            continue
-        headers = _parse_headers(chunk[start:hdr_end])
-        url = headers.get("warc-target-uri")
-        wtype = headers.get("warc-type", "")
-        wdate = headers.get("warc-date", "")
-        cl = _ascii_int(headers.get("content-length"))
-        if cl is None:
-            rows.append(_dead("missing/invalid WARC Content-Length", url))
-            pos = hdr_end + len(_HDR_END)
-            continue
-        payload_end = hdr_end + len(_HDR_END) + cl
-        payload = chunk[hdr_end + len(_HDR_END):payload_end]
-        if len(payload) < cl:
-            # short payload = genuine truncation at EOF (scan finds
-            # nothing more, loop ends) OR a Content-Length inflated
-            # past EOF by damage — either way dead-letter this record
-            # and keep scanning so intact framing after it survives
-            rows.append(_dead("truncated WARC payload", url))
-            pos = hdr_end + len(_HDR_END)
-            continue
-        # frame check: a record's content block is followed by the
-        # CRLF separator (or EOF). A corrupted Content-Length lands
-        # payload_end on arbitrary bytes instead — trusting it there
-        # would silently swallow whatever follows (review-found: one
-        # flipped digit ate the next gzip member). Dead-letter and
-        # resync right after the header; the payload's OWN bytes are
-        # never scanned, so embedded magic/"WARC/" stays harmless in
-        # the valid case.
-        if payload_end < n and chunk[payload_end:payload_end + 2] != CRLF:
-            rows.append(_dead(
-                "record frame mismatch (corrupt Content-Length?)", url))
-            pos = hdr_end + len(_HDR_END)
-            continue
-        pos = payload_end
-        if wtype != "response":
-            # warcinfo/request/metadata records ride along in real
-            # files; surface them with NULL http fields
-            rows.append({
-                "url": url, "warc_type": wtype, "warc_date": wdate,
-                "http_status": None, "content_type": None,
-                "body": None, "parse_error": None,
-            })
-            continue
-        try:
-            status, ctype, body = parse_http_response(payload)
-        except ValueError as exc:
-            rows.append(_dead(str(exc), url, wtype, wdate))
-            continue
-        rows.append({
-            "url": url, "warc_type": wtype, "warc_date": wdate,
-            "http_status": status, "content_type": ctype,
-            "body": body, "parse_error": None,
-        })
+        # whole-file context: every position is confirmed, so damaged
+        # frames dead-letter (the walk KEEPS SCANNING — review-found:
+        # returning early cost the rest of the file for one mangled
+        # record)
+        row, pos, _framed = _record_at(chunk, start, n)
+        rows.append(row)
 
 
 def iter_warc_records(blob: bytes) -> Iterator[dict]:
