@@ -34,9 +34,16 @@ Scale notes (how this maps to a 1000-executor cluster):
   ``iter_warc_records_range``: a split parses exactly the units — gzip
   members OR frame-validated plain ``WARC/`` records — whose first
   byte lies inside it (reading past its end to finish the last one),
-  so a partition of [0, size) reproduces the whole-file parse
-  record-for-record — property-tested over random cut points. A
-  range-reading datasource only has to hand tasks (path, start, end).
+  so a partition of [0, size) reproduces the whole-file parse's VALID
+  records record-for-record — property-tested over random cut points
+  for gzip, plain and mixed framing. A range-reading datasource only
+  has to hand tasks (path, start, end).
+* **Member decompression is window-fed** (``_ZWIN`` bytes per feed):
+  zlib's ``unused_data`` is a bytes COPY of whatever input followed
+  the stream end, so feeding the whole remaining mmap would allocate
+  an O(file-tail) buffer per member — an OOM on exactly the
+  beyond-memory files this seam exists for. Peak input-side memory is
+  one window; output-side is one decompressed member.
 """
 
 from __future__ import annotations
@@ -283,7 +290,15 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     behind one flipped first byte). A plain region that yields no
     records at all (e.g. a member whose magic was corrupted, now
     unrecognizable compressed bytes) surfaces as one flagged row;
-    ordinary record separators between regions stay silent."""
+    ordinary record separators between regions stay silent.
+
+    Header blocks are bounded at ``_MAX_HDR`` (64 KiB — real WARC
+    headers are <1 KiB; an unbounded search from a false anchor would
+    scan O(blob) per probe): a header block exceeding the bound
+    dead-letters as truncated and the walk resynchronizes INSIDE it,
+    so one pathological header can emit several dead rows as the scan
+    rediscovers ``WARC/`` substrings — a deliberate DoS bound, pinned
+    by test (oversized-header fixture)."""
     view = memoryview(blob)
     pos, n = 0, len(blob)
     while pos < n:
@@ -295,12 +310,9 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
                 # a plain record header (mixed framing — fuzz-found: a
                 # magic-only scan skipped plain records sitting between
                 # a damaged member and the next one)
-                nxt = [x for x in (blob.find(_GZ_MAGIC, pos),
-                                   blob.find(b"WARC/", pos))
-                       if x >= 0]
-                if not nxt:
+                pos = _scan_anchor(blob, pos)
+                if pos < 0:
                     return
-                pos = min(nxt)
         else:
             rows, new_pos = _records_in(blob, pos, stop_at_gzip=True)
             yield from rows
@@ -333,12 +345,28 @@ def _gzip_member_at(blob, pos: int) -> tuple[list[dict], int, bool]:
       flag bit (e.g. FEXTRA) can make zlib silently eat everything
       without erroring (fuzz-found), so the caller must resync exactly
       as for corruption; genuine truncation-at-EOF just finds nothing.
+
+    Input is fed in ``_ZWIN``-byte windows, never the whole tail:
+    ``unused_data`` materializes a copy of every input byte past the
+    stream end, so a single whole-tail feed costs O(file) memory per
+    member and O(file²) bytes copied across a per-record-member
+    segment. With windows, ``unused_data`` is at most one window (the
+    tail of the window where ``eof`` landed) and the member end is
+    ``fed − len(unused_data)``.
     """
     d = zlib.decompressobj(wbits=47)  # 32+15: gzip container
+    mv = memoryview(blob)
+    n = len(blob)
+    fed = pos
+    out: list[bytes] = []
     try:
-        data = d.decompress(memoryview(blob)[pos:])
+        while fed < n and not d.eof:
+            win = mv[fed:fed + _ZWIN]
+            out.append(d.decompress(win))
+            fed += len(win) - len(d.unused_data)
     except zlib.error as exc:
         return [_dead(f"corrupt gzip member: {exc}")], pos + 2, True
+    data = b"".join(out)
     # member data is self-contained plaintext: no gzip-boundary scan
     # inside it (embedded magic in trailing garbage is skipped like
     # any other inter-record junk)
@@ -348,59 +376,118 @@ def _gzip_member_at(blob, pos: int) -> tuple[list[dict], int, bool]:
     if not d.eof:
         rows.append(_dead("truncated gzip member"))
         return rows, pos + 2, True
-    return rows, len(blob) - len(d.unused_data), False
+    return rows, fed, False
+
+
+def _scan_anchor(blob, pos: int) -> int:
+    """Position of the next framing anchor at or after ``pos`` — a
+    gzip magic or a plain ``WARC/`` header start, whichever comes
+    first — or -1. Probes in ``_ZWIN`` windows so one call is a single
+    bounded forward pass: an unbounded ``find`` for the ABSENT anchor
+    kind (no ``WARC/`` anywhere in an all-gzip file, no magic in an
+    all-plain one) would scan to end-of-blob per call, turning the
+    range walk quadratic across splits (the same bench-found trap
+    ``_records_in``'s gap-bounded magic search fixes)."""
+    n = len(blob)
+    while pos < n:
+        hi = min(pos + _ZWIN, n)
+        # +1/+4 so an anchor STARTING inside the window is found even
+        # when its bytes straddle the window edge
+        cands = [x for x in (blob.find(_GZ_MAGIC, pos, hi + 1),
+                             blob.find(b"WARC/", pos, hi + 4))
+                 if 0 <= x < hi]
+        if cands:
+            return min(cands)
+        pos = hi
+    return -1
 
 
 def iter_warc_records_range(
     blob: bytes, start: int, end: int
 ) -> Iterator[dict]:
-    """Records of every gzip member whose FIRST BYTE lies in
-    ``[start, end)`` — the Hadoop input-split ownership rule: each
-    member belongs to exactly the split containing its magic, a split
-    reads past its end to finish its last member, and a split landing
-    mid-member self-synchronizes forward to the next magic it owns.
+    """Records of every unit — gzip member OR frame-validated plain
+    ``WARC/`` record — whose FIRST BYTE lies in ``[start, end)``: the
+    Hadoop input-split ownership rule. Each unit belongs to exactly
+    the split containing its first byte, a split reads past its end
+    to finish its last unit, and a split landing mid-unit
+    self-synchronizes forward to the next anchor it owns.
     Concatenating all splits' outputs over any partition of
-    ``[0, len(blob))`` therefore reproduces ``iter_warc_records``
-    record-for-record (property-tested over random cut points).
+    ``[0, len(blob))`` therefore reproduces ``iter_warc_records``'s
+    VALID records record-for-record (property-tested over random cut
+    points for gzip, plain and mixed framing).
 
-    This is the beyond-memory seam for .warc.gz (the Common Crawl
-    layout, per-record members): a range-reading datasource hands each
-    task (path, start, end) and tasks parse independently with no
-    coordination. Plain uncompressed .warc has no self-synchronizing
-    frame, so it stays whole-file (``read_warc_files`` /
-    ``read_warc_files_ranged``'s sniffed whole-file arm).
+    Ownership of a gzip anchor is confirmed by the decompressor (a
+    stray magic in compressed bytes fails and is skipped silently —
+    see dead-letter rule below). Ownership of a plain anchor is
+    confirmed by ``_record_at``'s frame validation: a scanned anchor
+    that parses with a sound frame (``framed=True``) is a real record
+    boundary and is owned; one that doesn't (a stray ``WARC/`` inside
+    a payload the previous split's chain would have skipped) is
+    dropped silently. A payload EMBEDDING a byte-exact valid WARC
+    record is ambiguous by construction — plain framing has no
+    escape; at scale use per-record gzip members (the Common Crawl
+    layout), which is why .warc.gz is the recommended interchange.
+
+    This is the beyond-memory seam: a range-reading datasource hands
+    each task (path, start, end) and tasks parse independently with
+    no coordination.
 
     Dead-letter accounting at split boundaries is CONFIRMED-BOUNDARY
-    only (review-found): a decompress failure at a position reached by
-    scanning (the resync prefix — possibly a stray ``\\x1f\\x8b``
-    inside the previous split's healthy member) is skipped silently;
-    failures at positions CHAINED from a successful member (exact
-    ``unused_data`` arithmetic) are genuine corruption in bytes this
-    split owns and dead-letter. Without this rule a healthy 100 GiB
-    segment would emit a false corruption row for a sizable fraction
-    of its splits, poisoning the monitoring channel."""
-    pos = blob.find(_GZ_MAGIC, start)
-    confirmed = pos == start  # a split handed a member boundary owns it
+    only (review-found): a parse failure at a position reached by
+    scanning is skipped silently; failures at positions CHAINED from
+    a successfully parsed unit (exact end-offset arithmetic) are
+    genuine corruption in bytes this split owns and dead-letter.
+    Without this rule a healthy 100 GiB segment would emit a false
+    corruption row for a sizable fraction of its splits, poisoning
+    the monitoring channel. (Corner: a cut landing exactly on a
+    DAMAGED plain anchor loses that one dead row — valid records are
+    the contract.)"""
+    pos = _scan_anchor(blob, start)
+    # a split handed an exact member boundary owns it; plain anchors
+    # prove ownership through frame validation instead, so a cut that
+    # happens to land on a stray "WARC/" inside a payload is not
+    # blindly trusted
+    confirmed = pos == start and blob[pos:pos + 2] == _GZ_MAGIC
     while 0 <= pos < end:
-        if blob[pos:pos + 2] != _GZ_MAGIC:
-            pos = blob.find(_GZ_MAGIC, pos)
-            confirmed = False
-            continue
-        rows, nxt, failed = _gzip_member_at(blob, pos)
-        if failed:
-            # valid salvaged records always surface (a truncated REAL
-            # member this split owns); dead rows only from confirmed
-            # positions — scanned-prefix failures belong to the
-            # previous split's healthy bytes
-            for r in rows:
-                if r["parse_error"] is None or confirmed:
-                    yield r
-            pos = blob.find(_GZ_MAGIC, nxt)
-            confirmed = False
-            continue
-        yield from rows
-        pos = nxt
-        confirmed = True
+        if blob[pos:pos + 2] == _GZ_MAGIC:
+            rows, nxt, failed = _gzip_member_at(blob, pos)
+            if failed:
+                # valid salvaged records always surface (a truncated
+                # REAL member this split owns); dead rows only from
+                # confirmed positions — scanned-prefix failures belong
+                # to the previous split's healthy bytes
+                for r in rows:
+                    if r["parse_error"] is None or confirmed:
+                        yield r
+                pos = _scan_anchor(blob, nxt)
+                confirmed = False
+                continue
+            yield from rows
+            pos = nxt
+            confirmed = True
+        else:
+            row, nxt, framed = _record_at(blob, pos)
+            if framed or confirmed:
+                # framed: a real record this split owns (may still be
+                # an HTTP-layer dead-letter). Unframed but chained:
+                # genuine damage in owned bytes, same row the
+                # whole-file walk emits.
+                yield row
+            if framed:
+                pos = _scan_anchor(blob, nxt)
+                confirmed = True
+            elif confirmed:
+                # chained damage: continue where the whole-file walk
+                # would (its _records_in resumes at _record_at's
+                # next_pos), keeping dead-letter trajectories aligned
+                pos = _scan_anchor(blob, max(nxt, pos + 1))
+                confirmed = False
+            else:
+                # scanned stray: next_pos was computed from garbage
+                # bytes and could overshoot a real anchor — resync
+                # conservatively just past the probe
+                pos = _scan_anchor(blob, pos + 5)
+                confirmed = False
 
 
 # --------------------------------------------------------------------------
@@ -454,12 +541,11 @@ def read_warc_files_ranged(
     (metadata only, bounded by file count × splits per file), each
     task mmaps ITS file and runs the range walk, yielding Arrow
     batches every ``flush_rows`` records so task memory tracks the
-    batch, not the split's decompressed size. Files are SNIFFED: a
-    gzip leading magic gets ranged splits (per-record members make
-    ranges self-synchronizing); a plain .warc has no such frame and
-    becomes one whole-file split — admitted, never silently dropped
-    (both review-found). Raises on a path with no WARC files: an
-    empty frame from a typo'd path is silent data loss.
+    batch, not the split's decompressed size. Both framings
+    range-split: gzip members self-synchronize by magic, plain
+    records by frame validation (see ``iter_warc_records_range``).
+    Raises on a path with no WARC files: an empty frame from a typo'd
+    path is silent data loss.
 
     Split-ownership equivalence with the whole-file parse is
     property-tested (iter_warc_records_range). mmap needs a POSIX
@@ -470,13 +556,6 @@ def read_warc_files_ranged(
 
     def _file_splits(p: str) -> list[tuple[str, int, int]]:
         size = os.path.getsize(p)
-        if size == 0:
-            return []
-        with open(p, "rb") as f:
-            gz = f.read(2) == _GZ_MAGIC
-        if not gz:
-            # plain framing can't range-split; (-1, -1) = whole-file
-            return [(p, -1, -1)]
         return [(p, off, min(off + split_bytes, size))
                 for off in range(0, size, split_bytes)]
 
@@ -486,7 +565,7 @@ def read_warc_files_ranged(
     else:
         for root, _dirs, names in os.walk(path):
             for name in sorted(names):
-                if ".warc" in name:
+                if name.endswith((".warc", ".warc.gz")):
                     splits.extend(_file_splits(os.path.join(root, name)))
     if not splits:
         raise FileNotFoundError(
@@ -509,10 +588,7 @@ def read_warc_files_ranged(
                 with open(r.file, "rb") as f, \
                         mmap.mmap(f.fileno(), 0,
                                   access=mmap.ACCESS_READ) as mm:
-                    recs = (iter_warc_records(bytes(mm))
-                            if r.start < 0 else
-                            iter_warc_records_range(mm, r.start, r.end))
-                    for rec in recs:
+                    for rec in iter_warc_records_range(mm, r.start, r.end):
                         buf.append(rec)
                         if len(buf) >= flush_rows:
                             yield _flush()

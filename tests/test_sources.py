@@ -296,6 +296,115 @@ class TestWarcParser:
 
         check()
 
+    @staticmethod
+    def _assert_range_union_equals_whole(blob, max_examples=100):
+        """Shared property body: any partition of ``blob`` into
+        byte-range splits reproduces the whole-file VALID records,
+        each once, in order, with zero dead rows on healthy input."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from crawler_spark.sources.warc import iter_warc_records_range
+
+        whole = [(r["url"], r["body"])
+                 for r in iter_warc_records(blob)
+                 if r["parse_error"] is None]
+        assert whole  # fixture sanity
+
+        @given(st.lists(st.integers(min_value=1, max_value=len(blob) - 1),
+                        min_size=0, max_size=5))
+        @settings(max_examples=max_examples, deadline=None)
+        def check(cuts):
+            bounds = sorted({0, len(blob), *cuts})
+            got, dead = [], []
+            for a, b in zip(bounds, bounds[1:]):
+                for r in iter_warc_records_range(blob, a, b):
+                    if r["parse_error"] is None:
+                        got.append((r["url"], r["body"]))
+                    else:
+                        dead.append(r)
+            assert got == whole, (bounds, [u for u, _ in got])
+            assert dead == [], (bounds, dead)
+
+        check()
+
+    def test_plain_range_splits_reproduce_whole_parse(self):
+        """Property: plain (uncompressed) records range-split via
+        frame validation — a split landing mid-record scans forward,
+        rejects stray ``WARC/`` bytes inside payloads (the decoy
+        record below plants several) and owns exactly the framed
+        anchors in its range."""
+        recs = [
+            _rec(f"https://p/{i}", (f"plain payload {i} " * (i + 1)).encode())
+            for i in range(10)
+        ]
+        # decoy: payload full of WARC/-ish text that must NOT
+        # frame-validate from any scan position
+        recs.insert(3, _rec("https://p/decoy",
+                            b"look: WARC/1.0\r\nnot a real header " * 3))
+        self._assert_range_union_equals_whole(b"".join(recs))
+
+    def test_mixed_framing_range_splits_reproduce_whole_parse(self):
+        """Property: a blob interleaving plain records and gzip
+        members (legal — framing re-sniffs between records) still
+        satisfies the split-union contract."""
+        blob = b"".join(
+            _rec(f"https://m/{i}", (f"mixed body {i} " * (i + 2)).encode(),
+                 gzip_member=(i % 2 == 0))
+            for i in range(8)
+        )
+        self._assert_range_union_equals_whole(blob)
+
+    def test_gzip_member_feed_is_bounded(self, monkeypatch):
+        """The member decompressor must never be fed more than _ZWIN
+        input bytes at a time: a whole-tail feed materializes an
+        O(file-tail) unused_data copy PER MEMBER — the OOM trap on
+        the beyond-memory path. Pin it by shrinking the window and
+        spying every decompress() call."""
+        import zlib as _zlib
+
+        import crawler_spark.sources.warc as W
+
+        fed: list[int] = []
+        real = _zlib.decompressobj
+
+        class Spy:
+            def __init__(self, inner):
+                self._d = inner
+
+            def decompress(self, buf, *a):
+                fed.append(len(buf))
+                return self._d.decompress(buf, *a)
+
+            def __getattr__(self, k):
+                return getattr(self._d, k)
+
+        monkeypatch.setattr(W.zlib, "decompressobj",
+                            lambda *a, **k: Spy(real(*a, **k)))
+        monkeypatch.setattr(W, "_ZWIN", 64)
+        blob = b"".join(_rec(f"https://w/{i}", b"x" * 300, gzip_member=True)
+                        for i in range(6))
+        out = list(W.iter_warc_records(blob))
+        assert [r["url"] for r in out] == [f"https://w/{i}" for i in range(6)]
+        assert all(r["parse_error"] is None for r in out)
+        assert fed and max(fed) <= 64, max(fed)
+
+    def test_oversized_header_dead_letters_bounded(self):
+        """_MAX_HDR pin: a header block beyond 64 KiB dead-letters as
+        truncated (possibly several rows as the scan rediscovers
+        WARC/ inside it) instead of an unbounded O(blob) search, and
+        intact records after it still parse."""
+        import crawler_spark.sources.warc as W
+
+        huge = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + b"X-Pad: " + b"a" * (W._MAX_HDR + 1024) + b"\r\n\r\n")
+        out = list(iter_warc_records(huge + _rec("https://ok/1", b"fine")))
+        deads = [r for r in out if r["parse_error"] is not None]
+        goods = [r for r in out if r["parse_error"] is None]
+        assert deads and all(
+            "truncated WARC header" in r["parse_error"] for r in deads)
+        assert [r["url"] for r in goods] == ["https://ok/1"]
+
     def test_ranged_reader_plain_file_and_file_path(self, spark, tmp_path):
         """Review-found: the lister admitted plain .warc files the
         range walk can't parse (silent loss) and returned an empty
