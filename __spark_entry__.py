@@ -48,6 +48,8 @@ _NEVER_DRIVER_VERIFIED = [
     "sample_unimax_quota", "streaming_sessionize_e2e",
     "txt_gopher_repetition", "curation_threshold_sweep",
     "source_warc_ranged_roundtrip",
+    # --- new in round 8 ---
+    "pipeline_warc_corpus_e2e", "crawl_sitemap_discovery",
 ]
 
 

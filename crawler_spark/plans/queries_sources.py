@@ -473,3 +473,166 @@ def curation_llm_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.score").alias("score"),
         F.col("j.verdict").alias("verdict"),
     )
+
+
+# --- WARC-headed corpus pipeline (the 100-TB front door, end-to-end) -------
+
+_WARC_TABLE_DIRS: dict[str, str] = {}
+
+
+@register(
+    "pipeline_warc_corpus_e2e",
+    oracle=f"""
+        SELECT min(url) AS url, text AS main_content, score
+        FROM (SELECT {_URL_SQL} AS url, text,
+                     CAST({_JUDGE_SCORE_SQL} AS INTEGER) AS score
+              FROM documents)
+        WHERE score >= 30
+        GROUP BY text, score
+    """,
+)
+def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_corpus_e2e``'s WARC-headed twin — the ACTUAL 100-TB
+    front door proven end-to-end instead of as a parse demo:
+
+      byte-range WARC read (sources/warc.py read_warc_files_ranged,
+      mmap splits small enough that most start mid-unit)
+      → chrome framing + boilerplate strip (functions/text.py — the
+        same four-rule chrome as ``txt_boilerplate_strip``, so the
+        strip must reduce each page back to exactly the document text)
+      → LLM-judge gate (functions/judge.py, keep >= 30)
+      → exact dedup (min-url keeper per cleaned text)
+      → file-pruned MERGE into a bucketed pages table
+        (operators/upsert.py) → read the landed table back.
+
+    Full-corpus value oracle: DuckDB reconstructs the surviving rows
+    straight from the documents table (url convention + the StubJudge
+    score formula), so a record lost by a split, a strip rule that
+    bites prose, a judge-gate drift or a merge that drops/duplicates
+    keys all surface as a hash mismatch. Every stage is the same
+    operator the registry verifies in isolation — this row proves the
+    COMPOSITION on real on-disk .warc/.warc.gz files."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from crawler_spark.functions.judge import judge_udf, parse_judgment
+    from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
+    from crawler_spark.sources.warc import read_warc_files_ranged
+    from crawler_spark.streaming.ingest_stream import read_pages_table
+
+    recs = read_warc_files_ranged(
+        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024)
+    pages = recs.filter(
+        F.col("parse_error").isNull() & (F.col("warc_type") == "response")
+    ).select("url", F.decode(F.col("body"), "UTF-8").alias("content"))
+
+    page = F.concat_ws(
+        "\n",
+        F.lit("HOME | ABOUT | CONTACT | PRODUCTS | BLOG"),
+        F.lit("SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG"),
+        F.col("content"),
+        F.lit("Accept cookies?"),
+        F.lit("© 2026 corpus Media Group — all rights reserved."),
+    )
+    cleaned = pages.select(
+        "url", X.strip_boilerplate(page).alias("main_content")
+    ).filter(F.length("main_content") > 0)
+
+    judged = (
+        cleaned.withColumn("raw", judge_udf()(F.col("main_content")))
+        .withColumn("j", parse_judgment("raw"))
+        .filter(F.col("j.verdict") == "keep")
+        .select("url", "main_content", F.col("j.score").alias("score"))
+    )
+
+    # exact dedup: one keeper per identical cleaned text (score is a
+    # pure function of the text, so grouping on both adds no groups)
+    keeper = judged.groupBy("main_content", "score").agg(
+        F.min("url").alias("url"))
+
+    # MERGE into a bucketed pages table (per-process, per-SF dir —
+    # idempotent by key, so re-runs converge) and read the table back:
+    # the LANDED table is the result
+    d = _WARC_TABLE_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="warc_corpus_pages_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WARC_TABLE_DIRS[sf_dir] = d
+    batch = keeper.select(
+        "url", "main_content", "score", key_bucket("url", 4).alias("bucket"))
+    merge_into_bucketed(spark, d, batch, key="url")
+    landed = read_pages_table(spark, d)
+    return landed.select("url", "main_content", "score")
+
+
+# --- distributed sitemap discovery sweep -----------------------------------
+
+
+@register(
+    "crawl_sitemap_discovery",
+    oracle=f"""
+        WITH hosts AS (
+            SELECT DISTINCT source || '-' || CAST(doc_id % 50 AS VARCHAR)
+                   AS host
+            FROM documents
+        )
+        SELECT 'https://' || host || '.example.com' AS origin,
+               'https://' || host || '.example.com/sitemap-'
+                   || CAST(n AS VARCHAR) || '.xml' AS sitemap_url
+        FROM hosts, (VALUES (1), (2)) t(n)
+        WHERE strlen(host) % 3 = 1
+    """,
+)
+def crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale robots.txt ``Sitemap:`` discovery sweep
+    (sources/sitemap.py discover_sitemaps_distributed): origins
+    repartitioned by host, robots fetched ON THE EXECUTORS via a
+    per-task fetcher factory, one (origin, sitemap_url) row per
+    directive. The fixture derives one origin per (source, doc_id%50)
+    from the documents table and serves three deterministic robots
+    behaviors by host-length class — missing robots.txt (len%3==0:
+    fetch error, contributes nothing), two Sitemap directives
+    (len%3==1), robots without directives (len%3==2) — so the oracle
+    reconstructs the expected sweep output in pure SQL. The origin
+    list is collected ONLY to build the in-memory stub site (bounded:
+    <=50 hosts per source); the sweep itself runs distributed over the
+    origins DataFrame, the exact shape of a 100k-origin production
+    run."""
+    from crawler_spark.sources.fetch import StubFetcher
+    from crawler_spark.sources.sitemap import discover_sitemaps_distributed
+
+    origins = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("-"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com"),
+            ).alias("origin")
+        )
+        .distinct()
+    )
+    # bounded fixture synthesis: the stub site needs the host list
+    # driver-side (<=50 per source); a real sweep has no such step
+    hosts = [r.origin for r in origins.collect()]
+    site: dict[str, tuple[str, bytes]] = {}
+    for origin in hosts:
+        host = origin[len("https://"):-len(".example.com")]
+        mod = len(host) % 3
+        if mod == 0:
+            continue  # no robots.txt at all
+        if mod == 1:
+            body = (
+                "User-agent: *\nAllow: /\n"
+                f"Sitemap: {origin}/sitemap-1.xml\n"
+                f"Sitemap: {origin}/sitemap-2.xml\n"
+            )
+        else:
+            body = "User-agent: *\nAllow: /\n"
+        site[origin + "/robots.txt"] = ("text/plain", body.encode())
+
+    return discover_sitemaps_distributed(
+        spark, None, origins,
+        fetcher_factory=lambda: StubFetcher(site),
+    ).select("origin", "sitemap_url")

@@ -161,7 +161,8 @@ def discover_sitemaps(fetcher, origins: list[str]) -> list[str]:
 
 
 def discover_sitemaps_distributed(
-    spark, fetcher, origins: DataFrame, origin_col: str = "origin"
+    spark, fetcher, origins: DataFrame, origin_col: str = "origin",
+    fetcher_factory=None,
 ) -> DataFrame:
     """The at-scale form of ``discover_sitemaps``: one (origin,
     sitemap_url) row per directive, robots fetched ON THE EXECUTORS
@@ -170,19 +171,30 @@ def discover_sitemaps_distributed(
     ``plans/ingest.robots_filter``. Origins without a fetchable
     robots.txt or without directives simply contribute no rows (route
     fetch errors through the crawl's dead-letter tier if they must be
-    audited)."""
+    audited).
+
+    Fetcher contract: ``fetcher`` is closure-captured into the task,
+    so it must be PICKLABLE AND STATELESS (StubFetcher qualifies; a
+    session object holding sockets does not). For real transports
+    pass ``fetcher_factory`` instead — a zero-arg callable constructed
+    ONCE PER TASK, so connections/pools are created executor-side and
+    never pickled."""
     from collections.abc import Iterator as _Iterator
     from urllib import robotparser
 
     from pyspark.sql import functions as F2
 
+    if (fetcher is None) == (fetcher_factory is None):
+        raise ValueError("pass exactly one of fetcher / fetcher_factory")
+
     def sweep(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        f = fetcher_factory() if fetcher_factory is not None else fetcher
         for pdf in batches:
             rows = []
             for origin in pdf[origin_col]:
                 if origin is None:
                     continue
-                _, body, err = fetcher.fetch(
+                _, body, err = f.fetch(
                     origin.rstrip("/") + "/robots.txt")
                 if err is not None or body is None:
                     continue
