@@ -114,6 +114,35 @@ def bind_once(arr: Column, pred) -> Column:
     return F.get(F.transform(F.array(arr), pred), 0)
 
 
+def top_element_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent element of a STRING
+    array: ``array_sort`` + one ``aggregate`` pass tracking
+    (prev, run, best) — equal elements are adjacent after the sort,
+    so the max run length IS the max frequency. O(n log n) per row,
+    replacing the O(distinct·n) transform/filter formulation
+    (review-found: a 100k-token degenerate-repetition document —
+    exactly what Gopher's repetition filter exists to catch — cost
+    ~1e10 comparisons on one row, one task). Returns 0 for an empty
+    array; NULL input propagates NULL (same as the old form's
+    array_max-over-empty, callers coalesce). Property-tested equal to
+    the quadratic form on random and adversarial docs
+    (tests/test_curation.py)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda a: a["best"])
+
+
 def _tsquery_parse(query: str):
     """Parse the Postgres ``to_tsquery`` operator subset — ``&`` ``|``
     ``!``, the phrase operators ``<->`` / ``<N>``, parentheses and the

@@ -4,7 +4,7 @@ Exact top-k is a single Catalyst ``TakeOrderedAndProject`` over a
 distance expression — no shuffle of the full table, each partition
 keeps its local top-k and only k rows per partition reach the driver.
 That is the right physical plan up to billions of rows; past that, the
-LSH-bucketed variant (operators/ann.py) prunes candidates first.
+IVF/LSH-bucketed variants later in this module prune candidates first.
 
 Reference semantics: ``POST /search`` — distance = -(e . q) (pgvector
 ``<#>``), filter distance <= 1 - similarity_threshold, ORDER BY

@@ -176,16 +176,18 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
                     # best-effort, but never SILENT: the staleness
                     # self-heals at the next commit touching this
                     # table (its fence sees the unadvanced mlog) or
-                    # via recover_transactions; the warning is the
-                    # operator's signal that the live manifest lags
-                    import warnings
+                    # via recover_transactions. logging, not
+                    # warnings.warn: the default warnings filter
+                    # collapses repeats per call site, so only the
+                    # FIRST skip would ever surface — every skip must
+                    # be on record for the operator
+                    import logging
 
-                    warnings.warn(
-                        f"txn sync skipped for {t}: table lock held "
+                    logging.getLogger("crawler_spark.txn").warning(
+                        "txn sync skipped for %s: table lock held "
                         "by a live writer through 10 retries; its "
                         "manifest lags the txn log until the next "
-                        "sync or recover_transactions()",
-                        stacklevel=2,
+                        "sync or recover_transactions()", t,
                     )
                     break
                 time.sleep(0.02 * (attempt + 1))

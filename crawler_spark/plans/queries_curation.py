@@ -338,19 +338,11 @@ def txt_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus-sized) to compute a per-row number.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # bind the token array once (X.bind_once): the inner filter's
-    # lambda captures the tokenizer expression, and HOF lambdas
-    # re-evaluate captured expressions per reference — unbound this
-    # re-tokenized the document once per DISTINCT token
-    top = X.bind_once(
-        X.tokenize("text"),
-        lambda arr: F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda t: F.size(F.filter(arr, lambda x: x == t)),
-            )
-        ),
-    )
+    # sorted-run formulation (functions/text.top_element_count):
+    # O(n log n) per row vs the old O(distinct·n) transform/filter,
+    # which went quadratic on exactly the degenerate-repetition
+    # documents this filter exists to catch
+    top = X.top_element_count(X.tokenize("text"))
     n_tok = X.word_token_count("text")
     return docs.select(
         "doc_id",
@@ -1317,10 +1309,10 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to txt_repetition_ratio — every metric is a
     PURE PROJECTION over HOF-built gram arrays (zip_with over shifted
-    slices, O(n) per row; the top-share count is O(d·n) over distinct
-    grams like the token variant), zero shuffles, scan speed at
-    100 TB. The token array binds once (bind_once) so the HOF lambdas
-    can't re-tokenize per reference."""
+    slices, O(n) per row; the top-share count is the O(n log n)
+    sorted-run pass, functions/text.top_element_count), zero
+    shuffles, scan speed at 100 TB. The token array binds once
+    (bind_once) so the HOF lambdas can't re-tokenize per reference."""
     docs = load_table(spark, sf_dir, "documents")
 
     def _metrics(arr: F.Column) -> F.Column:
@@ -1343,10 +1335,10 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup3 = F.when(nt > 0, F.lit(1.0)
                           - F.size(F.array_distinct(tri)) / nt) \
                     .otherwise(F.lit(0.0))
-            top2 = F.when(nb > 0, F.array_max(F.transform(
-                F.array_distinct(big),
-                lambda t: F.size(F.filter(big, lambda x: x == t)),
-            )).cast("double") / nb).otherwise(F.lit(0.0))
+            top2 = F.when(
+                nb > 0,
+                X.top_element_count(big).cast("double") / nb,
+            ).otherwise(F.lit(0.0))
             return F.struct(
                 F.size(big).cast("long").alias("n_bigrams"),
                 F.round(dup2, 6).alias("dup_bigram_frac"),

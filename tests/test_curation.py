@@ -144,6 +144,77 @@ class TestRepetitionRatio:
             assert abs(r.top_token_share - round(want, 6)) < 1e-9
             assert 0.0 <= r.top_token_share <= 1.0
 
+    def test_top_element_count_sorted_run_equivalence(self, spark):
+        """Property: the O(n log n) sorted-run top_element_count equals
+        a Python Counter max on random token lists AND on the
+        adversarial shapes the old O(distinct·n) form choked on — a
+        long degenerate repetition (one token dominating) and an
+        all-distinct list (distinct ≈ n, the worst quadratic case)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import top_element_count
+
+        rng = random.Random(8)
+        cases = [
+            [],
+            ["a"],
+            ["buy"] * 5000 + ["now"] * 7,          # degenerate repetition
+            [f"t{i}" for i in range(4000)],        # all distinct
+            [rng.choice("abcdefg") for _ in range(500)],
+        ] + [
+            [rng.choice(["x", "y", "z", "w"]) for _ in range(rng.randint(0, 40))]
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "id long, toks array<string>")
+        got = {r.id: r.top for r in df.select(
+            "id", top_element_count(F.col("toks")).alias("top")).collect()}
+        for i, c in enumerate(cases):
+            want = max(Counter(c).values()) if c else 0
+            assert got[i] == want, (i, got[i], want)
+
+
+class TestCalibrationFloors:
+    """Asserted floors on the curation-measurement queries (the ANN
+    recall-floor pattern): the oracle parity gate proves the numbers
+    are COMPUTED right, these prove they MEAN what the report claims —
+    a silent drift in the stub judge, the hashed classifier, or the
+    decile plumbing fails loudly here."""
+
+    def test_judge_calibration_agreement_floor(self, spark):
+        rows = sorted(
+            _QUERIES["curation_judge_calibration"](spark, SF).collect(),
+            key=lambda r: r.decile)
+        assert [r.decile for r in rows] == list(range(1, 11))
+        total = sum(r.n_docs for r in rows)
+        overall = sum(r.agreement * r.n_docs for r in rows) / total
+        # measured 0.656 at sf0.001 / 0.668 at sf0.01; chance for these
+        # marginals would sit near 0.5 — the floor catches a judge or
+        # classifier drift that decouples the two gates
+        assert overall >= 0.60, overall
+        # classifier keep-rate must be non-decreasing across logit
+        # deciles: keep == logit > 0 and deciles are ordered by logit,
+        # so any inversion means the decile tiling is broken
+        clf_rates = [r.clf_keeps / r.n_docs for r in rows]
+        assert all(a <= b + 1e-9 for a, b in zip(clf_rates, clf_rates[1:])), \
+            clf_rates
+        for r in rows:
+            assert 0.0 <= r.agreement <= 1.0
+
+    def test_threshold_sweep_monotone(self, spark):
+        rows = sorted(
+            _QUERIES["curation_threshold_sweep"](spark, SF).collect(),
+            key=lambda r: r.cutoff)
+        assert [r.cutoff for r in rows] == list(range(0, 101, 10))
+        keeps = [r.n_keep for r in rows]
+        assert all(a >= b for a, b in zip(keeps, keeps[1:])), keeps
+        assert rows[0].keep_rate == 1.0  # cutoff 0 keeps everything
+        assert keeps[-1] < keeps[0]  # the gate actually bites
+        for r in rows:
+            assert abs(r.keep_rate - r.n_keep / keeps[0]) < 1e-6
+
 
 class TestExportPipeline:
     def test_equals_stagewise_composition(self, spark):

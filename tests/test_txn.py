@@ -451,3 +451,25 @@ class TestTxnRecoveryOrdering:
         rows = {r.id: r.asDict() for r in read_pages_table(spark, t).collect()}
         assert rows[2].get("lang") == "en", (
             "merge rewrote the bucket without the evolved column's data")
+
+
+class TestSyncSkipLogging:
+    def test_every_repeated_skip_is_logged(self, tmp_path, caplog):
+        """Review-found: warnings.warn collapses repeats per call site
+        under the default filter, so only the FIRST lock-contended
+        sync skip ever surfaced. The logging channel must record every
+        skip — two consecutive contended syncs, two records."""
+        import logging
+
+        from crawler_spark.operators.txn import _sync_table_manifests
+        from crawler_spark.streaming.ingest_stream import table_write_lock
+
+        t = str(tmp_path / "tbl")
+        payload = {"tables": {t: {"0": 0}}}
+        with table_write_lock(t):  # a second fd cannot take the flock
+            with caplog.at_level(logging.WARNING, logger="crawler_spark.txn"):
+                _sync_table_manifests(payload)
+                _sync_table_manifests(payload)
+        skips = [r for r in caplog.records
+                 if "txn sync skipped" in r.getMessage()]
+        assert len(skips) == 2, [r.getMessage() for r in caplog.records]
