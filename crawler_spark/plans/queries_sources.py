@@ -566,6 +566,71 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed.select("url", "main_content", "score")
 
 
+# --- WARC export sink (interchange OUT) ------------------------------------
+
+_WARC_SINK_DIRS: dict[str, str] = {}
+
+
+@register(
+    "sink_warc_roundtrip",
+    oracle=f"""
+        SELECT {_URL_SQL} AS url,
+               CAST(200 AS INTEGER) AS http_status,
+               'text/plain; charset=utf-8' AS content_type,
+               text,
+               CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents
+    """,
+)
+def sink_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT seam proven by its own consumer: documents →
+    distributed WARC sink (sources/warc.py write_warc_files — each
+    task writes its partition as a segment of per-record gzip
+    members) → byte-range read-back through splits small enough that
+    most start mid-member → the same full-corpus oracle as
+    ``source_warc_roundtrip``. A record the sink drops, duplicates,
+    or mis-frames — or that the ranged reader then loses — is a
+    row-count/hash mismatch. The manifest collect that runs the
+    export is bounded by partition count (8 here)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from crawler_spark.sources.warc import (
+        read_warc_files_ranged, write_warc_files,
+    )
+
+    docs = _with_url(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text")
+    ).select("url", F.encode("text", "utf-8").alias("body"))
+
+    d = _WARC_SINK_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="warc_sink_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WARC_SINK_DIRS[sf_dir] = d
+    # fresh segment set per run: the export overwrites by partition id,
+    # so stale files from an earlier layout must not survive
+    for name in os.listdir(d):
+        os.unlink(os.path.join(d, name))
+
+    manifest = write_warc_files(docs.repartition(8), d)
+    manifest.count()  # run the export (one manifest row per partition)
+
+    recs = read_warc_files_ranged(spark, d, split_bytes=64 * 1024)
+    return recs.filter(
+        F.col("parse_error").isNull() & (F.col("warc_type") == "response")
+    ).select(
+        "url",
+        "http_status",
+        "content_type",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.length(F.col("body")).cast("int").alias("n_bytes"),
+    )
+
+
 # --- distributed sitemap discovery sweep -----------------------------------
 
 

@@ -56,6 +56,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
@@ -525,9 +526,71 @@ def read_warc_files(spark, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
+        # the glob is prefix-loose ("foo.warcx" matches); the exact
+        # suffix check runs on the metadata column, same rule as the
+        # ranged lister's endswith filter
+        .filter(
+            F.col("path").endswith(".warc")
+            | F.col("path").endswith(".warc.gz")
+        )
         .select("content")
     )
     return read_warc_blobs(files, "content")
+
+
+def write_warc_files(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "body",
+    status_col: str | None = None,
+    content_type_col: str | None = None,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed WARC sink — the EXPORT half of the interchange seam
+    (the reference persists pages as Postgres rows, backend/src/
+    crawler.py; a corpus pipeline hands downstream consumers segments
+    instead). Each task serializes ITS partition as one segment of
+    per-record gzip members (the Common Crawl layout, so the output
+    is exactly what ``read_warc_files_ranged`` byte-range splits),
+    writing executor-side to ``out_dir`` — a shared POSIX path here;
+    on object stores the ``open()`` becomes a streaming PUT, the walk
+    is identical. No shuffle: the export parallelizes with the input
+    partitioning, memory is bounded by one record.
+
+    Returns a manifest DataFrame (file, n_records), one row per
+    partition — run the export by consuming it (``.collect()`` is
+    bounded by partition count). Empty partitions write empty files,
+    which the ranged lister's zero-size split rule skips."""
+    import os
+
+    status = status_col
+    ctype = content_type_col
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        suffix = ".warc.gz" if gzip_members else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    row = r._asdict()
+                    body = row[body_col]
+                    payload = build_http_response(
+                        bytes(body) if body is not None else b"",
+                        status=int(row[status]) if status else 200,
+                        content_type=(row[ctype] if ctype
+                                      else "text/plain; charset=utf-8"),
+                    )
+                    f.write(build_warc_record(
+                        row[url_col], payload, gzip_member=gzip_members))
+                    n += 1
+        yield pd.DataFrame({"file": [path], "n_records": [n]})
+
+    return df.mapInPandas(write, "file string, n_records long")
 
 
 def read_warc_files_ranged(

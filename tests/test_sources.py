@@ -355,6 +355,55 @@ class TestWarcParser:
         )
         self._assert_range_union_equals_whole(blob)
 
+    def test_range_splits_damage_fuzz(self):
+        """Property (hypothesis): flip ANY byte of a mixed plain+gzip
+        blob AND partition it at random cut points — the range-walk
+        union must never raise, every unit the flip does not touch
+        must surface with its exact body EXACTLY ONCE (no split loses
+        it, no two splits both own it), and at most the damaged unit
+        is lost. This is the whole-file damage-bounding fuzz lifted to
+        the split walk: split ownership (scan + frame validation /
+        decompressor confirmation) has to keep holding when the bytes
+        it resynchronizes over are hostile."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from crawler_spark.sources.warc import iter_warc_records_range
+
+        units = [("https://rd/p1", b"plain-one " * 4, False),
+                 ("https://rd/g1", b"gzip-one " * 5, True),
+                 ("https://rd/p2", b"plain-two " * 6, False),
+                 ("https://rd/g2", b"gzip-two " * 3, True)]
+        recs = [_rec(u, body, gzip_member=gz) for u, body, gz in units]
+        lens = [len(r) for r in recs]
+        blob = bytearray(b"".join(recs))
+        n = len(blob)
+
+        @given(st.integers(min_value=0, max_value=n - 1),
+               st.integers(min_value=1, max_value=255),
+               st.lists(st.integers(min_value=1, max_value=n - 1),
+                        min_size=0, max_size=3))
+        @settings(max_examples=150, deadline=None)
+        def check(pos, flip, cuts):
+            damaged = bytearray(blob)
+            damaged[pos] ^= flip
+            hit, off = 0, pos
+            while off >= lens[hit]:
+                off -= lens[hit]
+                hit += 1
+            bounds = sorted({0, n, *cuts})
+            got: list[tuple] = []
+            for a, b in zip(bounds, bounds[1:]):
+                for r in iter_warc_records_range(bytes(damaged), a, b):
+                    if r["parse_error"] is None and r["url"] is not None:
+                        got.append((r["url"], r["body"]))
+            for i, (u, body, _gz) in enumerate(units):
+                if i != hit:
+                    assert got.count((u, body)) == 1, \
+                        (pos, flip, bounds, u, got)
+
+        check()
+
     def test_gzip_member_feed_is_bounded(self, monkeypatch):
         """The member decompressor must never be fed more than _ZWIN
         input bytes at a time: a whole-tail feed materializes an
@@ -440,12 +489,51 @@ class TestWarcParser:
         p = tmp_path / "seg-00000.warc.gz"
         p.write_bytes(_rec(gzip_member=True)
                       + _rec("https://a.example.com/2", b"x", gzip_member=True))
-        from crawler_spark.sources.warc import read_warc_files
+        # suffix over-match guard: a .warcx file must be ignored by
+        # both readers (review-found on the ranged lister)
+        (tmp_path / "decoy.warcx").write_bytes(_rec("https://bad/1", b"no"))
+        from crawler_spark.sources.warc import (
+            read_warc_files,
+            read_warc_files_ranged,
+        )
 
         rows = read_warc_files(spark, str(tmp_path)).collect()
         assert sorted(r.url for r in rows) == [
             "https://a.example.com/1", "https://a.example.com/2"]
         assert all(r.parse_error is None for r in rows)
+        ranged = read_warc_files_ranged(spark, str(tmp_path)).collect()
+        assert sorted(r.url for r in ranged) == [
+            "https://a.example.com/1", "https://a.example.com/2"]
+
+    def test_write_warc_files_sink(self, spark, tmp_path):
+        """The distributed sink: one segment per partition (empty
+        partitions → empty files the ranged lister skips), per-record
+        members, read-back equals input; plain mode exercises the
+        uncompressed arm."""
+        from crawler_spark.sources.warc import (
+            read_warc_files_ranged, write_warc_files,
+        )
+
+        rows = [(f"https://s/{i}", f"body {i}".encode()) for i in range(10)]
+        df = spark.createDataFrame(rows, "url string, body binary") \
+            .repartition(16)  # > row count: some partitions are empty
+        out = tmp_path / "gz"
+        out.mkdir()
+        manifest = write_warc_files(df, str(out)).collect()
+        assert sum(m.n_records for m in manifest) == 10
+        assert len(manifest) == 16
+        back = read_warc_files_ranged(spark, str(out)).collect()
+        assert sorted((r.url, bytes(r.body)) for r in back) == sorted(rows)
+        assert all(r.parse_error is None for r in back)
+
+        out2 = tmp_path / "plain"
+        out2.mkdir()
+        write_warc_files(df.coalesce(2), str(out2),
+                         gzip_members=False).collect()
+        names = sorted(p.name for p in out2.iterdir())
+        assert all(n.endswith(".warc") for n in names)
+        back2 = read_warc_files_ranged(spark, str(out2)).collect()
+        assert sorted((r.url, bytes(r.body)) for r in back2) == sorted(rows)
 
 
     def test_read_warc_files_ranged_equals_whole(self, spark, tmp_path):
