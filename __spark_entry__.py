@@ -50,7 +50,7 @@ _NEVER_DRIVER_VERIFIED = [
     "source_warc_ranged_roundtrip",
     # --- new in round 8 ---
     "pipeline_warc_corpus_e2e", "crawl_sitemap_discovery",
-    "sink_warc_roundtrip",
+    "sink_warc_roundtrip", "streaming_warc_ingest_e2e",
 ]
 
 
