@@ -124,9 +124,12 @@ def top_element_count(arr: Column) -> Column:
     exactly what Gopher's repetition filter exists to catch — cost
     ~1e10 comparisons on one row, one task). Returns 0 for an empty
     array; NULL input propagates NULL (same as the old form's
-    array_max-over-empty, callers coalesce). Property-tested equal to
-    the quadratic form on random and adversarial docs
-    (tests/test_curation.py)."""
+    array_max-over-empty, callers coalesce); NULL ELEMENTS are
+    dropped before counting, matching the transform/filter form it
+    replaced (``x == NULL`` is never true, so NULLs were never the
+    top element — review-found: a raw eqNullSafe run would have
+    counted them). Property-tested equal to the quadratic form on
+    random and adversarial docs (tests/test_curation.py)."""
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -140,7 +143,8 @@ def top_element_count(arr: Column) -> Column:
             x.alias("prev"), run.alias("run"),
             F.greatest(acc["best"], run).alias("best"))
 
-    return F.aggregate(F.array_sort(arr), zero, step, lambda a: a["best"])
+    vals = F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+    return F.aggregate(vals, zero, step, lambda a: a["best"])
 
 
 def _tsquery_parse(query: str):

@@ -122,20 +122,35 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WARC_FIXTURE_DIRS: dict[str, str] = {}
 
 
-def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+def _memo_tmpdir(cache: dict[str, str], key: str,
+                 prefix: str) -> tuple[str, bool]:
+    """Per-(process, key) temp dir, removed at interpreter exit —
+    the one memoization shape every on-disk fixture/table/checkpoint
+    in this module shares (review-found: four hand-rolled copies).
+    Returns (path, created): ``created`` tells a fixture builder
+    whether to populate it."""
     import atexit
-    import os
     import shutil
     import tempfile
 
-    path = _WARC_FIXTURE_DIRS.get(sf_dir)
-    if path is None:
+    path = cache.get(key)
+    if path is not None:
+        return path, False
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    cache[key] = path
+    return path, True
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    path, created = _memo_tmpdir(_WARC_FIXTURE_DIRS, sf_dir, "warc_fixture_")
+    if created:
         from crawler_spark.sources.warc import (
             build_http_response, build_warc_record,
         )
 
-        path = tempfile.mkdtemp(prefix="warc_fixture_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
         docs = _with_url(
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "source", "text")
@@ -159,7 +174,6 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             name = f"seg-{grp:05d}.warc" + (".gz" if gz else "")
             with open(os.path.join(path, name), "wb") as f:
                 f.write(blob)
-        _WARC_FIXTURE_DIRS[sf_dir] = path
     return path
 
 
@@ -179,10 +193,11 @@ def source_warc_ranged_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes land as real files on disk (half .warc.gz with per-record
     members, half plain .warc), and ``read_warc_files_ranged`` reads
     them through mmap-backed splits small enough that most splits
-    start MID-member — exercising split ownership, forward resync,
-    the sniffed plain-file arm, and batched emission end-to-end. The
-    oracle is identical to the whole-file roundtrip's: any record a
-    split loses or duplicates is a row-count/hash mismatch."""
+    start MID-unit — exercising split ownership for BOTH framings
+    (gzip member resync and plain frame validation), forward resync,
+    and batched emission end-to-end. The oracle is identical to the
+    whole-file roundtrip's: any record a split loses or duplicates is
+    a row-count/hash mismatch."""
     from crawler_spark.sources.warc import read_warc_files_ranged
 
     recs = read_warc_files_ranged(
@@ -512,10 +527,6 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys all surface as a hash mismatch. Every stage is the same
     operator the registry verifies in isolation — this row proves the
     COMPOSITION on real on-disk .warc/.warc.gz files."""
-    import atexit
-    import shutil
-    import tempfile
-
     from crawler_spark.functions.judge import judge_udf, parse_judgment
     from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
     from crawler_spark.sources.warc import read_warc_files_ranged
@@ -554,11 +565,7 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE into a bucketed pages table (per-process, per-SF dir —
     # idempotent by key, so re-runs converge) and read the table back:
     # the LANDED table is the result
-    d = _WARC_TABLE_DIRS.get(sf_dir)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="warc_corpus_pages_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _WARC_TABLE_DIRS[sf_dir] = d
+    d, _ = _memo_tmpdir(_WARC_TABLE_DIRS, sf_dir, "warc_corpus_pages_")
     batch = keeper.select(
         "url", "main_content", "score", key_bucket("url", 4).alias("bucket"))
     merge_into_bucketed(spark, d, batch, key="url")
@@ -572,7 +579,8 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkpoint live together — re-running the query resumes the SAME
 # stream (no new files → no batches) and the idempotent merge keeps
 # the landed table converged, which is the exactly-once story
-_WARC_STREAM_STATE: dict[str, tuple[str, str]] = {}
+_WARC_STREAM_TBLS: dict[str, str] = {}
+_WARC_STREAM_CKPTS: dict[str, str] = {}
 
 
 @register(
@@ -598,24 +606,13 @@ def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the whole-corpus reconstruction. At 100 TB this is the
     exact shape of tailing a Common Crawl drop as it publishes:
     O(batch) work per trigger, never a rebuild."""
-    import atexit
-    import shutil
-    import tempfile
-
     from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
     from crawler_spark.sources.warc import read_warc_blobs
     from crawler_spark.streaming.ingest_stream import read_pages_table
 
     src = _warc_fixture_dir(spark, sf_dir)
-    state = _WARC_STREAM_STATE.get(sf_dir)
-    if state is None:
-        tbl = tempfile.mkdtemp(prefix="warc_stream_tbl_")
-        ckpt = tempfile.mkdtemp(prefix="warc_stream_ckpt_")
-        for d in (tbl, ckpt):
-            atexit.register(shutil.rmtree, d, ignore_errors=True)
-        state = (tbl, ckpt)
-        _WARC_STREAM_STATE[sf_dir] = state
-    tbl, ckpt = state
+    tbl, _ = _memo_tmpdir(_WARC_STREAM_TBLS, sf_dir, "warc_stream_tbl_")
+    ckpt, _ = _memo_tmpdir(_WARC_STREAM_CKPTS, sf_dir, "warc_stream_ckpt_")
 
     def sink(batch: DataFrame, _id: int) -> None:
         recs = read_warc_blobs(batch.select("content"), "content")
@@ -630,29 +627,40 @@ def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into_bucketed(spark, tbl, rows, key="url")
 
     # per-batch merge jobs are tiny — size the shuffle to the stream
-    # (the documented trade every streaming e2e query here makes)
+    # (the documented trade every streaming e2e query here makes);
+    # everything after the conf clamp sits inside the restore's try so
+    # a stream-construction error can't leak the clamped value
+    # session-wide (review-found)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
-    stream = (
-        spark.readStream.format("binaryFile")
-        # binaryFile's schema is FIXED by the format, but the file
-        # stream source still demands it spelled out
-        .schema("path string, modificationTime timestamp, "
-                "length long, content binary")
-        .option("pathGlobFilter", "*.warc*")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        stream = (
+            spark.readStream.format("binaryFile")
+            # binaryFile's schema is FIXED by the format, but the file
+            # stream source still demands it spelled out
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .option("pathGlobFilter", "*.warc*")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            # the glob is prefix-loose — same exact-suffix rule as the
+            # batch readers (a .warcx decoy must not reach the table)
+            .filter(
+                F.col("path").endswith(".warc")
+                | F.col("path").endswith(".warc.gz")
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     landed = read_pages_table(spark, tbl)
@@ -685,10 +693,7 @@ def sink_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     or mis-frames — or that the ranged reader then loses — is a
     row-count/hash mismatch. The manifest collect that runs the
     export is bounded by partition count (8 here)."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from crawler_spark.sources.warc import (
         read_warc_files_ranged, write_warc_files,
@@ -699,11 +704,7 @@ def sink_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "text")
     ).select("url", F.encode("text", "utf-8").alias("body"))
 
-    d = _WARC_SINK_DIRS.get(sf_dir)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="warc_sink_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _WARC_SINK_DIRS[sf_dir] = d
+    d, _ = _memo_tmpdir(_WARC_SINK_DIRS, sf_dir, "warc_sink_")
     # fresh segment set per run: the export overwrites by partition id,
     # so stale files from an earlier layout must not survive
     for name in os.listdir(d):

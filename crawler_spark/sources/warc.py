@@ -403,6 +403,22 @@ def _scan_anchor(blob, pos: int) -> int:
     return -1
 
 
+def _plausible_anchor(blob, pos: int) -> bool:
+    """Cheap plausibility gate for a SCANNED plain anchor: a real
+    record begins ``WARC/<digits[.digits]>\\r\\n``. Stray ``WARC/``
+    text inside a payload rarely carries the exact version-line
+    shape, so unconfirmed probes reject it here without running the
+    full frame parse (whose ``next_pos``, computed from junk, could
+    overshoot a real anchor — review-found). CHAINED positions bypass
+    this gate so the confirmed trajectory stays byte-identical to the
+    whole-file walk's."""
+    end_v = blob.find(CRLF, pos + 5, pos + 16)
+    if end_v < 0:
+        return False
+    ver = bytes(blob[pos + 5:end_v])
+    return bool(ver) and not ver.strip(b"0123456789.")
+
+
 def iter_warc_records_range(
     blob: bytes, start: int, end: int
 ) -> Iterator[dict]:
@@ -415,19 +431,29 @@ def iter_warc_records_range(
     Concatenating all splits' outputs over any partition of
     ``[0, len(blob))`` therefore reproduces ``iter_warc_records``'s
     VALID records record-for-record (property-tested over random cut
-    points for gzip, plain and mixed framing).
+    points for gzip, plain, mixed, and padded framing, and fuzzed
+    under single-byte damage × random cuts).
 
     Ownership of a gzip anchor is confirmed by the decompressor (a
     stray magic in compressed bytes fails and is skipped silently —
     see dead-letter rule below). Ownership of a plain anchor is
-    confirmed by ``_record_at``'s frame validation: a scanned anchor
-    that parses with a sound frame (``framed=True``) is a real record
-    boundary and is owned; one that doesn't (a stray ``WARC/`` inside
-    a payload the previous split's chain would have skipped) is
-    dropped silently. A payload EMBEDDING a byte-exact valid WARC
-    record is ambiguous by construction — plain framing has no
-    escape; at scale use per-record gzip members (the Common Crawl
-    layout), which is why .warc.gz is the recommended interchange.
+    confirmed by the version-line plausibility gate plus
+    ``_record_at``'s frame validation: a scanned anchor that parses
+    with a sound frame (``framed=True``) is a real record boundary
+    and is owned; one that doesn't (a stray ``WARC/`` inside a
+    payload the previous split's chain would have skipped) is dropped
+    silently.
+
+    KNOWN AMBIGUITY of plain framing (no sync marker exists): a
+    payload that EMBEDS a complete frame-valid WARC record — most
+    plausibly an archived ``.warc`` served as a response body — can
+    be emitted as a phantom record by a split landing inside that
+    payload; real records are never LOST (the chain re-synchronizes
+    at the next true anchor), but the union can be a superset. Gzip
+    members don't have this problem (the decompressor is the proof),
+    which is why per-record ``.warc.gz`` is the recommended
+    interchange; ``read_warc_files_ranged(plain_exact=True)`` trades
+    the split parallelism of plain files for exactness.
 
     This is the beyond-memory seam: a range-reading datasource hands
     each task (path, start, end) and tasks parse independently with
@@ -440,15 +466,15 @@ def iter_warc_records_range(
     genuine corruption in bytes this split owns and dead-letter.
     Without this rule a healthy 100 GiB segment would emit a false
     corruption row for a sizable fraction of its splits, poisoning
-    the monitoring channel. (Corner: a cut landing exactly on a
-    DAMAGED plain anchor loses that one dead row — valid records are
-    the contract.)"""
-    pos = _scan_anchor(blob, start)
+    the monitoring channel. (Corners: a cut landing exactly on a
+    DAMAGED plain anchor, or in the padding just before one, loses
+    that one dead row — valid records are the contract.)"""
+    pos = start
     # a split handed an exact member boundary owns it; plain anchors
     # prove ownership through frame validation instead, so a cut that
     # happens to land on a stray "WARC/" inside a payload is not
     # blindly trusted
-    confirmed = pos == start and blob[pos:pos + 2] == _GZ_MAGIC
+    confirmed = blob[start:start + 2] == _GZ_MAGIC
     while 0 <= pos < end:
         if blob[pos:pos + 2] == _GZ_MAGIC:
             rows, nxt, failed = _gzip_member_at(blob, pos)
@@ -460,13 +486,18 @@ def iter_warc_records_range(
                 for r in rows:
                     if r["parse_error"] is None or confirmed:
                         yield r
-                pos = _scan_anchor(blob, nxt)
-                confirmed = False
+                pos, confirmed = _scan_anchor(blob, nxt), False
                 continue
             yield from rows
-            pos = nxt
-            confirmed = True
-        else:
+            # nxt may land on legal inter-member padding, not an
+            # anchor — the scan arm below walks it (review-found: a
+            # blind _record_at probe here emitted a false dead row
+            # AND overshot the next member's magic, losing it)
+            pos, confirmed = nxt, True
+        elif blob[pos:pos + 5] == b"WARC/":
+            if not confirmed and not _plausible_anchor(blob, pos):
+                pos, confirmed = _scan_anchor(blob, pos + 5), False
+                continue
             row, nxt, framed = _record_at(blob, pos)
             if framed or confirmed:
                 # framed: a real record this split owns (may still be
@@ -475,20 +506,28 @@ def iter_warc_records_range(
                 # whole-file walk emits.
                 yield row
             if framed:
-                pos = _scan_anchor(blob, nxt)
-                confirmed = True
+                pos, confirmed = nxt, True
             elif confirmed:
                 # chained damage: continue where the whole-file walk
                 # would (its _records_in resumes at _record_at's
                 # next_pos), keeping dead-letter trajectories aligned
-                pos = _scan_anchor(blob, max(nxt, pos + 1))
-                confirmed = False
+                pos, confirmed = max(nxt, pos + 1), False
             else:
-                # scanned stray: next_pos was computed from garbage
-                # bytes and could overshoot a real anchor — resync
-                # conservatively just past the probe
-                pos = _scan_anchor(blob, pos + 5)
+                # scanned stray that survived the plausibility gate:
+                # resync conservatively just past the probe
+                pos, confirmed = _scan_anchor(blob, pos + 5), False
+        else:
+            # not on an anchor: chained past a unit into separator
+            # bytes, or handed a mid-unit split start — scan forward.
+            # A pure-padding gap keeps the chain confirmed (the
+            # whole-file walk crosses it silently too); junk doesn't.
+            nxt = _scan_anchor(blob, pos)
+            if nxt < 0:
+                return
+            if confirmed and bytes(
+                    memoryview(blob)[pos:nxt]).strip(_GAP_PAD):
                 confirmed = False
+            pos = nxt
 
 
 # --------------------------------------------------------------------------
@@ -558,10 +597,21 @@ def write_warc_files(
     is identical. No shuffle: the export parallelizes with the input
     partitioning, memory is bounded by one record.
 
-    Returns a manifest DataFrame (file, n_records), one row per
-    partition — run the export by consuming it (``.collect()`` is
-    bounded by partition count). Empty partitions write empty files,
-    which the ranged lister's zero-size split rule skips."""
+    Returns a manifest DataFrame (file, n_records, n_skipped), one
+    row per partition — run the export by consuming it (``.collect()``
+    is bounded by partition count). Rows with a NULL url, body, or
+    (when ``status_col`` is given) status cannot serialize and are
+    SKIPPED, counted in ``n_skipped`` — never a task failure, never
+    fabricated fields (review-found: ``int(None)`` used to kill the
+    task). Empty partitions write empty files, which the ranged
+    lister's zero-size split rule skips.
+
+    Task-commit protocol: each attempt writes to a private
+    ``.inprogress-<attempt>`` name and atomically renames on
+    completion, so a crashed or speculative attempt never leaves a
+    truncated/interleaved segment at the published path (the same
+    rename-on-commit rule Hadoop output committers apply), and the
+    readers' exact-suffix filter ignores any orphaned temp files."""
     import os
 
     status = status_col
@@ -570,32 +620,41 @@ def write_warc_files(
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
         suffix = ".warc.gz" if gzip_members else ".warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
-        n = 0
-        with open(path, "wb") as f:
+        path = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{suffix}")
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
+        n = skipped = 0
+        with open(tmp, "wb") as f:
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
                     row = r._asdict()
-                    body = row[body_col]
+                    url, body = row[url_col], row[body_col]
+                    st = row[status] if status else 200
+                    ct = row[ctype] if ctype else None
+                    if url is None or body is None or pd.isna(st):
+                        skipped += 1
+                        continue
                     payload = build_http_response(
-                        bytes(body) if body is not None else b"",
-                        status=int(row[status]) if status else 200,
-                        content_type=(row[ctype] if ctype
+                        bytes(body),
+                        status=int(st),
+                        content_type=(ct if isinstance(ct, str)
                                       else "text/plain; charset=utf-8"),
                     )
                     f.write(build_warc_record(
-                        row[url_col], payload, gzip_member=gzip_members))
+                        url, payload, gzip_member=gzip_members))
                     n += 1
-        yield pd.DataFrame({"file": [path], "n_records": [n]})
+        os.replace(tmp, path)  # atomic publish
+        yield pd.DataFrame(
+            {"file": [path], "n_records": [n], "n_skipped": [skipped]})
 
-    return df.mapInPandas(write, "file string, n_records long")
+    return df.mapInPandas(
+        write, "file string, n_records long, n_skipped long")
 
 
 def read_warc_files_ranged(
     spark, path: str, split_bytes: int = 128 * 1024 * 1024,
-    flush_rows: int = 2048,
+    flush_rows: int = 2048, plain_exact: bool = False,
 ) -> DataFrame:
     """WARC records from .warc / .warc.gz files at ``path`` (a
     directory tree or a single file) via BYTE-RANGE splits — the
@@ -606,7 +665,11 @@ def read_warc_files_ranged(
     batches every ``flush_rows`` records so task memory tracks the
     batch, not the split's decompressed size. Both framings
     range-split: gzip members self-synchronize by magic, plain
-    records by frame validation (see ``iter_warc_records_range``).
+    records by frame validation (see ``iter_warc_records_range``,
+    including the documented phantom-record ambiguity when a plain
+    payload embeds a frame-valid record — ``plain_exact=True`` sniffs
+    each file and gives non-gzip files ONE whole-file split instead,
+    trading their split parallelism for byte-exact parses).
     Raises on a path with no WARC files: an empty frame from a typo'd
     path is silent data loss.
 
@@ -619,6 +682,10 @@ def read_warc_files_ranged(
 
     def _file_splits(p: str) -> list[tuple[str, int, int]]:
         size = os.path.getsize(p)
+        if plain_exact and size:
+            with open(p, "rb") as f:
+                if f.read(2) != _GZ_MAGIC:
+                    return [(p, -1, -1)]  # (-1, -1) = whole-file parse
         return [(p, off, min(off + split_bytes, size))
                 for off in range(0, size, split_bytes)]
 
@@ -651,7 +718,9 @@ def read_warc_files_ranged(
                 with open(r.file, "rb") as f, \
                         mmap.mmap(f.fileno(), 0,
                                   access=mmap.ACCESS_READ) as mm:
-                    for rec in iter_warc_records_range(mm, r.start, r.end):
+                    recs = (iter_warc_records(mm) if r.start < 0 else
+                            iter_warc_records_range(mm, r.start, r.end))
+                    for rec in recs:
                         buf.append(rec)
                         if len(buf) >= flush_rows:
                             yield _flush()

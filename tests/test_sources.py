@@ -355,6 +355,60 @@ class TestWarcParser:
         )
         self._assert_range_union_equals_whole(blob)
 
+    def test_padded_members_range_splits_reproduce_whole_parse(self):
+        """Review-found: legal separator padding (CRLF, NULs) between
+        gzip members made the range walk probe the padding as a plain
+        record — emitting a FALSE dead row and overshooting the next
+        member's magic (silent loss of a healthy record). The walk
+        must now scan across padding, keeping the chain."""
+        members = [_rec(f"https://pad/{i}", (f"padded {i} " * 6).encode(),
+                        gzip_member=True) for i in range(6)]
+        blob = b"\r\n".join(bytes(m) for m in members)
+        self._assert_range_union_equals_whole(blob)
+        # plain records with extra padding between them, too
+        plain = (b"\x00\x00".join(
+            bytes(_rec(f"https://padp/{i}", b"plain body %d" % i))
+            for i in range(5)))
+        self._assert_range_union_equals_whole(plain)
+
+    def test_plain_embedded_record_ambiguity_and_exact_mode(
+            self, spark, tmp_path):
+        """A plain payload EMBEDDING a complete frame-valid WARC
+        record (an archived .warc served as a response body) is the
+        documented ambiguity of plain framing: under range splits real
+        records are never LOST (asserted), though a split landing
+        inside the payload may emit the embedded record as a phantom.
+        plain_exact=True restores byte-exact parses by whole-filing
+        non-gzip files."""
+        from crawler_spark.sources.warc import (
+            iter_warc_records,
+            iter_warc_records_range,
+            read_warc_files_ranged,
+        )
+
+        inner = _rec("https://phantom/inner", b"embedded archive body")
+        blob = (_rec("https://outer/1", b"before " * 5)
+                + _rec("https://outer/carrier", inner)  # .warc as payload
+                + _rec("https://outer/2", b"after " * 5))
+        whole = {(r["url"], r["body"]) for r in iter_warc_records(blob)
+                 if r["parse_error"] is None}
+        assert ("https://phantom/inner", b"embedded archive body") \
+            not in whole  # whole-file parse never scans payloads
+        # every real record survives any 2-way split (supersets allowed)
+        for cut in range(1, len(blob), 37):
+            got = {(r["url"], r["body"])
+                   for part in (iter_warc_records_range(blob, 0, cut),
+                                iter_warc_records_range(blob, cut, len(blob)))
+                   for r in part if r["parse_error"] is None}
+            assert whole <= got, cut
+
+        (tmp_path / "seg.warc").write_bytes(blob)
+        exact = read_warc_files_ranged(
+            spark, str(tmp_path), split_bytes=128,
+            plain_exact=True).collect()
+        assert {(r.url, bytes(r.body)) for r in exact
+                if r.parse_error is None} == whole
+
     def test_range_splits_damage_fuzz(self):
         """Property (hypothesis): flip ANY byte of a mixed plain+gzip
         blob AND partition it at random cut points — the range-walk
