@@ -1406,3 +1406,69 @@ def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+# --- URL/domain blocklist filtering -----------------------------------------
+
+# deterministic blocklist fixture: three blocked registrable domains
+# (suffix semantics must catch their www. variants) + one entry that
+# matches nothing (a blocklist always carries dead entries)
+_BLOCKLIST = ["src3.example.com", "src7.example.com",
+              "src12.example.com", "badtld.net"]
+
+_BL_DOMAIN_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
+    " || source || '.example.com'"
+)
+
+
+@register(
+    "curation_url_blocklist",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_BL_DOMAIN_SQL} AS domain FROM documents
+        ),
+        b AS (
+            SELECT * FROM (VALUES {", ".join(f"('{e}')" for e in _BLOCKLIST)})
+                     t(entry)
+        )
+        SELECT doc_id, domain FROM d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b
+            WHERE d.domain = b.entry OR d.domain LIKE '%.' || b.entry
+        )
+    """,
+)
+def curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with REGISTRABLE-SUFFIX semantics —
+    the standard corpus-curation stage (UT1-style category lists,
+    spam/adult domain feeds): a document is dropped when its host
+    equals a blocked entry OR sits under one on a dot boundary
+    (``www.src3.example.com`` is blocked by ``src3.example.com``;
+    ``notsrc3.example.com`` is NOT — substring matching over-blocks).
+
+    Spark-first shape: the host's label-suffix set is built in-plan
+    (sequence → transform → slice/array_join HOFs) and membership is
+    one ``arrays_overlap`` against the broadcast-literal blocklist —
+    a PURE PROJECTION, zero shuffles, O(labels × |list|) JVM work per
+    row, the right plan for the usual 10²-10⁵-entry lists. For a
+    blocklist too big to inline, the same suffix set feeds
+    ``explode`` + broadcast LEFT SEMI on equality (equi-join instead
+    of the non-equi LIKE, so no nested-loop), then LEFT ANTI back on
+    doc_id — documented here, same semantics. The fixture domain adds
+    a ``www.`` level to half the docs so the suffix rule is what the
+    oracle actually verifies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    domain = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com"),
+    )
+    d = docs.select("doc_id", domain.alias("domain"))
+    labels = F.split("domain", r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    blocked = F.array(*[F.lit(e) for e in _BLOCKLIST])
+    return d.filter(~F.arrays_overlap(suffixes, blocked))

@@ -153,6 +153,16 @@ def test_repetition_ratio_zero_shuffle(spark):
     assert "HashAggregate" not in plan, "repetition ratio acquired an aggregate"
 
 
+def test_url_blocklist_zero_shuffle(spark):
+    """curation_url_blocklist is a per-row suffix-set membership test
+    against a broadcast-literal list — NO exchange, NO join, NO
+    aggregate: it must run at scan speed (the explode+semi-join form
+    is the documented big-list path, not this plan)."""
+    plan = plan_text(_QUERIES["curation_url_blocklist"](spark, SF))
+    assert "Exchange" not in plan, "blocklist filter acquired a shuffle"
+    assert "Join" not in plan, "blocklist filter acquired a join"
+
+
 def test_incremental_dedup_broadcasts_batch_grams(spark):
     """dedup_incremental joins corpus grams against BATCH grams — the
     small new-crawl side must broadcast so the corpus streams map-side
