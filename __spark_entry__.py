@@ -51,7 +51,7 @@ _NEVER_DRIVER_VERIFIED = [
     # --- new in round 8 ---
     "pipeline_warc_corpus_e2e", "crawl_sitemap_discovery",
     "sink_warc_roundtrip", "streaming_warc_ingest_e2e",
-    "curation_url_blocklist",
+    "curation_url_blocklist", "txt_line_dedup",
 ]
 
 

@@ -1472,3 +1472,75 @@ def curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocked = F.array(*[F.lit(e) for e in _BLOCKLIST])
     return d.filter(~F.arrays_overlap(suffixes, blocked))
+
+
+# --- corpus-frequency line dedup (CCNet-style) -------------------------------
+
+_LD_THRESHOLD = 5
+_LD_PAGE_SQL = (
+    "'HOME | ABOUT | CONTACT | PRODUCTS | BLOG' || chr(10) || text"
+    " || chr(10) || 'tag-' || CAST(doc_id % 200 AS VARCHAR)"
+    " || chr(10) || '© 2026 ' || source || ' Media Group'"
+)
+
+
+@register(
+    "txt_line_dedup",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, {_LD_PAGE_SQL} AS page FROM documents
+        ),
+        arr AS (SELECT doc_id, str_split(page, chr(10)) AS l FROM pages),
+        lines AS (SELECT doc_id, unnest(l) AS line,
+                         unnest(generate_series(1, len(l))) AS pos FROM arr),
+        freq AS (SELECT line, count(*) AS nd FROM lines GROUP BY line),
+        kept AS (SELECT doc_id, line, pos FROM lines JOIN freq USING (line)
+                 WHERE nd <= {_LD_THRESHOLD})
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+               AS main_content
+        FROM kept GROUP BY doc_id
+    """,
+)
+def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-frequency line dedup — the CCNet preprocessing step
+    (Wenzek et al. 2020: drop lines whose occurrence count across the
+    whole corpus exceeds a threshold; boilerplate repeats on every
+    page of a site, prose doesn't). Unlike the per-page rule set
+    (``txt_boilerplate_strip``), this needs no rules at all — the
+    corpus itself votes. The fixture frames each document with a
+    global chrome line (count = corpus size, dropped), a per-source
+    footer (count = docs/source, dropped), and a small-group tag line
+    (count ≈ corpus/200 — kept at small SF, crossing the threshold as
+    the corpus grows, so the threshold genuinely bites both ways
+    across SFs); the document's own line survives.
+
+    Scale shape: posexplode lines → ONE hashpartitioning(line)
+    exchange shared by the frequency window and consumed by the
+    doc_id regroup — two shuffles total, both map-side combined.
+    Occurrence counts (not distinct-doc counts) match CCNet's
+    shard-hash formulation; at 100 TB the window's per-line state is
+    one counter and hot lines (the exact boilerplate being removed)
+    are absorbed by partial aggregation. Reassembly keeps original
+    line order via the posexplode index."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("HOME | ABOUT | CONTACT | PRODUCTS | BLOG"),
+        F.col("text"),
+        F.concat(F.lit("tag-"), (F.col("doc_id") % 200).cast("string")),
+        F.concat(F.lit("© 2026 "), F.col("source"),
+                 F.lit(" Media Group")),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(page, "\n")).alias("pos", "line"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("line"))
+    kept = lines.withColumn("nd", nd).filter(F.col("nd") <= _LD_THRESHOLD)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("main_content")
+    )

@@ -163,6 +163,19 @@ def test_url_blocklist_zero_shuffle(spark):
     assert "Join" not in plan, "blocklist filter acquired a join"
 
 
+def test_line_dedup_two_shuffles(spark):
+    """txt_line_dedup is posexplode → line-frequency window →
+    doc regroup: exactly TWO exchanges (line, doc_id). A join-based
+    frequency rewrite (agg + shuffle join back) regresses to three
+    and fails here."""
+    import re
+
+    plan = plan_text(_QUERIES["txt_line_dedup"](spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2, f"line dedup acquired extra shuffles ({n_ex})"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_incremental_dedup_broadcasts_batch_grams(spark):
     """dedup_incremental joins corpus grams against BATCH grams — the
     small new-crawl side must broadcast so the corpus streams map-side
