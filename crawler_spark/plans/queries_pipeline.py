@@ -35,7 +35,28 @@ FIXTURE_SITE = {
 }
 
 
-@register("crawl_ingest_e2e")  # rows-only: crawl loop + parse/embed UDFs
+@register(
+    "crawl_ingest_e2e",
+    # the crawl loop + parse/embed UDFs aren't SQL, but the fixture is
+    # sf-independent so the ENDPOINT is exact constants — pinned here
+    # as a VALUES oracle (bad.bin is unreachable from the hub, missing
+    # URLs dead-letter; titles exist only for the html tier)
+    oracle="""
+        SELECT * FROM (VALUES
+            ('https://fixture.test/', 'fixture.test', 'home',
+             'html', 'text', 64),
+            ('https://fixture.test/a', 'fixture.test', 'alpha',
+             'html', 'text', 64),
+            ('https://fixture.test/b', 'fixture.test', 'beta',
+             'html', 'text', 64),
+            ('https://fixture.test/doc.pdf', 'fixture.test',
+             CAST(NULL AS VARCHAR), 'pdf', 'text', 64),
+            ('https://fixture.test/img.png', 'fixture.test',
+             CAST(NULL AS VARCHAR), 'image', 'vision', 64)
+        ) t(url, domain, title, file_type, embedding_type,
+            embedding_dims)
+    """,
+)
 def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 crawl of the fixture site → full ingest → pages table.
     Deterministic apart from last_crawled, which is dropped here."""
@@ -267,7 +288,22 @@ def _fixture_edges(spark: SparkSession) -> DataFrame:
     )
 
 
-@register("crawl_pagerank")  # rows-only: iterative link-graph operator
+@register(
+    "crawl_pagerank",
+    # the power iteration isn't SQL, but the fixture graph is constant
+    # and convergence is deterministic (4 partitions, AQE off, rounded
+    # 6dp) — the converged vector is pinned as a VALUES oracle; the
+    # python-reference equivalence lives in tests/test_graph.py
+    oracle="""
+        SELECT * FROM (VALUES
+            ('https://fixture.test/img.png', 0.310209),
+            ('https://fixture.test/b', 0.231091),
+            ('https://fixture.test/doc.pdf', 0.182721),
+            ('https://fixture.test/a', 0.162174),
+            ('https://fixture.test/', 0.113805)
+        ) t(id, rank)
+    """,
+)
 def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the fixture site's link graph (crawl → explode
     links → pagerank): the crawl-prioritization signal, run through
@@ -297,7 +333,20 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-@register("crawl_hits")  # rows-only: iterative link-graph operator
+@register(
+    "crawl_hits",
+    # same pinning rationale as crawl_pagerank: constant fixture,
+    # deterministic fixed point, rounded output (stretch-invariant)
+    oracle="""
+        SELECT * FROM (VALUES
+            ('https://fixture.test/b', 0.0, 0.816497),
+            ('https://fixture.test/a', 0.707107, 0.408248),
+            ('https://fixture.test/doc.pdf', 0.0, 0.408248),
+            ('https://fixture.test/', 0.707107, 0.0),
+            ('https://fixture.test/img.png', 0.0, 0.0)
+        ) t(id, hub, authority)
+    """,
+)
 def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the same fixture link graph as
     ``crawl_pagerank`` — the second crawl-prioritization signal:

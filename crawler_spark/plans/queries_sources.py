@@ -364,7 +364,26 @@ def _corpus_site() -> dict:
 _CORPUS_TABLE_DIR: list[str | None] = [None]
 
 
-@register("pipeline_corpus_e2e")  # rows-only: crawl loop + judge UDF not SQL
+# survivors of the fixture pipeline, derived in the oracle from the
+# same prose constants + the StubJudge score formula (the fixture is
+# sf-independent, so the expected rows are exact constants — the crawl
+# loop itself isn't SQL, but its ENDPOINT is value-checkable)
+_PIPE_SURVIVORS_SQL = ", ".join(
+    f"('{u}', '{_corpus_prose()[k]}')"
+    for u, k in [("https://corpus.test/a/art1", "art1"),
+                 ("https://corpus.test/a/art2", "art2"),
+                 ("https://corpus.test/orphan", "orphan")]
+)
+
+
+@register(
+    "pipeline_corpus_e2e",
+    oracle=f"""
+        SELECT url, text AS main_content,
+               CAST({_JUDGE_SCORE_SQL} AS INTEGER) AS score
+        FROM (VALUES {_PIPE_SURVIVORS_SQL}) t(url, text)
+    """,
+)
 def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL front-door corpus pipeline as one composition — the
     crawl DAG the reference actually runs (SURVEY §3.2), each stage
