@@ -56,6 +56,8 @@ _NEVER_DRIVER_VERIFIED = [
     # endpoints pinned as VALUES oracles) — resample for hash rows
     "pipeline_corpus_e2e", "crawl_ingest_e2e",
     "crawl_pagerank", "crawl_hits",
+    "bucketed_build", "timetravel_snapshot_reads",
+    "timetravel_changes_feed",
 ]
 
 

@@ -80,7 +80,21 @@ def join_salted_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- bucketed co-located join ---------------------------------------------
-@register("bucketed_build")  # rows-only: the one-off write-time shuffle
+@register(
+    "bucketed_build",
+    # the write-time shuffle isn't SQL, but the build's observable
+    # contract (spec + row conservation) is table-derived
+    oracle=f"""
+        SELECT 'lineitem' AS table_name, 'l_orderkey' AS bucket_key,
+               CAST({NUM_BUCKETS} AS INTEGER) AS num_buckets,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', 'o_orderkey', CAST({NUM_BUCKETS} AS INTEGER),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+    """,
+)
 def bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize lineitem and orders bucketed+sorted on orderkey.
     Returns one row per bucketed table with its bucket spec — the
@@ -329,18 +343,45 @@ def _build_versioned_doc_table(spark: SparkSession, sf_dir: str):
     return tdir, pages_dir
 
 
-@register("timetravel_snapshot_reads")  # rows-only: filesystem snapshot log
+_TT_V2_SQL = (
+    "SELECT doc_id, source, CASE WHEN doc_id % 10 = 0 THEN n_chars + 1 "
+    "ELSE n_chars END AS n_chars FROM documents"
+)
+
+
+@register(
+    "timetravel_snapshot_reads",
+    # the snapshot mechanism (manifest pointers, epoch dirs) isn't
+    # SQL, but each committed state is a deterministic transformation
+    # of the documents table — the oracle rebuilds all three states
+    # and aggregates them, so a historical read contaminated by a
+    # later commit hash-mismatches
+    oracle=f"""
+        WITH v2 AS ({_TT_V2_SQL}),
+        v3 AS (SELECT * FROM v2 WHERE doc_id % 7 <> 0)
+        SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+               count(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        UNION ALL
+        SELECT 2, count(*), count(DISTINCT source),
+               CAST(SUM(n_chars) AS BIGINT) FROM v2
+        UNION ALL
+        SELECT 3, count(*), count(DISTINCT source),
+               CAST(SUM(n_chars) AS BIGINT) FROM v3
+    """,
+)
 def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the manifest table's Delta-style time travel end-to-end:
     build a bucketed table from the documents fixture, commit three
     states (base load, an upsert batch that rewrites one bucket, a
     delete batch), then read EVERY snapshot back via
-    ``read_pages_table_at`` and report (version, n_rows, n_buckets,
-    distinct_sources). The invariant a lakehouse user cares about:
-    historical reads reproduce each committed state exactly even
-    though later commits rewrote the same buckets — because commits
-    only ever publish NEW directories and swap one pointer
-    (streaming/ingest_stream.py commit protocol; vacuum's
+    ``read_pages_table_at`` and report (version, n_rows,
+    distinct_sources, sum_chars). The invariant a lakehouse user
+    cares about: historical reads reproduce each committed state
+    exactly even though later commits rewrote the same buckets —
+    because commits only ever publish NEW directories and swap one
+    pointer (streaming/ingest_stream.py commit protocol; vacuum's
     ``retain_last`` bounds the travel horizon)."""
     import shutil
 
@@ -356,24 +397,35 @@ def timetravel_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         for ver in manifest_history(pages_dir):
             snap = read_pages_table_at(spark, pages_dir, ver)
             if snap is None:  # a delete emptied the table at this version
-                out.append((ver, 0, 0, 0, 0))
+                out.append((ver, 0, 0, 0))
                 continue
             agg = snap.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct("bucket").alias("nb"),
                 F.countDistinct("source").alias("ns"),
                 F.sum("n_chars").alias("chars"),
             ).collect()[0]
-            out.append((ver, agg["n"], agg["nb"], agg["ns"], agg["chars"]))
+            out.append((ver, agg["n"], agg["ns"], agg["chars"]))
     finally:
         if tdir:
             shutil.rmtree(tdir, ignore_errors=True)
     return spark.createDataFrame(
-        out, "version int, n_rows long, n_buckets long, "
-             "n_sources long, sum_chars long")
+        out, "version int, n_rows long, n_sources long, sum_chars long")
 
 
-@register("timetravel_changes_feed")  # rows-only: manifest CDF
+@register(
+    "timetravel_changes_feed",
+    # the CDF classification rules are pure doc_id arithmetic on the
+    # fixture (deletes = %7, updates = %10 minus deletes, no inserts)
+    # — the oracle reproduces the per-type rollup from documents
+    oracle="""
+        SELECT 'delete' AS _change_type, count(*) AS n,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 'update', count(*), min(doc_id), max(doc_id)
+        FROM documents WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+    """,
+)
 def timetravel_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed over the same three-state table: classify every
     row that changed base→final (v1→v3) — the Delta ``table_changes``
