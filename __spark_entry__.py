@@ -53,8 +53,9 @@ _NEVER_DRIVER_VERIFIED = [
     "sink_warc_roundtrip", "streaming_warc_ingest_e2e",
     "curation_url_blocklist", "txt_line_dedup",
     # rows-only → oracle-backed upgrades in r8 (constant-fixture
-    # endpoints pinned as VALUES oracles) — resample for hash rows
-    "pipeline_corpus_e2e", "crawl_ingest_e2e",
+    # endpoints pinned as VALUES oracles) — resample for hash rows;
+    # pipeline_corpus_e2e already holds a slot in the round-6 block
+    "crawl_ingest_e2e",
     "crawl_pagerank", "crawl_hits",
     "bucketed_build", "timetravel_snapshot_reads",
     "timetravel_changes_feed",

@@ -1471,16 +1471,25 @@ def curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
     )
     blocked = F.array(*[F.lit(e) for e in _BLOCKLIST])
-    return d.filter(~F.arrays_overlap(suffixes, blocked))
+    # coalesce: a NULL domain yields NULL suffixes → NULL overlap; the
+    # oracle's NOT EXISTS keeps such rows (no blocklist entry matches
+    # NULL), so the filter must too — ~NULL would silently drop them
+    # (review-found, latent: the fixture has no NULL sources)
+    return d.filter(
+        ~F.coalesce(F.arrays_overlap(suffixes, blocked), F.lit(False)))
 
 
 # --- corpus-frequency line dedup (CCNet-style) -------------------------------
 
 _LD_THRESHOLD = 5
+# concat_ws on BOTH sides (not ||): it skips NULL pieces, so a NULL
+# text or source degrades to a shorter page in both engines instead of
+# Spark keeping the doc while the oracle's NULL-propagating || chain
+# drops it (review-found, latent: the fixture has no NULLs)
 _LD_PAGE_SQL = (
-    "'HOME | ABOUT | CONTACT | PRODUCTS | BLOG' || chr(10) || text"
-    " || chr(10) || 'tag-' || CAST(doc_id % 200 AS VARCHAR)"
-    " || chr(10) || '© 2026 ' || source || ' Media Group'"
+    "concat_ws(chr(10), 'HOME | ABOUT | CONTACT | PRODUCTS | BLOG',"
+    " text, 'tag-' || CAST(doc_id % 200 AS VARCHAR),"
+    " '© 2026 ' || source || ' Media Group')"
 )
 
 

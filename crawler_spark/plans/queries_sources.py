@@ -122,31 +122,41 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WARC_FIXTURE_DIRS: dict[str, str] = {}
 
 
-def _memo_tmpdir(cache: dict[str, str], key: str,
-                 prefix: str) -> tuple[str, bool]:
+def _memo_tmpdir(cache: dict[str, str], key: str, prefix: str,
+                 populate=None) -> str:
     """Per-(process, key) temp dir, removed at interpreter exit —
     the one memoization shape every on-disk fixture/table/checkpoint
-    in this module shares (review-found: four hand-rolled copies).
-    Returns (path, created): ``created`` tells a fixture builder
-    whether to populate it."""
+    in this module shares (review-found: five hand-rolled copies).
+    ``populate(path)``, when given, runs BEFORE the path is cached and
+    a failure discards the dir — a half-built fixture must never
+    poison the process-lifetime cache (review-found: caching first
+    meant one build error served a partial corpus to every later
+    query). Dirs without a populate step cache immediately; their
+    consumers (manifest merges, stream checkpoints) are idempotent by
+    design."""
     import atexit
     import shutil
     import tempfile
 
     path = cache.get(key)
     if path is not None:
-        return path, False
+        return path
     path = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if populate is not None:
+        try:
+            populate(path)
+        except BaseException:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
     cache[key] = path
-    return path, True
+    return path
 
 
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
 
-    path, created = _memo_tmpdir(_WARC_FIXTURE_DIRS, sf_dir, "warc_fixture_")
-    if created:
+    def build(path: str) -> None:
         from crawler_spark.sources.warc import (
             build_http_response, build_warc_record,
         )
@@ -174,7 +184,9 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             name = f"seg-{grp:05d}.warc" + (".gz" if gz else "")
             with open(os.path.join(path, name), "wb") as f:
                 f.write(blob)
-    return path
+
+    return _memo_tmpdir(_WARC_FIXTURE_DIRS, sf_dir, "warc_fixture_",
+                        populate=build)
 
 
 @register(
@@ -361,7 +373,7 @@ def _corpus_site() -> dict:
     }
 
 
-_CORPUS_TABLE_DIR: list[str | None] = [None]
+_CORPUS_TABLE_DIRS: dict[str, str] = {}
 
 
 # survivors of the fixture pipeline, derived in the oracle from the
@@ -404,10 +416,6 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the low-scoring one; dedup collapses the verbatim duplicate
     to its lexicographically-first URL; three rows land in the table.
     Value-level lockstep asserts live in tests/test_sources.py."""
-    import atexit
-    import shutil
-    import tempfile
-
     from crawler_spark.functions.judge import judge_udf, parse_judgment
     from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
     from crawler_spark.plans.crawl import crawl
@@ -465,14 +473,11 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the landed table IS the result. One table dir per process
     # (removed at exit); the merge is idempotent by key, so re-runs
     # converge to the same three rows.
-    if _CORPUS_TABLE_DIR[0] is None:
-        d = tempfile.mkdtemp(prefix="corpus_pages_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _CORPUS_TABLE_DIR[0] = d
+    d = _memo_tmpdir(_CORPUS_TABLE_DIRS, "fixture", "corpus_pages_")
     batch = keeper.select(
         "url", "main_content", "score", key_bucket("url", 4).alias("bucket"))
-    merge_into_bucketed(spark, _CORPUS_TABLE_DIR[0], batch, key="url")
-    landed = read_pages_table(spark, _CORPUS_TABLE_DIR[0])
+    merge_into_bucketed(spark, d, batch, key="url")
+    landed = read_pages_table(spark, d)
     return landed.select("url", "main_content", "score").orderBy("url")
 
 
@@ -584,7 +589,7 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE into a bucketed pages table (per-process, per-SF dir —
     # idempotent by key, so re-runs converge) and read the table back:
     # the LANDED table is the result
-    d, _ = _memo_tmpdir(_WARC_TABLE_DIRS, sf_dir, "warc_corpus_pages_")
+    d = _memo_tmpdir(_WARC_TABLE_DIRS, sf_dir, "warc_corpus_pages_")
     batch = keeper.select(
         "url", "main_content", "score", key_bucket("url", 4).alias("bucket"))
     merge_into_bucketed(spark, d, batch, key="url")
@@ -630,8 +635,8 @@ def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.streaming.ingest_stream import read_pages_table
 
     src = _warc_fixture_dir(spark, sf_dir)
-    tbl, _ = _memo_tmpdir(_WARC_STREAM_TBLS, sf_dir, "warc_stream_tbl_")
-    ckpt, _ = _memo_tmpdir(_WARC_STREAM_CKPTS, sf_dir, "warc_stream_ckpt_")
+    tbl = _memo_tmpdir(_WARC_STREAM_TBLS, sf_dir, "warc_stream_tbl_")
+    ckpt = _memo_tmpdir(_WARC_STREAM_CKPTS, sf_dir, "warc_stream_ckpt_")
 
     def sink(batch: DataFrame, _id: int) -> None:
         recs = read_warc_blobs(batch.select("content"), "content")
@@ -723,7 +728,7 @@ def sink_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "text")
     ).select("url", F.encode("text", "utf-8").alias("body"))
 
-    d, _ = _memo_tmpdir(_WARC_SINK_DIRS, sf_dir, "warc_sink_")
+    d = _memo_tmpdir(_WARC_SINK_DIRS, sf_dir, "warc_sink_")
     # fresh segment set per run: the export overwrites by partition id,
     # so stale files from an earlier layout must not survive
     for name in os.listdir(d):

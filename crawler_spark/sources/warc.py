@@ -403,20 +403,28 @@ def _scan_anchor(blob, pos: int) -> int:
     return -1
 
 
+_MAX_VERLINE = 64  # a WARC version line is ~10 bytes; 64 is damage
+
+
 def _plausible_anchor(blob, pos: int) -> bool:
-    """Cheap plausibility gate for a SCANNED plain anchor: a real
-    record begins ``WARC/<digits[.digits]>\\r\\n``. Stray ``WARC/``
-    text inside a payload rarely carries the exact version-line
-    shape, so unconfirmed probes reject it here without running the
-    full frame parse (whose ``next_pos``, computed from junk, could
-    overshoot a real anchor — review-found). CHAINED positions bypass
-    this gate so the confirmed trajectory stays byte-identical to the
-    whole-file walk's."""
-    end_v = blob.find(CRLF, pos + 5, pos + 16)
-    if end_v < 0:
-        return False
-    ver = bytes(blob[pos + 5:end_v])
-    return bool(ver) and not ver.strip(b"0123456789.")
+    """Cheap plausibility gate for a SCANNED plain anchor: a record's
+    version line must END (CRLF) within ``_MAX_VERLINE`` bytes — true
+    for every real version token (``WARC/1.0`` and any tolerated
+    variant), false for stray ``WARC/`` text running into a payload.
+    The gate exists as a DoS bound, NOT a validator: a full
+    ``_record_at`` probe scans up to ``_MAX_HDR`` per candidate, so a
+    hostile payload stuffed with ``WARC/`` bytes would cost
+    O(strays × 64 KiB) without it; this check caps the reject cost at
+    64 bytes per stray while accepting anything remotely version-
+    shaped (review-found: a digits-only version check here silently
+    dropped frame-valid records with nonstandard version tokens —
+    the frame validation is the ownership test, never this gate).
+    CHAINED positions bypass it so the confirmed trajectory stays
+    byte-identical to the whole-file walk's; the residual divergence
+    (a frame-valid record whose version line exceeds 64 bytes is
+    skipped by scans but parsed whole-file) is pathological damage by
+    construction."""
+    return blob.find(CRLF, pos + 5, pos + 5 + _MAX_VERLINE) >= 0
 
 
 def iter_warc_records_range(

@@ -348,6 +348,18 @@ class TestWarcParser:
                             b"look: WARC/1.0\r\nnot a real header " * 3))
         self._assert_range_union_equals_whole(b"".join(recs))
 
+    def test_nonstandard_version_token_range_splits(self):
+        """Review-found: a digits-only version gate silently dropped
+        frame-valid records with nonstandard version tokens
+        ('WARC/1.0-x') from EVERY plain split — the whole-file parse
+        accepts them, so the range union must too (the gate is a DoS
+        bound on probe cost, never a validator)."""
+        recs = [_rec(f"https://v/{i}", (f"versioned {i} " * 4).encode())
+                for i in range(6)]
+        blob = b"".join(recs).replace(b"WARC/1.0\r\n", b"WARC/1.0-x\r\n")
+        assert b"WARC/1.0-x" in blob
+        self._assert_range_union_equals_whole(blob)
+
     def test_mixed_framing_range_splits_reproduce_whole_parse(self):
         """Property: a blob interleaving plain records and gzip
         members (legal — framing re-sniffs between records) still
