@@ -329,6 +329,11 @@ _INVARIANCE_QUERIES = [
     # split, seed-teleport walk — all claim engine/cluster determinism
     "graph_cooccur_degree", "graph_triangle_stats", "corpus_snapshot_diff",
     "corpus_group_holdout_split", "graph_influence_ppr",
+    # r8: corpus-frequency line dedup (exact counts + ordered regroup),
+    # suffix-set blocklist (pure projection), distributed robots sweep
+    # (set-valued), WARC-headed pipeline (idempotent merge endpoint)
+    "txt_line_dedup", "curation_url_blocklist",
+    "crawl_sitemap_discovery", "pipeline_warc_corpus_e2e",
 ]
 
 
