@@ -605,6 +605,40 @@ class TestWarcParser:
         back2 = read_warc_files_ranged(spark, str(out2)).collect()
         assert sorted((r.url, bytes(r.body)) for r in back2) == sorted(rows)
 
+    def test_write_warc_files_skips_null_rows(self, spark, tmp_path):
+        """Review-found: int(None) on a NULL status used to kill the
+        task. Rows missing url, body, or (when a status column is
+        wired) status are SKIPPED and counted — never fabricated,
+        never a task failure; a NULL content_type falls back to the
+        default header instead of serializing 'None'."""
+        from crawler_spark.sources.warc import (
+            read_warc_files_ranged, write_warc_files,
+        )
+
+        rows = [
+            ("https://n/ok", b"good", 200, "text/x-ok"),
+            (None, b"no url", 200, "text/x-ok"),          # skip: url
+            ("https://n/nobody", None, 200, "text/x-ok"),  # skip: body
+            ("https://n/nostatus", b"x", None, "text/x-ok"),  # skip: status
+            ("https://n/noct", b"ct dflt", 404, None),     # kept, default ct
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, body binary, status int, ct string"
+        ).coalesce(1)
+        out = tmp_path / "nulls"
+        out.mkdir()
+        (m,) = write_warc_files(
+            df, str(out), status_col="status", content_type_col="ct"
+        ).collect()
+        assert (m.n_records, m.n_skipped) == (2, 3)
+        back = {r.url: r for r in
+                read_warc_files_ranged(spark, str(out)).collect()}
+        assert set(back) == {"https://n/ok", "https://n/noct"}
+        assert back["https://n/ok"].http_status == 200
+        assert back["https://n/ok"].content_type == "text/x-ok"
+        assert back["https://n/noct"].http_status == 404
+        assert back["https://n/noct"].content_type.startswith("text/plain")
+
 
     def test_read_warc_files_ranged_equals_whole(self, spark, tmp_path):
         """The Spark ranged reader (mmap + byte-range splits) must
