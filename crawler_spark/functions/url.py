@@ -23,7 +23,7 @@ friendly, usable inside the crawl loop's dedup without a UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
@@ -66,3 +66,75 @@ def normalize_url(col: ColumnOrName) -> Column:
     # 7. bare authority gets the root path
     u = F.regexp_replace(u, r"^(https?://[^/?#]+)$", r"$1/")
     return u
+
+
+# --- domain-blocklist filtering ----------------------------------------------
+
+# Above this many entries the blocklist stops inlining as an array
+# literal (a 10⁶-entry UT1 list dies at plan-build time well before
+# execution) and switches to the explode + broadcast-semi plan.
+BLOCKLIST_INLINE_LIMIT = 4096
+
+
+def domain_suffixes(col: ColumnOrName) -> Column:
+    """Label-suffix set of a hostname, built in-plan (sequence →
+    transform → slice/array_join HOFs): ``a.b.c`` → ``[a.b.c, b.c,
+    c]``. Registrable-suffix blocklist semantics are then ONE set
+    membership — ``www.src3.example.com`` is caught by entry
+    ``src3.example.com`` on a dot boundary, ``notsrc3.example.com``
+    is not (substring matching over-blocks)."""
+    labels = F.split(_c(col), r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: list[str] | DataFrame,
+    *,
+    domain_col: str = "domain",
+    key_col: str = "doc_id",
+    inline_limit: int = BLOCKLIST_INLINE_LIMIT,
+) -> DataFrame:
+    """Drop rows whose ``domain_col`` equals a blocklist entry or sits
+    under one on a dot boundary — the standard corpus-curation stage
+    (UT1-style category lists, spam/adult domain feeds). Two plans,
+    switched by blocklist size:
+
+    * **small** (``len(blocklist) <= inline_limit``): the suffix set
+      is tested with ``arrays_overlap`` against a broadcast-literal
+      array — a PURE PROJECTION, zero shuffles, O(labels × |list|)
+      JVM work per row. Right for the usual 10²-10³-entry lists.
+    * **big** (longer lists, or a DataFrame side): the SAME suffix
+      set feeds ``posexplode`` → broadcast LEFT SEMI on equality
+      (an equi-join — never a nested-loop LIKE join) to find blocked
+      keys, then LEFT ANTI back on ``key_col``. One shuffle (the
+      key anti-join; AQE broadcasts it when the blocked set is
+      small); the blocklist side is a broadcast either way — a
+      10⁶-entry list is ~50 MB, far under threshold. Beyond
+      broadcast, bucket both sides on entry hash.
+
+    A NULL domain yields NULL suffixes and is KEPT by both arms (no
+    blocklist entry matches NULL) — matching SQL ``NOT EXISTS``
+    semantics."""
+    suffixes = domain_suffixes(domain_col)
+    if isinstance(blocklist, list) and len(blocklist) <= inline_limit:
+        blocked = F.array(*[F.lit(e) for e in blocklist])
+        # coalesce: NULL overlap (NULL domain) must keep the row
+        return df.filter(
+            ~F.coalesce(F.arrays_overlap(suffixes, blocked), F.lit(False)))
+    spark = df.sparkSession
+    bl = (
+        blocklist if isinstance(blocklist, DataFrame)
+        else spark.createDataFrame(
+            [(e,) for e in blocklist], "entry string")
+    ).select("entry")
+    blocked_keys = (
+        df.select(key_col, F.explode(suffixes).alias("_sfx"))
+        .join(F.broadcast(bl), F.col("_sfx") == F.col("entry"), "left_semi")
+        .select(key_col)
+    )
+    return df.join(blocked_keys, key_col, "left_anti")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
+from crawler_spark.functions import url as U
 from crawler_spark.plans.queries_text import _FP_SQL, _TOKENS_SQL
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
@@ -1447,36 +1448,86 @@ def curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``www.src3.example.com`` is blocked by ``src3.example.com``;
     ``notsrc3.example.com`` is NOT — substring matching over-blocks).
 
-    Spark-first shape: the host's label-suffix set is built in-plan
+    Spark-first shape (functions/url.py ``filter_blocked_domains``,
+    small arm): the host's label-suffix set is built in-plan
     (sequence → transform → slice/array_join HOFs) and membership is
     one ``arrays_overlap`` against the broadcast-literal blocklist —
     a PURE PROJECTION, zero shuffles, O(labels × |list|) JVM work per
-    row, the right plan for the usual 10²-10⁵-entry lists. For a
-    blocklist too big to inline, the same suffix set feeds
-    ``explode`` + broadcast LEFT SEMI on equality (equi-join instead
-    of the non-equi LIKE, so no nested-loop), then LEFT ANTI back on
-    doc_id — documented here, same semantics. The fixture domain adds
-    a ``www.`` level to half the docs so the suffix rule is what the
-    oracle actually verifies."""
+    row, the right plan for the usual 10²-10³-entry lists. Lists too
+    big to inline take the explode + broadcast-semi arm — see
+    ``curation_url_blocklist_big``, which verifies the size switch.
+    The fixture domain adds a ``www.`` level to half the docs so the
+    suffix rule is what the oracle actually verifies. NULL-domain
+    rows are KEPT by both engines (NOT EXISTS vs coalesced overlap —
+    review-found, latent: the fixture has no NULL sources)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     domain = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.col("source"), F.lit(".example.com"),
     )
     d = docs.select("doc_id", domain.alias("domain"))
-    labels = F.split("domain", r"\.")
-    n = F.size(labels)
-    suffixes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    return U.filter_blocked_domains(d, _BLOCKLIST)
+
+
+# 10⁵ generated dead entries + the 3 live ones: big enough that the
+# inline-literal arm is impossible (a 100k-element array literal blows
+# plan build), so what the oracle verifies IS the size switch into the
+# explode + broadcast-semi arm.
+_BLOCKLIST_BIG_N = 100_000
+
+
+@register(
+    "curation_url_blocklist_big",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_BL_DOMAIN_SQL} AS domain FROM documents
+        ),
+        b AS (
+            SELECT 'blk' || lpad(CAST(i AS VARCHAR), 5, '0') || '.invalid'
+                   AS entry
+            FROM generate_series(0, {_BLOCKLIST_BIG_N - 1}) t(i)
+            UNION ALL
+            SELECT * FROM (VALUES ('src3.example.com'),
+                                  ('src7.example.com'),
+                                  ('src12.example.com')) v(entry)
+        )
+        SELECT doc_id, domain FROM d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b
+            WHERE d.domain = b.entry OR d.domain LIKE '%.' || b.entry
+        )
+    """,
+)
+def curation_url_blocklist_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-blocklist arm of ``filter_blocked_domains`` —
+    UT1-style category lists run 10⁵-10⁶ entries, far past what an
+    in-plan array literal survives. The suffix set (same HOF build as
+    the small arm) is posexploded and equi-joined broadcast LEFT SEMI
+    against the blocklist (never a nested-loop LIKE join), then LEFT
+    ANTI back on doc_id. The 100k dead entries are generated (not
+    literal) on BOTH engines so the oracle exercises exactly the
+    big-arm plan; the 3 live entries prove the suffix semantics
+    unchanged from ``curation_url_blocklist``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    domain = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com"),
     )
-    blocked = F.array(*[F.lit(e) for e in _BLOCKLIST])
-    # coalesce: a NULL domain yields NULL suffixes → NULL overlap; the
-    # oracle's NOT EXISTS keeps such rows (no blocklist entry matches
-    # NULL), so the filter must too — ~NULL would silently drop them
-    # (review-found, latent: the fixture has no NULL sources)
-    return d.filter(
-        ~F.coalesce(F.arrays_overlap(suffixes, blocked), F.lit(False)))
+    d = docs.select("doc_id", domain.alias("domain"))
+    bl = spark.range(_BLOCKLIST_BIG_N).select(
+        F.concat(
+            F.lit("blk"),
+            F.lpad(F.col("id").cast("string"), 5, "0"),
+            F.lit(".invalid"),
+        ).alias("entry")
+    ).union(
+        spark.createDataFrame(
+            [("src3.example.com",), ("src7.example.com",),
+             ("src12.example.com",)],
+            "entry string",
+        )
+    )
+    return U.filter_blocked_domains(d, bl)
 
 
 # --- corpus-frequency line dedup (CCNet-style) -------------------------------
@@ -1523,14 +1574,26 @@ def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grows, so the threshold genuinely bites both ways
     across SFs); the document's own line survives.
 
-    Scale shape: posexplode lines → ONE hashpartitioning(line)
-    exchange shared by the frequency window and consumed by the
-    doc_id regroup — two shuffles total, both map-side combined.
-    Occurrence counts (not distinct-doc counts) match CCNet's
-    shard-hash formulation; at 100 TB the window's per-line state is
-    one counter and hot lines (the exact boilerplate being removed)
-    are absorbed by partial aggregation. Reassembly keeps original
-    line order via the posexplode index."""
+    Scale shape — SKEW-SAFE BY CONSTRUCTION: the hottest key is, by
+    the operator's own premise, the boilerplate line present on a huge
+    fraction of all pages, so any plan that co-locates every copy of
+    a line in one task (``Window.partitionBy(line)`` — WindowExec gets
+    NO partial aggregation) melts at 100 TB. Instead the frequency
+    pass is ``groupBy(line).count()``: partial aggregation collapses a
+    hot line to ONE row per map partition before the line shuffle, so
+    the reduce side sees O(map-partitions) rows per line, not O(n).
+    The over-threshold drop-set is then tiny by construction — it IS
+    the corpus's boilerplate vocabulary — so it broadcasts, and kept
+    lines flow through a broadcast LEFT ANTI join (no second pass over
+    the line stream through an exchange). Two shuffles total: the
+    map-side-combined line count and the doc_id regroup. Occurrence
+    counts (not distinct-doc counts) match CCNet's shard-hash
+    formulation. Reassembly keeps original line order via the
+    posexplode index. (At 100 TB the drop-set is bounded by
+    |lines with count > threshold| ≤ total_lines/threshold distinct
+    values, and in practice by the boilerplate vocabulary — if it ever
+    outgrew a broadcast, the same plan degrades gracefully by removing
+    the hint, paying one more shuffle, never a skewed window.)"""
     docs = load_table(spark, sf_dir, "documents")
     page = F.concat_ws(
         "\n",
@@ -1542,8 +1605,13 @@ def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = docs.select(
         "doc_id", F.posexplode(F.split(page, "\n")).alias("pos", "line"))
-    nd = F.count(F.lit(1)).over(Window.partitionBy("line"))
-    kept = lines.withColumn("nd", nd).filter(F.col("nd") <= _LD_THRESHOLD)
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > _LD_THRESHOLD)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
     return kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

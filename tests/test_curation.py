@@ -399,3 +399,57 @@ class TestPerplexityBuckets:
         head_min = min(r.avg_logprob for r in rows if r.bucket == 1)
         tail_max = max(r.avg_logprob for r in rows if r.bucket == 3)
         assert head_min >= tail_max
+
+
+class TestBlocklistOperator:
+    """filter_blocked_domains (functions/url.py): both arms, NULL
+    semantics, and the size switch itself."""
+
+    _ROWS = [
+        (1, "www.bad.example.com"),   # suffix of a blocked entry
+        (2, "bad.example.com"),       # exact match
+        (3, "notbad.example.com"),    # substring, NOT a dot suffix
+        (4, "good.example.org"),      # clean
+        (5, None),                    # NULL domain: always KEPT
+    ]
+
+    def _run(self, spark, blocklist):
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        df = spark.createDataFrame(self._ROWS, "doc_id int, domain string")
+        out = filter_blocked_domains(df, blocklist)
+        return sorted(r.doc_id for r in out.collect())
+
+    def test_small_arm(self, spark):
+        assert self._run(spark, ["bad.example.com", "dead.invalid"]) == \
+            [3, 4, 5]
+
+    def test_big_arm_same_semantics(self, spark):
+        # inline_limit=0 cannot be hit by a 2-entry list — force the
+        # explode+semi arm and demand identical keep-set
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        df = spark.createDataFrame(self._ROWS, "doc_id int, domain string")
+        out = filter_blocked_domains(
+            df, ["bad.example.com", "dead.invalid"], inline_limit=0)
+        assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+
+    def test_dataframe_blocklist_takes_big_arm(self, spark):
+        bl = spark.createDataFrame(
+            [("bad.example.com",)], "entry string")
+        assert self._run(spark, bl) == [3, 4, 5]
+
+    def test_switch_threshold(self, spark):
+        """A list one past inline_limit switches plans (join appears);
+        at the limit it stays a pure projection."""
+        from tests.test_plan_shapes import plan_text
+
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        df = spark.createDataFrame(self._ROWS, "doc_id int, domain string")
+        small = plan_text(filter_blocked_domains(
+            df, ["a.invalid", "b.invalid"], inline_limit=2))
+        big = plan_text(filter_blocked_domains(
+            df, ["a.invalid", "b.invalid", "c.invalid"], inline_limit=2))
+        assert "Join" not in small
+        assert "BroadcastHashJoin" in big

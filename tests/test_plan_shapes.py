@@ -163,17 +163,42 @@ def test_url_blocklist_zero_shuffle(spark):
     assert "Join" not in plan, "blocklist filter acquired a join"
 
 
+def test_url_blocklist_big_is_broadcast_equi_semi(spark):
+    """curation_url_blocklist_big takes the large-list arm: suffix-set
+    explode + broadcast LEFT SEMI on EQUALITY + LEFT ANTI back on
+    doc_id. A LIKE-based rewrite degenerates to a nested-loop join
+    over 10⁵ entries × every row — locked out here."""
+    plan = plan_text(_QUERIES["curation_url_blocklist_big"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        "big blocklist arm is not a broadcast equi semi-join"
+    )
+    assert "LeftAnti" in plan, "doc_id anti-join missing"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "big blocklist arm regressed to a nested-loop (LIKE?) join"
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_line_dedup_two_shuffles(spark):
-    """txt_line_dedup is posexplode → line-frequency window →
-    doc regroup: exactly TWO exchanges (line, doc_id). A join-based
-    frequency rewrite (agg + shuffle join back) regresses to three
-    and fails here."""
+    """txt_line_dedup is posexplode → map-side-combined line count →
+    broadcast ANTI join of the tiny over-threshold drop-set → doc
+    regroup: at most TWO shuffle exchanges (line, doc_id), the
+    drop-set join MUST be BroadcastHashJoin LeftAnti, and there must
+    be NO WindowExec partitioned by line — a window count gets no
+    partial aggregation, so the hottest boilerplate line (the very
+    thing being removed) lands on one task at 100 TB."""
     import re
 
     plan = plan_text(_QUERIES["txt_line_dedup"](spark, SF))
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_ex <= 2, f"line dedup acquired extra shuffles ({n_ex})"
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "drop-set join is not a broadcast anti join"
+    )
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), (
+        "line frequency regressed to a WindowExec (skewed-key window)"
+    )
 
 
 def test_incremental_dedup_broadcasts_batch_grams(spark):
