@@ -212,8 +212,12 @@ def source_warc_ranged_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row-count/hash mismatch."""
     from crawler_spark.sources.warc import read_warc_files_ranged
 
+    # plain_exact=False ON PURPOSE: this query exists to exercise
+    # range splits on BOTH framings — the exactness default would
+    # whole-file the plain half and stop testing its split ownership
     recs = read_warc_files_ranged(
-        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024)
+        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024,
+        plain_exact=False)
     return recs.filter(
         F.col("parse_error").isNull() & (F.col("warc_type") == "response")
     ).select(
@@ -556,8 +560,11 @@ def pipeline_warc_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.sources.warc import read_warc_files_ranged
     from crawler_spark.streaming.ingest_stream import read_pages_table
 
+    # plain_exact=False: the e2e must prove the COMPOSITION over real
+    # range splits on both framings, not the whole-file fallback
     recs = read_warc_files_ranged(
-        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024)
+        spark, _warc_fixture_dir(spark, sf_dir), split_bytes=64 * 1024,
+        plain_exact=False)
     pages = recs.filter(
         F.col("parse_error").isNull() & (F.col("warc_type") == "response")
     ).select("url", F.decode(F.col("body"), "UTF-8").alias("content"))

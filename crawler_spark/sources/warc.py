@@ -57,10 +57,15 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from urllib.parse import quote
 
 CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 _GZ_MAGIC = b"\x1f\x8b"
+# IRI→URI mapping for WARC-Target-URI: leave every printable-ASCII
+# byte alone (so already-valid URLs, %xx escapes included, pass
+# through untouched) and percent-encode everything else (UTF-8).
+_URI_SAFE = "".join(chr(c) for c in range(0x21, 0x7F))
 
 # Output schema of the Spark-side parse (see read_warc_blobs): one row
 # per WARC record, dead-letter rows carry parse_error and NULL fields.
@@ -80,7 +85,14 @@ def build_http_response(
     content_type: str = "text/plain; charset=utf-8",
 ) -> bytes:
     """Serialize a minimal HTTP/1.1 response message (the payload of a
-    WARC ``response`` record)."""
+    WARC ``response`` record). Headers encode latin-1 — the HTTP/1.1
+    header charset and what ``_parse_headers`` decodes, so any
+    latin-1-able Content-Type round-trips; beyond-latin-1 values raise
+    ``UnicodeEncodeError`` and embedded CR/LF raises ``ValueError``
+    (it would corrupt the frame) — callers skip-and-count, never
+    write a broken record."""
+    if "\r" in content_type or "\n" in content_type:
+        raise ValueError("CR/LF in content_type would corrupt the frame")
     reason = {200: "OK", 404: "Not Found", 500: "Internal Server Error"}.get(
         status, "Unknown"
     )
@@ -89,7 +101,7 @@ def build_http_response(
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     )
-    return head.encode("ascii") + body
+    return head.encode("latin-1") + body
 
 
 def build_warc_record(
@@ -101,8 +113,17 @@ def build_warc_record(
 ) -> bytes:
     """One WARC/1.0 record; with ``gzip_member=True`` the record is its
     own gzip member (the Common Crawl layout — members concatenate into
-    a valid .warc.gz and are individually splittable)."""
+    a valid .warc.gz and are individually splittable).
+
+    WARC-Target-URI must be a URI (ASCII): a non-ASCII ``url`` (an IRI
+    — real crawl frontiers are full of them) is mapped to its URI form
+    by UTF-8 percent-encoding exactly the bytes that are not printable
+    ASCII, which also neutralizes CR/LF/space that would corrupt the
+    header frame; ASCII URLs (including existing %xx escapes) pass
+    through byte-identical. The record id hashes the ORIGINAL url so
+    the mapping never aliases two IRIs onto one id."""
     rid = hashlib.md5((url + warc_date).encode("utf-8")).hexdigest()
+    url = quote(url, safe=_URI_SAFE)
     head = (
         "WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
@@ -457,11 +478,18 @@ def iter_warc_records_range(
     plausibly an archived ``.warc`` served as a response body — can
     be emitted as a phantom record by a split landing inside that
     payload; real records are never LOST (the chain re-synchronizes
-    at the next true anchor), but the union can be a superset. Gzip
+    at the next true anchor), but the union can be a superset, and
+    SUPERSET-ONLY is the pinned contract: the extra rows are exactly
+    the embedded record(s), nothing else (tests/test_sources.py
+    ``test_plain_embedded_record_ambiguity_and_exact_mode`` asserts
+    both directions — ``whole ⊆ union ⊆ whole ∪ {embedded}`` over
+    every cut — and that ``plain_exact=True`` is byte-exact). Gzip
     members don't have this problem (the decompressor is the proof),
     which is why per-record ``.warc.gz`` is the recommended
-    interchange; ``read_warc_files_ranged(plain_exact=True)`` trades
-    the split parallelism of plain files for exactness.
+    interchange; ``read_warc_files_ranged`` therefore DEFAULTS to
+    ``plain_exact=True`` — callers opt INTO split parallelism for
+    plain files (accepting the phantom superset) rather than opting
+    out of exactness.
 
     This is the beyond-memory seam: a range-reading datasource hands
     each task (path, start, end) and tasks parse independently with
@@ -476,13 +504,20 @@ def iter_warc_records_range(
     corruption row for a sizable fraction of its splits, poisoning
     the monitoring channel. (Corners: a cut landing exactly on a
     DAMAGED plain anchor, or in the padding just before one, loses
-    that one dead row — valid records are the contract.)"""
+    that one dead row; likewise a cut landing exactly on a corrupt
+    gzip member's own magic — the split START is scanned, not
+    confirmed, because a boundary landing on a stray ``\\x1f\\x8b``
+    inside a plain record's payload (crawled .gz downloads — common)
+    must not emit a false 'corrupt gzip member' row. Valid records
+    are the contract either way: a REAL member at the start
+    decompresses and its records surface regardless of confirmation,
+    which only gates dead-letter emission on failure.)"""
     pos = start
-    # a split handed an exact member boundary owns it; plain anchors
-    # prove ownership through frame validation instead, so a cut that
-    # happens to land on a stray "WARC/" inside a payload is not
-    # blindly trusted
-    confirmed = blob[start:start + 2] == _GZ_MAGIC
+    # the split start is never blindly trusted: gzip anchors prove
+    # ownership through the decompressor, plain anchors through frame
+    # validation — a cut landing on a stray magic or "WARC/" inside a
+    # payload is a scanned (unconfirmed) position
+    confirmed = False
     while 0 <= pos < end:
         if blob[pos:pos + 2] == _GZ_MAGIC:
             rows, nxt, failed = _gzip_member_at(blob, pos)
@@ -551,11 +586,18 @@ def read_warc_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
         cols = ["url", "warc_type", "warc_date", "http_status",
                 "content_type", "body", "parse_error"]
         for pdf in batches:
+            # parse the buffer Arrow handed us AS-IS (bytes or
+            # bytearray both support the find/slice walk) — a
+            # bytes(blob) here materialized a SECOND full copy of
+            # every file beside Spark's own buffer, 2× file size per
+            # task on the default whole-file path (review-found)
             rows = [
                 rec
                 for blob in pdf[blob_col]
                 if blob is not None
-                for rec in iter_warc_records(bytes(blob))
+                for rec in iter_warc_records(
+                    blob if isinstance(blob, (bytes, bytearray))
+                    else bytes(blob))
             ]
             yield pd.DataFrame(rows, columns=cols) if rows else (
                 pd.DataFrame({c: [] for c in cols})
@@ -607,12 +649,19 @@ def write_warc_files(
 
     Returns a manifest DataFrame (file, n_records, n_skipped), one
     row per partition — run the export by consuming it (``.collect()``
-    is bounded by partition count). Rows with a NULL url, body, or
-    (when ``status_col`` is given) status cannot serialize and are
+    is bounded by partition count). Rows that cannot serialize are
     SKIPPED, counted in ``n_skipped`` — never a task failure, never
     fabricated fields (review-found: ``int(None)`` used to kill the
-    task). Empty partitions write empty files, which the ranged
-    lister's zero-size split rule skips.
+    task): NULL url/body/status, plus rows whose headers cannot
+    encode (a beyond-latin-1 content_type) or would corrupt the
+    frame (CR/LF in a header value) — ``UnicodeEncodeError``/
+    ``ValueError`` from the builders is the skip signal
+    (review-found: a non-ASCII header byte used to kill the task,
+    violating the documented skip discipline). Non-ASCII IRIs do
+    NOT skip: ``build_warc_record`` percent-encodes them to their
+    URI form, so real crawl frontiers serialize. Empty partitions
+    write empty files, which the ranged lister's zero-size split
+    rule skips.
 
     Task-commit protocol: each attempt writes to a private
     ``.inprogress-<attempt>`` name and atomically renames on
@@ -643,14 +692,19 @@ def write_warc_files(
                     if url is None or body is None or pd.isna(st):
                         skipped += 1
                         continue
-                    payload = build_http_response(
-                        bytes(body),
-                        status=int(st),
-                        content_type=(ct if isinstance(ct, str)
-                                      else "text/plain; charset=utf-8"),
-                    )
-                    f.write(build_warc_record(
-                        url, payload, gzip_member=gzip_members))
+                    try:
+                        payload = build_http_response(
+                            bytes(body),
+                            status=int(st),
+                            content_type=(ct if isinstance(ct, str)
+                                          else "text/plain; charset=utf-8"),
+                        )
+                        rec = build_warc_record(
+                            url, payload, gzip_member=gzip_members)
+                    except (UnicodeEncodeError, ValueError):
+                        skipped += 1
+                        continue
+                    f.write(rec)
                     n += 1
         os.replace(tmp, path)  # atomic publish
         yield pd.DataFrame(
@@ -662,7 +716,7 @@ def write_warc_files(
 
 def read_warc_files_ranged(
     spark, path: str, split_bytes: int = 128 * 1024 * 1024,
-    flush_rows: int = 2048, plain_exact: bool = False,
+    flush_rows: int = 2048, plain_exact: bool = True,
 ) -> DataFrame:
     """WARC records from .warc / .warc.gz files at ``path`` (a
     directory tree or a single file) via BYTE-RANGE splits — the
@@ -675,9 +729,13 @@ def read_warc_files_ranged(
     range-split: gzip members self-synchronize by magic, plain
     records by frame validation (see ``iter_warc_records_range``,
     including the documented phantom-record ambiguity when a plain
-    payload embeds a frame-valid record — ``plain_exact=True`` sniffs
-    each file and gives non-gzip files ONE whole-file split instead,
-    trading their split parallelism for byte-exact parses).
+    payload embeds a frame-valid record). ``plain_exact`` DEFAULTS to
+    True — exactness first: each file is sniffed (one 2-byte read at
+    driver listing time) and non-gzip files get ONE whole-file split,
+    byte-exact by construction. Pass ``plain_exact=False`` to opt
+    plain files INTO range splits, trading the pinned superset-only
+    phantom ambiguity for their split parallelism (gzip files
+    range-split either way — the decompressor makes them exact).
     Raises on a path with no WARC files: an empty frame from a typo'd
     path is silent data loss.
 
