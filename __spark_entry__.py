@@ -30,35 +30,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with no GREEN driver CORRECTNESS row yet. After round 5 the
-# union of rounds 1-5 shows every query the driver has EVER sampled is
-# green (208/214); this list is EXACTLY the 6 never-sampled
-# registrations (the interchange-source family registered mid-round 5
-# AFTER that round's 50-slot window), followed by anything new in
-# round 6. 6 + new < 50 slots, so round 6 drains the backlog fully.
+# Queries with no GREEN driver CORRECTNESS row yet, or whose oracle/
+# implementation changed since their last green row. Round 8 sampled
+# its whole queue green (CORRECTNESS_r08: 49 hash-pass, 1 rows-only
+# clean), so round 9's queue is exactly this round's work: one new
+# query, sixteen rows-only → value-oracle conversions, and the
+# queries whose implementation or default changed and need a fresh
+# hash row. 22 < 50 slots — the round drains it fully.
 _NEVER_DRIVER_VERIFIED = [
-    # interchange-source family (queries_sources.py) + late r5 scale
-    # queries — all oracle-backed and locally green, never sampled
-    "source_warc_roundtrip", "crawl_sitemap_seed",
-    "txt_boilerplate_strip", "curation_llm_judge",
-    "scd2_customer_addresses", "layout_dpp_probe",
-    # --- new in round 6 (registered this round, in priority order) ---
-    "pipeline_corpus_e2e", "curation_judge_calibration",
-    "dedup_cluster_histogram", "curation_filter_overlap",
-    "sample_unimax_quota", "streaming_sessionize_e2e",
-    "txt_gopher_repetition", "curation_threshold_sweep",
-    "source_warc_ranged_roundtrip",
-    # --- new in round 8 ---
-    "pipeline_warc_corpus_e2e", "crawl_sitemap_discovery",
-    "sink_warc_roundtrip", "streaming_warc_ingest_e2e",
-    "curation_url_blocklist", "txt_line_dedup",
-    # rows-only → oracle-backed upgrades in r8 (constant-fixture
-    # endpoints pinned as VALUES oracles) — resample for hash rows;
-    # pipeline_corpus_e2e already holds a slot in the round-6 block
-    "crawl_ingest_e2e",
-    "crawl_pagerank", "crawl_hits",
-    "bucketed_build", "timetravel_snapshot_reads",
-    "timetravel_changes_feed",
+    # --- new in round 9 ---
+    "curation_url_blocklist_big",   # big-list explode+broadcast-semi arm
+    # --- rows-only → value-oracle conversions (round 9) ---
+    "streaming_sessionize_e2e",     # gap-sessionization rebuilt in SQL
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resample",
+    "multimodal_features", "multimodal_phash_neardup",  # table-derived
+    "multimodal_clip_filter",       # sf0.01 VALUES pin (independent)
+    "rag_chat_pipeline",            # retrieval+prompt+digest in SQL
+    "ingest_dead_letter",           # fixture VALUES
+    "txt_normalize_nfkc",           # seeded-Unicode, table-derived
+    "txt_compression_ratio",        # sf0.01 VALUES pin (python zlib)
+    "tok_bpe_train",                # sf0.01 VALUES pin (independent)
+    "search_mmr_rerank",            # sf0.01 VALUES pin (independent)
+    "knn_index_build", "ivfpq_index_build",  # sf0.01 regression pins
+    # --- implementation/default changed since last green row ---
+    "txt_line_dedup",               # skew-safe groupBy+anti rewrite
+    "curation_url_blocklist",       # refactored onto the shared operator
+    "source_warc_ranged_roundtrip", "pipeline_warc_corpus_e2e",
+    "sink_warc_roundtrip",          # WARC sink/reader hardening
+    "source_warc_roundtrip",        # whole-file path no-copy change
 ]
 
 

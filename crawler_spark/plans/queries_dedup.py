@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _TOKENS_SQL as _TOKENS_SQL_REF
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -49,8 +50,49 @@ def simsearch_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ multimodal
-@register("multimodal_decode")  # rows-only: binary decode plumbing (stubbed codec)
+# The synthesized media table is a pure function of (doc_id, text)
+# (operators/multimodal.py synthesize_media_from_documents), so the
+# decode/resample/frame-sample stages are TABLE-DERIVED: DuckDB
+# reconstructs the expected metadata straight from the documents table
+# without ever seeing the decoder — a full value oracle over the
+# mapInPandas plumbing (batching, per-row error capture, schema).
+_MM_KIND = "doc_id % 4"  # 0=image 1=video 2=audio 3=junk
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CASE {_MM_KIND} WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                    WHEN 2 THEN 'audio' ELSE 'unknown' END AS media_type,
+               CAST(CASE {_MM_KIND} WHEN 0 THEN 64 + doc_id % 256
+                    WHEN 1 THEN 32 + doc_id % 64
+                    ELSE -1 END AS INTEGER) AS width,
+               CAST(CASE {_MM_KIND} WHEN 0 THEN 64 + doc_id % 128
+                    WHEN 1 THEN 32 + doc_id % 64
+                    ELSE -1 END AS INTEGER) AS height,
+               CAST(CASE {_MM_KIND} WHEN 0 THEN 1
+                    WHEN 1 THEN 30 + doc_id % 60
+                    ELSE -1 END AS INTEGER) AS n_frames,
+               CAST(CASE {_MM_KIND} WHEN 2 THEN 8000 * (1 + doc_id % 6)
+                    ELSE -1 END AS INTEGER) AS sample_rate,
+               CAST(CASE {_MM_KIND} WHEN 2 THEN 16000 + doc_id % 48000
+                    ELSE -1 END AS INTEGER) AS n_samples,
+               CASE {_MM_KIND} WHEN 0 THEN 'fakeimg' WHEN 1 THEN 'fakevid'
+                    WHEN 2 THEN 'fakeaud' END AS format,
+               {_MM_KIND} = 3 AS decode_failed
+        FROM documents ORDER BY media_id
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage under a table-derived value oracle: every typed
+    metadata field per media kind, plus the dead-letter branch (junk
+    payloads decode_failed, never a task failure). The error MESSAGE
+    is projected down to a boolean — it names the installed codec
+    stack, which is environment, not data. Inapplicable metric fields
+    project to a -1 sentinel instead of NULL because DuckDB's pandas
+    bridge floats a nullable INTEGER column (64 vs 64.0 would
+    hash-mismatch despite equal data)."""
     from crawler_spark.operators.multimodal import (
         decode_metadata,
         synthesize_media_from_documents,
@@ -58,11 +100,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media_from_documents(docs)
-    return decode_metadata(media).orderBy("media_id")
+    decoded = decode_metadata(media)
+    m1 = F.lit(-1)
+    return decoded.select(
+        "media_id", "media_type",
+        F.coalesce("width", m1).alias("width"),
+        F.coalesce("height", m1).alias("height"),
+        F.coalesce("n_frames", m1).alias("n_frames"),
+        F.coalesce("sample_rate", m1).alias("sample_rate"),
+        F.coalesce("n_samples", m1).alias("n_samples"),
+        "format",
+        F.col("decode_error").isNotNull().alias("decode_failed"),
+    ).orderBy("media_id")
 
 
-@register("multimodal_frame_sample")  # rows-only: video → sampled frame rows
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id, 30 + doc_id % 60 AS nf,
+                   32 + doc_id % 64 AS wh
+            FROM documents WHERE doc_id % 4 = 1
+        )
+        SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_index,
+               CAST(8 + 2 * strlen(CAST(wh AS VARCHAR)) + 2 + 32
+                    AS INTEGER) AS frame_bytes
+        FROM vids, unnest(generate_series(0, nf - 1, 10)) t(fi)
+        ORDER BY media_id, frame_index
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling under a table-derived oracle: one row per
+    sampled frame index (every 10th of the fake video's n_frames),
+    frame payload length = magic + "{w}x{h}:" header + 32-byte body —
+    reconstructed arithmetically in SQL from doc_id alone."""
     from crawler_spark.operators.multimodal import (
         sample_frames,
         synthesize_media_from_documents,
@@ -76,7 +147,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resample")  # rows-only: audio resample plumbing (stub codec)
+@register(
+    "multimodal_resample",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 8000 * (1 + doc_id % 6) AS sr,
+                   16000 + doc_id % 48000 AS n
+            FROM documents WHERE doc_id % 4 = 2
+        ),
+        calc AS (
+            SELECT doc_id, CAST(n AS DOUBLE) * 16000 / sr AS x FROM aud
+        )
+        SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+               -- Python round() is banker's: an exact .5 rounds to
+               -- even (sr=32000, odd n), DuckDB round() rounds away —
+               -- the CASE reproduces round-half-even exactly
+               CAST(greatest(1, CASE WHEN x = floor(x) + 0.5
+                    THEN CAST(floor(x) AS BIGINT)
+                         + CAST(floor(x) AS BIGINT) % 2
+                    ELSE CAST(round(x) AS BIGINT) END)
+                    AS INTEGER) AS n_samples
+        FROM calc ORDER BY media_id
+    """,
+)
 def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.multimodal import (
         decode_metadata,
@@ -94,8 +187,21 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: binary → embedding features
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id, CAST(64 AS INTEGER) AS dims,
+               CAST(1.0 AS DOUBLE) AS sq_norm
+        FROM documents ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction under a value oracle: the stub embedder is
+    L2-normalized by contract, so every media row must come back with
+    exactly 64 dims and unit squared norm (rounded 6dp) — the oracle
+    pins coverage (one row per media id, none lost to the UDF) and
+    the normalization invariant; the vector VALUES are sha-derived
+    and exercised by the ANN tier's recall tests instead."""
     from crawler_spark.operators.multimodal import (
         media_features,
         synthesize_media_from_documents,
@@ -233,7 +339,33 @@ def txt_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rhash.alias("rhash"))
 
 
-@register("multimodal_phash_neardup")  # rows-only: image near-dup via pHash
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+        WITH imgs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 40 = 4 THEN doc_id - 4
+                        ELSE doc_id END AS seed_id
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        sigs AS (
+            -- the stub pHash is the first 8 bytes of sha256(seed
+            -- text): recompute it from scratch (sha256 over VARCHAR
+            -- hashes the UTF-8 bytes, same as Spark's sha2 over
+            -- encode(text,'utf-8')) and pair by brute force — the
+            -- banded machinery under test must find exactly the
+            -- all-pairs answer (pigeonhole-complete banding)
+            SELECT i.doc_id AS id,
+                   ('0x' || substr(sha256(d.text), 1, 16))::UBIGINT AS sig
+            FROM imgs i JOIN documents d ON d.doc_id = i.seed_id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY id_a, id_b
+    """,
+)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs: synthesize the media table with
     PLANTED duplicate images (every doc_id ≡ 4 (mod 40) image reuses
@@ -281,7 +413,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-@register("multimodal_clip_filter")  # rows-only: text-image alignment gate
+@register(
+    "multimodal_clip_filter",
+    # the stub embedders are deterministic but sha-float based (no SQL
+    # form — DuckDB's sha256 can't hash BINARY payloads): VALUES pin
+    # at the driver's sf0.01, derived INDEPENDENTLY by pure-python
+    # embed + cosine over reconstructed payloads (tools/pin_oracles.py)
+    oracle=_PINS["multimodal_clip_filter"],
+    oracle_sf="0.01",
+)
 def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption–image alignment filtering (the LAION recipe's other
     half, next to pHash dedup): embed the caption with the text

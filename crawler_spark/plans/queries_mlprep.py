@@ -17,6 +17,7 @@ from crawler_spark.functions import vector as V
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _FP_SQL, _TOKENS_SQL
 from crawler_spark.plans.queries_vector import _NORM_V_SQL
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -783,7 +784,16 @@ _BPE_MERGES = 200
 _BPE_TOP_V = 10_000
 
 
-@register("tok_bpe_train")  # rows-only: iterative merge learning isn't SQL
+@register(
+    "tok_bpe_train",
+    # iterative merge learning isn't SQL, but it IS deterministic:
+    # VALUES pin at the driver's sf0.01, derived by an INDEPENDENT
+    # word count (python re over the raw parquet) feeding the merge
+    # learner (tools/pin_oracles.py) — the distributed word-count
+    # shuffle, the cap, and the tie-breaks are what the pin verifies
+    oracle=_PINS["tok_bpe_train"],
+    oracle_sf="0.01",
+)
 def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the corpus (Sennrich et al. 2016) the
     way production trainers do: ONE corpus-scale word-count shuffle

@@ -74,7 +74,22 @@ def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-@register("ingest_dead_letter")  # rows-only: D5 error branch
+@register(
+    "ingest_dead_letter",
+    # sf-independent fixture endpoint (same rationale as
+    # crawl_ingest_e2e): exactly two rejects — the unreachable binary
+    # gets the content-type reject, the missing URL the fetch error —
+    # pinned as VALUES so the D5 branch is value-verified, not just
+    # "ran"
+    oracle="""
+        SELECT * FROM (VALUES
+            ('https://fixture.test/bad.bin',
+             'unsupported content type: application/octet-stream'),
+            ('https://fixture.test/missing',
+             'fetch: 404: not in stub site')
+        ) t(url, error) ORDER BY url
+    """,
+)
 def ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows that the pipeline rejects (fetch errors, unsupported types)
     landing in the dead-letter branch instead of failing the job."""
@@ -462,7 +477,40 @@ def _event_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("streaming_sessionize_e2e")  # rows-only: stream state semantics
+@register(
+    "streaming_sessionize_e2e",
+    # The replay is deterministic and the widened watermark closes no
+    # session early, so the stream's final state equals gap-based
+    # sessionization of the whole events table — which SQL expresses
+    # with a lag-gap flag + running sum. One semantic detail makes
+    # this a REAL oracle of the native operator, not a copy of the
+    # batch query's: session_window's end is EXCLUSIVE (an event at
+    # exactly start+gap opens a NEW session), so the flag is >= gap
+    # where ev_sessionize's batch rewrite uses > gap, and session_end
+    # is last_event + gap, not last_event.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
 def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table replayed as a MULTI-batch file stream through
     the native ``session_window`` operator (streaming/event_stream.py

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _TOKENS_SQL
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -289,13 +290,19 @@ def compression_ratio_batches(batches):
         })
 
 
-@register("txt_compression_ratio")
+@register(
+    "txt_compression_ratio",
+    oracle=_PINS["txt_compression_ratio"],
+    oracle_sf="0.01",
+)
 def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressed-size / raw-size per document — the classic
     boilerplate/repetition detector (highly repetitive text compresses
-    far below ~0.4). Not expressible in either engine's SQL, so an
-    Arrow-batched mapInPandas (level fixed for determinism) with a
-    rows-only driver check; exact values are unit-tested."""
+    far below ~0.4). zlib isn't expressible in either engine's SQL, so
+    the oracle is a VALUES pin at the driver's sf0.01 derived
+    INDEPENDENTLY (python zlib straight over the parquet —
+    tools/pin_oracles.py), verifying the Arrow mapInPandas path
+    end-to-end; exact values are also unit-tested."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(compression_ratio_batches, _RATIO_SCHEMA)
 
@@ -453,13 +460,45 @@ def nfkc_normalize_batches(batches):
         })
 
 
-@register("txt_normalize_nfkc")
+# Unicode decoration SEEDED onto every document (url_normalize_dedup
+# pattern: the oracle constructs the expected output independently, so
+# it can't share the normalizer's bugs): fullwidth letters, a combining
+# accent, NBSP, the № compatibility sign, roman numeral Ⅻ and a tab —
+# folding to the constant below, verified against CPython unicodedata.
+_NFKC_SEED = "Ｃａｆé №42 —\tＸⅫ: "
+_NFKC_SEED_FOLDED = "cafe no42 — xxii: "
+
+
+@register(
+    "txt_normalize_nfkc",
+    oracle=r"""
+        WITH n AS (
+            SELECT doc_id,
+                   rtrim('cafe no42 — xxii: ' ||
+                         trim(regexp_replace(regexp_replace(lower(text),
+                              '[\x00-\x1f\x7f]', ' ', 'g'),
+                              '\s+', ' ', 'g'))) AS s
+            FROM documents
+        )
+        SELECT doc_id, md5(s) AS norm_fp,
+               CAST(length(s) AS BIGINT) AS norm_len
+        FROM n
+    """,
+)
 def txt_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-Unicode normalization (NFKC fold, combining-mark strip) —
     the curation-grade version of txt_normalize for corpora that are
-    not Latin-1. Needs unicodedata, so Arrow mapInPandas + rows-only
-    driver check; exact values unit-tested on crafted Unicode."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    not Latin-1. Needs unicodedata (Arrow mapInPandas), but it's still
+    VALUE-oracled: the testdata text is ASCII (where the fold is
+    identity and DuckDB can mirror lower/ctrl/whitespace exactly), so
+    each page is PREFIXED in-plan with a crafted Unicode seed whose
+    folded form is a known constant — the oracle concatenates that
+    constant with its own ASCII normalization and compares md5 +
+    length, making the NFKC/NFD path itself drive the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_NFKC_SEED), F.col("text")).alias("text"),
+    )
     return docs.mapInPandas(nfkc_normalize_batches, _NFKC_SCHEMA)
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.skew import salted_join
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 from crawler_spark.sources.bucketed import bucketed_pair
@@ -196,7 +197,13 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("layout_zorder_build")  # rows-only: layout job (writes files)
+# rows-only BY MEASUREMENT, not convenience: a sf0.01 VALUES pin was
+# tried (tools/pin_oracles.py) and failed between two runs of the SAME
+# build — repartitionByRange draws its range boundaries from a
+# reservoir SAMPLE with a per-run seed, so per-file row counts/spans
+# are not run-deterministic; the layout's pruning QUALITY is what
+# tests/test_layout.py asserts instead
+@register("layout_zorder_build")
 def layout_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order the events table on (user_id, epoch-seconds) and report
     per-file min/max spans of both dimensions — the layout job behind

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from crawler_spark.functions import text as X
 from crawler_spark.functions.extraction import extract_udf, parse_structured
 from crawler_spark.plans.queries_vector import _NORM_V_SQL, _QV_SQL, QUERY_TEXT
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -220,7 +221,50 @@ def web_pages_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- §2.13 POST /api/chat: RAG retrieval + context + stub answer ----------
-@register("rag_chat_pipeline")  # rows-only: answer generation is out-of-engine
+@register(
+    "rag_chat_pipeline",
+    # Generation is out-of-engine, but the STUB answer is a pure
+    # function of the prompt (md5 digest), and the prompt is a pure
+    # function of the retrieved context — so the whole D10 pipeline is
+    # table-derived: DuckDB re-runs retrieval (same knn fragment as
+    # search_api_semantic), reassembles the context blocks in
+    # (distance, doc_id) order, rebuilds the prompt template, and
+    # recomputes the digest. A drifted retrieval, block order, or
+    # template is a hash mismatch.
+    oracle=f"""
+        WITH knn AS (
+            SELECT vec_id, distance FROM (
+                SELECT vec_id,
+                       -list_dot_product({_NORM_V_SQL}, {_QV_SQL}) AS distance
+                FROM embeddings
+            ) WHERE distance <= 1.0
+            ORDER BY distance, vec_id LIMIT 5
+        ),
+        hits AS (
+            SELECT k.distance, d.doc_id,
+                   'URL: ' || d.source || chr(10) || 'Content: '
+                       || {_snippet_sql('d.text', QUERY_TEXT)} AS block
+            FROM documents d JOIN knn k ON d.doc_id = k.vec_id
+        ),
+        ctx AS (
+            SELECT string_agg(block, chr(10) || chr(10)
+                              ORDER BY distance, doc_id) AS context
+            FROM hits
+        ),
+        p AS (
+            SELECT context,
+                   'Answer using only the context below.' || chr(10)
+                       || chr(10) || 'Context:' || chr(10) || context
+                       || chr(10) || chr(10)
+                       || 'Question: {QUERY_TEXT}' || chr(10) || 'Answer:'
+                       AS prompt
+            FROM ctx
+        )
+        SELECT '{QUERY_TEXT}' AS question, context, prompt,
+               'stub-answer-' || substr(md5(prompt), 1, 12) AS answer
+        FROM p
+    """,
+)
 def rag_chat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.plans.search_api import rag_chat
 
@@ -329,10 +373,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MMR diversified re-rank (rows-only: greedy selection is iterative,
-# not SQL-expressible; semantics value-tested against a pure-python
-# reference implementation in tests/test_search_api.py) ---------------
-@register("search_mmr_rerank")
+# --- MMR diversified re-rank (greedy selection is iterative, not
+# SQL-expressible — VALUES pin at the driver's sf0.01, derived by an
+# INDEPENDENT pure-python retrieval + greedy reference over the raw
+# parquet, tools/pin_oracles.py; also value-tested against a python
+# reference in tests/test_search_api.py) -------------------------------
+@register(
+    "search_mmr_rerank",
+    oracle=_PINS["search_mmr_rerank"],
+    oracle_sf="0.01",
+)
 def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance retrieval → MMR diversity re-rank: top-30 candidates
     by exact cosine (TakeOrderedAndProject, swap in any ANN tier at

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from crawler_spark.functions import vector as V
 from crawler_spark.functions.embedding import DEFAULT_DIMS, StubEmbedder, normalize_pad
 from crawler_spark.operators.similarity import cosine_pairs_exact, knn_topk
+from crawler_spark.plans.oracle_pins import PINS as _PINS
 from crawler_spark.plans.registry import register
 
 _EMB = StubEmbedder(DEFAULT_DIMS)
@@ -190,7 +191,14 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("knn_index_build")  # rows-only: the one-off banding materialization
+@register(
+    "knn_index_build",
+    # seeded hyperplane banding: deterministic, no independent closed
+    # form — REGRESSION pin of the (band, bucket) histogram at sf0.01
+    # (tools/pin_oracles.py); recall floors live in tests/test_vector
+    oracle=_PINS["knn_index_build"],
+    oracle_sf="0.01",
+)
 def knn_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or rebuild) the hyperplane-banded ANN index — the ONE-OFF
     cost the per-query path amortizes at 100 TB. Returns per-partition
@@ -687,7 +695,14 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
     return pq_path, centroids, books
 
 
-@register("ivfpq_index_build")  # rows-only: the one-off IVFPQ materialization
+@register(
+    "ivfpq_index_build",
+    # seeded k-means lists: deterministic, no independent closed form
+    # — REGRESSION pin of the list-size histogram at sf0.01
+    # (tools/pin_oracles.py)
+    oracle=_PINS["ivfpq_index_build"],
+    oracle_sf="0.01",
+)
 def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the materialized IVFPQ index (operators/similarity.py
     build_ivfpq_index) and report per-list row counts — the inverted-

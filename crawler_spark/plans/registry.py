@@ -29,10 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+# Queries whose oracle is a VALUES pin of a deterministic-but-not-
+# SQL-derivable output (zlib ratios, seeded index stats, greedy
+# reranks). The pin is computed at ONE scale factor — the driver's
+# sf0.01 — so the local parity suite must skip the value compare at
+# other SFs (tests/test_oracle_parity.py). Maps name -> sf tag.
+ORACLE_SF: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None):
-    """Register a query under ``name`` with an optional DuckDB oracle."""
+def register(name: str, oracle: str | None = None,
+             oracle_sf: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle.
+    ``oracle_sf`` declares the oracle valid only at that scale factor
+    (a pinned-VALUES oracle; see ORACLE_SF)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
@@ -40,6 +49,10 @@ def register(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_sf is not None:
+            if oracle is None:
+                raise ValueError(f"{name!r}: oracle_sf without an oracle")
+            ORACLE_SF[name] = oracle_sf
         return fn
 
     return deco

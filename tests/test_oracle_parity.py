@@ -77,8 +77,25 @@ def _sorted_rows(records, cols):
     return sorted(rows, key=repr)
 
 
+def _pinned_sf() -> dict[str, str]:
+    from crawler_spark.plans import registry
+
+    registry.load_all()
+    return dict(registry.ORACLE_SF)
+
+
+_PINNED = _pinned_sf()
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_oracle_parity(spark, con, name):
+    pin = _PINNED.get(name)
+    if pin is not None and not SF_DIR.rstrip("/").endswith(f"sf{pin}"):
+        # pinned-VALUES oracle: only valid at its pin SF (the driver's
+        # sf0.01) — at other SFs run the query as a rows-only check
+        df = _QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        pytest.skip(f"{name}: oracle pinned at sf{pin}, running {SF_DIR}")
     sdf = _QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [r.asDict() for r in sdf.collect()]

@@ -1,0 +1,235 @@
+"""One-off generator for crawler_spark/plans/oracle_pins.py — the
+pinned-VALUES oracles of deterministic-but-not-SQL-derivable queries
+(registered with ``oracle_sf="0.01"``; see plans/registry.py).
+
+Derivation policy, per query (documented in the generated file too):
+
+* INDEPENDENT pins — expected rows computed here WITHOUT running the
+  Spark query, from the raw parquet via a single-node reference
+  implementation, so the pin cannot inherit a Spark-plumbing bug:
+    - txt_compression_ratio: python zlib over the parquet text
+    - tok_bpe_train: python word count (re-tokenized here) feeding the
+      driver-side merge learner (the distributed half — the word-count
+      shuffle — is what the reference replaces)
+    - search_mmr_rerank: numpy retrieval + greedy MMR reference
+    - multimodal_clip_filter: StubEmbedder + pure-python cosine over
+      reconstructed fake payloads
+* REGRESSION pins — seeded one-off builds whose stats have no
+  independent closed form (k-means / hyperplane / z-order layouts);
+  pinned from the Spark output once, so any later drift (seed, plan,
+  partitioning nondeterminism) fails the driver gate:
+    - knn_index_build, ivfpq_index_build
+  (layout_zorder_build was tried and REJECTED: repartitionByRange
+  samples per-run, so its per-file stats are not run-deterministic)
+
+Re-run after changing any pinned query:
+    python tools/pin_oracles.py  # rewrites plans/oracle_pins.py
+then re-run the sf0.01 parity split to validate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = "crawler_spark/plans/oracle_pins.py"
+
+
+def _lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def values_sql(rows, cols: list[tuple[str, str]]) -> str:
+    """VALUES pin with explicit per-column casts (the pandas bridge
+    must see the same dtypes Spark produces)."""
+    body = ",\n            ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows
+    )
+    sel = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return (
+        f"SELECT {sel} FROM (VALUES\n            {body}\n"
+        f"        ) t({names})"
+    )
+
+
+def _docs():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+def pin_compression_ratio() -> str:
+    rows = []
+    for doc_id, text in _docs():
+        raw = (text or "").encode("utf-8")
+        n = len(raw)
+        rows.append(
+            (doc_id, n, round(len(zlib.compress(raw, 6)) / max(n, 1), 6)))
+    return values_sql(
+        rows, [("doc_id", "BIGINT"), ("n_bytes", "BIGINT"),
+               ("compression_ratio", "DOUBLE")])
+
+
+def pin_bpe_train() -> str:
+    from collections import Counter
+
+    from crawler_spark.operators.bpe import learn_merges
+
+    c: Counter = Counter()
+    for _doc_id, text in _docs():
+        c.update(t for t in re.split(r"\W+", (text or "").lower()) if t)
+    counts = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10_000]
+    merges = learn_merges(counts, 200)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return values_sql(
+        rows, [("rank", "INTEGER"), ("left", "VARCHAR"),
+               ("right", "VARCHAR"), ("merged", "VARCHAR")])
+
+
+def _embeddings():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+
+
+def _l2(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n else list(v)
+
+
+def _dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def pin_mmr_rerank() -> str:
+    from crawler_spark.plans.queries_vector import QUERY_VEC
+
+    cand = []
+    for vec_id, emb in _embeddings():
+        v = _l2([float(x) for x in emb])
+        cand.append((-_dot(v, QUERY_VEC), vec_id, v))
+    cand.sort(key=lambda t: (t[0], t[1]))
+    cand = cand[:30]
+    rel = [-d for d, _, _ in cand]
+    vecs = [v for _, _, v in cand]
+    ids = [i for _, i, _ in cand]
+    lam, out, selected = 0.7, [], []
+    max_sim = [None] * len(ids)
+    for rank in range(1, 11):
+        best, best_s = None, None
+        for i in range(len(ids)):
+            if i in selected:
+                continue
+            div = max_sim[i] if max_sim[i] is not None else 0.0
+            s = lam * rel[i] - (1.0 - lam) * div
+            if best_s is None or s > best_s:
+                best, best_s = i, s
+        selected.append(best)
+        for i in range(len(ids)):
+            s = _dot(vecs[best], vecs[i])
+            if max_sim[i] is None or s > max_sim[i]:
+                max_sim[i] = s
+        out.append((rank, ids[best], round(rel[best], 6), round(best_s, 6)))
+    return values_sql(
+        out, [("rank", "BIGINT"), ("vec_id", "BIGINT"),
+              ("relevance", "DOUBLE"), ("mmr_score", "DOUBLE")])
+
+
+def pin_clip_filter() -> str:
+    from crawler_spark.functions.embedding import StubEmbedder
+    from crawler_spark.operators.multimodal import FAKE_IMAGE_MAGIC
+
+    emb = StubEmbedder(16)
+    rows = []
+    for doc_id, text in _docs():
+        if doc_id % 4 != 0:
+            continue
+        payload = (
+            FAKE_IMAGE_MAGIC
+            + f"{64 + doc_id % 256}x{64 + doc_id % 128}:".encode()
+            + hashlib.sha256((text or "").encode()).digest()
+        )
+        cap = _l2(emb.embed_text(text))
+        img = _l2(emb.embed_vision(hashlib.sha256(payload).hexdigest()))
+        score = _dot(cap, img)
+        if score > -0.05:
+            rows.append((doc_id, round(score, 6)))
+    return values_sql(
+        rows, [("doc_id", "BIGINT"), ("clip_score", "DOUBLE")])
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+_DUCK_TYPE = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+              "string": "VARCHAR", "boolean": "BOOLEAN"}
+
+
+def regression_pin(name: str) -> str:
+    import __spark_entry__ as E
+
+    df = E.queries()[name](_spark(), SF_DIR)
+    cols = [(f.name, _DUCK_TYPE[f.dataType.simpleString()])
+            for f in df.schema.fields]
+    rows = [tuple(r) for r in df.collect()]
+    print(f"  {name}: {len(rows)} rows, cols {cols}")
+    return values_sql(rows, cols)
+
+
+def main() -> None:
+    pins: dict[str, str] = {}
+    pins["txt_compression_ratio"] = pin_compression_ratio()
+    pins["tok_bpe_train"] = pin_bpe_train()
+    pins["search_mmr_rerank"] = pin_mmr_rerank()
+    pins["multimodal_clip_filter"] = pin_clip_filter()
+    pins["knn_index_build"] = regression_pin("knn_index_build")
+    pins["ivfpq_index_build"] = regression_pin("ivfpq_index_build")
+
+    with open(OUT, "w") as f:
+        f.write(
+            '"""GENERATED by tools/pin_oracles.py — pinned-VALUES\n'
+            "oracles at the driver's sf0.01 (registered with\n"
+            "oracle_sf='0.01'; the local parity suite skips them at\n"
+            "other SFs). Derivations — independent single-node\n"
+            "reference for ratio/BPE/MMR/CLIP, seeded-build regression\n"
+            "pins for the index/layout stats — are documented in the\n"
+            'generator. Do not edit by hand; re-run the generator."""\n\n'
+            "PINS: dict[str, str] = {\n"
+        )
+        for k, v in pins.items():
+            f.write(f"    {k!r}: \"\"\"\n        {v}\n    \"\"\",\n")
+        f.write("}\n")
+    print("wrote", OUT, "with", len(pins), "pins")
+
+
+if __name__ == "__main__":
+    main()
