@@ -327,17 +327,17 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.graph import pagerank
 
     edges = _fixture_edges(spark)
-    # size the per-iteration shuffles to the graph: the fixture site is
-    # a handful of nodes, so every power-iteration stage at the batch
-    # default (32 partitions) is pure task-scheduling overhead — the
-    # same size-to-the-workload trade the streaming e2e queries make.
-    # AQE off for the same reason: per-stage runtime re-planning costs
-    # more than these 6-node stages; corpus-scale graph runs keep it.
+    # ONE shuffle partition: the fixture site is a handful of nodes,
+    # so every power-iteration stage at the batch default (32
+    # partitions) is pure task-scheduling overhead — and a single
+    # partition makes each per-round sum a SEQUENTIAL fold, removing
+    # the partial-aggregation combine-order sensitivity that made the
+    # 6dp VALUES pin a potential flake (review-found): the pinned
+    # vector no longer depends on task combine order at all. AQE off
+    # for the same reason; corpus-scale graph runs keep both defaults.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # the iteration materializes INSIDE pagerank (localCheckpoint
@@ -372,18 +372,22 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.graph import hits
 
     edges = _fixture_edges(spark)
-    # same size-to-the-graph shuffle/AQE trade as crawl_pagerank; the
-    # wider stretch (check_every=8) halves driver syncs on a graph
-    # whose per-round compute is microseconds — the fixed point, hence
-    # the rounded rows, is stretch-invariant (operators/graph.py)
+    # same single-partition deterministic-fold trade as crawl_pagerank,
+    # plus a FIXED single stretch: tol=0 with check_every=iterations
+    # composes all 16 rounds lazily and materializes them as ONE job —
+    # no per-stretch delta syncs, no intermediate checkpoints. 16 is
+    # enough margin past the fixed point at 6dp (the decaying hub
+    # component reaches ~5e-7 by round 14 on this graph; the default
+    # tol path needed all 20 rounds and 3 checkpoint jobs — measured
+    # 14.6 s → 7.3 s, the suite's former most expensive query halved).
+    # Corpus-scale graphs keep the defaults: there the per-round work
+    # amortizes the syncs and early exit genuinely saves rounds.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return hits(edges, check_every=8).orderBy(
+        return hits(edges, iterations=16, tol=0.0, check_every=16).orderBy(
             F.col("authority").desc(), F.col("hub").desc(), "id"
         )
     finally:

@@ -334,6 +334,12 @@ _INVARIANCE_QUERIES = [
     # (set-valued), WARC-headed pipeline (idempotent merge endpoint)
     "txt_line_dedup", "curation_url_blocklist",
     "crawl_sitemap_discovery", "pipeline_warc_corpus_e2e",
+    # r9: big-list blocklist arm (explode + broadcast semi/anti),
+    # banded pHash pairs, greedy MMR over a bounded candidate list,
+    # zlib ratios through Arrow batching — all newly value-oracled and
+    # all claiming partitioning-independent answers
+    "curation_url_blocklist_big", "multimodal_phash_neardup",
+    "search_mmr_rerank", "txt_compression_ratio",
 ]
 
 
