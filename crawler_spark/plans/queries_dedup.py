@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _TOKENS_SQL as _TOKENS_SQL_REF
-from crawler_spark.plans.oracle_pins import PINS as _PINS
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -419,8 +419,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form — DuckDB's sha256 can't hash BINARY payloads): VALUES pin
     # at the driver's sf0.01, derived INDEPENDENTLY by pure-python
     # embed + cosine over reconstructed payloads (tools/pin_oracles.py)
-    oracle=_PINS["multimodal_clip_filter"],
-    oracle_sf="0.01",
+    **_PINS_KW("multimodal_clip_filter"),
 )
 def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption–image alignment filtering (the LAION recipe's other

@@ -17,7 +17,7 @@ from crawler_spark.functions import vector as V
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _FP_SQL, _TOKENS_SQL
 from crawler_spark.plans.queries_vector import _NORM_V_SQL
-from crawler_spark.plans.oracle_pins import PINS as _PINS
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -791,8 +791,7 @@ _BPE_TOP_V = 10_000
     # word count (python re over the raw parquet) feeding the merge
     # learner (tools/pin_oracles.py) — the distributed word-count
     # shuffle, the cap, and the tie-breaks are what the pin verifies
-    oracle=_PINS["tok_bpe_train"],
-    oracle_sf="0.01",
+    **_PINS_KW("tok_bpe_train"),
 )
 def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the corpus (Sennrich et al. 2016) the
@@ -816,7 +815,15 @@ def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tok_bpe_encode")  # rows-only: greedy merge loop isn't SQL
+@register(
+    "tok_bpe_encode",
+    # greedy merge application isn't SQL but is deterministic: VALUES
+    # pin at sf0.01, derived independently (single-node python encode
+    # with the independently recomputed merge table —
+    # tools/pin_oracles.py); the Arrow broadcast-closure path is what
+    # the pin verifies
+    **_PINS_KW("tok_bpe_encode"),
+)
 def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned merges to every document: the ranked merge
     table rides inside an Arrow-batched mapInPandas closure (KBs —

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources.fetch import StubFetcher
 from crawler_spark.sources.file_handlers import STUB_PDF_MAGIC
@@ -211,7 +212,49 @@ def streaming_dedup_horizon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_trending_e2e")  # rows-only: streaming windowed agg
+def _trending_oracle() -> str:
+    from crawler_spark.plans.queries_text import _TOKENS_SQL
+    from crawler_spark.streaming.event_stream import _TRENDING_STOPWORDS
+
+    stop = ", ".join(repr(s) for s in _TRENDING_STOPWORDS)
+    # sliding 1h/30min: every event lands in the two 30-min-aligned
+    # windows containing it (both engines' buckets are :00/:30-aligned
+    # — Spark's epoch origin and DuckDB's 2000-01-01 origin agree on
+    # 30-minute boundaries)
+    return f"""
+        WITH docs2 AS (
+            SELECT TIMESTAMP '2026-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 MINUTE AS ts,
+                   text
+            FROM documents
+        ),
+        toks AS (
+            SELECT ts, unnest(list_distinct({_TOKENS_SQL})) AS token
+            FROM docs2
+        ),
+        wins AS (
+            SELECT token, win AS window_start
+            FROM (SELECT * FROM toks WHERE token NOT IN ({stop})),
+                 unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                         time_bucket(INTERVAL 30 MINUTE, ts)
+                             - INTERVAL 30 MINUTE]) t(win)
+        ),
+        counts AS (
+            SELECT window_start, token, count(*) AS n_docs
+            FROM wins GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY window_start
+                      ORDER BY n_docs DESC, token) AS rank
+            FROM counts
+        )
+        SELECT window_start, token, n_docs, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY window_start, rank
+    """
+
+
+@register("streaming_trending_e2e", oracle=_trending_oracle())
 def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table replayed as a watermarked stream through the
     trending-tokens operator (streaming/event_stream.py): synthetic
@@ -219,7 +262,13 @@ def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp), sliding-window token counts in append mode, then the
     batch-side top-k rank over the closed windows. Proves the
     bounded-state windowed-count + sink-side-rank serving shape on
-    real data."""
+    real data.
+
+    VALUE-oracled (r9): the replay is deterministic and the synthetic
+    event-time is a pure function of doc_id, so DuckDB reconstructs
+    the sliding-window counts and the per-window rank straight from
+    the documents table — window assignment, stopword drop, per-doc
+    token dedup, and the closed-window top-k all drive the hash."""
     import tempfile
     import uuid
 
@@ -395,7 +444,15 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-@register("streaming_index_append_e2e")  # rows-only: streaming index maintenance
+@register(
+    "streaming_index_append_e2e",
+    # the probe endpoint is deterministic (seeded hyperplanes, fixed
+    # stream replay) but ANN-approximate, so no exact SQL form exists:
+    # REGRESSION pin at sf0.01 (tools/pin_oracles.py) — together with
+    # the stream-equals-batch lockstep test this makes the endpoint
+    # driver-checkable; recall floors live in tests/test_vector
+    **_PINS_KW("streaming_index_append_e2e"),
+)
 def streaming_index_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving-index maintenance loop end-to-end: embeddings replayed
     as a multi-batch file stream, each micro-batch banded with the

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
 from crawler_spark.plans.queries_text import _TOKENS_SQL
-from crawler_spark.plans.oracle_pins import PINS as _PINS
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -292,8 +292,7 @@ def compression_ratio_batches(batches):
 
 @register(
     "txt_compression_ratio",
-    oracle=_PINS["txt_compression_ratio"],
-    oracle_sf="0.01",
+    **_PINS_KW("txt_compression_ratio"),
 )
 def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressed-size / raw-size per document — the classic

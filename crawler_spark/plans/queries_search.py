@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from crawler_spark.functions import text as X
 from crawler_spark.functions.extraction import extract_udf, parse_structured
 from crawler_spark.plans.queries_vector import _NORM_V_SQL, _QV_SQL, QUERY_TEXT
-from crawler_spark.plans.oracle_pins import PINS as _PINS
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -380,8 +380,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference in tests/test_search_api.py) -------------------------------
 @register(
     "search_mmr_rerank",
-    oracle=_PINS["search_mmr_rerank"],
-    oracle_sf="0.01",
+    **_PINS_KW("search_mmr_rerank"),
 )
 def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance retrieval → MMR diversity re-rank: top-30 candidates

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from crawler_spark.functions import vector as V
 from crawler_spark.functions.embedding import DEFAULT_DIMS, StubEmbedder, normalize_pad
 from crawler_spark.operators.similarity import cosine_pairs_exact, knn_topk
-from crawler_spark.plans.oracle_pins import PINS as _PINS
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 
 _EMB = StubEmbedder(DEFAULT_DIMS)
@@ -196,8 +196,7 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     # seeded hyperplane banding: deterministic, no independent closed
     # form — REGRESSION pin of the (band, bucket) histogram at sf0.01
     # (tools/pin_oracles.py); recall floors live in tests/test_vector
-    oracle=_PINS["knn_index_build"],
-    oracle_sf="0.01",
+    **_PINS_KW("knn_index_build"),
 )
 def knn_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or rebuild) the hyperplane-banded ANN index — the ONE-OFF
@@ -700,8 +699,7 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
     # seeded k-means lists: deterministic, no independent closed form
     # — REGRESSION pin of the list-size histogram at sf0.01
     # (tools/pin_oracles.py)
-    oracle=_PINS["ivfpq_index_build"],
-    oracle_sf="0.01",
+    **_PINS_KW("ivfpq_index_build"),
 )
 def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the materialized IVFPQ index (operators/similarity.py

@@ -11,6 +11,9 @@ Derivation policy, per query (documented in the generated file too):
     - tok_bpe_train: python word count (re-tokenized here) feeding the
       driver-side merge learner (the distributed half — the word-count
       shuffle — is what the reference replaces)
+    - tok_bpe_encode: the same independent merges applied per document
+      in plain python (the Arrow mapInPandas broadcast-closure path is
+      what the pin verifies)
     - search_mmr_rerank: numpy retrieval + greedy MMR reference
     - multimodal_clip_filter: StubEmbedder + pure-python cosine over
       reconstructed fake payloads
@@ -19,6 +22,9 @@ Derivation policy, per query (documented in the generated file too):
   pinned from the Spark output once, so any later drift (seed, plan,
   partitioning nondeterminism) fails the driver gate:
     - knn_index_build, ivfpq_index_build
+    - streaming_index_append_e2e: stream-append then probe of the
+      seeded banded index; the lockstep batch-equality test plus this
+      pin make the endpoint driver-checkable
   (layout_zorder_build was tried and REJECTED: repartitionByRange
   samples per-run, so its per-file stats are not run-deterministic)
 
@@ -82,20 +88,40 @@ def pin_compression_ratio() -> str:
                ("compression_ratio", "DOUBLE")])
 
 
-def pin_bpe_train() -> str:
+def _independent_merges() -> list[tuple[str, str]]:
     from collections import Counter
 
     from crawler_spark.operators.bpe import learn_merges
 
     c: Counter = Counter()
     for _doc_id, text in _docs():
-        c.update(t for t in re.split(r"\W+", (text or "").lower()) if t)
+        c.update(t for t in
+                 re.split(r"\W+", (text or "").lower(), flags=re.ASCII) if t)
     counts = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10_000]
-    merges = learn_merges(counts, 200)
+    return learn_merges(counts, 200)
+
+
+def pin_bpe_train() -> str:
+    merges = _independent_merges()
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return values_sql(
         rows, [("rank", "INTEGER"), ("left", "VARCHAR"),
                ("right", "VARCHAR"), ("merged", "VARCHAR")])
+
+
+def pin_bpe_encode() -> str:
+    from crawler_spark.operators.bpe import _py_tokenize, encode_word
+
+    ranks = {p: i for i, p in enumerate(_independent_merges())}
+    rows = []
+    for doc_id, text in _docs():
+        pieces: list[str] = []
+        for w in _py_tokenize(text or ""):
+            pieces.extend(encode_word(w, ranks))
+        rows.append((doc_id, len(pieces), "|".join(pieces[:12])))
+    return values_sql(
+        rows, [("doc_id", "BIGINT"), ("n_pieces", "BIGINT"),
+               ("first_pieces", "VARCHAR")])
 
 
 def _embeddings():
@@ -209,10 +235,13 @@ def main() -> None:
     pins: dict[str, str] = {}
     pins["txt_compression_ratio"] = pin_compression_ratio()
     pins["tok_bpe_train"] = pin_bpe_train()
+    pins["tok_bpe_encode"] = pin_bpe_encode()
     pins["search_mmr_rerank"] = pin_mmr_rerank()
     pins["multimodal_clip_filter"] = pin_clip_filter()
     pins["knn_index_build"] = regression_pin("knn_index_build")
     pins["ivfpq_index_build"] = regression_pin("ivfpq_index_build")
+    pins["streaming_index_append_e2e"] = regression_pin(
+        "streaming_index_append_e2e")
 
     with open(OUT, "w") as f:
         f.write(
@@ -228,6 +257,17 @@ def main() -> None:
         for k, v in pins.items():
             f.write(f"    {k!r}: \"\"\"\n        {v}\n    \"\"\",\n")
         f.write("}\n")
+        f.write(
+            "\n\ndef pin_kwargs(name: str) -> dict:\n"
+            '    """Registration kwargs for a pinned query — empty\n'
+            "    (rows-only) when the pin is absent, so\n"
+            "    tools/pin_oracles.py can import the registry while\n"
+            "    (re)generating this module without a chicken-and-egg\n"
+            '    crash."""\n'
+            "    if name in PINS:\n"
+            "        return {\"oracle\": PINS[name], \"oracle_sf\": \"0.01\"}\n"
+            "    return {}\n"
+        )
     print("wrote", OUT, "with", len(pins), "pins")
 
 
