@@ -34,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed since their last green row. Round 8 sampled
 # its whole queue green (CORRECTNESS_r08: 49 hash-pass, 1 rows-only
 # clean), so round 9's queue is exactly this round's work: one new
-# query, nineteen rows-only → value-oracle conversions, and the
+# query, eighteen rows-only → value-oracle conversions, and the
 # queries whose implementation or default changed and need a fresh
-# hash row. 25 < 50 slots — the round drains it fully.
+# hash row. 27 < 50 slots — the round drains it fully.
 _NEVER_DRIVER_VERIFIED = [
     # --- new in round 9 ---
     "curation_url_blocklist_big",   # big-list explode+broadcast-semi arm
@@ -61,6 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     "source_warc_ranged_roundtrip", "pipeline_warc_corpus_e2e",
     "sink_warc_roundtrip",          # WARC sink/reader hardening
     "source_warc_roundtrip",        # whole-file path no-copy change
+    "crawl_pagerank", "crawl_hits",  # 1-partition fold, fixed stretch
 ]
 
 

@@ -111,30 +111,39 @@ def filter_blocked_domains(
     * **big** (longer lists, or a DataFrame side): the SAME suffix
       set feeds ``posexplode`` → broadcast LEFT SEMI on equality
       (an equi-join — never a nested-loop LIKE join) to find blocked
-      keys, then LEFT ANTI back on ``key_col``. One shuffle (the
-      key anti-join; AQE broadcasts it when the blocked set is
-      small); the blocklist side is a broadcast either way — a
-      10⁶-entry list is ~50 MB, far under threshold. Beyond
-      broadcast, bucket both sides on entry hash.
+      (key, domain) rows, then LEFT ANTI back on
+      ``(key_col, domain_col)`` — BOTH columns, so a key that appears
+      with several domains keeps its clean rows exactly like the
+      per-row small arm (review-found: a key-only anti dropped the
+      whole key). One shuffle (the anti-join; AQE broadcasts it when
+      the blocked set is small); the blocklist side is a broadcast
+      either way — a 10⁶-entry list is ~50 MB, far under threshold.
+      Beyond broadcast, bucket both sides on entry hash.
 
-    A NULL domain yields NULL suffixes and is KEPT by both arms (no
-    blocklist entry matches NULL) — matching SQL ``NOT EXISTS``
-    semantics."""
-    suffixes = domain_suffixes(domain_col)
+    A DataFrame blocklist contributes its FIRST column as the entry
+    list (any column name). Matching is case-insensitive on both
+    sides — DNS hostnames are, and UT1-style feeds are lowercase
+    while real crawl domains aren't. A NULL domain yields NULL
+    suffixes and is KEPT by both arms (no blocklist entry matches
+    NULL) — matching SQL ``NOT EXISTS`` semantics."""
+    suffixes = domain_suffixes(F.lower(_c(domain_col)))
     if isinstance(blocklist, list) and len(blocklist) <= inline_limit:
-        blocked = F.array(*[F.lit(e) for e in blocklist])
+        blocked = F.array(*[F.lit(e.lower()) for e in blocklist])
         # coalesce: NULL overlap (NULL domain) must keep the row
         return df.filter(
             ~F.coalesce(F.arrays_overlap(suffixes, blocked), F.lit(False)))
     spark = df.sparkSession
     bl = (
-        blocklist if isinstance(blocklist, DataFrame)
+        blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("entry"))
+        if isinstance(blocklist, DataFrame)
         else spark.createDataFrame(
-            [(e,) for e in blocklist], "entry string")
-    ).select("entry")
-    blocked_keys = (
-        df.select(key_col, F.explode(suffixes).alias("_sfx"))
-        .join(F.broadcast(bl), F.col("_sfx") == F.col("entry"), "left_semi")
-        .select(key_col)
+            [(e.lower(),) for e in blocklist], "entry string")
     )
-    return df.join(blocked_keys, key_col, "left_anti")
+    blocked = (
+        df.select(key_col, domain_col,
+                  F.explode(suffixes).alias("_sfx"))
+        .join(F.broadcast(bl), F.col("_sfx") == F.col("entry"), "left_semi")
+        .select(key_col, domain_col)
+    )
+    return df.join(blocked, [key_col, domain_col], "left_anti")

@@ -1423,6 +1423,17 @@ _BL_DOMAIN_SQL = (
 )
 
 
+def _bl_domain() -> F.Column:
+    """Spark twin of _BL_DOMAIN_SQL — the ONE definition of the
+    fixture domain both blocklist queries decorate documents with
+    (www. on even doc_ids so the suffix rule is what the oracles
+    verify)."""
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com"),
+    )
+
+
 @register(
     "curation_url_blocklist",
     oracle=f"""
@@ -1461,11 +1472,7 @@ def curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are KEPT by both engines (NOT EXISTS vs coalesced overlap —
     review-found, latent: the fixture has no NULL sources)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    domain = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"), F.lit(".example.com"),
-    )
-    d = docs.select("doc_id", domain.alias("domain"))
+    d = docs.select("doc_id", _bl_domain().alias("domain"))
     return U.filter_blocked_domains(d, _BLOCKLIST)
 
 
@@ -1509,11 +1516,7 @@ def curation_url_blocklist_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     big-arm plan; the 3 live entries prove the suffix semantics
     unchanged from ``curation_url_blocklist``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    domain = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"), F.lit(".example.com"),
-    )
-    d = docs.select("doc_id", domain.alias("domain"))
+    d = docs.select("doc_id", _bl_domain().alias("domain"))
     bl = spark.range(_BLOCKLIST_BIG_N).select(
         F.concat(
             F.lit("blk"),

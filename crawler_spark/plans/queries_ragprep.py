@@ -470,10 +470,10 @@ _NFKC_SEED_FOLDED = "cafe no42 — xxii: "
 
 @register(
     "txt_normalize_nfkc",
-    oracle=r"""
+    oracle=rf"""
         WITH n AS (
             SELECT doc_id,
-                   rtrim('cafe no42 — xxii: ' ||
+                   rtrim('{_NFKC_SEED_FOLDED}' ||
                          trim(regexp_replace(regexp_replace(lower(text),
                               '[\x00-\x1f\x7f]', ' ', 'g'),
                               '\s+', ' ', 'g'))) AS s

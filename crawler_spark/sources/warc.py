@@ -505,19 +505,27 @@ def iter_warc_records_range(
     the monitoring channel. (Corners: a cut landing exactly on a
     DAMAGED plain anchor, or in the padding just before one, loses
     that one dead row; likewise a cut landing exactly on a corrupt
-    gzip member's own magic — the split START is scanned, not
+    gzip member's own magic — a NONZERO split start is scanned, not
     confirmed, because a boundary landing on a stray ``\\x1f\\x8b``
     inside a plain record's payload (crawled .gz downloads — common)
-    must not emit a false 'corrupt gzip member' row. Valid records
-    are the contract either way: a REAL member at the start
-    decompresses and its records surface regardless of confirmation,
-    which only gates dead-letter emission on failure.)"""
+    must not emit a false 'corrupt gzip member' row. Offset 0 is the
+    exception: it cannot be inside a preceding payload, so the first
+    split reports a corrupt first member exactly like the whole-file
+    walk. Valid records are the contract either way: a REAL member at
+    the start decompresses and its records surface regardless of
+    confirmation, which only gates dead-letter emission on
+    failure.)"""
     pos = start
-    # the split start is never blindly trusted: gzip anchors prove
-    # ownership through the decompressor, plain anchors through frame
-    # validation — a cut landing on a stray magic or "WARC/" inside a
-    # payload is a scanned (unconfirmed) position
-    confirmed = False
+    # a nonzero split start is never blindly trusted: gzip anchors
+    # prove ownership through the decompressor, plain anchors through
+    # frame validation — a cut landing on a stray magic or "WARC/"
+    # inside a payload is a scanned (unconfirmed) position. Offset 0
+    # is the one authoritative start (no preceding payload exists for
+    # it to be inside), so the [0, ...) split stays dead-letter-
+    # faithful to the whole-file walk — review-found: an unconditional
+    # False here silently swallowed the corruption signal for a
+    # corrupt FIRST member that iter_warc_records reports.
+    confirmed = start == 0
     while 0 <= pos < end:
         if blob[pos:pos + 2] == _GZ_MAGIC:
             rows, nxt, failed = _gzip_member_at(blob, pos)

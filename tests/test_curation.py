@@ -439,6 +439,35 @@ class TestBlocklistOperator:
             [("bad.example.com",)], "entry string")
         assert self._run(spark, bl) == [3, 4, 5]
 
+    def test_duplicate_keys_filter_per_row_in_both_arms(self, spark):
+        """Review-found: a key-only anti join in the big arm dropped
+        EVERY row of a key that had one blocked domain. Both arms must
+        filter per (key, domain) row."""
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        rows = [(7, "bad.example.com"), (7, "good.example.org"),
+                (8, "good.example.org")]
+        df = spark.createDataFrame(rows, "doc_id int, domain string")
+        for limit in (10, 0):  # small arm, then forced big arm
+            out = filter_blocked_domains(
+                df, ["bad.example.com"], inline_limit=limit)
+            got = sorted((r.doc_id, r.domain) for r in out.collect())
+            assert got == [(7, "good.example.org"),
+                           (8, "good.example.org")], limit
+
+    def test_case_insensitive_both_arms(self, spark):
+        """DNS hostnames are case-insensitive and UT1 feeds are
+        lowercase; mixed-case crawl domains must still block."""
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "WWW.Bad.Example.COM"), (2, "ok.example.org")],
+            "doc_id int, domain string")
+        for limit in (10, 0):
+            out = filter_blocked_domains(
+                df, ["bad.EXAMPLE.com"], inline_limit=limit)
+            assert [r.doc_id for r in out.collect()] == [2], limit
+
     def test_switch_threshold(self, spark):
         """A list one past inline_limit switches plans (join appears);
         at the limit it stays a pure projection."""

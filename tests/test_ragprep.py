@@ -321,3 +321,26 @@ class TestHashedLinearClassifier:
         # mean pooling keeps the logit inside the weight range
         for r in rows.values():
             assert -1.0 <= r.quality_logit <= 1.0
+
+
+def test_nfkc_seed_folds_to_declared_constant():
+    """The oracle embeds _NFKC_SEED_FOLDED as a literal; this pins
+    that the SEED actually folds to it under the kernel's own rules —
+    editing one without the other fails here, not in a driver round."""
+    import pandas as pd
+
+    from crawler_spark.plans.queries_ragprep import (
+        _NFKC_SEED,
+        _NFKC_SEED_FOLDED,
+        nfkc_normalize_batches,
+    )
+
+    (row,) = list(nfkc_normalize_batches(
+        iter([pd.DataFrame({"doc_id": [0], "text": [_NFKC_SEED]})])
+    ))
+    import hashlib
+
+    expected = _NFKC_SEED_FOLDED.rstrip()
+    assert row["norm_fp"][0] == hashlib.md5(
+        expected.encode("utf-8")).hexdigest()
+    assert int(row["norm_len"][0]) == len(expected)

@@ -730,6 +730,31 @@ class TestWarcParser:
         assert [(r["url"], r["body"]) for r in parts
                 if r["parse_error"] is None] == whole
 
+    def test_ranged_offset_zero_reports_corrupt_first_member(self):
+        """Review-found regression of the stray-magic fix: treating
+        EVERY split start as scanned also swallowed the corruption
+        signal for a corrupt FIRST member — offset 0 cannot be inside
+        a preceding payload, so the [0, ...) split must stay
+        dead-letter-faithful to the whole-file walk."""
+        from crawler_spark.sources.warc import iter_warc_records_range
+
+        good = _rec("https://z0/ok", b"healthy " * 4, gzip_member=True)
+        bad = bytearray(
+            _rec("https://z0/bad", b"damaged " * 4, gzip_member=True))
+        bad[12] ^= 0xFF  # corrupt the stream body, keep the magic
+        blob = bytes(bad) + good
+        whole_dead = [r["parse_error"] for r in iter_warc_records(blob)
+                      if r["parse_error"] is not None]
+        assert any("corrupt gzip member" in e for e in whole_dead)
+        ranged = list(iter_warc_records_range(blob, 0, len(blob)))
+        ranged_dead = [r["parse_error"] for r in ranged
+                       if r["parse_error"] is not None]
+        assert ranged_dead == whole_dead, (
+            "offset-0 split lost the corrupt-member dead-letter"
+        )
+        assert [r["url"] for r in ranged if r["parse_error"] is None] == \
+            ["https://z0/ok"]
+
     def test_read_warc_files_ranged_equals_whole(self, spark, tmp_path):
         """The Spark ranged reader (mmap + byte-range splits) must
         yield exactly the whole-file reader's records, with several

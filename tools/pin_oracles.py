@@ -44,11 +44,20 @@ OUT = "crawler_spark/plans/oracle_pins.py"
 
 
 def _lit(v) -> str:
+    import math
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
+        # fail at GENERATION time, not as a DuckDB parse error inside
+        # every future parity run: VALUES pins carry finite data only
+        if math.isnan(v) or math.isinf(v):
+            raise ValueError(f"non-finite pin value {v!r}")
         return repr(v)
-    return str(v)
+    if isinstance(v, (int, bool)):
+        return str(v)
+    raise ValueError(f"unpinnable cell {v!r} ({type(v).__name__}) — "
+                     "NULLs and exotic types need explicit handling")
 
 
 def values_sql(rows, cols: list[tuple[str, str]]) -> str:
@@ -92,13 +101,16 @@ def _independent_merges() -> list[tuple[str, str]]:
     from collections import Counter
 
     from crawler_spark.operators.bpe import learn_merges
+    # hyperparameters come from the queries under test — a retune
+    # there must flow into a regenerated pin, not silently diverge
+    from crawler_spark.plans.queries_mlprep import _BPE_MERGES, _BPE_TOP_V
 
     c: Counter = Counter()
     for _doc_id, text in _docs():
         c.update(t for t in
                  re.split(r"\W+", (text or "").lower(), flags=re.ASCII) if t)
-    counts = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10_000]
-    return learn_merges(counts, 200)
+    counts = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP_V]
+    return learn_merges(counts, _BPE_MERGES)
 
 
 def pin_bpe_train() -> str:
