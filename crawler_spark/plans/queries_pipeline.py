@@ -157,7 +157,15 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_dedup_horizon_e2e")  # rows-only: bounded-state dedup
+def _dedup_horizon_oracle() -> str:
+    from crawler_spark.plans.queries_text import _FP_SQL
+
+    return f"""
+        SELECT DISTINCT {_FP_SQL} AS fp FROM documents ORDER BY fp
+    """
+
+
+@register("streaming_dedup_horizon_e2e", oracle=_dedup_horizon_oracle())
 def streaming_dedup_horizon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table replayed as a stream (synthetic event time,
     doc_id minutes past a fixed epoch) through the watermark-evicted
@@ -166,7 +174,14 @@ def streaming_dedup_horizon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay's event-time span, semantics equal full-history first-seen
     dedup — which the batch dedup_exact oracle family pins — while the
     plan carries the watermark-evicted state the 100 TB stream needs.
-    One row per distinct fingerprint survives."""
+
+    VALUE-oracled (r9) on the fingerprint SET: exactly one survivor
+    per distinct fingerprint, reconstructed in SQL from the documents
+    table (the same _FP_SQL fragment the batch dedup family uses). The
+    survivor's URL is deliberately NOT in the contract —
+    ``dropDuplicatesWithinWatermark`` keeps the first ARRIVAL, which
+    is plan/partition-order dependent within a micro-batch; which-copy
+    -wins discipline is the batch keep-best family's job."""
     import tempfile
     import uuid
 
@@ -205,11 +220,7 @@ def streaming_dedup_horizon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.table(name)
-        .select("fp", "url")
-        .orderBy("fp", "url")
-    )
+    return spark.table(name).select("fp").orderBy("fp")
 
 
 def _trending_oracle() -> str:

@@ -532,7 +532,14 @@ def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic")  # rows-only: SemDeDup centroid-clustered pairs
+@register(
+    "dedup_semantic",
+    # deterministic (seeded k-means centroids, exact cosine, ordered
+    # closure) but with no closed form: REGRESSION pin at sf0.01
+    # (tools/pin_oracles.py); recall vs exact all-pairs is the test
+    # suite's floor, the pin catches silent drift
+    **_PINS_KW("dedup_semantic"),
+)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table: the
     shared IVF centroids cluster the space, exact cosine runs within
@@ -581,7 +588,14 @@ def o3_knn_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- JL random projection (embedding compression) -------------------------
-@register("embed_random_projection")  # rows-only: seeded Gaussian matrix is not SQL
+@register(
+    "embed_random_projection",
+    # the seeded Gaussian matrix is not SQL, but it IS reproducible:
+    # VALUES pin at sf0.01 derived INDEPENDENTLY (same rng recipe +
+    # one numpy dgemm over the raw parquet — tools/pin_oracles.py),
+    # so the Arrow-batched distributed projection is what's verified
+    **_PINS_KW("embed_random_projection"),
+)
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compress 64-dim embeddings to 16 dims through a seeded JL
     projection (operators/similarity.py random_projection) — the
@@ -628,7 +642,13 @@ def knn_topk_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ANN index incremental maintenance ------------------------------------
-@register("knn_index_append")  # rows-only: index build + batch append + probe
+@register(
+    "knn_index_append",
+    # deterministic seeded probe endpoint: REGRESSION pin at sf0.01
+    # (tools/pin_oracles.py) — a silently broken append (stale files,
+    # wrong banding) stops returning the appended vector at -1
+    **_PINS_KW("knn_index_append"),
+)
 def knn_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-crawl index story end-to-end: build the banded
     index, append a new batch banded with the SAME hyperplanes (cost

@@ -17,6 +17,9 @@ Derivation policy, per query (documented in the generated file too):
     - search_mmr_rerank: numpy retrieval + greedy MMR reference
     - multimodal_clip_filter: StubEmbedder + pure-python cosine over
       reconstructed fake payloads
+    - embed_random_projection: the seeded JL matrix regenerated here
+      (same rng recipe) and applied by one numpy dgemm over the raw
+      parquet vectors
 * REGRESSION pins — seeded one-off builds whose stats have no
   independent closed form (k-means / hyperplane / z-order layouts);
   pinned from the Spark output once, so any later drift (seed, plan,
@@ -25,6 +28,9 @@ Derivation policy, per query (documented in the generated file too):
     - streaming_index_append_e2e: stream-append then probe of the
       seeded banded index; the lockstep batch-equality test plus this
       pin make the endpoint driver-checkable
+    - knn_index_append: batch append + probe of the same banded index
+    - dedup_semantic: IVF-centroid-scoped cosine closure (seeded
+      k-means has no closed form; recall floors live in tests)
   (layout_zorder_build was tried and REJECTED: repartitionByRange
   samples per-run, so its per-file stats are not run-deterministic)
 
@@ -216,6 +222,28 @@ def pin_clip_filter() -> str:
         rows, [("doc_id", "BIGINT"), ("clip_score", "DOUBLE")])
 
 
+def pin_random_projection() -> str:
+    import math
+
+    import numpy as np
+
+    rows_in = _embeddings()
+    d = len(rows_in[0][1])
+    out_dims, seed = 16, 42
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal((d, out_dims)) / math.sqrt(out_dims)
+    rows = []
+    for vec_id, emb in rows_in:
+        p = np.asarray(emb, dtype=np.float64) @ r
+        norm = math.sqrt(float(p @ p))
+        rows.append((vec_id, out_dims, round(norm, 6),
+                     round(float(p[0]), 6), round(float(p[1]), 6)))
+    return values_sql(
+        rows, [("vec_id", "BIGINT"), ("proj_dim", "INTEGER"),
+               ("proj_norm", "DOUBLE"), ("proj_x0", "DOUBLE"),
+               ("proj_x1", "DOUBLE")])
+
+
 def _spark():
     from pyspark.sql import SparkSession
 
@@ -250,10 +278,13 @@ def main() -> None:
     pins["tok_bpe_encode"] = pin_bpe_encode()
     pins["search_mmr_rerank"] = pin_mmr_rerank()
     pins["multimodal_clip_filter"] = pin_clip_filter()
+    pins["embed_random_projection"] = pin_random_projection()
     pins["knn_index_build"] = regression_pin("knn_index_build")
     pins["ivfpq_index_build"] = regression_pin("ivfpq_index_build")
     pins["streaming_index_append_e2e"] = regression_pin(
         "streaming_index_append_e2e")
+    pins["knn_index_append"] = regression_pin("knn_index_append")
+    pins["dedup_semantic"] = regression_pin("dedup_semantic")
 
     with open(OUT, "w") as f:
         f.write(
