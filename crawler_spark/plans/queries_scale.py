@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.skew import salted_join
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 from crawler_spark.sources.bucketed import bucketed_pair
@@ -285,7 +286,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- small-file compaction ------------------------------------------------
-@register("layout_compact_build")  # rows-only: maintenance job (writes files)
+@register(
+    "layout_compact_build",
+    # unlike the z-order stats (range-sampled per run, unpinnable),
+    # the compaction's observable contract IS run-deterministic:
+    # round-robin repartition has a stable row order (SPARK-23207)
+    # so file counts + row conservation pin cleanly at sf0.01
+    # (tools/pin_oracles.py; verified stable across runs first)
+    **_PINS_KW("layout_compact_build"),
+)
 def layout_compact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fragment the events table into 64 tiny files (simulating an
     append-heavy ingest directory), compact to ~4 MB targets

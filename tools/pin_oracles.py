@@ -31,6 +31,11 @@ Derivation policy, per query (documented in the generated file too):
     - knn_index_append: batch append + probe of the same banded index
     - dedup_semantic: IVF-centroid-scoped cosine closure (seeded
       k-means has no closed form; recall floors live in tests)
+    - layout_compact_build: file counts + row conservation of the
+      compaction job (round-robin repartition is deterministic since
+      SPARK-23207; verified stable across two runs before pinning —
+      unlike the REJECTED z-order stats, whose repartitionByRange
+      samples per run)
   (layout_zorder_build was tried and REJECTED: repartitionByRange
   samples per-run, so its per-file stats are not run-deterministic)
 
@@ -285,6 +290,7 @@ def main() -> None:
         "streaming_index_append_e2e")
     pins["knn_index_append"] = regression_pin("knn_index_append")
     pins["dedup_semantic"] = regression_pin("dedup_semantic")
+    pins["layout_compact_build"] = regression_pin("layout_compact_build")
 
     with open(OUT, "w") as f:
         f.write(
