@@ -430,3 +430,57 @@ def strip_boilerplate(
         )
 
     return F.array_join(F.filter(lines, is_content), "\n")
+
+
+def drop_frequent_lines(
+    df,
+    page_col: ColumnOrName,
+    id_col: str = "doc_id",
+    threshold: int = 5,
+    broadcast_dropset: bool = True,
+):
+    """CCNet corpus-frequency line dedup (Wenzek et al. 2020) as a
+    reusable DataFrame → DataFrame operator: drop every line whose
+    occurrence count ACROSS THE CORPUS exceeds ``threshold``
+    (boilerplate repeats on every page of a site, prose doesn't), and
+    reassemble each page's surviving lines in original order. Returns
+    ``(id_col, main_content)``.
+
+    SKEW-SAFE BY CONSTRUCTION — the hottest key is, by the operator's
+    own premise, the boilerplate line present on a huge fraction of
+    all pages, so any plan that co-locates every copy of a line in one
+    task (``Window.partitionBy(line)`` — WindowExec gets NO partial
+    aggregation) melts at 100 TB. The frequency pass is
+    ``groupBy(line).count()``: partial aggregation collapses a hot
+    line to ONE row per map partition before the line shuffle, the
+    tiny over-threshold drop-set (the corpus's boilerplate vocabulary,
+    ≤ total_lines/threshold distinct values) broadcasts, and kept
+    lines flow through a broadcast LEFT ANTI join. Two shuffles total
+    (map-side-combined line count, id regroup); plan-locked in
+    tests/test_plan_shapes.py and behavior-pinned on a synthetic
+    hot-line corpus in tests/test_curation.py. If the drop-set ever
+    outgrew a broadcast, pass ``broadcast_dropset=False`` to pay one
+    more shuffle — never a skewed window."""
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        id_col, F.posexplode(F.split(_c(page_col), "\n")).alias("pos", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > threshold)
+        .select("line")
+    )
+    if broadcast_dropset:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("main_content")
+    )

@@ -1577,26 +1577,17 @@ def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grows, so the threshold genuinely bites both ways
     across SFs); the document's own line survives.
 
-    Scale shape — SKEW-SAFE BY CONSTRUCTION: the hottest key is, by
-    the operator's own premise, the boilerplate line present on a huge
-    fraction of all pages, so any plan that co-locates every copy of
-    a line in one task (``Window.partitionBy(line)`` — WindowExec gets
-    NO partial aggregation) melts at 100 TB. Instead the frequency
-    pass is ``groupBy(line).count()``: partial aggregation collapses a
-    hot line to ONE row per map partition before the line shuffle, so
-    the reduce side sees O(map-partitions) rows per line, not O(n).
-    The over-threshold drop-set is then tiny by construction — it IS
-    the corpus's boilerplate vocabulary — so it broadcasts, and kept
-    lines flow through a broadcast LEFT ANTI join (no second pass over
-    the line stream through an exchange). Two shuffles total: the
-    map-side-combined line count and the doc_id regroup. Occurrence
-    counts (not distinct-doc counts) match CCNet's shard-hash
-    formulation. Reassembly keeps original line order via the
-    posexplode index. (At 100 TB the drop-set is bounded by
-    |lines with count > threshold| ≤ total_lines/threshold distinct
-    values, and in practice by the boilerplate vocabulary — if it ever
-    outgrew a broadcast, the same plan degrades gracefully by removing
-    the hint, paying one more shuffle, never a skewed window.)"""
+    Scale shape — SKEW-SAFE BY CONSTRUCTION: see
+    ``functions/text.drop_frequent_lines`` (the reusable operator this
+    query drives): the frequency pass is a map-side-combined
+    ``groupBy(line).count()`` whose tiny over-threshold drop-set
+    broadcasts into a LEFT ANTI join — never a
+    ``Window.partitionBy(line)``, which would land every copy of the
+    hottest boilerplate line on one task at 100 TB. Two shuffles
+    total; plan-locked, and behavior-pinned on a synthetic corpus
+    whose hot line appears in EVERY row. Occurrence counts (not
+    distinct-doc counts) match CCNet's shard-hash formulation;
+    reassembly keeps original line order via the posexplode index."""
     docs = load_table(spark, sf_dir, "documents")
     page = F.concat_ws(
         "\n",
@@ -1606,21 +1597,7 @@ def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("© 2026 "), F.col("source"),
                  F.lit(" Media Group")),
     )
-    lines = docs.select(
-        "doc_id", F.posexplode(F.split(page, "\n")).alias("pos", "line"))
-    hot = (
-        lines.groupBy("line")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > _LD_THRESHOLD)
-        .select("line")
-    )
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("main_content")
+    return X.drop_frequent_lines(
+        docs.select("doc_id", page.alias("page")),
+        "page", threshold=_LD_THRESHOLD,
     )

@@ -336,13 +336,13 @@ def _fixture_edges(spark: SparkSession) -> DataFrame:
         from crawler_spark.plans.crawl import crawl
 
         # the crawl's wave joins/distincts are sized to the fixture too
-        # (a handful of urls per wave — 32-partition shuffles are pure
-        # scheduling overhead); the collect below materializes every
-        # wave while the setting is in force
+        # (a handful of urls per wave — even 4-partition shuffles are
+        # pure scheduling overhead across the BFS's many wave stages;
+        # measured 4→1 partitions cuts the one-off fixture crawl by
+        # several seconds); the collect below materializes every wave
+        # while the setting is in force
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
-        )
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         try:
             items, _dead = crawl(
                 spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],

@@ -482,3 +482,59 @@ class TestBlocklistOperator:
             df, ["a.invalid", "b.invalid", "c.invalid"], inline_limit=2))
         assert "Join" not in small
         assert "BroadcastHashJoin" in big
+
+
+class TestLineDedupSkew:
+    """drop_frequent_lines on an ADVERSARIALLY skewed corpus — the
+    input the r9 skew-safe rewrite exists for: one boilerplate line in
+    EVERY row (the key a window-based frequency count would send to a
+    single task), one mid-frequency footer crossing the threshold, and
+    a unique prose line per row that must survive verbatim."""
+
+    def test_hot_line_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import drop_frequent_lines
+
+        n = 100_000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.lit("HOT BOILERPLATE ON EVERY PAGE"),   # count = n
+                F.concat(F.lit("prose-"), F.col("id")),    # count = 1
+                F.concat(F.lit("footer-"),                 # count = n/100
+                         (F.col("id") % 100).cast("string")),
+            ).alias("page"),
+        )
+        out = drop_frequent_lines(docs, "page", threshold=5)
+        rows = out.orderBy("doc_id").collect()
+        assert len(rows) == n
+        # hot + footer lines dropped everywhere; prose intact, alone
+        sample = {r.doc_id: r.main_content for r in rows[:3] + rows[-3:]}
+        for doc_id, content in sample.items():
+            assert content == f"prose-{doc_id}", (doc_id, content)
+
+    def test_dropset_too_big_for_comfort_still_correct(self, spark):
+        """broadcast_dropset=False (the documented degrade path when
+        the boilerplate vocabulary outgrows a broadcast) returns the
+        identical answer through a shuffle anti-join."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import drop_frequent_lines
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.lit("CHROME"),
+                F.concat(F.lit("u-"), F.col("id")),
+            ).alias("page"),
+        )
+        a = {(r.doc_id, r.main_content) for r in
+             drop_frequent_lines(docs, "page", threshold=5).collect()}
+        b = {(r.doc_id, r.main_content) for r in
+             drop_frequent_lines(docs, "page", threshold=5,
+                                 broadcast_dropset=False).collect()}
+        assert a == b
+        assert all(c == f"u-{i}" for i, c in a)
