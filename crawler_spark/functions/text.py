@@ -460,9 +460,14 @@ def drop_frequent_lines(
     tests/test_plan_shapes.py and behavior-pinned on a synthetic
     hot-line corpus in tests/test_curation.py. If the drop-set ever
     outgrew a broadcast, pass ``broadcast_dropset=False`` to pay one
-    more shuffle — never a skewed window."""
-    from pyspark.sql import functions as F
+    more shuffle — never a skewed window.
 
+    CARDINALITY CONTRACT: output rows ⊆ input rows — a page whose
+    EVERY line is corpus-frequent (a pure nav/footer page, common in
+    real crawls) has no surviving lines and contributes NO output row,
+    matching the SQL regroup semantics. Callers that must keep such
+    pages as empties should left-join the result back onto their id
+    set."""
     lines = df.select(
         id_col, F.posexplode(F.split(_c(page_col), "\n")).alias("pos", "line")
     )

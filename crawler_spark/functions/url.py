@@ -111,11 +111,12 @@ def filter_blocked_domains(
     * **big** (longer lists, or a DataFrame side): the SAME suffix
       set feeds ``posexplode`` → broadcast LEFT SEMI on equality
       (an equi-join — never a nested-loop LIKE join) to find blocked
-      (key, domain) rows, then LEFT ANTI back on
+      (key, domain) rows, then a NULL-SAFE LEFT ANTI back on
       ``(key_col, domain_col)`` — BOTH columns, so a key that appears
       with several domains keeps its clean rows exactly like the
       per-row small arm (review-found: a key-only anti dropped the
-      whole key). One shuffle (the anti-join; AQE broadcasts it when
+      whole key, and a plain-equality anti LEAKED blocked rows whose
+      key is NULL). One shuffle (the anti-join; AQE broadcasts it when
       the blocked set is small); the blocklist side is a broadcast
       either way — a 10⁶-entry list is ~50 MB, far under threshold.
       Beyond broadcast, bucket both sides on entry hash.
@@ -144,6 +145,13 @@ def filter_blocked_domains(
         df.select(key_col, domain_col,
                   F.explode(suffixes).alias("_sfx"))
         .join(F.broadcast(bl), F.col("_sfx") == F.col("entry"), "left_semi")
-        .select(key_col, domain_col)
+        .select(F.col(key_col).alias("_bk"), F.col(domain_col).alias("_bd"))
     )
-    return df.join(blocked, [key_col, domain_col], "left_anti")
+    # NULL-SAFE anti equality on the key (review-found): a NULL-key
+    # row with a blocked domain sits in `blocked`, but a plain
+    # equality anti-join never matches NULL = NULL and would KEEP the
+    # row — while the small arm's per-row filter drops it. eqNullSafe
+    # (<=>) keeps this a hash join, so the plan lock still holds.
+    cond = (_c(key_col).eqNullSafe(F.col("_bk"))
+            & _c(domain_col).eqNullSafe(F.col("_bd")))
+    return df.join(blocked, cond, "left_anti")

@@ -1510,8 +1510,10 @@ def curation_url_blocklist_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     UT1-style category lists run 10⁵-10⁶ entries, far past what an
     in-plan array literal survives. The suffix set (same HOF build as
     the small arm) is posexploded and equi-joined broadcast LEFT SEMI
-    against the blocklist (never a nested-loop LIKE join), then LEFT
-    ANTI back on doc_id. The 100k dead entries are generated (not
+    against the blocklist (never a nested-loop LIKE join), then a
+    null-safe LEFT ANTI back on (doc_id, domain) — both columns, so
+    duplicate keys filter per row. The 100k dead entries are generated
+    (not
     literal) on BOTH engines so the oracle exercises exactly the
     big-arm plan; the 3 live entries prove the suffix semantics
     unchanged from ``curation_url_blocklist``."""

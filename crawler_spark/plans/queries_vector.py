@@ -588,6 +588,11 @@ def o3_knn_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- JL random projection (embedding compression) -------------------------
+# Hyperparameters shared with tools/pin_oracles.py (a retune here must
+# flow into a regenerated pin, not silently diverge — same rule as the
+# BPE constants)
+_JL_OUT_DIMS = 16
+_JL_SEED = 42
 @register(
     "embed_random_projection",
     # the seeded Gaussian matrix is not SQL, but it IS reproducible:
@@ -607,7 +612,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_projection(emb, out_dims=16, seed=42)
+    proj = random_projection(emb, out_dims=_JL_OUT_DIMS, seed=_JL_SEED)
     norm = F.sqrt(F.aggregate(
         "projected", F.lit(0.0).cast("double"), lambda a, x: a + x * x))
     return proj.select(

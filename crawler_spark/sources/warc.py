@@ -533,11 +533,18 @@ def iter_warc_records_range(
                 # valid salvaged records always surface (a truncated
                 # REAL member this split owns); dead rows only from
                 # confirmed positions — scanned-prefix failures belong
-                # to the previous split's healthy bytes
+                # to the previous split's healthy bytes. A failure in
+                # a CONFIRMED region KEEPS confirmation across the
+                # resync: the bytes up to the next valid unit are
+                # owned corrupt bytes, and the whole-file walk
+                # dead-letters every failed probe inside them — so
+                # must this split (review-found: dropping to scanned
+                # here made two consecutive corrupt head members
+                # report only one dead row).
                 for r in rows:
                     if r["parse_error"] is None or confirmed:
                         yield r
-                pos, confirmed = _scan_anchor(blob, nxt), False
+                pos = _scan_anchor(blob, nxt)
                 continue
             yield from rows
             # nxt may land on legal inter-member padding, not an

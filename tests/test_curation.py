@@ -455,6 +455,26 @@ class TestBlocklistOperator:
             assert got == [(7, "good.example.org"),
                            (8, "good.example.org")], limit
 
+    def test_null_key_blocked_domain_drops_in_both_arms(self, spark):
+        """Review-found: the big arm's plain-equality anti-join never
+        matches NULL = NULL, so a NULL-key row with a blocked domain
+        leaked through the big arm while the small arm's per-row
+        filter dropped it. Null-safe equality closes the divergence."""
+        from crawler_spark.functions.url import filter_blocked_domains
+
+        rows = [(None, "bad.example.com"), (2, "bad.example.com"),
+                (3, "ok.example.org"), (None, None)]
+        df = spark.createDataFrame(rows, "doc_id int, domain string")
+        for limit in (10, 0):
+            out = filter_blocked_domains(
+                df, ["bad.example.com"], inline_limit=limit)
+            got = sorted(((r.doc_id, r.domain) for r in out.collect()),
+                         key=repr)
+            # blocked domains drop regardless of key nullness; the
+            # NULL-domain row is always kept (nothing matches NULL)
+            assert got == sorted([(3, "ok.example.org"), (None, None)],
+                                 key=repr), (limit, got)
+
     def test_case_insensitive_both_arms(self, spark):
         """DNS hostnames are case-insensitive and UT1 feeds are
         lowercase; mixed-case crawl domains must still block."""
@@ -514,6 +534,25 @@ class TestLineDedupSkew:
         sample = {r.doc_id: r.main_content for r in rows[:3] + rows[-3:]}
         for doc_id, content in sample.items():
             assert content == f"prose-{doc_id}", (doc_id, content)
+
+    def test_all_boilerplate_page_contributes_no_row(self, spark):
+        """The documented cardinality contract: a page with NO
+        surviving lines (all corpus-frequent) yields no output row —
+        the SQL regroup semantics both engines share."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import drop_frequent_lines
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 10, F.lit("CHROME\nFOOTER"))
+            .otherwise(F.concat(F.lit("CHROME\nu-"), F.col("id")))
+            .alias("page"),
+        )
+        out = drop_frequent_lines(docs, "page", threshold=5).collect()
+        ids = sorted(r.doc_id for r in out)
+        assert ids == list(range(10, 50))  # nav-only pages vanish
+        assert all(r.main_content == f"u-{r.doc_id}" for r in out)
 
     def test_dropset_too_big_for_comfort_still_correct(self, spark):
         """broadcast_dropset=False (the documented degrade path when

@@ -742,15 +742,21 @@ class TestWarcParser:
         bad = bytearray(
             _rec("https://z0/bad", b"damaged " * 4, gzip_member=True))
         bad[12] ^= 0xFF  # corrupt the stream body, keep the magic
-        blob = bytes(bad) + good
+        bad2 = bytearray(
+            _rec("https://z0/bad2", b"ruined " * 5, gzip_member=True))
+        bad2[12] ^= 0xFF
+        # TWO consecutive corrupt members: a failure in a confirmed
+        # region must KEEP confirmation across the resync, or the
+        # second member's dead row is swallowed (review-found)
+        blob = bytes(bad) + bytes(bad2) + good
         whole_dead = [r["parse_error"] for r in iter_warc_records(blob)
                       if r["parse_error"] is not None]
-        assert any("corrupt gzip member" in e for e in whole_dead)
+        assert sum("corrupt gzip member" in e for e in whole_dead) >= 2
         ranged = list(iter_warc_records_range(blob, 0, len(blob)))
         ranged_dead = [r["parse_error"] for r in ranged
                        if r["parse_error"] is not None]
         assert ranged_dead == whole_dead, (
-            "offset-0 split lost the corrupt-member dead-letter"
+            "offset-0 split lost corrupt-member dead-letters"
         )
         assert [r["url"] for r in ranged if r["parse_error"] is None] == \
             ["https://z0/ok"]

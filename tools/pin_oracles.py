@@ -232,9 +232,11 @@ def pin_random_projection() -> str:
 
     import numpy as np
 
+    from crawler_spark.plans.queries_vector import _JL_OUT_DIMS, _JL_SEED
+
     rows_in = _embeddings()
     d = len(rows_in[0][1])
-    out_dims, seed = 16, 42
+    out_dims, seed = _JL_OUT_DIMS, _JL_SEED
     rng = np.random.default_rng(seed)
     r = rng.standard_normal((d, out_dims)) / math.sqrt(out_dims)
     rows = []
