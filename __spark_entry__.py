@@ -34,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed since their last green row. Round 8 sampled
 # its whole queue green (CORRECTNESS_r08: 49 hash-pass, 1 rows-only
 # clean), so round 9's queue is exactly this round's work: one new
-# query, twenty-three rows-only → value-oracle conversions, and the
+# query, twenty-four rows-only → value-oracle conversions, and the
 # queries whose implementation or default changed and need a fresh
-# hash row. 32 < 50 slots — the round drains it fully.
+# hash row. 33 < 50 slots — the round drains it fully.
 _NEVER_DRIVER_VERIFIED = [
     # --- new in round 9 ---
     "curation_url_blocklist_big",   # big-list explode+broadcast-semi arm
@@ -59,6 +59,7 @@ _NEVER_DRIVER_VERIFIED = [
     "embed_random_projection",      # sf0.01 VALUES pin (independent)
     "dedup_semantic", "knn_index_append",  # sf0.01 regression pins
     "layout_compact_build",         # sf0.01 regression pin
+    "diag_ann_recall",              # recall scorecard now an enforced pin
     # --- implementation/default changed since last green row ---
     "txt_line_dedup",               # skew-safe groupBy+anti rewrite
     "curation_url_blocklist",       # refactored onto the shared operator

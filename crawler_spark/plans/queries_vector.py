@@ -830,7 +830,13 @@ def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ANN recall diagnostic: every approximate tier vs the exact answer ----
-@register("diag_ann_recall")  # rows-only: ANN internals aren't SQL-expressible
+@register(
+    "diag_ann_recall",
+    # the tiers are seeded-deterministic, so the scorecard pins as a
+    # REGRESSION oracle at sf0.01 (tools/pin_oracles.py): a tier's
+    # recall drifting is now a driver FAILURE, not just a visible row
+    **_PINS_KW("diag_ann_recall"),
+)
 def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall@k scorecard for the ANN tiers against the
     exact top-k — the measurement behind every "approximate is good

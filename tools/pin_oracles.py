@@ -36,6 +36,11 @@ Derivation policy, per query (documented in the generated file too):
       SPARK-23207; verified stable across two runs before pinning —
       unlike the REJECTED z-order stats, whose repartitionByRange
       samples per run)
+    - diag_ann_recall: the per-tier recall scorecard — pinning it
+      turns the "approximate is good enough" measurement into an
+      ENFORCED driver gate (seeded tiers, fixed query vector;
+      diag_plan_metrics stays rows-only — its partition counts track
+      the session's shuffle conf, which the driver owns)
   (layout_zorder_build was tried and REJECTED: repartitionByRange
   samples per-run, so its per-file stats are not run-deterministic)
 
@@ -293,6 +298,7 @@ def main() -> None:
     pins["knn_index_append"] = regression_pin("knn_index_append")
     pins["dedup_semantic"] = regression_pin("dedup_semantic")
     pins["layout_compact_build"] = regression_pin("layout_compact_build")
+    pins["diag_ann_recall"] = regression_pin("diag_ann_recall")
 
     with open(OUT, "w") as f:
         f.write(
