@@ -34,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed since their last green row. Round 8 sampled
 # its whole queue green (CORRECTNESS_r08: 49 hash-pass, 1 rows-only
 # clean), so round 9's queue is exactly this round's work: one new
-# query, twenty-four rows-only → value-oracle conversions, and the
+# query, thirty-eight rows-only → value-oracle conversions, and the
 # queries whose implementation or default changed and need a fresh
-# hash row. 33 < 50 slots — the round drains it fully.
+# hash row. 47 < 50 slots — the round drains it fully.
 _NEVER_DRIVER_VERIFIED = [
     # --- new in round 9 ---
     "curation_url_blocklist_big",   # big-list explode+broadcast-semi arm
@@ -60,6 +60,14 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_semantic", "knn_index_append",  # sf0.01 regression pins
     "layout_compact_build",         # sf0.01 regression pin
     "diag_ann_recall",              # recall scorecard now an enforced pin
+    # the whole approximate serving/pair tier — deterministic seeded
+    # outputs, sf0.01 regression pins (cross-session-stability checked)
+    "o3_knn_topk_lsh", "o3_knn_topk_sq8", "o3_knn_topk_pq",
+    "o3_knn_filtered_ivf", "knn_topk_ivf", "knn_topk_ivf_refined",
+    "knn_topk_ivfpq", "knn_topk_batch_ivf",
+    "knn_probe_precomputed", "knn_probe_ivfpq",
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "simsearch_lsh_pairs",
+    "ev_hll_distinct_rollup",
     # --- implementation/default changed since last green row ---
     "txt_line_dedup",               # skew-safe groupBy+anti rewrite
     "curation_url_blocklist",       # refactored onto the shared operator

@@ -17,7 +17,9 @@ from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
 # ------------------------------------------------------------- LSH dedup
-@register("dedup_minhash_lsh")  # rows-only: banded-LSH candidate generation
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: banded-LSH candidate generation
+@register("dedup_minhash_lsh", **_PINS_KW("dedup_minhash_lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.dedup import minhash_lsh_pairs
 
@@ -25,7 +27,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, est_threshold=0.4).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash_pairs")  # rows-only: 64-bit simhash + banding
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: 64-bit simhash + banding
+@register("dedup_simhash_pairs", **_PINS_KW("dedup_simhash_pairs"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.dedup import simhash_pairs
 
@@ -38,7 +42,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
-@register("simsearch_lsh_pairs")  # rows-only: hyperplane-LSH ANN pairs
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: hyperplane-LSH ANN pairs
+@register("simsearch_lsh_pairs", **_PINS_KW("simsearch_lsh_pairs"))
 def simsearch_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.dedup import embedding_lsh_pairs
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -290,7 +291,9 @@ def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- mergeable-sketch distinct counting (the 100 TB COUNT DISTINCT) -------
-@register("ev_hll_distinct_rollup")  # rows-only: HLL estimates have no exact SQL twin
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: HLL estimates have no exact SQL twin
+@register("ev_hll_distinct_rollup", **_PINS_KW("ev_hll_distinct_rollup"))
 def ev_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct users via MERGEABLE HLL sketches: one pass builds
     per-day sketches (``hll_sketch_agg`` — map-side partial, a few KB

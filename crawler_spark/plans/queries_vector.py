@@ -119,7 +119,9 @@ def knn_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_topk_batch_ivf")  # rows-only: batched probe of the IVF index
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: batched probe of the IVF index
+@register("knn_topk_batch_ivf", **_PINS_KW("knn_topk_batch_ivf"))
 def knn_topk_batch_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch×index serving: the Q-query batch probes the IVF inverted
     lists in one partition-pruned pass (operators/similarity.py
@@ -138,7 +140,9 @@ def knn_topk_batch_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- O3 scale path: LSH-pruned approximate top-k --------------------------
-@register("o3_knn_topk_lsh")  # rows-only: approximate (band-bucket pruned) top-k
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: approximate (band-bucket pruned) top-k
+@register("o3_knn_topk_lsh", **_PINS_KW("o3_knn_topk_lsh"))
 def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for POST /search: hyperplane band buckets prune
     the scan before the exact distance re-rank (recall measured against
@@ -151,7 +155,9 @@ def o3_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- O3 scale path: int8-quantized first pass + exact re-rank -------------
-@register("o3_knn_topk_sq8")  # rows-only: SQ8 approximate top-k
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: SQ8 approximate top-k
+@register("o3_knn_topk_sq8", **_PINS_KW("o3_knn_topk_sq8"))
 def o3_knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IO-bound 100 TB path: the first-pass scan reads int8 vectors
     (4x less storage bandwidth than f32), exact re-rank only on the
@@ -215,7 +221,9 @@ def knn_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_probe_precomputed")  # rows-only: query-time serving path
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: query-time serving path
+@register("knn_probe_precomputed", **_PINS_KW("knn_probe_precomputed"))
 def knn_probe_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual 100 TB serving shape for POST /search: partition-pruned
     bucket probe of the precomputed index + exact re-rank — no per-query
@@ -291,7 +299,9 @@ def _ensure_ivf_index(
     return path, centroids
 
 
-@register("knn_topk_ivf")  # rows-only: IVF coarse-quantizer ANN (vs LSH banding)
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: IVF coarse-quantizer ANN (vs LSH banding)
+@register("knn_topk_ivf", **_PINS_KW("knn_topk_ivf"))
 def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF flavor of the ANN scale path: k-means coarse quantizer
     (trained on a bounded deterministic sample), inverted lists as
@@ -305,7 +315,9 @@ def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-@register("knn_topk_ivf_refined")  # rows-only: distributed-Lloyd-refined IVF
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: distributed-Lloyd-refined IVF
+@register("knn_topk_ivf_refined", **_PINS_KW("knn_topk_ivf_refined"))
 def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the full-corpus refinement pass: sample-seeded
     centroids (the bounded-driver recipe) refined by distributed Lloyd
@@ -366,7 +378,9 @@ def o3_knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-@register("o3_knn_filtered_ivf")  # rows-only: IVF post-filter dispatch arm
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: IVF post-filter dispatch arm
+@register("o3_knn_filtered_ivf", **_PINS_KW("o3_knn_filtered_ivf"))
 def o3_knn_filtered_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search, POST-FILTER arm: the ~10%-selectivity
     label predicate exceeds the pre-filter threshold, so the dispatcher
@@ -563,7 +577,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODEBOOKS: dict[str, list[list[list[float]]]] = {}
 
 
-@register("o3_knn_topk_pq")  # rows-only: PQ/ADC approximate top-k
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: PQ/ADC approximate top-k
+@register("o3_knn_topk_pq", **_PINS_KW("o3_knn_topk_pq"))
 def o3_knn_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bandwidth-extreme ANN path (Jégou et al. TPAMI 2011): 8
     subspace codebooks compress each 64-dim f32 vector to 8 code ids
@@ -625,7 +641,9 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- O3 composed scale path: IVF partition pruning × PQ codes-only scan ---
-@register("knn_topk_ivfpq")  # rows-only: composed ANN (IVF lists + PQ/ADC)
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: composed ANN (IVF lists + PQ/ADC)
+@register("knn_topk_ivfpq", **_PINS_KW("knn_topk_ivfpq"))
 def knn_topk_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ: the coarse quantizer prunes the scan to nprobe inverted
     lists (directory pruning), ADC prunes candidates within them with
@@ -749,7 +767,9 @@ def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_probe_ivfpq")  # rows-only: codes-only ADC probe + re-rank join
+# seeded-deterministic, partition-independent — sf0.01
+# REGRESSION pin (tools/pin_oracles.py); was: rows-only: codes-only ADC probe + re-rank join
+@register("knn_probe_ivfpq", **_PINS_KW("knn_probe_ivfpq"))
 def knn_probe_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve top-k from the materialized IVFPQ index: directory-pruned
     nprobe read, ADC over the stored CODES column (float column pruned

@@ -60,10 +60,13 @@ OUT = "crawler_spark/plans/oracle_pins.py"
 
 
 def _lit(v) -> str:
+    import datetime
     import math
 
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, float):
         # fail at GENERATION time, not as a DuckDB parse error inside
         # every future parity run: VALUES pins carry finite data only
@@ -269,7 +272,8 @@ def _spark():
 
 
 _DUCK_TYPE = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
-              "string": "VARCHAR", "boolean": "BOOLEAN"}
+              "string": "VARCHAR", "boolean": "BOOLEAN",
+              "timestamp": "TIMESTAMP"}
 
 
 def regression_pin(name: str) -> str:
@@ -299,6 +303,21 @@ def main() -> None:
     pins["dedup_semantic"] = regression_pin("dedup_semantic")
     pins["layout_compact_build"] = regression_pin("layout_compact_build")
     pins["diag_ann_recall"] = regression_pin("diag_ann_recall")
+    # The whole approximate serving/pair tier: every query is a
+    # deterministic function of (seeds, knobs, data) and partition-
+    # independent (bucket membership + TakeOrdered with id tiebreaks),
+    # so its output pins — a REGRESSION gate over each tier's exact
+    # answer-set, complementing diag_ann_recall's summary. Retuning
+    # any knob (nprobe, bands, thresholds) is a pin regeneration.
+    for name in [
+        "o3_knn_topk_lsh", "o3_knn_topk_sq8", "o3_knn_topk_pq",
+        "o3_knn_filtered_ivf", "knn_topk_ivf", "knn_topk_ivf_refined",
+        "knn_topk_ivfpq", "knn_topk_batch_ivf",
+        "knn_probe_precomputed", "knn_probe_ivfpq",
+        "dedup_minhash_lsh", "dedup_simhash_pairs", "simsearch_lsh_pairs",
+        "ev_hll_distinct_rollup",
+    ]:
+        pins[name] = regression_pin(name)
 
     with open(OUT, "w") as f:
         f.write(
