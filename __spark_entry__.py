@@ -60,8 +60,11 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_semantic", "knn_index_append",  # sf0.01 regression pins
     "layout_compact_build",         # sf0.01 regression pin
     "diag_ann_recall",              # recall scorecard now an enforced pin
-    # the whole approximate serving/pair tier — deterministic seeded
-    # outputs, sf0.01 regression pins (cross-session-stability checked)
+    # the approximate serving/pair tier — deterministic seeded
+    # outputs, sf0.01 regression pins (cross-session-stability
+    # checked); ivf_refined stays rows-only (partition-dependent
+    # float merges in the distributed Lloyd refine) but is queued for
+    # a fresh clean row
     "o3_knn_topk_lsh", "o3_knn_topk_sq8", "o3_knn_topk_pq",
     "o3_knn_filtered_ivf", "knn_topk_ivf", "knn_topk_ivf_refined",
     "knn_topk_ivfpq", "knn_topk_batch_ivf",

@@ -1,7 +1,11 @@
 """Scale-path dedup / ANN / multimodal / text-analysis queries
-(SURVEY.md §7 M5). LSH-based operators are rows-only for the driver
-(approximation ≠ SQL), with recall-vs-exact covered in
-tests/test_dedup.py; the text-analysis scalars are oracle-matched.
+(SURVEY.md §7 M5). The LSH operators' approximation means they never
+get EXACT-answer SQL oracles, but their outputs are seeded-
+deterministic and partition-independent, so each is pinned as an
+sf0.01 REGRESSION oracle (tools/pin_oracles.py — retuning bands or
+thresholds is a pin regeneration); recall-vs-exact floors stay in
+tests/test_dedup.py. The multimodal stages and text-analysis scalars
+are table-derived oracle-matched.
 """
 
 from __future__ import annotations

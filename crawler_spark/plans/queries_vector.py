@@ -315,9 +315,14 @@ def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-# seeded-deterministic, partition-independent — sf0.01
-# REGRESSION pin (tools/pin_oracles.py); was: rows-only: distributed-Lloyd-refined IVF
-@register("knn_topk_ivf_refined", **_PINS_KW("knn_topk_ivf_refined"))
+# rows-only BY POLICY (review-found): refine_centroids runs
+# corpus-wide F.sum(double) Lloyd steps whose partial-sum order is
+# partition-dependent — an ulp drift under a different session conf
+# could flip a nearest-centroid argmax, so a cross-session pin would
+# be a latent flake (the same float-merge class that keeps
+# graph_influence_ppr rows-only); probe equality vs the sample-trained
+# index is covered in tests
+@register("knn_topk_ivf_refined")
 def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the full-corpus refinement pass: sample-seeded
     centroids (the bounded-driver recipe) refined by distributed Lloyd

@@ -295,28 +295,40 @@ def main() -> None:
     pins["search_mmr_rerank"] = pin_mmr_rerank()
     pins["multimodal_clip_filter"] = pin_clip_filter()
     pins["embed_random_projection"] = pin_random_projection()
-    pins["knn_index_build"] = regression_pin("knn_index_build")
-    pins["ivfpq_index_build"] = regression_pin("ivfpq_index_build")
-    pins["streaming_index_append_e2e"] = regression_pin(
-        "streaming_index_append_e2e")
-    pins["knn_index_append"] = regression_pin("knn_index_append")
-    pins["dedup_semantic"] = regression_pin("dedup_semantic")
-    pins["layout_compact_build"] = regression_pin("layout_compact_build")
-    pins["diag_ann_recall"] = regression_pin("diag_ann_recall")
-    # The whole approximate serving/pair tier: every query is a
-    # deterministic function of (seeds, knobs, data) and partition-
-    # independent (bucket membership + TakeOrdered with id tiebreaks),
-    # so its output pins — a REGRESSION gate over each tier's exact
-    # answer-set, complementing diag_ann_recall's summary. Retuning
-    # any knob (nprobe, bands, thresholds) is a pin regeneration.
-    for name in [
+    # Regression-pinned queries, one list (every entry is a
+    # deterministic function of seeds+knobs+data AND partition-
+    # independent — bucket membership, TakeOrdered with id tiebreaks,
+    # HLL max-merge, driver-side sample-trained quantizers; retuning
+    # any knob is a pin regeneration). DELIBERATELY EXCLUDED:
+    # knn_topk_ivf_refined — refine_centroids runs corpus-wide
+    # F.sum(double) Lloyd steps whose partial-sum order is partition-
+    # dependent, the same float-merge class that keeps
+    # graph_influence_ppr rows-only.
+    regression_names = [
+        # index builds + maintenance
+        "knn_index_build", "ivfpq_index_build",
+        "streaming_index_append_e2e", "knn_index_append",
+        "layout_compact_build",
+        # semantic dedup closure + recall scorecard
+        "dedup_semantic", "diag_ann_recall",
+        # the approximate serving tier
         "o3_knn_topk_lsh", "o3_knn_topk_sq8", "o3_knn_topk_pq",
-        "o3_knn_filtered_ivf", "knn_topk_ivf", "knn_topk_ivf_refined",
+        "o3_knn_filtered_ivf", "knn_topk_ivf",
         "knn_topk_ivfpq", "knn_topk_batch_ivf",
         "knn_probe_precomputed", "knn_probe_ivfpq",
+        # LSH pair generators + the HLL rollup
         "dedup_minhash_lsh", "dedup_simhash_pairs", "simsearch_lsh_pairs",
         "ev_hll_distinct_rollup",
-    ]:
+    ]
+    # Pins must record FRESH index behavior: the IVF/banded/PQ caches
+    # persist under /tmp across processes, so a code change to any
+    # index builder would otherwise be pinned against the STALE
+    # on-disk artifacts and the regression gate would certify the old
+    # behavior (review-found).
+    import shutil
+
+    shutil.rmtree("/tmp/crawler_spark_ann_index", ignore_errors=True)
+    for name in regression_names:
         pins[name] = regression_pin(name)
 
     with open(OUT, "w") as f:
