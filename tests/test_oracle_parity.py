@@ -123,3 +123,23 @@ def test_oracle_parity(spark, con, name):
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_every_pin_is_wellformed_duckdb(con):
+    """Meta-guard on tools/pin_oracles.py output: every pinned-VALUES
+    oracle must parse and return at least one row in DuckDB, and every
+    oracle_sf declaration must reference a registered oracle — a
+    corrupt or partial regeneration fails here instantly instead of as
+    a confusing driver-round error."""
+    from crawler_spark.plans import registry
+    from crawler_spark.plans.oracle_pins import PINS
+
+    registry.load_all()
+    assert set(registry.ORACLE_SF) <= set(registry.ORACLE)
+    # every registered pin points at the generated module's SQL
+    for name, sf in registry.ORACLE_SF.items():
+        assert sf == "0.01", (name, sf)
+        assert name in PINS, f"{name}: oracle_sf without a generated pin"
+    for name, sql in PINS.items():
+        rows = con.execute(sql).df()
+        assert len(rows) > 0, f"{name}: pin returned no rows"
