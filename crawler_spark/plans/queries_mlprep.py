@@ -679,16 +679,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hashed linear quality classifier (fastText-shaped) -------------------
 _QC_BUCKETS = 4096
 
-# Per-feature milli-weight derivation, shared with the composed
-# calibration/overlap oracles (queries_curation.py) so a change to the
-# bucket count or weight hash can never diverge between them.
-_QC_WEIGHTED_SQL = f"""
-        SELECT doc_id,
-               ('0x' || substr(md5('w:' || CAST(
-                   ('0x' || substr(md5(feat), 1, 8))::BIGINT
-                       % {_QC_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT
-                   % 2001 - 1000 AS w_milli
-        FROM (
+# Shared fragments (feature stream, bucket hash, frozen milli-weight),
+# reused by the composed calibration/overlap oracles (queries_curation
+# .py) AND the distillation tier below, so a change to the tokenizer,
+# bucket count, or weight hash can never diverge between them.
+_QC_FEATS_SQL = f"""
             SELECT doc_id, u.t AS feat
             FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
                  unnest(ts) AS u(t)
@@ -696,8 +691,64 @@ _QC_WEIGHTED_SQL = f"""
             SELECT doc_id, ts[u.i] || '_' || ts[u.i + 1] AS feat
             FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
                  unnest(generate_series(1, len(ts) - 1)) AS u(i)
+"""
+_QC_BUCKET_SQL = f"('0x' || substr(md5(feat), 1, 8))::BIGINT % {_QC_BUCKETS}"
+_QC_WEIGHTED_SQL = f"""
+        SELECT doc_id,
+               ('0x' || substr(md5('w:' || CAST({_QC_BUCKET_SQL}
+                   AS VARCHAR)), 1, 8))::BIGINT
+                   % 2001 - 1000 AS w_milli
+        FROM (
+            {_QC_FEATS_SQL}
         )
 """
+
+
+def _qc_exploded_features(docs: DataFrame) -> DataFrame:
+    """The classifier feature stream: one row per unigram + word-bigram
+    occurrence, ``(doc_id, feat)`` plus any other columns of ``docs``
+    carried through (labels ride along so training never needs a
+    doc_id join back). Spark twin of ``_QC_FEATS_SQL``."""
+    def _feats(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        bigrams = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        )
+        return F.concat(
+            arr,
+            F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
+        )
+
+    # token array bound once (X.bind_once): the zip_with HOF blocks
+    # codegen CSE, so the unbound form re-tokenized ~6x per row
+    feats = X.bind_once(X.tokenize("text"), _feats)
+    carried = [c for c in docs.columns if c != "text"]
+    return docs.select(*carried, F.explode(feats).alias("feat"))
+
+
+def _qc_bucket(feat: F.Column) -> F.Column:
+    """Hashing-trick parameter index (twin of ``_QC_BUCKET_SQL``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long"),
+        F.lit(_QC_BUCKETS),
+    )
+
+
+def _qc_w_milli(bucket: F.Column) -> F.Column:
+    """Frozen pseudo-random milli-weight of a bucket (the stand-in
+    parameter vector of txt_quality_linear_hashed)."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(2001),
+        ) - 1000
+    )
 
 
 @register(
@@ -735,37 +786,9 @@ def txt_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode, one per-doc agg with map-side combine — one shuffle
     total, no joins, no parameter table to co-locate."""
     docs = load_table(spark, sf_dir, "documents")
-    def _feats(arr: F.Column) -> F.Column:
-        n = F.size(arr)
-        bigrams = F.zip_with(
-            F.slice(arr, 1, n - 1),
-            F.slice(arr, 2, n - 1),
-            lambda a, b: F.concat_ws("_", a, b),
-        )
-        return F.concat(
-            arr,
-            F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
-        )
-
-    # token array bound once (X.bind_once): the zip_with HOF blocks
-    # codegen CSE, so the unbound form re-tokenized ~6x per row
-    feats = X.bind_once(X.tokenize("text"), _feats)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
-        F.lit(_QC_BUCKETS),
-    )
-    w_milli = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
-                ), 16, 10,
-            ).cast("long"),
-            F.lit(2001),
-        ) - 1000
-    )
+    w_milli = _qc_w_milli(_qc_bucket(F.col("feat")))
     return (
-        docs.select("doc_id", F.explode(feats).alias("feat"))
+        _qc_exploded_features(docs)
         .select("doc_id", w_milli.alias("w_milli"))
         .groupBy("doc_id")
         .agg(
@@ -776,6 +799,335 @@ def txt_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quality_logit"),
             (F.sum("w_milli") > 0).alias("keep"),
         )
+    )
+
+
+# --- classifier distillation: judge labels → trained NB weights -----------
+# The workflow CCNet / FineWeb-Edu actually run: an expensive model
+# judges a SAMPLE, a cheap linear model is trained on those labels,
+# and the trained model scores the full corpus. The frozen-weight
+# classifier above proves the serving plan; this tier proves the
+# TRAINING plan — multinomial Naive Bayes log-odds over the same
+# hashed unigram+bigram feature space, which is pure count
+# aggregation (deterministic, SQL-twinnable) unlike SGD.
+_QC_HOLD_MOD = 5  # doc_id % 5 == 0 → holdout, else train
+
+
+def _qc_label_sql(extra_where: str) -> str:
+    from crawler_spark.functions.judge import KEEP_THRESHOLD
+    from crawler_spark.plans.queries_sources import _JUDGE_SCORE_SQL
+
+    return f"""
+            SELECT doc_id,
+                   CASE WHEN {_JUDGE_SCORE_SQL} >= {KEEP_THRESHOLD}
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+            WHERE {extra_where}
+    """
+
+
+def _qc_train_sql() -> str:
+    """The full trained-model table in SQL: one row per feature bucket
+    seen in training (ck/cd occurrence counts, integer-micro log-odds
+    weight) plus the bucket = -1 class-prior row (ck/cd = DOC counts,
+    weight = prior log-odds). Same smoothing family as the DSIR oracle."""
+    return f"""
+        WITH labeled AS ({_qc_label_sql(f"doc_id % {_QC_HOLD_MOD} <> 0")}),
+        feats AS (
+            SELECT {_QC_BUCKET_SQL} AS bucket, l.keep
+            FROM ({_QC_FEATS_SQL}) f JOIN labeled l USING (doc_id)
+        ),
+        vocab AS (
+            SELECT bucket,
+                   CAST(SUM(keep) AS BIGINT) AS ck,
+                   CAST(count(*) - SUM(keep) AS BIGINT) AS cd
+            FROM feats GROUP BY bucket
+        ),
+        consts AS (
+            SELECT CAST(SUM(ck) AS DOUBLE) AS nk,
+                   CAST(SUM(cd) AS DOUBLE) AS nd,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM vocab
+        )
+        SELECT bucket, ck, cd,
+               CAST(round((ln(ck + 1.0) - ln(nk + v)
+                         - ln(cd + 1.0) + ln(nd + v)) * 1e6) AS BIGINT)
+                   AS w_micro
+        FROM vocab CROSS JOIN consts
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS bucket,
+               CAST(SUM(keep) AS BIGINT) AS ck,
+               CAST(count(*) - SUM(keep) AS BIGINT) AS cd,
+               CAST(round((ln(SUM(keep) + 1.0)
+                         - ln(count(*) - SUM(keep) + 1.0)) * 1e6) AS BIGINT)
+                   AS w_micro
+        FROM labeled
+    """
+
+
+def _qc_judge_labeled(docs: DataFrame) -> DataFrame:
+    """Judge labels through the REAL client seam (functions/judge.py:
+    Arrow-batched pandas_udf → JSON → from_json), not a shortcut md5
+    expression — what distillation trains on in production is exactly
+    this output. Returns (doc_id, text, keep∈{0,1}); a failed/NULL
+    judgment labels drop, the conservative default."""
+    from crawler_spark.functions.judge import (
+        KEEP_THRESHOLD,
+        judge_udf,
+        parse_judgment,
+    )
+
+    j = docs.withColumn("raw", judge_udf()(F.col("text"))).withColumn(
+        "j", parse_judgment("raw")
+    )
+    return j.select(
+        "doc_id", "text",
+        F.when(F.col("j.score") >= KEEP_THRESHOLD, 1)
+        .otherwise(0).alias("keep"),
+    )
+
+
+def nb_train(labeled: DataFrame) -> DataFrame:
+    """Train the Naive-Bayes quality model on ANY labeled frame
+    ``(doc_id, text, keep∈{0,1})`` — the operator behind
+    clf_distill_train (see its docstring for the algorithm, scale and
+    determinism notes). Returns the model table: one
+    ``(bucket, ck, cd, w_micro)`` row per feature bucket plus the
+    bucket = -1 class-prior row."""
+    feats = _qc_exploded_features(labeled.select("doc_id", "keep", "text"))
+    vocab = (
+        feats.select(_qc_bucket(F.col("feat")).alias("bucket"), "keep")
+        .groupBy("bucket")
+        .agg(
+            F.sum("keep").cast("long").alias("ck"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("cd"),
+        )
+    )
+    consts = vocab.agg(
+        F.sum("ck").cast("double").alias("nk"),
+        F.sum("cd").cast("double").alias("nd"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term = vocab.crossJoin(F.broadcast(consts)).select(
+        "bucket", "ck", "cd",
+        F.round(
+            (F.log(F.col("ck") + 1.0) - F.log(F.col("nk") + F.col("v"))
+             - F.log(F.col("cd") + 1.0) + F.log(F.col("nd") + F.col("v")))
+            * 1e6
+        ).cast("long").alias("w_micro"),
+    )
+    prior = labeled.agg(
+        F.sum("keep").cast("long").alias("dk"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("dd"),
+    ).select(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("dk").alias("ck"),
+        F.col("dd").alias("cd"),
+        F.round(
+            (F.log(F.col("dk") + 1.0) - F.log(F.col("dd") + 1.0)) * 1e6
+        ).cast("long").alias("w_micro"),
+    )
+    return term.unionByName(prior)
+
+
+def nb_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score ANY ``(doc_id, text)`` frame with a trained model table —
+    the operator behind clf_distill_score (see its docstring for the
+    plan shape). Returns (doc_id, n_feats, score_micro, pred_keep).
+
+    The model is materialized ONCE via a bounded collect — it is
+    ≤ _QC_BUCKETS+1 rows BY CONSTRUCTION (the hashing trick bounds
+    the parameter table), so this is the broadcast-small-side rule,
+    not a driver bottleneck. Without it, Spark re-instantiates the
+    whole training DAG (judge UDF projection + feature shuffle) under
+    EVERY branch that consumes the model (weights join, prior join);
+    a production deployment persists the trained table and gets the
+    same effect from the file."""
+    mat = model.sparkSession.createDataFrame(model.collect(), model.schema)
+    weights = mat.where(F.col("bucket") >= 0).select("bucket", "w_micro")
+    prior = mat.where(F.col("bucket") == -1).select(
+        F.col("w_micro").alias("prior_micro")
+    )
+    feats = _qc_exploded_features(docs.select("doc_id", "text")).select(
+        "doc_id", _qc_bucket(F.col("feat")).alias("bucket")
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0)))
+            .cast("long").alias("feat_micro"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(prior)).select(
+        "doc_id", "n_feats",
+        (F.col("feat_micro") + F.col("prior_micro"))
+        .cast("long").alias("score_micro"),
+        (F.col("feat_micro") + F.col("prior_micro") > 0).alias("pred_keep"),
+    )
+
+
+def _qc_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_qc_train_sql``: judge-label the train split of
+    the documents table, train — see clf_distill_train."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return nb_train(
+        _qc_judge_labeled(docs.where(F.col("doc_id") % _QC_HOLD_MOD != 0))
+    )
+
+
+@register("clf_distill_train", oracle=f"""
+        {_qc_train_sql()}
+        ORDER BY bucket
+    """)
+def clf_distill_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier from LLM-judge labels — the
+    distillation step between curation_llm_judge (expensive, runs on a
+    sample) and txt_quality_linear_hashed (cheap, runs on everything).
+    Multinomial Naive Bayes with Laplace smoothing over the SHARED
+    hashed unigram+bigram space (_QC_FEATS_SQL/_qc_exploded_features —
+    retuning the tokenizer or bucket count cannot diverge train from
+    serve): per bucket, keep/drop occurrence counts and the log-odds
+    weight; plus the bucket = -1 class-prior row. NB beats SGD here
+    because training reduces to ONE count aggregation — deterministic
+    on any partitioning and cluster size, which is also what makes it
+    SQL-twinnable.
+
+    Determinism: counts are exact BIGINTs; each ln() runs once per
+    BUCKET on exact integers (never inside a float reduction) and is
+    immediately rounded to an integer micro-weight — the DSIR recipe
+    (sample_importance_dsir), hash-proven across engines.
+
+    Scale shape: labels are an Arrow-batched judge projection over the
+    train split (in production: read back the judge's persisted
+    sample scores); features explode with the label CARRIED, so
+    training is one groupBy(bucket) with map-side combine into a
+    ≤4096-row output — no join anywhere near corpus cardinality. The
+    model table is KBs: broadcastable to any fleet."""
+    return _qc_trained_weights(spark, sf_dir).orderBy("bucket")
+
+
+_QC_SCORE_SQL = f"""
+        WITH trained AS ({_qc_train_sql()}),
+        hold_feats AS (
+            SELECT doc_id, {_QC_BUCKET_SQL} AS bucket
+            FROM ({_QC_FEATS_SQL}) f
+            WHERE doc_id % {_QC_HOLD_MOD} = 0
+        ),
+        per_doc AS (
+            SELECT h.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(COALESCE(t.w_micro, 0)) AS BIGINT) AS feat_micro
+            FROM hold_feats h
+            LEFT JOIN (SELECT bucket, w_micro FROM trained
+                       WHERE bucket >= 0) t USING (bucket)
+            GROUP BY h.doc_id
+        ),
+        prior AS (SELECT w_micro AS prior_micro FROM trained
+                  WHERE bucket = -1)
+        SELECT doc_id, n_feats,
+               CAST(feat_micro + prior_micro AS BIGINT) AS score_micro,
+               feat_micro + prior_micro > 0 AS pred_keep
+        FROM per_doc CROSS JOIN prior
+"""
+
+
+@register("clf_distill_score", oracle=f"""
+        {_QC_SCORE_SQL}
+        ORDER BY doc_id
+    """)
+def clf_distill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the distilled classifier to the held-out split — the
+    corpus-scale serving plan: explode features, broadcast-join the
+    ≤4096-row trained weight table, one exact BIGINT sum per document,
+    add the class prior, threshold at 0. Buckets unseen in training
+    contribute 0 (hashing into 4096 buckets saturates coverage at
+    corpus scale; the prior row carries the class imbalance).
+
+    Scale shape: ONE shuffle (the per-doc agg, map-side combined); the
+    weight join is BroadcastHashJoin by construction and the prior is
+    a 1-row broadcast cross join. Swapping the holdout filter for the
+    full corpus is the production deployment — same plan. Documents
+    with zero features never reach the scorer (explode emits nothing);
+    route them by the n_chars floor upstream (corpus_clean)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    holdout = docs.where(F.col("doc_id") % _QC_HOLD_MOD == 0)
+    return nb_score(
+        holdout, _qc_trained_weights(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+@register("clf_distill_eval", oracle=f"""
+        WITH scored AS ({_QC_SCORE_SQL}),
+        labels AS ({_qc_label_sql(f"doc_id % {_QC_HOLD_MOD} = 0")}),
+        cells AS (
+            SELECT CAST(SUM(CASE WHEN pred_keep AND keep = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN pred_keep AND keep = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN NOT pred_keep AND keep = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN NOT pred_keep AND keep = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM scored JOIN labels USING (doc_id)
+        )
+        SELECT tp + fp + fn + tn AS n_docs, tp, fp, fn, tn,
+               round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+                   AS accuracy,
+               round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)
+                   AS precision,
+               round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6)
+                   AS recall
+        FROM cells
+    """)
+def clf_distill_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout confusion matrix of the distilled classifier against
+    the judge it was trained to imitate — the accept/reject gate of a
+    distillation run (FineWeb-Edu publishes exactly this check before
+    trusting the cheap model at scale). One row: counts, accuracy,
+    precision, recall (6dp, NULL when a denominator is empty).
+
+    HONEST CEILING: the stub judge's score is an md5 of the whole
+    text — pseudo-random noise with respect to bag-of-features, so no
+    classifier can beat the base rate here and accuracy ≈ the keep
+    prior (~0.7). What this query verifies is the measurement plumbing
+    and determinism; tests/test_mlprep.py additionally proves the SAME
+    trainer reaches ≥0.95 holdout accuracy when labels carry a real
+    lexical signal (a vocabulary-split corpus), so the ceiling is the
+    stub's, not the trainer's.
+
+    Scale: both inputs are per-doc frames joined on uniform doc_id;
+    the final agg is a single all-reduce row."""
+    preds = clf_distill_score(spark, sf_dir).select("doc_id", "pred_keep")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = _qc_judge_labeled(
+        docs.where(F.col("doc_id") % _QC_HOLD_MOD == 0)
+    ).select("doc_id", "keep")
+    joined = preds.join(labels, "doc_id")
+    cells = joined.agg(
+        F.sum(F.when(F.col("pred_keep") & (F.col("keep") == 1), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("pred_keep") & (F.col("keep") == 0), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~F.col("pred_keep") & (F.col("keep") == 1), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~F.col("pred_keep") & (F.col("keep") == 0), 1)
+              .otherwise(0)).cast("long").alias("tn"),
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return cells.select(
+        n.alias("n_docs"), "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")).cast("double") / n, 6)
+        .alias("accuracy"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall"),
     )
 
 

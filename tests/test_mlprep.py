@@ -510,3 +510,76 @@ class TestUnimaxQuotas:
                 for lang in q:
                     assert q[lang].quota >= prev[lang].quota, (lang, x)
             prev = q
+
+
+class TestClassifierDistillation:
+    """The NB trainer/scorer operators behind clf_distill_* — the
+    registered queries' oracle parity proves engine-equivalence on the
+    stub judge's (unlearnable, md5-noise) labels; these tests prove
+    the trainer actually LEARNS when labels carry lexical signal, the
+    property the registered eval's ceiling note defers to."""
+
+    def _corpus(self, spark, n=400):
+        # two disjoint vocabularies; label = which vocabulary wrote the
+        # doc. doc_id striping keeps both classes in train AND holdout
+        # under the % 5 split used by the registered queries.
+        keep_words = ["theorem", "lemma", "proof", "integral", "matrix"]
+        drop_words = ["click", "subscribe", "sale", "winner", "casino"]
+        rows = []
+        for i in range(n):
+            words = keep_words if i % 2 == 0 else drop_words
+            text = " ".join(words[(i + j) % 5] for j in range(12))
+            rows.append((i, text, 1 - (i % 2)))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, keep int"
+        )
+
+    def test_learns_separable_vocabulary(self, spark):
+        from crawler_spark.plans.queries_mlprep import nb_score, nb_train
+
+        corpus = self._corpus(spark)
+        train = corpus.where("doc_id % 5 != 0")
+        hold = corpus.where("doc_id % 5 = 0")
+        model = nb_train(train)
+        scored = nb_score(hold.select("doc_id", "text"), model)
+        joined = {r.doc_id: r for r in
+                  scored.join(hold.select("doc_id", "keep"),
+                              "doc_id").collect()}
+        assert len(joined) == hold.count()
+        acc = sum(
+            int(r.pred_keep) == r.keep for r in joined.values()
+        ) / len(joined)
+        assert acc >= 0.95, f"separable-label holdout accuracy {acc}"
+
+    def test_model_table_shape_and_prior(self, spark):
+        from crawler_spark.plans.queries_mlprep import _QC_BUCKETS, nb_train
+
+        model = nb_train(self._corpus(spark, n=60)).collect()
+        priors = [r for r in model if r.bucket == -1]
+        feats = [r for r in model if r.bucket >= 0]
+        assert len(priors) == 1
+        # balanced corpus → prior log-odds ~ ln(31/31) = 0 (30 keep /
+        # 30 drop docs in n=60: ids 0..59, evens keep)
+        assert priors[0].ck == 30 and priors[0].cd == 30
+        assert priors[0].w_micro == 0
+        assert 0 < len(feats) <= _QC_BUCKETS
+        assert all(r.ck + r.cd > 0 for r in feats)
+        # a keep-vocabulary bucket must carry positive weight, a
+        # drop-vocabulary bucket negative
+        assert max(r.w_micro for r in feats) > 0
+        assert min(r.w_micro for r in feats) < 0
+
+    def test_score_covers_exactly_docs_with_features(self, spark):
+        from crawler_spark.plans.queries_mlprep import nb_score, nb_train
+
+        corpus = self._corpus(spark, n=40)
+        model = nb_train(corpus)
+        docs = spark.createDataFrame(
+            [(1000, "theorem proof"), (1001, ""), (1002, None)],
+            "doc_id long, text string",
+        )
+        out = nb_score(docs, model).collect()
+        # featureless docs (empty/NULL text) are not scored — routed
+        # upstream by the n_chars floor, per the query docstring
+        assert [r.doc_id for r in out] == [1000]
+        assert out[0].pred_keep

@@ -534,3 +534,21 @@ def test_gopher_repetition_zero_shuffle(spark):
     assert not re.findall(r"\(\d+\) Exchange", plan), (
         "repetition metrics grew a shuffle"
     )
+
+
+def test_distill_score_single_shuffle_broadcast_model(spark):
+    """clf_distill_score is explode → BroadcastHashJoin against the
+    materialized ≤4097-row model → ONE map-side-combined per-doc agg
+    (+ the output sort): at most TWO exchanges, no sort-merge join.
+    A regression that re-instantiates the training DAG under each
+    model branch shows up as extra exchanges/Generates — that plan
+    runs the judge UDF projection ~4× per scoring job."""
+    import re
+
+    plan = plan_text(_QUERIES["clf_distill_score"](spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_ex <= 2, f"distill scoring acquired extra shuffles ({n_ex})"
+    assert n_gen == 1, f"feature explode runs {n_gen}x"
+    assert "BroadcastHashJoin" in plan, "model join is not broadcast"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
