@@ -340,6 +340,10 @@ _INVARIANCE_QUERIES = [
     # all claiming partitioning-independent answers
     "curation_url_blocklist_big", "multimodal_phash_neardup",
     "search_mmr_rerank", "txt_compression_ratio",
+    # r9: NB distillation — training is exact count aggregation, the
+    # ln() runs once per bucket on exact integers (never in a float
+    # reduction), scoring sums integer micro-weights as BIGINT
+    "clf_distill_train", "clf_distill_score", "clf_distill_eval",
 ]
 
 
