@@ -704,11 +704,10 @@ _QC_WEIGHTED_SQL = f"""
 """
 
 
-def _qc_exploded_features(docs: DataFrame) -> DataFrame:
-    """The classifier feature stream: one row per unigram + word-bigram
-    occurrence, ``(doc_id, feat)`` plus any other columns of ``docs``
-    carried through (labels ride along so training never needs a
-    doc_id join back). Spark twin of ``_QC_FEATS_SQL``."""
+def _qc_features_array() -> F.Column:
+    """Unigram + word-bigram feature array over the ``text`` column —
+    the single Spark twin of ``_QC_FEATS_SQL``'s UNION, shared by the
+    serving explode and the training bucket stream."""
     def _feats(arr: F.Column) -> F.Column:
         n = F.size(arr)
         bigrams = F.zip_with(
@@ -723,9 +722,16 @@ def _qc_exploded_features(docs: DataFrame) -> DataFrame:
 
     # token array bound once (X.bind_once): the zip_with HOF blocks
     # codegen CSE, so the unbound form re-tokenized ~6x per row
-    feats = X.bind_once(X.tokenize("text"), _feats)
+    return X.bind_once(X.tokenize("text"), _feats)
+
+
+def _qc_exploded_features(docs: DataFrame) -> DataFrame:
+    """The classifier feature stream: one row per unigram + word-bigram
+    occurrence, ``(doc_id, feat)`` plus any other columns of ``docs``
+    carried through (labels ride along so training never needs a
+    doc_id join back)."""
     carried = [c for c in docs.columns if c != "text"]
-    return docs.select(*carried, F.explode(feats).alias("feat"))
+    return docs.select(*carried, F.explode(_qc_features_array()).alias("feat"))
 
 
 def _qc_bucket(feat: F.Column) -> F.Column:
@@ -893,41 +899,53 @@ def nb_train(labeled: DataFrame) -> DataFrame:
     clf_distill_train (see its docstring for the algorithm, scale and
     determinism notes). Returns the model table: one
     ``(bucket, ck, cd, w_micro)`` row per feature bucket plus the
-    bucket = -1 class-prior row."""
-    feats = _qc_exploded_features(labeled.select("doc_id", "keep", "text"))
-    vocab = (
-        feats.select(_qc_bucket(F.col("feat")).alias("bucket"), "keep")
-        .groupBy("bucket")
-        .agg(
-            F.sum("keep").cast("long").alias("ck"),
-            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("cd"),
-        )
+    bucket = -1 class-prior row.
+
+    The prior is NOT a separate aggregate over the labeled frame —
+    that plan re-instantiates the judge-labeling projection under a
+    second scan (review-found: two ArrowEvalPython runs per training
+    job, i.e. 2N model calls on a judged sample of N). Instead every
+    doc emits one sentinel bucket = -1 alongside its feature buckets
+    inside the SAME explode, so one exchange feeds vocab, consts and
+    prior, AQE's ReusedExchange dedups the consumers, and the judge
+    runs exactly once (plan-asserted in tests/test_plan_shapes.py)."""
+    buckets = F.concat(
+        F.coalesce(
+            F.transform(_qc_features_array(), _qc_bucket),
+            F.array().cast("array<long>"),
+        ),
+        F.array(F.lit(-1).cast("long")),
     )
+    occ = labeled.select("keep", F.explode(buckets).alias("bucket"))
+    vocab = occ.groupBy("bucket").agg(
+        F.sum("keep").cast("long").alias("ck"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("cd"),
+    )
+    # conditional aggregation, NOT .where(bucket >= 0): a filter gets
+    # pushed below the aggregate and the consts branch's exchange no
+    # longer textually matches vocab's, defeating ReusedExchange — the
+    # judge would run once per branch again
+    is_feat = F.col("bucket") >= 0
     consts = vocab.agg(
-        F.sum("ck").cast("double").alias("nk"),
-        F.sum("cd").cast("double").alias("nd"),
-        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(F.when(is_feat, F.col("ck"))).cast("double").alias("nk"),
+        F.sum(F.when(is_feat, F.col("cd"))).cast("double").alias("nd"),
+        F.sum(F.when(is_feat, 1)).cast("double").alias("v"),
     )
-    term = vocab.crossJoin(F.broadcast(consts)).select(
+    return vocab.crossJoin(F.broadcast(consts)).select(
         "bucket", "ck", "cd",
-        F.round(
-            (F.log(F.col("ck") + 1.0) - F.log(F.col("nk") + F.col("v"))
-             - F.log(F.col("cd") + 1.0) + F.log(F.col("nd") + F.col("v")))
-            * 1e6
+        F.when(
+            F.col("bucket") == -1,
+            F.round(
+                (F.log(F.col("ck") + 1.0) - F.log(F.col("cd") + 1.0)) * 1e6
+            ),
+        ).otherwise(
+            F.round(
+                (F.log(F.col("ck") + 1.0) - F.log(F.col("nk") + F.col("v"))
+                 - F.log(F.col("cd") + 1.0)
+                 + F.log(F.col("nd") + F.col("v"))) * 1e6
+            )
         ).cast("long").alias("w_micro"),
     )
-    prior = labeled.agg(
-        F.sum("keep").cast("long").alias("dk"),
-        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("dd"),
-    ).select(
-        F.lit(-1).cast("long").alias("bucket"),
-        F.col("dk").alias("ck"),
-        F.col("dd").alias("cd"),
-        F.round(
-            (F.log(F.col("dk") + 1.0) - F.log(F.col("dd") + 1.0)) * 1e6
-        ).cast("long").alias("w_micro"),
-    )
-    return term.unionByName(prior)
 
 
 def nb_score(docs: DataFrame, model: DataFrame) -> DataFrame:

@@ -552,3 +552,24 @@ def test_distill_score_single_shuffle_broadcast_model(spark):
     assert n_gen == 1, f"feature explode runs {n_gen}x"
     assert "BroadcastHashJoin" in plan, "model join is not broadcast"
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_distill_train_judges_once(spark):
+    """nb_train labels N sample docs with the judge and must COST N
+    judge calls: the class prior rides the same explode as the
+    feature buckets (sentinel bucket = -1), so the AQE-final plan has
+    exactly ONE ArrowEvalPython judge projection — a second one means
+    a branch re-scans the unpersisted labeled frame and a production
+    run pays 2N model calls (review-found regression shape)."""
+    df = _QUERIES["clf_distill_train"](spark, SF)
+    df.collect()  # AQE finalizes the plan (ReusedExchange visible)
+    plan = plan_text(df)
+    # count inside the FINAL plan tree only — formatted explain of a
+    # finalized AdaptiveSparkPlan appends the pre-AQE "Initial Plan"
+    # (where the duplicate is expected: reuse happens at runtime)
+    final = plan.split("== Initial Plan ==")[0]
+    n_udf = final.count("ArrowEvalPython")
+    assert n_udf == 1, f"judge projection runs {n_udf}x per training job"
+    assert "ReusedExchange" in final, (
+        "consts branch no longer reuses the vocab exchange"
+    )
