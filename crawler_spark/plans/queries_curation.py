@@ -203,19 +203,35 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary min-id. This is how curation actually resolves dups:
     among near-identical crawls keep the most complete capture.
 
-    Same scale shape as dedup_exact — one shuffle on the uniform
-    high-cardinality fingerprint; the quality criterion only changes
-    the within-group ORDER BY, swap in any score (model-based quality,
-    recency) without touching the plan.
+    Same scale shape as dedup_exact (see its skew story): the winner
+    per fingerprint comes from a ``min_by`` over a ``groupBy(fp)`` —
+    partial aggregation collapses the hottest duplicate cluster to one
+    row per map partition, where the earlier first/row_number WINDOW
+    buffered the whole cluster in one task (and, because the query
+    emits a verdict for EVERY row rather than filtering rank = 1, the
+    WindowGroupLimit pushdown that rescues the export-pipeline windows
+    can never apply here). The quality criterion is just the min_by
+    ordering struct — swap in any score (model-based quality, recency)
+    without touching the plan; the join back is AQE-skew-split like
+    dedup_exact's. Oracle keeps the window formulation independently.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(X.fingerprint("text")).orderBy(
-        F.length("text").desc(), F.col("doc_id")
+    fps = docs.select(
+        "doc_id", F.length("text").alias("n"),
+        X.fingerprint("text").alias("fp"),
     )
-    return docs.select(
-        "doc_id",
-        F.first("doc_id").over(w).alias("kept_id"),
-        (F.row_number().over(w) == 1).alias("is_kept"),
+    groups = fps.groupBy("fp").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("n")).alias("nl"), F.col("doc_id"))
+        ).alias("kept_id")
+    )
+    # null-safe key: NULL fingerprints form one class under the
+    # window's PARTITION BY; the join-back must keep matching them
+    return fps.join(
+        groups, fps["fp"].eqNullSafe(groups["fp"])
+    ).select(
+        "doc_id", "kept_id",
+        (F.col("doc_id") == F.col("kept_id")).alias("is_kept"),
     )
 
 

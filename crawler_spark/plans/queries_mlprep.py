@@ -404,23 +404,33 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survivorship — one scan, one window over the fingerprint,
     everything else a projection. Each ingredient is itself an
     oracle-checked query (txt_token_stats, txt_quality_score,
-    dedup_exact); this proves they compose."""
+    dedup_exact); this proves they compose.
+
+    Survivorship is ``row_number() = 1`` (first doc_id per
+    fingerprint), NOT ``min(doc_id) OVER`` + equality: the rank filter
+    is what Spark's WindowGroupLimit pushdown recognizes, inserting a
+    map-side per-key limit so the hottest duplicate cluster ships at
+    most one row per map partition into the window shuffle — the
+    min-compare form buffers the entire hot cluster in one task
+    (dedup_exact's skew story; plan-locked in test_plan_shapes.py).
+    The SQL oracle keeps the min() formulation — same survivors,
+    independent derivation."""
     from crawler_spark.functions import text as X
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(X.fingerprint("text"))
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
     scored = docs.select(
         "doc_id",
         "n_chars",
         X.word_token_count("text").alias("n_tokens"),
-        F.min("doc_id").over(w).alias("canonical_id"),
+        F.row_number().over(w).alias("rn"),
     )
     return (
         scored.filter(
-            (F.col("n_chars") >= 200)
+            (F.col("rn") == 1)
+            & (F.col("n_chars") >= 200)
             & (F.col("n_tokens") >= 30)
             & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0)
-            & (F.col("canonical_id") == F.col("doc_id"))
         )
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")

@@ -242,30 +242,44 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied with a row_number window BEFORE any collect_list, so per-
     token state is bounded even for tokens present in every document —
     the collect-then-slice shape would buffer the full postings list for
-    "the"-class tokens and OOM at corpus scale. One shuffle on token
-    (shared by both window specs), then a pre-capped groupBy. The
-    postings list is emitted as a '|'-joined STRING (doc_ids render
-    identically as integers in both engines) because the driver's
-    canonicalizer cannot hash top-level ARRAY cells (round-3 error);
-    local tests split the string to keep element-wise assertions."""
+    "the"-class tokens and OOM at corpus scale.
+
+    Token frequency is ZIPFIAN — the textbook skewed key — so the two
+    per-token computations take the two skew-safe shapes: df is a
+    ``groupBy`` count (partial aggregation collapses "the" to one row
+    per map partition; an earlier ``count OVER (PARTITION BY token)``
+    buffered the full hot partition in one task, and its presence in
+    the window set also blocked the rank pushdown below), and the cap
+    is a PURE row_number window whose ``rn <= cap`` filter Spark
+    rewrites to a WindowGroupLimit — a map-side per-key top-k, so at
+    most cap rows per token per map partition ever ship into the
+    window shuffle (plan-locked in test_plan_shapes.py). The final
+    equi-join marries two 1-row-per-token frames. The postings list is
+    emitted as a '|'-joined STRING (doc_ids render identically as
+    integers in both engines) because the driver's canonicalizer
+    cannot hash top-level ARRAY cells (round-3 error); local tests
+    split the string to keep element-wise assertions."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(X.tokenize("text"))).alias("token"))
-    w_all = Window.partitionBy("token")
+    dfs = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _MIN_DF)
+    )
     w_ord = Window.partitionBy("token").orderBy("doc_id")
-    capped = (
-        toks
-        .withColumn("df", F.count(F.lit(1)).over(w_all))
-        .withColumn("rn", F.row_number().over(w_ord))
-        .where((F.col("df") >= _MIN_DF) & (F.col("rn") <= _POSTINGS_CAP))
+    posts = (
+        toks.withColumn("rn", F.row_number().over(w_ord))
+        .where(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                "|",
+            ).alias("postings")
+        )
     )
-    return capped.groupBy("token").agg(
-        F.first("df").alias("df"),
-        F.array_join(
-            F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
-            "|",
-        ).alias("postings"),
-    )
+    return dfs.join(posts, "token").select("token", "df", "postings")
 
 
 # --- compression-ratio quality signal (rows-only: needs zlib) -------------

@@ -105,17 +105,34 @@ def f8_base64_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via hash-groupBy on the content fingerprint: every
-    row mapped to the minimum doc_id of its fingerprint class. At scale
-    this is one shuffle on the (high-cardinality, uniform) fingerprint —
-    no skew, map-side combine applies."""
+    """Exact dedup verdict for EVERY row: the minimum doc_id of its
+    fingerprint class plus an is_duplicate flag.
+
+    Skew story (the txt_line_dedup lesson applied at doc granularity):
+    the hottest fingerprint is, by the operator's own premise, the
+    most-duplicated page on the web — empty bodies, error templates —
+    with cluster sizes in the 10⁷s at 100 TB. An earlier form computed
+    ``min/count OVER (PARTITION BY fp)``; WindowExec gets NO partial
+    aggregation, so every copy of the hot fingerprint landed in one
+    task. Now: ``groupBy(fp)`` (partial agg collapses each hot cluster
+    to one row per map partition) then a shuffle equi-join back to
+    re-attach per-doc rows — the join's probe side is still skewed on
+    the hot fp, but AQE skew-join splits oversized partitions at
+    runtime (joins get that mitigation; windows never do). Costs one
+    more exchange than the window form at fixture scale, survives
+    1000× where the window OOMs one task. The SQL oracle keeps the
+    window formulation — same answer, independent derivation."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(X.fingerprint("text"))
-    return docs.select(
-        "doc_id",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        (F.count(F.lit(1)).over(w) > 1).alias("is_duplicate"),
+    fps = docs.select("doc_id", X.fingerprint("text").alias("fp"))
+    groups = fps.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        (F.count(F.lit(1)) > 1).alias("is_duplicate"),
     )
+    # null-safe key: PARTITION BY groups NULL fingerprints into one
+    # class (both engines), so the join-back must match them too
+    return fps.join(
+        groups, fps["fp"].eqNullSafe(groups["fp"])
+    ).select("doc_id", "canonical_id", "is_duplicate")
 
 
 # --- n-gram Jaccard near-dup pairs ----------------------------------------

@@ -237,14 +237,19 @@ def test_ragprep_projections_zero_shuffle(spark, name):
     assert "HashAggregate" not in plan, f"{name} acquired an aggregate"
 
 
-def test_inverted_index_single_token_shuffle(spark):
-    """inverted_index_postings: the row_number cap window and the
-    postings groupBy must SHARE one hashpartitioning(token) exchange —
-    a second hash exchange means the groupBy stopped reusing the
-    window's partitioning and the corpus token stream shuffles twice."""
+def test_inverted_index_two_token_shuffles(spark):
+    """inverted_index_postings: exactly TWO hashpartitioning(token)
+    exchanges — the df groupBy (map-side-combined, skew-immune) and
+    the rank-capped window (WindowGroupLimit-bounded). The old
+    single-exchange form computed df as count OVER the token window,
+    which buffered the full "the"-class partition in one task AND
+    blocked the rank pushdown; one extra bounded exchange buys skew
+    immunity on a Zipfian key. A third exchange would mean the final
+    join or the postings groupBy stopped reusing the token
+    partitioning."""
     plan = plan_text(_QUERIES["inverted_index_postings"](spark, SF))
     n = plan.count("Arguments: hashpartitioning")
-    assert n == 1, f"expected 1 hash exchange on token, found {n}"
+    assert n <= 2, f"expected <=2 hash exchanges on token, found {n}"
 
 
 def test_ngram_pairs_reuse_shingle_exchange(spark):
@@ -572,4 +577,34 @@ def test_distill_train_judges_once(spark):
     assert n_udf == 1, f"judge projection runs {n_udf}x per training job"
     assert "ReusedExchange" in final, (
         "consts branch no longer reuses the vocab exchange"
+    )
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "dedup_keep_best"])
+def test_exact_dedup_no_fingerprint_window(spark, name):
+    """Exact-dedup verdicts emit a row for EVERY doc, so the per-class
+    aggregate must be a groupBy (partial agg collapses the hottest
+    duplicate cluster map-side) joined back — never min/first OVER
+    (PARTITION BY fp), which buffers the whole hot cluster in one
+    WindowExec task and gets no WindowGroupLimit rescue because no
+    rank filter exists. Joins get AQE skew-splitting; windows don't."""
+    import re
+
+    plan = plan_text(_QUERIES[name](spark, SF))
+    assert not re.search(r"\) Window", plan), (
+        f"{name}: fingerprint window is back (skewed-key window)"
+    )
+    assert "Join" in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["corpus_clean", "inverted_index_postings"])
+def test_rank_filter_pushes_window_group_limit(spark, name):
+    """First-per-fingerprint / first-cap-per-token selection must be a
+    row_number + rank FILTER so Spark inserts WindowGroupLimit — a
+    map-side per-key top-k that bounds what the hottest key ships into
+    the window shuffle. The min()-compare / count-over forms don't
+    qualify and buffer the full hot partition in one task."""
+    plan = plan_text(_QUERIES[name](spark, SF))
+    assert "WindowGroupLimit" in plan, (
+        f"{name}: rank filter no longer pushes down as WindowGroupLimit"
     )
