@@ -639,15 +639,24 @@ def dedup_repeated_spans(
 
     Returns (id_col, text_clean, n_spans, n_removed).
 
-    Scale shape: two shuffles, both keyed fine-grained —
-      * first-occurrence ranking shuffles on the span STRING itself
-        (not a 64-bit hash: a hash collision here would delete a
-        unique span, the unsafe direction for a destructive rewrite;
-        the span text must travel to the reassembly anyway, so exact
-        keys cost no extra shuffle bytes, only key-compare width);
-      * reassembly shuffles on the doc id. Both keys are high-
-        cardinality and uniform; the hottest span key carries one row
-        per *duplicate*, which is exactly the data being deleted.
+    Scale shape: three shuffles, all keyed fine-grained —
+      * first-occurrence selection is a ``groupBy(span)`` struct-min
+        (NOT a row_number window: the hottest span is by premise the
+        boilerplate block repeated across a huge share of documents,
+        and because every span row needs a kept/dropped VERDICT — not
+        a survivors-only filter — no rank-filter pushdown exists, so
+        a window would buffer the entire hot span class in one
+        WindowExec task; the groupBy's partial aggregation collapses
+        it to one row per map partition — the dedup_exact skew story
+        at span granularity). Keys are the span STRING itself, not a
+        64-bit hash: a hash collision here would delete a unique
+        span, the unsafe direction for a destructive rewrite, and the
+        span text must travel to the reassembly anyway;
+      * the null-safe join-back distributing each class's winner to
+        its rows — the probe side stays skewed on the hot span, but
+        AQE skew-join splits oversized partitions, a mitigation
+        windows never get;
+      * reassembly shuffles on the doc id (high-card, uniform).
     The per-doc state is one (idx, kept, span) struct per span —
     bounded by document length, never corpus-global.
     """
@@ -673,8 +682,22 @@ def dedup_repeated_spans(
     ).select(
         id_col, "span_idx", F.array_join("span_toks", " ").alias("span")
     )
-    first = Window.partitionBy("span").orderBy(id_col, "span_idx")
-    marked = spans.withColumn("kept", F.row_number().over(first) == 1)
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("fo")
+    )
+    marked = (
+        spans.alias("s")
+        .join(firsts.alias("f"),
+              F.col("s.span").eqNullSafe(F.col("f.span")))
+        .select(
+            F.col(f"s.{id_col}").alias(id_col),
+            F.col("s.span_idx").alias("span_idx"),
+            F.col("s.span").alias("span"),
+            ((F.col(f"s.{id_col}") == F.col(f"f.fo.{id_col}"))
+             & (F.col("s.span_idx") == F.col("f.fo.span_idx")))
+            .alias("kept"),
+        )
+    )
     assembled = F.array_join(
         F.transform(
             F.filter(
