@@ -785,17 +785,31 @@ def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is deterministic: the hash is md5-derived (identical in
     both engines, the CMS convention), sketches are sorted bottom-k
     arrays, and outputs are micro-unit quantized (the Holt convention)
-    so no rounding boundary can split the engines. Scale shape: one
-    groupBy(event_type) whose per-group state is EXACTLY k longs
-    (bounded by construction, mergeable by sort-merge — partial
-    aggregation works because bottom-k of bottom-k unions is bottom-k);
-    the pair stage joins T sketch rows, T = type cardinality."""
+    so no rounding boundary can split the engines. Scale shape:
+    distinct (type, hash) pairs (map-side-combined dedup), then a
+    rank-per-type window whose ``rn <= k`` filter pushes down as
+    WindowGroupLimit — a map-side per-key bottom-k, so the hottest
+    event type ships at most k rows per map partition — and a final
+    collect of exactly ≤k longs per type. An earlier form sliced a
+    ``collect_set`` AFTER aggregation, which buffered the FULL
+    distinct-user set of the hottest type in one aggregation buffer —
+    the docstring claimed bounded state the plan didn't have
+    (review-found; the operators/sketch.py bottom-k discipline, now
+    applied here and plan-locked). The pair stage joins T sketch rows,
+    T = type cardinality."""
     ev = load_table(spark, sf_dir, "events")
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    sk = ev.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.collect_set(h)), 1, _KMV_K).alias("kmv"))
+    w_rank = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        ev.select("event_type", h.alias("h"))
+        .dropDuplicates(["event_type", "h"])
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
     pairs = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(

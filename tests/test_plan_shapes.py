@@ -617,3 +617,15 @@ def test_rank_filter_pushes_window_group_limit(spark, name):
         f"{name}: rank filter no longer pushes down as WindowGroupLimit"
     )
 
+
+
+def test_kmv_sketch_bottom_k_pushes_down(spark):
+    """ev_kmv_distinct_intersect builds each type's bottom-k via
+    dropDuplicates + row_number + rank FILTER so WindowGroupLimit
+    bounds what the hottest type ships (map-side per-key bottom-k).
+    A collect_set-then-slice regression buffers the full distinct-user
+    set of the hottest type in one aggregation buffer."""
+    plan = plan_text(_QUERIES["ev_kmv_distinct_intersect"](spark, SF))
+    assert "WindowGroupLimit" in plan, (
+        "KMV bottom-k no longer pushes down as WindowGroupLimit"
+    )
