@@ -583,3 +583,77 @@ class TestClassifierDistillation:
         # upstream by the n_chars floor, per the query docstring
         assert [r.doc_id for r in out] == [1000]
         assert out[0].pred_keep
+
+    def test_matches_pure_python_reference(self, spark):
+        """Second independent check beside the DuckDB oracle: a pure
+        python NB (same md5 bucket hash, ASCII \\W+ tokenizer, HALF_UP
+        micro-rounding) must agree EXACTLY with the distributed
+        trainer and scorer on a corpus with overlapping vocabulary."""
+        import hashlib
+        import math
+        import re
+
+        from crawler_spark.plans.queries_mlprep import (
+            _QC_BUCKETS,
+            nb_score,
+            nb_train,
+        )
+
+        noise = ["the", "and", "page", "with", "data"]
+        keep_w = ["theorem", "proof", "matrix"]
+        drop_w = ["casino", "sale", "winner"]
+        rows = []
+        for i in range(120):
+            sig = keep_w if i % 2 == 0 else drop_w
+            words = [sig[(i + j) % 3] if j % 2 else noise[(i + j) % 5]
+                     for j in range(9)]
+            rows.append((i, " ".join(words), 1 - (i % 2)))
+        labeled = spark.createDataFrame(
+            rows, "doc_id long, text string, keep int")
+
+        def feats(text):
+            ts = [t for t in re.split(r"\W+", text.lower(), flags=re.ASCII)
+                  if t]
+            return ts + [f"{a}_{b}" for a, b in zip(ts, ts[1:])]
+
+        def bucket(f):
+            return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % _QC_BUCKETS
+
+        def rnd(x):  # Spark F.round = HALF_UP (away from zero)
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+        ck, cd = {}, {}
+        dk = dd = 0
+        for _i, text, keep in rows:
+            dk += keep
+            dd += 1 - keep
+            for f in feats(text):
+                b = bucket(f)
+                (ck if keep else cd)[b] = (ck if keep else cd).get(b, 0) + 1
+        buckets = sorted(set(ck) | set(cd))
+        nk, nd, v = sum(ck.values()), sum(cd.values()), len(buckets)
+        ref_w = {
+            b: rnd((math.log(ck.get(b, 0) + 1.0) - math.log(nk + v)
+                    - math.log(cd.get(b, 0) + 1.0) + math.log(nd + v)) * 1e6)
+            for b in buckets
+        }
+        ref_w[-1] = rnd((math.log(dk + 1.0) - math.log(dd + 1.0)) * 1e6)
+
+        model = nb_train(labeled)
+        got = {r.bucket: r.w_micro for r in model.collect()}
+        assert got == ref_w
+
+        probe = spark.createDataFrame(
+            [(900, rows[0][1]), (901, rows[1][1]),
+             (902, "theorem casino the")],
+            "doc_id long, text string",
+        )
+        ref_scores = {
+            doc_id: sum(ref_w.get(bucket(f), 0) for f in feats(text))
+            + ref_w[-1]
+            for doc_id, text in
+            [(900, rows[0][1]), (901, rows[1][1]), (902, "theorem casino the")]
+        }
+        for r in nb_score(probe, model).collect():
+            assert r.score_micro == ref_scores[r.doc_id], r
+            assert r.pred_keep == (ref_scores[r.doc_id] > 0)

@@ -344,6 +344,11 @@ _INVARIANCE_QUERIES = [
     # ln() runs once per bucket on exact integers (never in a float
     # reduction), scoring sums integer micro-weights as BIGINT
     "clf_distill_train", "clf_distill_score", "clf_distill_eval",
+    # r9 skew-safety rewrites: groupBy+join / WindowGroupLimit forms
+    # must answer identically to the windows they replaced on any
+    # partitioning (exact keys, struct-min tie-breaks, rank filters)
+    "dedup_exact", "dedup_keep_best", "dedup_repeated_spans",
+    "inverted_index_postings", "ev_kmv_distinct_intersect",
 ]
 
 
