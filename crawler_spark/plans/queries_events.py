@@ -804,6 +804,12 @@ def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("event_type").orderBy("h")
     sk = (
         ev.select("event_type", h.alias("h"))
+        # NULL user_id hashes to NULL: drop BEFORE ranking — NULLS
+        # sort FIRST ascending, so a surviving NULL would consume a
+        # bottom-k slot that collect_list then silently skips,
+        # shrinking the sketch (review-found; collect_set and the
+        # oracle's list_distinct both strip NULLs)
+        .where(F.col("h").isNotNull())
         .dropDuplicates(["event_type", "h"])
         .withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= _KMV_K)

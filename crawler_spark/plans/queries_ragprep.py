@@ -268,18 +268,26 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= _MIN_DF)
     )
     w_ord = Window.partitionBy("token").orderBy("doc_id")
-    posts = (
-        toks.withColumn("rn", F.row_number().over(w_ord))
-        .where(F.col("rn") <= _POSTINGS_CAP)
+    capped = toks.withColumn("rn", F.row_number().over(w_ord)).where(
+        F.col("rn") <= _POSTINGS_CAP
+    )
+    # join the df table BEFORE the postings aggregate (both sides are
+    # already token-partitioned — no extra exchange): the sub-_MIN_DF
+    # Zipf tail, the majority of distinct tokens, drops here instead
+    # of paying collect_list/sort/join-string work the final join
+    # would discard (review-found)
+    return (
+        capped.join(dfs, "token")
         .groupBy("token")
         .agg(
+            F.first("df").alias("df"),
             F.array_join(
                 F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
                 "|",
-            ).alias("postings")
+            ).alias("postings"),
         )
+        .select("token", "df", "postings")
     )
-    return dfs.join(posts, "token").select("token", "df", "postings")
 
 
 # --- compression-ratio quality signal (rows-only: needs zlib) -------------

@@ -249,7 +249,7 @@ def test_inverted_index_two_token_shuffles(spark):
     partitioning."""
     plan = plan_text(_QUERIES["inverted_index_postings"](spark, SF))
     n = plan.count("Arguments: hashpartitioning")
-    assert n <= 2, f"expected <=2 hash exchanges on token, found {n}"
+    assert n == 2, f"expected exactly 2 hash exchanges on token, found {n}"
 
 
 def test_ngram_pairs_reuse_shingle_exchange(spark):
