@@ -14,8 +14,25 @@ truncates the lineage exactly as the closure operators do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _exact_sum(c: Column | str) -> Column:
+    """Order-independent float reduction: each double is cast to
+    DECIMAL(38,18) (a deterministic per-row rounding), summed EXACTLY
+    (decimal addition is associative — partial-aggregation combine
+    order cannot move the total), and cast back to double once. The
+    registry's money-math rule applied to the iterative walks: with
+    every per-round reduction exact, PageRank/HITS/PPR ranks are
+    bit-reproducible on ANY partitioning and cluster size — which is
+    what lets graph_influence_ppr carry a pinned value oracle at data
+    scale. The truncation at 1e-18 per term is the documented,
+    deterministic price (ranks are probabilities ≤ 1; DECIMAL(38,18)
+    leaves 20 integer digits — no overflow for any real graph).
+    NULL-preserving like ``F.sum``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
 
 
 def pagerank(
@@ -86,11 +103,11 @@ def pagerank(
         # iteration's joins with no error
         init_dedup = (
             init_ranks.select(F.col("id"), F.col("rank").alias("r0"))
-            .groupBy("id").agg(F.sum("r0").alias("r0"))
+            .groupBy("id").agg(_exact_sum("r0").alias("r0"))
         )
         seeded = nodes.join(init_dedup, "id", "left").select(
             "id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
-        total = seeded.agg(F.sum("r0").alias("t"))
+        total = seeded.agg(_exact_sum("r0").alias("t"))
         ranks = (
             seeded.crossJoin(F.broadcast(total))
             .select("id", (F.col("r0") / F.col("t")).alias("rank"))
@@ -106,14 +123,14 @@ def pagerank(
         # a synchronizing job per iteration
         dang = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(out_deg, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
+            .agg(_exact_sum("c").alias("in_mass"))
         )
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
@@ -135,7 +152,7 @@ def pagerank(
             delta = (
                 ranks.join(
                     prev.withColumnRenamed("rank", "prev_rank"), "id")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+                .agg(_exact_sum(F.abs(F.col("rank") - F.col("prev_rank")))
                      .alias("d"))
                 .first()["d"]
             )
@@ -205,7 +222,7 @@ def hits(
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         norm = df.agg(
-            F.sqrt(F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0)))
+            F.sqrt(F.coalesce(_exact_sum(F.col(col) * F.col(col)), F.lit(0.0)))
             .alias("nrm")
         )
         return (
@@ -222,7 +239,7 @@ def hits(
         return nodes.join(
             e.join(auth_df.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
-            .agg(F.sum("authority").alias("hub")),
+            .agg(_exact_sum("authority").alias("hub")),
             nodes.id == F.col("src"),
             "left",
         ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
@@ -231,7 +248,7 @@ def hits(
         return nodes.join(
             e.join(hub_df.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("hub").alias("authority")),
+            .agg(_exact_sum("hub").alias("authority")),
             nodes.id == F.col("dst"),
             "left",
         ).select("id", F.coalesce("authority", F.lit(0.0)).alias("authority"))
@@ -269,7 +286,7 @@ def hits(
                 delta = (
                     norm.join(
                         prev_norm.withColumnRenamed("authority", "pa"), "id")
-                    .agg(F.sum(
+                    .agg(_exact_sum(
                         F.abs(F.col("authority") - F.col("pa"))).alias("d"))
                     .first()["d"]
                 )
@@ -462,14 +479,14 @@ def personalized_pagerank(
         iters_run += 1
         dang = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(out_deg, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
+            .agg(_exact_sum("c").alias("in_mass"))
         )
         ranks = (
             p.join(contribs, p.id == contribs.dst, "left")
@@ -491,7 +508,7 @@ def personalized_pagerank(
             delta = (
                 ranks.join(
                     prev.withColumnRenamed("rank", "prev_rank"), "id")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+                .agg(_exact_sum(F.abs(F.col("rank") - F.col("prev_rank")))
                      .alias("d"))
                 .first()["d"]
             )

@@ -288,10 +288,20 @@ def refine_centroids(
     nearest-centroid matmul) plus ONE groupBy shuffle whose output is
     exactly ``n_centroids`` rows of per-dimension sums — the corpus
     never moves to the driver, only k×(dims+1) numbers do. The
-    per-dimension ``F.sum(v[i])`` aggregates stay JVM-side with
-    map-side combine (dims is small and fixed), so no per-row Python
-    runs outside the assignment matmul. Empty clusters keep their
-    previous centroid, matching the driver-side trainer."""
+    per-dimension sums stay JVM-side with map-side combine (dims is
+    small and fixed), so no per-row Python runs outside the assignment
+    matmul. Empty clusters keep their previous centroid, matching the
+    driver-side trainer.
+
+    The per-dimension reductions sum DECIMAL(38,18) casts, not raw
+    doubles (operators/graph.py ``_exact_sum`` convention): decimal
+    addition is exact and associative, so the refined centroids — and
+    everything downstream of them (list assignments, probe results,
+    the knn_topk_ivf_refined pinned oracle) — are bit-reproducible on
+    any partitioning and cluster size. Components are ≤ 1 in
+    magnitude (unit vectors), so 20 integer digits can never
+    overflow; the 1e-18 truncation per term is the deterministic
+    price."""
     import numpy as np
 
     dims = len(centroids[0])
@@ -300,7 +310,8 @@ def refine_centroids(
     for _ in range(iters):
         assigned = norm.withColumn("list_id", nearest_centroid_udf(cur)("v"))
         rows = assigned.groupBy("list_id").agg(
-            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
+            *[F.sum(F.col("v")[i].cast("decimal(38,18)")).cast("double")
+              .alias(f"s{i}") for i in range(dims)],
             F.count(F.lit(1)).alias("n"),
         ).collect()  # ≤ n_centroids rows by construction
         nxt = [list(c) for c in cur]

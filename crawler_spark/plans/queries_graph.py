@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.graph import cooccurrence_edges, triangle_stats
+from crawler_spark.plans.oracle_pins import pin_kwargs as _PINS_KW
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -123,7 +124,11 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- seed-cohort influence via personalized PageRank ----------------------
-@register("graph_influence_ppr")  # rows-only: iterative link-analysis
+# iterative link-analysis isn't SQL, but with every per-round
+# reduction DECIMAL-exact (operators/graph.py _exact_sum) the walk is
+# bit-reproducible on any partitioning — pinned as a VALUES regression
+# oracle at the driver's sf0.01 (tools/pin_oracles.py)
+@register("graph_influence_ppr", **_PINS_KW("graph_influence_ppr"))
 def graph_influence_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence of every user RELATIVE to a seed cohort: personalized
     PageRank over the co-occurrence graph, teleporting to the seeds

@@ -316,13 +316,13 @@ def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rows-only BY POLICY (review-found): refine_centroids runs
-# corpus-wide F.sum(double) Lloyd steps whose partial-sum order is
-# partition-dependent — an ulp drift under a different session conf
-# could flip a nearest-centroid argmax, so a cross-session pin would
-# be a latent flake (the same float-merge class that keeps
-# graph_influence_ppr rows-only); probe equality vs the sample-trained
-# index is covered in tests
-@register("knn_topk_ivf_refined")
+# pinnable since the Lloyd steps moved to DECIMAL(38,18)-exact sums
+# (operators/similarity.py refine_centroids): the refined centroids —
+# and the argmax assignments and probe results downstream — are
+# bit-reproducible on any partitioning, so a cross-session VALUES pin
+# can no longer flake on partial-sum order; probe equality vs the
+# sample-trained index is additionally covered in tests
+@register("knn_topk_ivf_refined", **_PINS_KW("knn_topk_ivf_refined"))
 def knn_topk_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the full-corpus refinement pass: sample-seeded
     centroids (the bounded-driver recipe) refined by distributed Lloyd

@@ -349,6 +349,10 @@ _INVARIANCE_QUERIES = [
     # partitioning (exact keys, struct-min tie-breaks, rank filters)
     "dedup_exact", "dedup_keep_best", "dedup_repeated_spans",
     "inverted_index_postings", "ev_kmv_distinct_intersect",
+    # r9 decimal-exact iterative ops: every per-round reduction is an
+    # exact DECIMAL(38,18) sum, so ranks/centroids are bit-identical
+    # on any partitioning — the property their new VALUES pins rely on
+    "knn_topk_ivf_refined",
 ]
 
 

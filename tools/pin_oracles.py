@@ -299,11 +299,11 @@ def main() -> None:
     # deterministic function of seeds+knobs+data AND partition-
     # independent — bucket membership, TakeOrdered with id tiebreaks,
     # HLL max-merge, driver-side sample-trained quantizers; retuning
-    # any knob is a pin regeneration). DELIBERATELY EXCLUDED:
-    # knn_topk_ivf_refined — refine_centroids runs corpus-wide
-    # F.sum(double) Lloyd steps whose partial-sum order is partition-
-    # dependent, the same float-merge class that keeps
-    # graph_influence_ppr rows-only.
+    # any knob is a pin regeneration). knn_topk_ivf_refined and
+    # graph_influence_ppr joined the list once their float reductions
+    # moved to DECIMAL(38,18)-exact sums (graph _exact_sum /
+    # refine_centroids) — partial-sum order can no longer move a rank
+    # or flip a nearest-centroid argmax, so the pins cannot flake.
     regression_names = [
         # index builds + maintenance
         "knn_index_build", "ivfpq_index_build",
@@ -319,6 +319,8 @@ def main() -> None:
         # LSH pair generators + the HLL rollup
         "dedup_minhash_lsh", "dedup_simhash_pairs", "simsearch_lsh_pairs",
         "ev_hll_distinct_rollup",
+        # decimal-exact iterative ops (see note above)
+        "graph_influence_ppr", "knn_topk_ivf_refined",
     ]
     # Pins must record FRESH index behavior: the IVF/banded/PQ caches
     # persist under /tmp across processes, so a code change to any
