@@ -101,7 +101,11 @@ def ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead.orderBy("url")
 
 
-@register("streaming_neardup_e2e")  # rows-only: stateful streaming operator
+# pinnable since the band state fn processes each group's trigger rows
+# in sorted doc-id order (streaming/neardup_stream.py): the one-trigger
+# replay is deterministic on any partitioning, so a VALUES regression
+# pin at the driver's sf0.01 cannot flake
+@register("streaming_neardup_e2e", **_PINS_KW("streaming_neardup_e2e"))
 def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table replayed as a stream through the stateful
     SimHash near-dup operator (streaming/neardup_stream.py): one
@@ -153,6 +157,14 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         reduce_verdicts(spark.table(name))
+        # dup_of = -1 for uniques instead of NULL: a nullable BIGINT
+        # crosses the oracle's pandas bridge as float64 (NaN), which
+        # can never value-hash-match an int64 column — the sentinel
+        # keeps the column int64 end-to-end (doc_ids are non-negative)
+        .select(
+            "doc_id", "is_duplicate",
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+        )
         .orderBy("doc_id")
     )
 

@@ -90,7 +90,26 @@ def _make_band_fn(max_hamming: int, max_sigs_per_bucket: int):
         else:
             sigs, ids = [], []
         out_doc, out_dup = [], []
-        for pdf in pdfs:
+        # Deterministic WITHIN-trigger processing order: concat the
+        # group's micro-batch rows and sort by doc id, so which doc of
+        # a same-trigger duplicate pair becomes the "original" no
+        # longer depends on shuffle arrival order — the min-id
+        # canonicalization the batch twin uses, and what makes the
+        # single-trigger e2e replay (streaming_neardup_e2e) carry a
+        # pinned value oracle. Buffering costs one copy of the group's
+        # rows for THIS trigger only — the same unit the shuffle
+        # already materialized; the FIFO state cap is unchanged.
+        # Cross-trigger order remains arrival order, inherent to
+        # streaming.
+        parts = list(pdfs)
+        batch = (
+            pd.concat(parts, ignore_index=True).sort_values(
+                "id", kind="stable"
+            )
+            if parts
+            else pd.DataFrame({"id": [], "simhash": []})
+        )
+        for pdf in (batch,):
             for doc_id, sig in zip(
                 pdf["id"].to_numpy(), pdf["simhash"].to_numpy()
             ):

@@ -75,8 +75,15 @@ def _lit(v) -> str:
         return repr(v)
     if isinstance(v, (int, bool)):
         return str(v)
+    if v is None:
+        # NULL is representable, but BEWARE: duckdb's pandas bridge
+        # widens a nullable BIGINT column to float64 (NaN), which can
+        # never value-hash-match Spark's int64 — prefer a sentinel in
+        # the QUERY (streaming_neardup_e2e uses dup_of = -1) and keep
+        # NULL pins to genuinely nullable VARCHAR/BOOLEAN columns
+        return "NULL"
     raise ValueError(f"unpinnable cell {v!r} ({type(v).__name__}) — "
-                     "NULLs and exotic types need explicit handling")
+                     "exotic types need explicit handling")
 
 
 def values_sql(rows, cols: list[tuple[str, str]]) -> str:
@@ -321,6 +328,9 @@ def main() -> None:
         "ev_hll_distinct_rollup",
         # decimal-exact iterative ops (see note above)
         "graph_influence_ppr", "knn_topk_ivf_refined",
+        # single-trigger streaming replay, deterministic since the
+        # state fn sorts each group's trigger rows by doc id
+        "streaming_neardup_e2e",
     ]
     # Pins must record FRESH index behavior: the IVF/banded/PQ caches
     # persist under /tmp across processes, so a code change to any
