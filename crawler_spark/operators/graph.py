@@ -30,6 +30,13 @@ def _exact_sum(c: Column | str) -> Column:
     scale. The truncation at 1e-18 per term is the documented,
     deterministic price (ranks are probabilities ≤ 1; DECIMAL(38,18)
     leaves 20 integer digits — no overflow for any real graph).
+    PRECONDITION: each term's magnitude must stay within the 20
+    integer digits DECIMAL(38,18) leaves (|term| ≲ 1 everywhere this
+    is used: probabilities, unit-vector components, L1 deltas of
+    normalized frames) — a larger value overflows the cast to NULL,
+    which the sum would silently skip. HITS's intra-stretch
+    half-step sums are bounded only by λ₁^check_every and therefore
+    deliberately use plain double sums (see _normalize).
     NULL-preserving like ``F.sum``."""
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(col.cast("decimal(38,18)")).cast("double")
@@ -222,7 +229,17 @@ def hits(
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         norm = df.agg(
-            F.sqrt(F.coalesce(_exact_sum(F.col(col) * F.col(col)), F.lit(0.0)))
+            # plain double sum, NOT _exact_sum: mid-stretch HITS
+            # magnitudes are bounded only by lambda_1^check_every (a
+            # web graph's lambda_1 can reach ~1e16), and a DECIMAL
+            # (38,18) cast OVERFLOWS TO NULL above 1e20, which F.sum
+            # would silently skip — wrong norms with no error
+            # (second-review finding). Fixture-scale determinism for
+            # the crawl_hits pin comes from the 1-partition sequential
+            # fold; data-scale bit-reproducibility for HITS would need
+            # per-round in-plan normalization, documented as the
+            # at-scale swap in SCALING.md.
+            F.sqrt(F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0)))
             .alias("nrm")
         )
         return (
@@ -239,7 +256,7 @@ def hits(
         return nodes.join(
             e.join(auth_df.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
-            .agg(_exact_sum("authority").alias("hub")),
+            .agg(F.sum("authority").alias("hub")),  # unbounded: _normalize
             nodes.id == F.col("src"),
             "left",
         ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
@@ -248,7 +265,7 @@ def hits(
         return nodes.join(
             e.join(hub_df.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
-            .agg(_exact_sum("hub").alias("authority")),
+            .agg(F.sum("hub").alias("authority")),  # unbounded: _normalize
             nodes.id == F.col("dst"),
             "left",
         ).select("id", F.coalesce("authority", F.lit(0.0)).alias("authority"))

@@ -802,7 +802,7 @@ def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     w_rank = Window.partitionBy("event_type").orderBy("h")
-    sk = (
+    sk_nonnull = (
         ev.select("event_type", h.alias("h"))
         # NULL user_id hashes to NULL: drop BEFORE ranking — NULLS
         # sort FIRST ascending, so a surviving NULL would consume a
@@ -815,6 +815,18 @@ def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KMV_K)
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    # an event type whose user_ids are ALL NULL must still emit a
+    # (type, empty-sketch) row — the oracle's GROUP BY sees every
+    # type and list_distinct strips its NULLs to [] (second-review
+    # finding: the pre-rank NULL filter alone dropped the type)
+    sk = (
+        ev.select("event_type").distinct()
+        .join(sk_nonnull, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("kmv", F.array().cast("array<long>")).alias("kmv"),
+        )
     )
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))

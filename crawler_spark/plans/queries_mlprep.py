@@ -53,7 +53,12 @@ def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ev_value_percentiles_approx")  # rows-only: the 100 TB percentile path
+# rows-only BY ALGORITHM: approx_percentile merges per-partition
+# GK summaries whose CONTENT depends on which rows each partition saw
+# — not a float-order issue the decimal-sum trick could fix, so no
+# cross-conf pin can hold; bounded against the exact distribution in
+# tests/test_mlprep.py instead
+@register("ev_value_percentiles_approx")
 def ev_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path ``ev_value_percentiles`` documents: t-digest
     ``approx_percentile`` with a pinned accuracy knob — partial
@@ -576,7 +581,10 @@ def ev_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_ACCURACY = 10_000  # relative error <= 1/accuracy = 1e-4
 
 
-@register("ev_value_bins_approx")  # rows-only: sketch cutpoints, no SQL twin
+# rows-only BY ALGORITHM: same partition-boundary-dependent sketch
+# content as ev_value_percentiles_approx (cutpoints shift with the
+# split layout); bin ASSIGNMENTS are bounded against exact in tests
+@register("ev_value_bins_approx")
 def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ev_value_bins: cutpoints from approx_percentile
     (KLL-style mergeable sketch — map-side partials, NO global sort of

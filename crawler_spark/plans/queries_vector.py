@@ -315,7 +315,6 @@ def knn_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-# rows-only BY POLICY (review-found): refine_centroids runs
 # pinnable since the Lloyd steps moved to DECIMAL(38,18)-exact sums
 # (operators/similarity.py refine_centroids): the refined centroids —
 # and the argmax assignments and probe results downstream — are

@@ -102,16 +102,12 @@ def _make_band_fn(max_hamming: int, max_sigs_per_bucket: int):
         # Cross-trigger order remains arrival order, inherent to
         # streaming.
         parts = list(pdfs)
-        batch = (
-            pd.concat(parts, ignore_index=True).sort_values(
+        if parts:
+            batch = pd.concat(parts, ignore_index=True).sort_values(
                 "id", kind="stable"
             )
-            if parts
-            else pd.DataFrame({"id": [], "simhash": []})
-        )
-        for pdf in (batch,):
             for doc_id, sig in zip(
-                pdf["id"].to_numpy(), pdf["simhash"].to_numpy()
+                batch["id"].to_numpy(), batch["simhash"].to_numpy()
             ):
                 mask = _hamming_ok(
                     int(sig), np.asarray(sigs, dtype=np.int64), max_hamming

@@ -605,27 +605,18 @@ def test_exact_dedup_no_fingerprint_window(spark, name):
     assert "Join" in plan and "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize("name", ["corpus_clean", "inverted_index_postings"])
+@pytest.mark.parametrize("name", ["corpus_clean", "inverted_index_postings",
+                                  "ev_kmv_distinct_intersect"])
 def test_rank_filter_pushes_window_group_limit(spark, name):
-    """First-per-fingerprint / first-cap-per-token selection must be a
-    row_number + rank FILTER so Spark inserts WindowGroupLimit — a
-    map-side per-key top-k that bounds what the hottest key ships into
-    the window shuffle. The min()-compare / count-over forms don't
-    qualify and buffer the full hot partition in one task."""
+    """First-per-fingerprint / first-cap-per-token / bottom-k-per-type
+    selection must be a row_number + rank FILTER so Spark inserts
+    WindowGroupLimit — a map-side per-key top-k that bounds what the
+    hottest key ships into the window shuffle. The min()-compare /
+    count-over / collect_set-then-slice forms don't qualify and buffer
+    the full hot partition in one task."""
     plan = plan_text(_QUERIES[name](spark, SF))
     assert "WindowGroupLimit" in plan, (
         f"{name}: rank filter no longer pushes down as WindowGroupLimit"
     )
 
 
-
-def test_kmv_sketch_bottom_k_pushes_down(spark):
-    """ev_kmv_distinct_intersect builds each type's bottom-k via
-    dropDuplicates + row_number + rank FILTER so WindowGroupLimit
-    bounds what the hottest type ships (map-side per-key bottom-k).
-    A collect_set-then-slice regression buffers the full distinct-user
-    set of the hottest type in one aggregation buffer."""
-    plan = plan_text(_QUERIES["ev_kmv_distinct_intersect"](spark, SF))
-    assert "WindowGroupLimit" in plan, (
-        "KMV bottom-k no longer pushes down as WindowGroupLimit"
-    )

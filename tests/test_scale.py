@@ -353,6 +353,10 @@ _INVARIANCE_QUERIES = [
     # exact DECIMAL(38,18) sum, so ranks/centroids are bit-identical
     # on any partitioning — the property their new VALUES pins rely on
     "knn_topk_ivf_refined",
+    # r9: single-trigger streaming replay — the within-trigger doc-id
+    # sort is exactly the partitioning-independence its pin relies on
+    # (state shard count changes with the conf; verdicts must not)
+    "streaming_neardup_e2e",
 ]
 
 
