@@ -738,6 +738,34 @@ _KMV_SCALE = float(1 << 60)
 _KMV_H_SQL = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
 
 
+def kmv_sketches(ev: DataFrame) -> DataFrame:
+    """Per-type KMV bottom-k sketch (see ev_kmv_distinct_intersect).
+
+    NULL user_id hashes to NULL. Ranking NULLS LAST makes one rule
+    serve two review findings at zero extra plan cost: a NULL can
+    only hold a bottom-k slot when the type has fewer than k distinct
+    non-null hashes (so it never evicts a real k-th minimum), and a
+    type whose user_ids are ALL NULL keeps its rn = 1 NULL row —
+    collect_list skips NULLs, so that type emits the
+    (type, empty-sketch) row the oracle's GROUP BY + list_distinct
+    produces, instead of disappearing behind a pre-rank filter
+    (edge pinned in tests/test_properties.py)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("h").asc_nulls_last()
+    )
+    return (
+        ev.select("event_type", h.alias("h"))
+        .dropDuplicates(["event_type", "h"])
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
 @register(
     "ev_kmv_distinct_intersect",
     oracle=f"""
@@ -797,37 +825,7 @@ def ev_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (review-found; the operators/sketch.py bottom-k discipline, now
     applied here and plan-locked). The pair stage joins T sketch rows,
     T = type cardinality."""
-    ev = load_table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    w_rank = Window.partitionBy("event_type").orderBy("h")
-    sk_nonnull = (
-        ev.select("event_type", h.alias("h"))
-        # NULL user_id hashes to NULL: drop BEFORE ranking — NULLS
-        # sort FIRST ascending, so a surviving NULL would consume a
-        # bottom-k slot that collect_list then silently skips,
-        # shrinking the sketch (review-found; collect_set and the
-        # oracle's list_distinct both strip NULLs)
-        .where(F.col("h").isNotNull())
-        .dropDuplicates(["event_type", "h"])
-        .withColumn("rn", F.row_number().over(w_rank))
-        .where(F.col("rn") <= _KMV_K)
-        .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
-    )
-    # an event type whose user_ids are ALL NULL must still emit a
-    # (type, empty-sketch) row — the oracle's GROUP BY sees every
-    # type and list_distinct strips its NULLs to [] (second-review
-    # finding: the pre-rank NULL filter alone dropped the type)
-    sk = (
-        ev.select("event_type").distinct()
-        .join(sk_nonnull, "event_type", "left")
-        .select(
-            "event_type",
-            F.coalesce("kmv", F.array().cast("array<long>")).alias("kmv"),
-        )
-    )
+    sk = kmv_sketches(load_table(spark, sf_dir, "events"))
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
     pairs = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(

@@ -488,3 +488,25 @@ def test_bloom_prefiltered_join_rejects_outer_joins(spark):
     with _pytest.raises(ValueError):
         bloom_prefiltered_join(fact, dim, "k", "j", how="left")
     assert bloom_prefiltered_join(fact, dim, "k", "j").count() == 1
+
+
+def test_kmv_sketch_null_users_and_small_types(spark):
+    """KMV edge semantics the sf testdata can't exercise: a type whose
+    user_ids are ALL NULL still emits a (type, empty-sketch) row (the
+    oracle's GROUP BY keeps it; a pre-rank NULL filter dropped it),
+    and NULLs never consume a bottom-k slot a real hash could hold."""
+    from crawler_spark.plans.queries_events import _KMV_K, kmv_sketches
+
+    rows = (
+        [("nulls_only", None)] * 3
+        + [("mixed", None)]
+        + [("mixed", i) for i in range(5)]
+        + [("big", i) for i in range(_KMV_K + 50)]
+    )
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {r.event_type: list(r.kmv) for r in kmv_sketches(ev).collect()}
+    assert set(got) == {"nulls_only", "mixed", "big"}
+    assert got["nulls_only"] == []
+    assert len(got["mixed"]) == 5          # NULL took no slot
+    assert len(got["big"]) == _KMV_K       # capped at k
+    assert got["big"] == sorted(got["big"])
