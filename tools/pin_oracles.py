@@ -52,8 +52,14 @@ then re-run the sf0.01 parity split to validate.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import sys
 import zlib
+
+# the documented invocation is `python tools/pin_oracles.py` from the
+# repo root — make the repo importable regardless of PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 OUT = "crawler_spark/plans/oracle_pins.py"
