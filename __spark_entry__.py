@@ -31,53 +31,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no GREEN driver CORRECTNESS row yet, or whose oracle/
-# implementation changed since their last green row. Round 8 sampled
-# its whole queue green (CORRECTNESS_r08: 49 hash-pass, 1 rows-only
-# clean), so round 9's queue is exactly this round's work: one new
-# query, thirty-eight rows-only → value-oracle conversions, and the
-# queries whose implementation or default changed and need a fresh
-# hash row. 47 < 50 slots — the round drains it fully.
+# implementation changed since their last green row. Round 9 drained
+# its whole queue green (CORRECTNESS_r09: 50/50 hash-pass), so round
+# 10's queue is the 9 queries the round-9 verdict identified as
+# lacking a CURRENT green row, plus this round's new registrations
+# and rows-only → oracle conversions. Staleness classes (a) never
+# sampled and (b) oracle added after last sample are enforced by
+# tests/test_driver_queue.py against the CORRECTNESS_r*.json history;
+# class (c) plan-changed-since-last-green is maintained by hand.
 _NEVER_DRIVER_VERIFIED = [
-    # --- new in round 9 ---
-    "curation_url_blocklist_big",   # big-list explode+broadcast-semi arm
-    # --- rows-only → value-oracle conversions (round 9) ---
-    "streaming_sessionize_e2e",     # gap-sessionization rebuilt in SQL
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_resample",
-    "multimodal_features", "multimodal_phash_neardup",  # table-derived
-    "multimodal_clip_filter",       # sf0.01 VALUES pin (independent)
-    "rag_chat_pipeline",            # retrieval+prompt+digest in SQL
-    "ingest_dead_letter",           # fixture VALUES
-    "txt_normalize_nfkc",           # seeded-Unicode, table-derived
-    "txt_compression_ratio",        # sf0.01 VALUES pin (python zlib)
-    "tok_bpe_train",                # sf0.01 VALUES pin (independent)
-    "search_mmr_rerank",            # sf0.01 VALUES pin (independent)
-    "knn_index_build", "ivfpq_index_build",  # sf0.01 regression pins
-    "streaming_trending_e2e",       # sliding windows rebuilt in SQL
-    "tok_bpe_encode",               # sf0.01 VALUES pin (independent)
-    "streaming_index_append_e2e",   # sf0.01 regression pin
-    "streaming_dedup_horizon_e2e",  # fingerprint-set oracle in SQL
-    "embed_random_projection",      # sf0.01 VALUES pin (independent)
-    "dedup_semantic", "knn_index_append",  # sf0.01 regression pins
-    "layout_compact_build",         # sf0.01 regression pin
-    "diag_ann_recall",              # recall scorecard now an enforced pin
-    # the approximate serving/pair tier — deterministic seeded
-    # outputs, sf0.01 regression pins (cross-session-stability
-    # checked); ivf_refined stays rows-only (partition-dependent
-    # float merges in the distributed Lloyd refine) but is queued for
-    # a fresh clean row
-    "o3_knn_topk_lsh", "o3_knn_topk_sq8", "o3_knn_topk_pq",
-    "o3_knn_filtered_ivf", "knn_topk_ivf", "knn_topk_ivf_refined",
-    "knn_topk_ivfpq", "knn_topk_batch_ivf",
-    "knn_probe_precomputed", "knn_probe_ivfpq",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "simsearch_lsh_pairs",
-    "ev_hll_distinct_rollup",
-    # --- implementation/default changed since last green row ---
-    "txt_line_dedup",               # skew-safe groupBy+anti rewrite
-    "curation_url_blocklist",       # refactored onto the shared operator
-    "source_warc_ranged_roundtrip", "pipeline_warc_corpus_e2e",
-    "sink_warc_roundtrip",          # WARC sink/reader hardening
-    "source_warc_roundtrip",        # whole-file path no-copy change
-    "crawl_pagerank", "crawl_hits",  # 1-partition fold, fixed stretch
+    # --- (a) registered after the round-9 driver capture ---
+    "clf_distill_train", "clf_distill_score", "clf_distill_eval",
+    # --- (b) gained value oracles after their last driver sample ---
+    "graph_influence_ppr",          # decimal-exact + VALUES pin (r9)
+    "streaming_neardup_e2e",        # within-trigger determinism + oracle
+    # --- (c) plan changed after their last green row ---
+    "dedup_exact", "dedup_keep_best",   # skew-safe groupBy+join rewrite
+    "dedup_repeated_spans",             # skew-safe first-occurrence
+    "ev_kmv_distinct_intersect",        # bounded-state bottom-k rewrite
+    # --- new in round 10 ---
+    "curation_distilled_filter",    # distill-train → broadcast NB filter
+    "layout_zorder_build",          # regression pin (was rows-only)
+    "ev_value_percentiles_approx",  # error-bound oracle (was rows-only)
+    "ev_value_bins_approx",         # error-bound oracle (was rows-only)
 ]
 
 

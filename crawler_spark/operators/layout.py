@@ -42,6 +42,29 @@ def zorder_key(a: F.Column, b: F.Column) -> F.Column:
     return key
 
 
+_HIST_BITS = 12  # equal-frequency cut resolution: 4096 histogram cells
+
+
+def _partition_remap(spark, n: int) -> list[int]:
+    """For each bucket j in 0..n-1, an int v with
+    ``pmod(murmur3(v), n) == j`` — found by probing Spark's own hash
+    function (fixed-seed murmur3, so the probe is deterministic across
+    runs and sessions). Repartitioning on the remapped value places
+    each bucket ALONE in its own shuffle partition, i.e. one output
+    file per bucket, where hashing the raw bucket id would collide
+    some buckets into shared files and leave others empty."""
+    probe = spark.range(0, 64 * n).select(
+        F.col("id").cast("int").alias("v"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+    ).collect()
+    remap: dict[int, int] = {}
+    for r in probe:
+        remap.setdefault(r.p, r.v)
+    if len(remap) != n:  # 64 probes per residue: vanishing, and loud
+        raise RuntimeError(f"hash probe covered {len(remap)}/{n} buckets")
+    return [remap[j] for j in range(n)]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -50,10 +73,18 @@ def write_zordered(
     n_files: int = 16,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered along the
-    (col_a, col_b) Z-curve: range-partition on the Morton key (equal-
-    frequency file cuts via the range exchange's sampling), sort within
-    files, drop the key. One shuffle; downstream scans prune files via
-    parquet min/max stats on BOTH columns."""
+    (col_a, col_b) Z-curve, DETERMINISTICALLY: equal-frequency file
+    cuts come from an exact bounded histogram of the Morton key's top
+    ``_HIST_BITS`` bits (one map-side-combined groupBy into ≤4096 rows,
+    cumulated on the driver), not from ``repartitionByRange``'s
+    per-run-seeded reservoir sample — so the same input always yields
+    byte-identical file membership, which is what makes the layout
+    job's stats regression-pinnable and a production table rebuild
+    reproducible. One corpus-scale shuffle (the final repartition);
+    the histogram pass is a second scan but its output is bounded.
+    Downstream scans prune files via parquet min/max stats on BOTH
+    columns."""
+    spark = df.sparkSession
     stats = df.agg(
         F.min(col_a).alias("__alo"), F.max(col_a).alias("__ahi"),
         F.min(col_b).alias("__blo"), F.max(col_b).alias("__bhi"),
@@ -64,10 +95,32 @@ def write_zordered(
             _scaled(col_a, "__alo", "__ahi"), _scaled(col_b, "__blo", "__bhi")))
         .drop("__alo", "__ahi", "__blo", "__bhi")
     )
+    cell = F.shiftright(F.col("__z"), 2 * _BITS - _HIST_BITS)
+    hist = sorted(
+        (r["__cell"], r["__n"])
+        for r in keyed.groupBy(cell.alias("__cell"))
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    total = sum(n for _, n in hist)
+    cuts: list[int] = []  # cuts[j] = last histogram cell of bucket j
+    acc, k = 0, 1
+    for c, n in hist:
+        acc += n
+        while k < n_files and acc * n_files >= k * total:
+            cuts.append(int(c))
+            k += 1
+    if cuts:
+        bucket = F.size(F.filter(
+            F.lit(cuts).cast("array<long>"), lambda q: q < cell))
+    else:  # n_files == 1 or a degenerate single-cell distribution
+        bucket = F.lit(0)
+    part = F.element_at(
+        F.lit(_partition_remap(spark, n_files)), bucket + 1)
     (
-        keyed.repartitionByRange(n_files, "__z")
+        keyed.withColumn("__p", part)
+        .repartition(n_files, "__p")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__p")
         .write.mode("overwrite").parquet(path)
     )
 

@@ -53,28 +53,80 @@ def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only BY ALGORITHM: approx_percentile merges per-partition
-# GK summaries whose CONTENT depends on which rows each partition saw
-# — not a float-order issue the decimal-sum trick could fix, so no
-# cross-conf pin can hold; bounded against the exact distribution in
-# tests/test_mlprep.py instead
-@register("ev_value_percentiles_approx")
+# The sketch VALUES are partition-dependent (approx_percentile merges
+# per-partition GK summaries whose content depends on which rows each
+# partition saw — not a float-order issue the decimal-sum trick could
+# fix), so no cross-engine/cross-conf pin on the raw quantiles can
+# hold. What IS oracle-expressible is the ERROR-BOUND CONTRACT: each
+# approximate quantile must land inside the exact neighboring-quantile
+# bracket — p50 ∈ [p45, p55], p90 ∈ [p87, p93], p99 ∈ [p97, max] —
+# the diag_ann_recall recipe, which turns the "approximate is good
+# enough" measurement into an enforced driver gate. The brackets
+# themselves are exact aggregates both engines compute identically.
+@register("ev_value_percentiles_approx", oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               round(quantile_cont(value, 0.45), 6) AS p50_lo,
+               round(quantile_cont(value, 0.55), 6) AS p50_hi,
+               round(quantile_cont(value, 0.87), 6) AS p90_lo,
+               round(quantile_cont(value, 0.93), 6) AS p90_hi,
+               round(quantile_cont(value, 0.97), 6) AS p99_lo,
+               round(max(value), 6) AS p99_hi,
+               TRUE AS p50_in_bracket,
+               TRUE AS p90_in_bracket,
+               TRUE AS p99_in_bracket
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
 def ev_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path ``ev_value_percentiles`` documents: t-digest
-    ``approx_percentile`` with a pinned accuracy knob — partial
-    aggregates merge map-side instead of a full sort per group, so the
-    shuffle carries one sketch per (group, partition) rather than every
-    row. rows-only: the sketch's answers legitimately differ from the
-    exact interpolated quantiles at the last decimal. The test suite
-    bounds the error against the exact query instead."""
+    """The scale path ``ev_value_percentiles`` documents — t-digest
+    ``approx_percentile`` with a pinned accuracy knob, partial
+    aggregates merging map-side instead of a full sort per group —
+    registered as its ERROR-BOUND SCORECARD: per event_type, the exact
+    neighboring-quantile bracket (oracle-verified values) and whether
+    the sketch's p50/p90/p99 landed inside it (oracle-pinned TRUE, so
+    a sketch regression past the bracket fails the driver hash gate).
+    A fixed relative tolerance misfires on sparse tails — at small SF a
+    group's 99th percentile sits between order statistics several
+    percent apart — hence brackets, the same invariant the local test
+    pins (tests/test_mlprep.py).
+
+    Scale shape: two aggregates over one scan lineage (the sketch agg
+    and the exact-bracket agg), joined per-group — at 100 TB you run
+    the sketch side alone; the bracket side exists to ADJUDICATE it,
+    which is exactly what this registration gates."""
     ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("ap90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("ap99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    brackets = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.45)").alias("b50_lo"),
+        F.expr("percentile(value, 0.55)").alias("b50_hi"),
+        F.expr("percentile(value, 0.87)").alias("b90_lo"),
+        F.expr("percentile(value, 0.93)").alias("b90_hi"),
+        F.expr("percentile(value, 0.97)").alias("b99_lo"),
+        F.max("value").alias("b99_hi"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50"),
-            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90"),
-            F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99"),
-            F.count(F.lit(1)).alias("n"),
+        approx.join(brackets, "event_type")
+        .select(
+            "event_type", "n",
+            F.round("b50_lo", 6).alias("p50_lo"),
+            F.round("b50_hi", 6).alias("p50_hi"),
+            F.round("b90_lo", 6).alias("p90_lo"),
+            F.round("b90_hi", 6).alias("p90_hi"),
+            F.round("b99_lo", 6).alias("p99_lo"),
+            F.round("b99_hi", 6).alias("p99_hi"),
+            ((F.col("ap50") >= F.col("b50_lo"))
+             & (F.col("ap50") <= F.col("b50_hi"))).alias("p50_in_bracket"),
+            ((F.col("ap90") >= F.col("b90_lo"))
+             & (F.col("ap90") <= F.col("b90_hi"))).alias("p90_in_bracket"),
+            ((F.col("ap99") >= F.col("b99_lo"))
+             & (F.col("ap99") <= F.col("b99_hi"))).alias("p99_in_bracket"),
         )
         .orderBy("event_type")
     )
@@ -581,10 +633,17 @@ def ev_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_ACCURACY = 10_000  # relative error <= 1/accuracy = 1e-4
 
 
-# rows-only BY ALGORITHM: same partition-boundary-dependent sketch
-# content as ev_value_percentiles_approx (cutpoints shift with the
-# split layout); bin ASSIGNMENTS are bounded against exact in tests
-@register("ev_value_bins_approx")
+# Same partition-boundary-dependent sketch content as
+# ev_value_percentiles_approx (cutpoints shift with the split layout),
+# so per-row bins can't be value-pinned; the registration is the
+# AGREEMENT SCORECARD against the exact-cutpoint twin instead — the
+# production acceptance gate for swapping the sketch in at scale.
+@register("ev_value_bins_approx", oracle="""
+        SELECT COUNT(*) AS n_events,
+               TRUE AS agree_ok,
+               TRUE AS off_by_le_one
+        FROM events
+    """)
 def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ev_value_bins: cutpoints from approx_percentile
     (KLL-style mergeable sketch — map-side partials, NO global sort of
@@ -592,23 +651,40 @@ def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the exact aggregate must see every value through one sorted
     aggregation path; the sketch is O(accuracy·log n) memory per
     partition and one narrow merge. Bin ASSIGNMENT is the same broadcast
-    array expression. Rows-only registration: sketch cutpoints are not
-    bit-identical to DuckDB's exact quantiles by design; the local
-    tolerance test (tests/test_mlprep.py) pins cutpoint drift and the
-    row-level bin agreement rate against the exact query instead."""
+    array expression.
+
+    Registered as the agreement scorecard: per-row approx bins joined
+    against the exact twin's, reduced to one row — exact row count
+    (oracle-verified), exact-match rate ≥ 99.5% (generous vs the
+    sketch's 1e-4 rank-error guarantee but tight enough to catch a
+    broken sketch or cutpoint off-by-one), and disagreements confined
+    to adjacent bins (values squeezed between the exact and approx
+    cutpoint). The flags are oracle-pinned TRUE, so sketch drift past
+    the bound fails the driver hash gate; the raw per-row binning
+    remains composable via this module's plan functions."""
     ev = load_table(spark, sf_dir, "events")
     cuts = ev.agg(F.approx_percentile(
         "value",
         F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)]),
         F.lit(_APPROX_ACCURACY),
     ).alias("qs"))
-    return (
+    approx = (
         ev.crossJoin(F.broadcast(cuts))
         .select(
             "event_id",
             F.size(F.filter("qs", lambda q: F.col("value") > q))
-            .cast("long").alias("bin"),
+            .cast("long").alias("bin_a"),
         )
+    )
+    exact = ev_value_bins(spark, sf_dir).select(
+        "event_id", F.col("bin").alias("bin_e"))
+    diff = F.abs(F.col("bin_a") - F.col("bin_e"))
+    return approx.join(exact, "event_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.when(F.col("bin_a") != F.col("bin_e"), 1).otherwise(0))
+         <= F.greatest(F.lit(2), (F.count(F.lit(1)) / 200).cast("long"))
+         ).alias("agree_ok"),
+        (F.max(diff) <= 1).alias("off_by_le_one"),
     )
 
 
@@ -971,14 +1047,19 @@ def nb_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     the operator behind clf_distill_score (see its docstring for the
     plan shape). Returns (doc_id, n_feats, score_micro, pred_keep).
 
-    The model is materialized ONCE via a bounded collect — it is
-    ≤ _QC_BUCKETS+1 rows BY CONSTRUCTION (the hashing trick bounds
-    the parameter table), so this is the broadcast-small-side rule,
-    not a driver bottleneck. Without it, Spark re-instantiates the
-    whole training DAG (judge UDF projection + feature shuffle) under
-    EVERY branch that consumes the model (weights join, prior join);
-    a production deployment persists the trained table and gets the
-    same effect from the file."""
+    EAGER at build time: unlike every other plan constructor in this
+    package, calling nb_score executes the ``model`` frame's full job
+    (including any judge UDF pass feeding it) via the bounded collect
+    below — callers composing plans lazily should pass an
+    already-materialized model (``_qc_model_df``) or accept the
+    up-front cost. The model is materialized ONCE via that collect —
+    it is ≤ _QC_BUCKETS+1 rows BY CONSTRUCTION (the hashing trick
+    bounds the parameter table), so this is the broadcast-small-side
+    rule, not a driver bottleneck. Without it, Spark re-instantiates
+    the whole training DAG (judge UDF projection + feature shuffle)
+    under EVERY branch that consumes the model (weights join, prior
+    join); a production deployment persists the trained table and
+    gets the same effect from the file."""
     mat = model.sparkSession.createDataFrame(model.collect(), model.schema)
     weights = mat.where(F.col("bucket") >= 0).select("bucket", "w_micro")
     prior = mat.where(F.col("bucket") == -1).select(
@@ -1011,6 +1092,35 @@ def _qc_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train(
         _qc_judge_labeled(docs.where(F.col("doc_id") % _QC_HOLD_MOD != 0))
     )
+
+
+# Collected model rows per (sf_dir, documents mtime): the training job
+# (judge pass + count aggregation) runs AT MOST ONCE per corpus per
+# process, and score/eval/filter consume the materialized ≤4097-row
+# table — the production shape, where the trained model is persisted
+# once and read back by every serving job. Plain Rows survive Spark
+# session restarts; the mtime key invalidates on rewritten fixtures.
+_QC_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
+def _qc_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model as a local relation, trained at most once per
+    corpus per process (see _QC_MODEL_CACHE). EAGER: first call per
+    corpus executes the full training job."""
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        stamp = os.stat(doc_path).st_mtime_ns
+    except OSError:
+        stamp = None
+    key = (os.path.realpath(sf_dir), stamp)
+    hit = _QC_MODEL_CACHE.get(key)
+    if hit is None:
+        model = _qc_trained_weights(spark, sf_dir)
+        hit = (model.collect(), model.schema)
+        _QC_MODEL_CACHE[key] = hit
+    return spark.createDataFrame(*hit)
 
 
 @register("clf_distill_train", oracle=f"""
@@ -1090,7 +1200,7 @@ def clf_distill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     holdout = docs.where(F.col("doc_id") % _QC_HOLD_MOD == 0)
     return nb_score(
-        holdout, _qc_trained_weights(spark, sf_dir)
+        holdout, _qc_model_df(spark, sf_dir)
     ).orderBy("doc_id")
 
 
@@ -1164,6 +1274,60 @@ def clf_distill_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("double")
             / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
         ).alias("recall"),
+    )
+
+
+@register("curation_distilled_filter", oracle=f"""
+        WITH trained AS ({_qc_train_sql()}),
+        feats AS (
+            SELECT doc_id, {_QC_BUCKET_SQL} AS bucket
+            FROM ({_QC_FEATS_SQL}) f
+        ),
+        per_doc AS (
+            SELECT h.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(COALESCE(t.w_micro, 0)) AS BIGINT) AS feat_micro
+            FROM feats h
+            LEFT JOIN (SELECT bucket, w_micro FROM trained
+                       WHERE bucket >= 0) t USING (bucket)
+            GROUP BY h.doc_id
+        ),
+        prior AS (SELECT w_micro AS prior_micro FROM trained
+                  WHERE bucket = -1)
+        SELECT doc_id, n_feats,
+               CAST(feat_micro + prior_micro AS BIGINT) AS score_micro
+        FROM per_doc CROSS JOIN prior
+        WHERE feat_micro + prior_micro > 0
+        ORDER BY doc_id
+    """)
+def curation_distilled_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOY the distilled classifier as a corpus curation stage —
+    the judge → distill → deploy loop closed end-to-end: train the NB
+    model on the judge-labeled sample (clf_distill_train's exact
+    weights, trained once per corpus via _qc_model_df), then score the
+    FULL corpus — train split included, the deployment reality — and
+    keep only predicted-keep documents. This is the executable form of
+    what FineWeb-Edu does after its eval gate passes: the cheap model
+    replaces the judge on everything the judge never saw.
+
+    Output: (doc_id, n_feats, score_micro) for surviving docs, sorted.
+    Documents with zero extractable features never reach the scorer
+    (the explode emits nothing) and are therefore dropped — route
+    those by the n_chars floor upstream (corpus_clean) if they should
+    survive.
+
+    Scale shape: identical to clf_distill_score — ONE map-side-combined
+    per-doc aggregation; the ≤4097-row weight table joins as
+    BroadcastHashJoin and the prior as a 1-row broadcast cross join
+    (plan-locked, tests/test_plan_shapes.py). The filter is a
+    post-aggregation predicate on the per-doc row, so the corpus never
+    shuffles more than its (doc_id, bucket) feature stream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        nb_score(docs, _qc_model_df(spark, sf_dir))
+        .where(F.col("pred_keep"))
+        .select("doc_id", "n_feats", "score_micro")
+        .orderBy("doc_id")
     )
 
 

@@ -197,13 +197,15 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only BY MEASUREMENT, not convenience: a sf0.01 VALUES pin was
-# tried (tools/pin_oracles.py) and failed between two runs of the SAME
-# build — repartitionByRange draws its range boundaries from a
-# reservoir SAMPLE with a per-run seed, so per-file row counts/spans
-# are not run-deterministic; the layout's pruning QUALITY is what
-# tests/test_layout.py asserts instead
-@register("layout_zorder_build")
+# Regression-pinned since the round-10 deterministic rewrite of
+# write_zordered: file cuts now come from an exact bounded histogram
+# of the Morton key (operators/layout.py), not repartitionByRange's
+# per-run-seeded reservoir sample — the earlier pin attempt failed on
+# exactly that sampling, which is why the REJECTED note lived here.
+# Verified bit-identical across shuffle confs/cluster sizes/sessions
+# before pinning; the layout's pruning QUALITY is what
+# tests/test_layout.py asserts on top.
+@register("layout_zorder_build", **_PINS_KW("layout_zorder_build"))
 def layout_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order the events table on (user_id, epoch-seconds) and report
     per-file min/max spans of both dimensions — the layout job behind

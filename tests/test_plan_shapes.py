@@ -549,8 +549,12 @@ def test_gopher_repetition_zero_shuffle(spark):
     )
 
 
-def test_distill_score_single_shuffle_broadcast_model(spark):
-    """clf_distill_score is explode → BroadcastHashJoin against the
+@pytest.mark.parametrize(
+    "name", ["clf_distill_score", "curation_distilled_filter"]
+)
+def test_distill_score_single_shuffle_broadcast_model(spark, name):
+    """clf_distill_score (holdout) and curation_distilled_filter (full
+    corpus deployment) are explode → BroadcastHashJoin against the
     materialized ≤4097-row model → ONE map-side-combined per-doc agg
     (+ the output sort): at most TWO exchanges, no sort-merge join.
     A regression that re-instantiates the training DAG under each
@@ -558,7 +562,7 @@ def test_distill_score_single_shuffle_broadcast_model(spark):
     runs the judge UDF projection ~4× per scoring job."""
     import re
 
-    plan = plan_text(_QUERIES["clf_distill_score"](spark, SF))
+    plan = plan_text(_QUERIES[name](spark, SF))
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
     assert n_ex <= 2, f"distill scoring acquired extra shuffles ({n_ex})"

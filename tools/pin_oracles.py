@@ -33,17 +33,18 @@ Derivation policy, per query (documented in the generated file too):
       k-means has no closed form; recall floors live in tests)
     - layout_compact_build: file counts + row conservation of the
       compaction job (round-robin repartition is deterministic since
-      SPARK-23207; verified stable across two runs before pinning —
-      unlike the REJECTED z-order stats, whose repartitionByRange
-      samples per run)
+      SPARK-23207; verified stable across two runs before pinning)
+    - layout_zorder_build: pinnable since the round-10 deterministic
+      rewrite of write_zordered (exact bounded-histogram file cuts +
+      hash-probe partition remap replaced repartitionByRange's
+      per-run-seeded sampling, the reason a pin was previously
+      REJECTED); verified bit-identical across shuffle confs and
+      sessions before pinning
     - diag_ann_recall: the per-tier recall scorecard — pinning it
       turns the "approximate is good enough" measurement into an
       ENFORCED driver gate (seeded tiers, fixed query vector;
       diag_plan_metrics stays rows-only — its partition counts track
       the session's shuffle conf, which the driver owns)
-  (layout_zorder_build was tried and REJECTED: repartitionByRange
-  samples per-run, so its per-file stats are not run-deterministic)
-
 Re-run after changing any pinned query:
     python tools/pin_oracles.py  # rewrites plans/oracle_pins.py
 then re-run the sf0.01 parity split to validate.
@@ -321,7 +322,7 @@ def main() -> None:
         # index builds + maintenance
         "knn_index_build", "ivfpq_index_build",
         "streaming_index_append_e2e", "knn_index_append",
-        "layout_compact_build",
+        "layout_compact_build", "layout_zorder_build",
         # semantic dedup closure + recall scorecard
         "dedup_semantic", "diag_ann_recall",
         # the approximate serving tier
