@@ -33,8 +33,11 @@ def _exact_sum(c: Column | str) -> Column:
     PRECONDITION: each term's magnitude must stay within the 20
     integer digits DECIMAL(38,18) leaves (|term| ≲ 1 everywhere this
     is used: probabilities, unit-vector components, L1 deltas of
-    normalized frames) — a larger value overflows the cast to NULL,
-    which the sum would silently skip. HITS's intra-stretch
+    normalized frames). A larger value overflows the cast, which under
+    ``spark.sql.ansi.enabled`` — PySpark 4's default, pinned in
+    session.get_spark so the semantics hold regardless of deployment
+    conf — raises ArithmeticException: the precondition fails LOUD,
+    never as a silently skipped NULL term. HITS's intra-stretch
     half-step sums are bounded only by λ₁^check_every and therefore
     deliberately use plain double sums (see _normalize).
     NULL-preserving like ``F.sum``."""
@@ -82,6 +85,15 @@ def pagerank(
     renormalized in-plan to sum 1 (one broadcast scalar), so dropped
     nodes can't leak mass. Same fixed point either way — the seed only
     moves the starting point, never the answer.
+
+    PRECONDITION on ``init_ranks`` magnitudes: seed ranks flow through
+    the DECIMAL(38,18)-exact reductions (``_exact_sum``) BEFORE the
+    renormalization, so each |rank| must stay within DECIMAL(38,18)'s
+    20 integer digits (~1e20). Probability-scale weights — any previous
+    converged rank vector — always qualify; raw unbounded scores must
+    be pre-scaled by the caller, or the cast raises ArithmeticException
+    under the session's pinned ``spark.sql.ansi.enabled`` (fail-loud,
+    never a silent NULL-skipped term).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -232,9 +244,12 @@ def hits(
             # plain double sum, NOT _exact_sum: mid-stretch HITS
             # magnitudes are bounded only by lambda_1^check_every (a
             # web graph's lambda_1 can reach ~1e16), and a DECIMAL
-            # (38,18) cast OVERFLOWS TO NULL above 1e20, which F.sum
-            # would silently skip — wrong norms with no error
-            # (second-review finding). Fixture-scale determinism for
+            # (38,18) cast OVERFLOWS above 1e20 — under the pinned
+            # spark.sql.ansi.enabled (session.py) that's an
+            # ArithmeticException killing the job mid-iteration, so
+            # the decimal path is simply unusable for unbounded
+            # magnitudes (second-review finding, failure mode updated
+            # for ANSI fail-fast). Fixture-scale determinism for
             # the crawl_hits pin comes from the 1-partition sequential
             # fold; data-scale bit-reproducibility for HITS would need
             # per-round in-plan normalization, documented as the

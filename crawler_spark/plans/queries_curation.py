@@ -409,7 +409,13 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, then exactly two shuffles — the fingerprint
     window (dedup) and the shard_id repartition (packing); the quality
     filters ride between them as projections. Nothing in the chain is
-    corpus-global: both windows partition by bounded keys.
+    corpus-global. The dedup window partitions by ``fingerprint(text)``
+    — an UNBOUNDED, skew-prone key by the operator's own premise — and
+    is safe because the ``rn == 1`` filter pushes down as
+    WindowGroupLimit (map-side per-key top-1 before the window
+    shuffle; plan-locked in tests/test_plan_shapes.py). That is
+    "pushdown-bounded" in the skew sweep's vocabulary, not a bounded
+    key; the packing window's shard_id IS bounded by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
     w_fp = Window.partitionBy(X.fingerprint("text")).orderBy(
@@ -965,6 +971,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_words >= 20) & mean_wl.between(3, 10) & (stop_hits >= 1)
     )
 
+    # fingerprint is an unbounded, skew-prone key; this window is
+    # pushdown-bounded, not bounded-key — the rn == 1 filter becomes
+    # WindowGroupLimit (map-side per-key top-1 before the shuffle),
+    # plan-locked in tests/test_plan_shapes.py
     w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
     s2 = (
         gop.withColumn("rn", F.row_number().over(w))

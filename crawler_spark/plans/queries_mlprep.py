@@ -653,33 +653,34 @@ def ev_value_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition and one narrow merge. Bin ASSIGNMENT is the same broadcast
     array expression.
 
-    Registered as the agreement scorecard: per-row approx bins joined
-    against the exact twin's, reduced to one row — exact row count
-    (oracle-verified), exact-match rate ≥ 99.5% (generous vs the
-    sketch's 1e-4 rank-error guarantee but tight enough to catch a
-    broken sketch or cutpoint off-by-one), and disagreements confined
-    to adjacent bins (values squeezed between the exact and approx
-    cutpoint). The flags are oracle-pinned TRUE, so sketch drift past
-    the bound fails the driver hash gate; the raw per-row binning
-    remains composable via this module's plan functions."""
+    Registered as the agreement scorecard: per-row approx and exact
+    bins computed IN ONE PROJECTION (both cutpoint arrays are 1-row
+    broadcast aggregates — no per-row join anywhere), reduced to one
+    row — exact row count (oracle-verified), exact-match rate ≥ 99.5%
+    (generous vs the sketch's 1e-4 rank-error guarantee but tight
+    enough to catch a broken sketch or cutpoint off-by-one), and
+    disagreements confined to adjacent bins (values squeezed between
+    the exact and approx cutpoint). The flags are oracle-pinned TRUE,
+    so sketch drift past the bound fails the driver hash gate; the raw
+    per-row binning remains composable via this module's plan
+    functions (ev_value_bins is the exact twin)."""
     ev = load_table(spark, sf_dir, "events")
-    cuts = ev.agg(F.approx_percentile(
-        "value",
-        F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)]),
-        F.lit(_APPROX_ACCURACY),
-    ).alias("qs"))
-    approx = (
-        ev.crossJoin(F.broadcast(cuts))
+    fracs = F.array(*[F.lit(i / _N_BINS) for i in range(1, _N_BINS)])
+    acuts = ev.agg(F.approx_percentile(
+        "value", fracs, F.lit(_APPROX_ACCURACY)).alias("qs_a"))
+    ecuts = ev.agg(F.percentile("value", fracs).alias("qs_e"))
+    binned = (
+        ev.crossJoin(F.broadcast(acuts))
+        .crossJoin(F.broadcast(ecuts))
         .select(
-            "event_id",
-            F.size(F.filter("qs", lambda q: F.col("value") > q))
+            F.size(F.filter("qs_a", lambda q: F.col("value") > q))
             .cast("long").alias("bin_a"),
+            F.size(F.filter("qs_e", lambda q: F.col("value") > q))
+            .cast("long").alias("bin_e"),
         )
     )
-    exact = ev_value_bins(spark, sf_dir).select(
-        "event_id", F.col("bin").alias("bin_e"))
     diff = F.abs(F.col("bin_a") - F.col("bin_e"))
-    return approx.join(exact, "event_id").agg(
+    return binned.agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(F.when(F.col("bin_a") != F.col("bin_e"), 1).otherwise(0))
          <= F.greatest(F.lit(2), (F.count(F.lit(1)) / 200).cast("long"))
@@ -1244,7 +1245,10 @@ def clf_distill_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub's, not the trainer's.
 
     Scale: both inputs are per-doc frames joined on uniform doc_id;
-    the final agg is a single all-reduce row."""
+    the final agg is a single all-reduce row. The model comes from the
+    per-corpus cache (_qc_model_df via clf_distill_score), so within a
+    process the tier's training job runs once, not once per consumer —
+    eval's own cost is the holdout judge pass + the scoring plan."""
     preds = clf_distill_score(spark, sf_dir).select("doc_id", "pred_keep")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     labels = _qc_judge_labeled(

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's default, pinned so the guarantee survives any
+        # deployment conf: overflowing casts/arithmetic FAIL LOUD
+        # (ArithmeticException), never silent NULLs — the decimal-exact
+        # graph/Lloyd reductions (operators/graph.py _exact_sum)
+        # document their magnitude precondition in terms of this.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
