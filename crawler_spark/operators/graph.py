@@ -33,11 +33,17 @@ def _exact_sum(c: Column | str) -> Column:
     PRECONDITION: each term's magnitude must stay within the 20
     integer digits DECIMAL(38,18) leaves (|term| ≲ 1 everywhere this
     is used: probabilities, unit-vector components, L1 deltas of
-    normalized frames). A larger value overflows the cast, which under
-    ``spark.sql.ansi.enabled`` — PySpark 4's default, pinned in
-    session.get_spark so the semantics hold regardless of deployment
-    conf — raises ArithmeticException: the precondition fails LOUD,
-    never as a silently skipped NULL term. HITS's intra-stretch
+    normalized frames — and caller-supplied weights are pre-scaled
+    to this range with plain double sums BEFORE entering the decimal
+    path, see pagerank's init_ranks handling). A larger value
+    overflows the cast, which under ``spark.sql.ansi.enabled``
+    (PySpark 4's default; pinned in session.get_spark — a session
+    built elsewhere, e.g. the external driver's, carries its own
+    setting) raises ArithmeticException: the precondition fails LOUD.
+    On a non-ANSI session the overflow would instead become a silently
+    skipped NULL term, which is why no unbounded value may reach this
+    function on ANY code path rather than relying on the conf to
+    catch it. HITS's intra-stretch
     half-step sums are bounded only by λ₁^check_every and therefore
     deliberately use plain double sums (see _normalize).
     NULL-preserving like ``F.sum``."""
@@ -86,14 +92,15 @@ def pagerank(
     nodes can't leak mass. Same fixed point either way — the seed only
     moves the starting point, never the answer.
 
-    PRECONDITION on ``init_ranks`` magnitudes: seed ranks flow through
-    the DECIMAL(38,18)-exact reductions (``_exact_sum``) BEFORE the
-    renormalization, so each |rank| must stay within DECIMAL(38,18)'s
-    20 integer digits (~1e20). Probability-scale weights — any previous
-    converged rank vector — always qualify; raw unbounded scores must
-    be pre-scaled by the caller, or the cast raises ArithmeticException
-    under the session's pinned ``spark.sql.ansi.enabled`` (fail-loud,
-    never a silent NULL-skipped term).
+    ``init_ranks`` accepts ANY non-negative weight scale: seed weights
+    are pre-scaled to ≤ 1 with plain double sums BEFORE they reach the
+    DECIMAL(38,18)-exact reductions (``_exact_sum``), whose ~1e20
+    magnitude precondition must never be exposed to caller data (on a
+    non-ANSI session an overflow would be a silently NULL-skipped
+    term, not an error). The double pre-scale's 1-ulp order
+    sensitivity moves only the starting point — the fixed point, and
+    the 6-decimal rounded output, are unchanged. A seed vector summing
+    to ≤ 0 falls back to the uniform start.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -119,12 +126,26 @@ def pagerank(
         # collapse duplicate seed ids (e.g. a union of snapshot
         # outputs) BEFORE the join — a duplicated id would otherwise
         # fan the node row out and carry doubled mass through every
-        # iteration's joins with no error
+        # iteration's joins with no error. PLAIN DOUBLE sums here, not
+        # _exact_sum: caller weights are of UNKNOWN magnitude (raw
+        # scores, not probabilities), and _exact_sum's DECIMAL(38,18)
+        # precondition must never be exposed to caller data — the
+        # double pre-scale bounds everything downstream to ≤ 1. The
+        # 1-ulp order sensitivity only moves the STARTING point, never
+        # the fixed point (and the 6-decimal output rounding absorbs
+        # it); bit-exact reductions resume once values are bounded.
         init_dedup = (
             init_ranks.select(F.col("id"), F.col("rank").alias("r0"))
-            .groupBy("id").agg(_exact_sum("r0").alias("r0"))
+            .groupBy("id").agg(F.sum("r0").alias("r0"))
         )
-        seeded = nodes.join(init_dedup, "id", "left").select(
+        pre_total = init_dedup.agg(F.sum("r0").alias("pt"))
+        scaled = (
+            init_dedup.crossJoin(F.broadcast(pre_total))
+            .select("id", F.when(
+                F.col("pt") > 0, F.col("r0") / F.col("pt")
+            ).otherwise(F.lit(1.0 / n)).alias("r0"))
+        )
+        seeded = nodes.join(scaled, "id", "left").select(
             "id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
         total = seeded.agg(_exact_sum("r0").alias("t"))
         ranks = (

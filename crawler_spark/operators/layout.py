@@ -112,7 +112,8 @@ def write_zordered(
     if cuts:
         bucket = F.size(F.filter(
             F.lit(cuts).cast("array<long>"), lambda q: q < cell))
-    else:  # n_files == 1 or a degenerate single-cell distribution
+    else:  # n_files == 1 or empty input (a single-cell distribution
+        # still yields n_files-1 duplicate cuts, not an empty list)
         bucket = F.lit(0)
     part = F.element_at(
         F.lit(_partition_remap(spark, n_files)), bucket + 1)

@@ -1043,25 +1043,29 @@ def nb_train(labeled: DataFrame) -> DataFrame:
     )
 
 
-def nb_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+def nb_score(
+    docs: DataFrame, model: DataFrame, *, materialized: bool = False,
+) -> DataFrame:
     """Score ANY ``(doc_id, text)`` frame with a trained model table —
     the operator behind clf_distill_score (see its docstring for the
     plan shape). Returns (doc_id, n_feats, score_micro, pred_keep).
 
-    EAGER at build time: unlike every other plan constructor in this
-    package, calling nb_score executes the ``model`` frame's full job
-    (including any judge UDF pass feeding it) via the bounded collect
-    below — callers composing plans lazily should pass an
-    already-materialized model (``_qc_model_df``) or accept the
-    up-front cost. The model is materialized ONCE via that collect —
-    it is ≤ _QC_BUCKETS+1 rows BY CONSTRUCTION (the hashing trick
-    bounds the parameter table), so this is the broadcast-small-side
-    rule, not a driver bottleneck. Without it, Spark re-instantiates
-    the whole training DAG (judge UDF projection + feature shuffle)
-    under EVERY branch that consumes the model (weights join, prior
-    join); a production deployment persists the trained table and
-    gets the same effect from the file."""
-    mat = model.sparkSession.createDataFrame(model.collect(), model.schema)
+    EAGER at build time (when ``materialized=False``): unlike every
+    other plan constructor in this package, calling nb_score executes
+    the ``model`` frame's full job (including any judge UDF pass
+    feeding it) via the bounded collect below — callers composing
+    plans lazily should pass ``materialized=True`` with an
+    already-local model (``_qc_model_df``), which skips the redundant
+    re-collect, or accept the up-front cost. The model is materialized
+    ONCE via that collect — it is ≤ _QC_BUCKETS+1 rows BY CONSTRUCTION
+    (the hashing trick bounds the parameter table), so this is the
+    broadcast-small-side rule, not a driver bottleneck. Without it,
+    Spark re-instantiates the whole training DAG (judge UDF projection
+    + feature shuffle) under EVERY branch that consumes the model
+    (weights join, prior join); a production deployment persists the
+    trained table and gets the same effect from the file."""
+    mat = model if materialized else model.sparkSession.createDataFrame(
+        model.collect(), model.schema)
     weights = mat.where(F.col("bucket") >= 0).select("bucket", "w_micro")
     prior = mat.where(F.col("bucket") == -1).select(
         F.col("w_micro").alias("prior_micro")
@@ -1155,18 +1159,25 @@ def clf_distill_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qc_trained_weights(spark, sf_dir).orderBy("bucket")
 
 
-_QC_SCORE_SQL = f"""
+def _qc_score_sql(extra_where: str) -> str:
+    """The scoring CTE chain (train → per-doc broadcast-weight sums →
+    prior) over documents matching ``extra_where`` — ONE template
+    shared by the score/eval/deploy oracles, the same way
+    ``_qc_label_sql`` parameterizes the labeling split, so a change to
+    scoring semantics can never leave one tier's oracle stale.
+    Returns per-doc (doc_id, n_feats, score_micro, pred_keep)."""
+    return f"""
         WITH trained AS ({_qc_train_sql()}),
-        hold_feats AS (
+        scored_feats AS (
             SELECT doc_id, {_QC_BUCKET_SQL} AS bucket
             FROM ({_QC_FEATS_SQL}) f
-            WHERE doc_id % {_QC_HOLD_MOD} = 0
+            WHERE {extra_where}
         ),
         per_doc AS (
             SELECT h.doc_id,
                    CAST(count(*) AS BIGINT) AS n_feats,
                    CAST(SUM(COALESCE(t.w_micro, 0)) AS BIGINT) AS feat_micro
-            FROM hold_feats h
+            FROM scored_feats h
             LEFT JOIN (SELECT bucket, w_micro FROM trained
                        WHERE bucket >= 0) t USING (bucket)
             GROUP BY h.doc_id
@@ -1177,7 +1188,10 @@ _QC_SCORE_SQL = f"""
                CAST(feat_micro + prior_micro AS BIGINT) AS score_micro,
                feat_micro + prior_micro > 0 AS pred_keep
         FROM per_doc CROSS JOIN prior
-"""
+    """
+
+
+_QC_SCORE_SQL = _qc_score_sql(f"doc_id % {_QC_HOLD_MOD} = 0")
 
 
 @register("clf_distill_score", oracle=f"""
@@ -1201,7 +1215,7 @@ def clf_distill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     holdout = docs.where(F.col("doc_id") % _QC_HOLD_MOD == 0)
     return nb_score(
-        holdout, _qc_model_df(spark, sf_dir)
+        holdout, _qc_model_df(spark, sf_dir), materialized=True
     ).orderBy("doc_id")
 
 
@@ -1282,26 +1296,9 @@ def clf_distill_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("curation_distilled_filter", oracle=f"""
-        WITH trained AS ({_qc_train_sql()}),
-        feats AS (
-            SELECT doc_id, {_QC_BUCKET_SQL} AS bucket
-            FROM ({_QC_FEATS_SQL}) f
-        ),
-        per_doc AS (
-            SELECT h.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_feats,
-                   CAST(SUM(COALESCE(t.w_micro, 0)) AS BIGINT) AS feat_micro
-            FROM feats h
-            LEFT JOIN (SELECT bucket, w_micro FROM trained
-                       WHERE bucket >= 0) t USING (bucket)
-            GROUP BY h.doc_id
-        ),
-        prior AS (SELECT w_micro AS prior_micro FROM trained
-                  WHERE bucket = -1)
-        SELECT doc_id, n_feats,
-               CAST(feat_micro + prior_micro AS BIGINT) AS score_micro
-        FROM per_doc CROSS JOIN prior
-        WHERE feat_micro + prior_micro > 0
+        SELECT doc_id, n_feats, score_micro
+        FROM ({_qc_score_sql("TRUE")})
+        WHERE pred_keep
         ORDER BY doc_id
     """)
 def curation_distilled_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,7 +1325,7 @@ def curation_distilled_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles more than its (doc_id, bucket) feature stream."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        nb_score(docs, _qc_model_df(spark, sf_dir))
+        nb_score(docs, _qc_model_df(spark, sf_dir), materialized=True)
         .where(F.col("pred_keep"))
         .select("doc_id", "n_feats", "score_micro")
         .orderBy("doc_id")

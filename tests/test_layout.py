@@ -64,6 +64,43 @@ def test_box_predicate_prunes_files_vs_single_sort(spark, tmp_path):
     assert spark.read.parquet(z_path).count() == 40_000
 
 
+def test_zorder_file_membership_deterministic(spark, tmp_path):
+    """The round-10 rewrite's contract: same input ⇒ byte-identical
+    file membership, regardless of shuffle partitioning — the property
+    that makes `layout_zorder_build` regression-pinnable and table
+    rebuilds reproducible (repartitionByRange's sampled boundaries,
+    the previous implementation, failed exactly this)."""
+    df = spark.range(20_000).select(
+        "id",
+        F.abs(F.xxhash64("id") % 5_000).alias("x"),
+        F.abs(F.xxhash64(F.col("id") + 7) % 5_000).alias("y"),
+    )
+
+    def membership(path: str) -> set[frozenset]:
+        rows = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"), "id")
+            .collect()
+        )
+        by_file: dict[str, set] = {}
+        for r in rows:
+            by_file.setdefault(r.f, set()).add(r.id)
+        return {frozenset(v) for v in by_file.values()}
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a_path, b_path = str(tmp_path / "za"), str(tmp_path / "zb")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        write_zordered(df, a_path, "x", "y", n_files=8)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        write_zordered(df, b_path, "x", "y", n_files=8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a, b = membership(a_path), membership(b_path)
+    assert a == b
+    assert len(a) == 8
+
+
 def test_zorder_preserves_rows_exactly(spark, tmp_path):
     df = spark.range(5_000).select(
         "id", (F.col("id") * 7 % 100).alias("x"), (F.col("id") * 13 % 100).alias("y"))
