@@ -148,9 +148,16 @@ def pagerank(
         seeded = nodes.join(scaled, "id", "left").select(
             "id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"))
         total = seeded.agg(_exact_sum("r0").alias("t"))
+        # t > 0 guard mirrors the pt guard above: a seed whose
+        # IN-GRAPH mass scales to exactly 0 (all weight on ids absent
+        # from the graph, or a +inf pre-total collapsing every share
+        # to 0.0) must fall back to the uniform start, not divide by
+        # zero (ANSI: DIVIDE_BY_ZERO; non-ANSI: all-NULL ranks)
         ranks = (
             seeded.crossJoin(F.broadcast(total))
-            .select("id", (F.col("r0") / F.col("t")).alias("rank"))
+            .select("id", F.when(
+                F.col("t") > 0, F.col("r0") / F.col("t")
+            ).otherwise(F.lit(1.0 / n)).alias("rank"))
             .localCheckpoint(eager=True)
         )
     iters_run = 0

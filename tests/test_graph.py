@@ -345,3 +345,36 @@ def test_pagerank_warm_start_duplicate_seed_ids(spark):
     # duplicate mass is summed then renormalized: a gets 1.0/1.5 of the
     # start mass instead of doubled rows; totals stay a distribution
     assert abs(sum(dup.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_degenerate_seeds_fall_back_to_uniform(spark):
+    """Seeds whose IN-GRAPH mass is zero must fall back to the uniform
+    start (review-found): all weight on ids absent from the graph
+    passes the pre-total guard (pt > 0) but scales every surviving
+    node's share to 0 — without the t > 0 guard that is DIVIDE_BY_ZERO
+    under ANSI and all-NULL ranks without it. Arbitrary weight scales
+    (the docstring's contract) must also survive the double pre-scale."""
+    from crawler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    cold = {r.id: r.rank for r in
+            pagerank(edges, iterations=40).collect()}
+
+    # every graph node at weight 0; the positive mass sits off-graph
+    offgraph = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0), ("zzz", 7.0)],
+        "id string, rank double")
+    got = {r.id: r.rank for r in
+           pagerank(edges, iterations=40, init_ranks=offgraph).collect()}
+    assert got == cold, "zero in-graph seed mass must start uniform"
+
+    # huge raw scores: the double pre-scale must bound them before the
+    # decimal-exact path (no overflow, same fixed point as any seed)
+    huge = spark.createDataFrame(
+        [("a", 1e300), ("b", 2e300), ("c", 1e299)],
+        "id string, rank double")
+    got_huge = {r.id: r.rank for r in
+                pagerank(edges, iterations=60, init_ranks=huge).collect()}
+    assert got_huge == cold, "seed scale must never move the fixed point"
