@@ -65,6 +65,31 @@ def _partition_remap(spark, n: int) -> list[int]:
     return [remap[j] for j in range(n)]
 
 
+def equal_frequency_cuts(
+    hist: list[tuple[int, int]], n_buckets: int,
+) -> list[int]:
+    """Greedy equal-frequency bucket boundaries over a (cell, count)
+    histogram: ``cuts[j]`` is the LAST cell of bucket j, chosen so the
+    running mass first reaches (j+1)/n_buckets of the total at that
+    cell. Pure driver-side arithmetic over the bounded histogram —
+    deterministic by construction, which is the whole point (see
+    write_zordered). Properties (hypothesis-pinned in
+    tests/test_properties.py): at most n_buckets-1 cuts,
+    non-decreasing, every cut is a histogram cell, and each bucket's
+    mass overshoots the ideal total/n_buckets by at most its boundary
+    cell's count (the granularity bound — a histogram cell is never
+    split)."""
+    total = sum(n for _, n in hist)
+    cuts: list[int] = []
+    acc, k = 0, 1
+    for c, n in sorted(hist):
+        acc += n
+        while k < n_buckets and acc * n_buckets >= k * total:
+            cuts.append(int(c))
+            k += 1
+    return cuts
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -96,19 +121,12 @@ def write_zordered(
         .drop("__alo", "__ahi", "__blo", "__bhi")
     )
     cell = F.shiftright(F.col("__z"), 2 * _BITS - _HIST_BITS)
-    hist = sorted(
+    hist = [
         (r["__cell"], r["__n"])
         for r in keyed.groupBy(cell.alias("__cell"))
         .agg(F.count(F.lit(1)).alias("__n")).collect()
-    )
-    total = sum(n for _, n in hist)
-    cuts: list[int] = []  # cuts[j] = last histogram cell of bucket j
-    acc, k = 0, 1
-    for c, n in hist:
-        acc += n
-        while k < n_files and acc * n_files >= k * total:
-            cuts.append(int(c))
-            k += 1
+    ]
+    cuts = equal_frequency_cuts(hist, n_files)
     if cuts:
         bucket = F.size(F.filter(
             F.lit(cuts).cast("array<long>"), lambda q: q < cell))

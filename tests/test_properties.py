@@ -510,3 +510,51 @@ def test_kmv_sketch_null_users_and_small_types(spark):
     assert len(got["mixed"]) == 5          # NULL took no slot
     assert len(got["big"]) == _KMV_K       # capped at k
     assert got["big"] == sorted(got["big"])
+
+
+class TestEqualFrequencyCuts:
+    """Invariants of the z-order layout's deterministic bucket-boundary
+    derivation (operators/layout.py:equal_frequency_cuts) for ANY
+    histogram — the pure half of the round-10 write_zordered rewrite."""
+
+    hists = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4095),
+                  st.integers(min_value=1, max_value=10_000)),
+        min_size=1, max_size=200,
+        unique_by=lambda t: t[0],
+    )
+    n_buckets = st.integers(min_value=1, max_value=32)
+
+    @given(hists, n_buckets)
+    @settings(max_examples=200, deadline=None)
+    def test_shape_and_monotonicity(self, hist, n):
+        from crawler_spark.operators.layout import equal_frequency_cuts
+
+        cuts = equal_frequency_cuts(hist, n)
+        cells = {c for c, _ in hist}
+        assert len(cuts) <= n - 1 if n > 1 else cuts == []
+        assert cuts == sorted(cuts)
+        assert all(c in cells for c in cuts)
+        # permutation-insensitive (the Spark collect order is arbitrary)
+        assert cuts == equal_frequency_cuts(list(reversed(hist)), n)
+
+    @given(hists, n_buckets)
+    @settings(max_examples=200, deadline=None)
+    def test_bucket_mass_within_cell_granularity(self, hist, n):
+        """Each bucket's mass ≤ ideal share + its boundary cell's count
+        (a cell is never split), and every row lands in some bucket."""
+        from crawler_spark.operators.layout import equal_frequency_cuts
+
+        cuts = equal_frequency_cuts(hist, n)
+        total = sum(cnt for _, cnt in hist)
+        bounds = cuts + [4096]  # open last bucket
+        masses = [0] * len(bounds)
+        cell_count = dict(hist)
+        for c, cnt in hist:
+            b = next(i for i, hi in enumerate(bounds) if c <= hi)
+            masses[b] += cnt
+        assert sum(masses) == total
+        ideal = total / n
+        for i, m in enumerate(masses[:-1]):
+            boundary = cell_count.get(bounds[i], 0)
+            assert m <= ideal + boundary, (i, m, ideal, boundary)
