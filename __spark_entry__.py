@@ -54,6 +54,12 @@ _NEVER_DRIVER_VERIFIED = [
     "layout_zorder_build",          # regression pin (was rows-only)
     "ev_value_percentiles_approx",  # error-bound oracle (was rows-only)
     "ev_value_bins_approx",         # error-bound oracle (was rows-only)
+    # --- (c) ANN plan changes, round-10 review sweep (pins verified
+    # byte-identical after the deterministic-sample/NULLS-LAST/probe-
+    # isin/LSH-dedup rewrites; these rows re-confirm under the driver)
+    "o3_knn_topk_lsh",              # top-k·bands-then-dedup rewrite
+    "knn_topk_ivf", "knn_topk_ivfpq", "knn_probe_ivfpq",
+    "o3_knn_filtered_ivf",          # probe isin + prefilter id cast
 ]
 
 

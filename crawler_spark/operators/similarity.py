@@ -44,7 +44,7 @@ def knn_topk(
     out = df.select(*id_cols, V.neg_dot(emb, q).alias("distance"))
     if max_distance is not None:
         out = out.filter(F.col("distance") <= F.lit(float(max_distance)))
-    order = [F.col("distance").asc()] + [F.col(c).asc() for c in id_cols]
+    order = [F.col("distance").asc_nulls_last()] + [F.col(c).asc() for c in id_cols]
     return out.orderBy(*order).limit(k)
 
 
@@ -80,19 +80,26 @@ def knn_topk_lsh(
     q_keys = q_bands.select("band", "bucket")  # ≤ bands rows
 
     banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
-    candidates = (
-        banded.join(F.broadcast(q_keys), ["band", "bucket"])
-        .select("id", "v")
-        .dropDuplicates(["id"])  # a candidate may match several bands
-    )
+    candidates = banded.join(F.broadcast(q_keys), ["band", "bucket"]).select(
+        "id", "v")
     # re-rank against the RAW query vector — the exact path (knn_topk)
     # normalizes only the stored side, so using the banding's normalized
     # query here would scale every distance by 1/||q|| and shift any
     # max_distance-style threshold
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
+    scored = candidates.select(F.col("id").alias(id_col), dist.alias("distance"))
+    # a candidate matching m ≤ bands buckets appears m times with an
+    # IDENTICAL (distance, id) row — take the top k·bands rows first
+    # (TakeOrderedAndProject, no shuffle of the candidate set), which
+    # must contain ≥ k distinct ids, then dedup those few rows; the
+    # former dropDuplicates(id) BEFORE the top-k shuffled the whole
+    # candidate set (the exact rewrite knn_topk_precomputed already
+    # used — review-found divergence)
     return (
-        candidates.select(F.col("id").alias(id_col), dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k * max(bands, 1))
+        .dropDuplicates([id_col])
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -193,12 +200,57 @@ def knn_topk_precomputed(
     # must contain ≥ k distinct ids, then dedup those few rows; this
     # replaces a dropDuplicates shuffle over the whole candidate set
     return (
-        scored.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k * max(len(keys), 1))
         .dropDuplicates([id_col])
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _bounded_hash_sample(
+    df: DataFrame, vec_col: str, id_col: str, max_sample: int,
+):
+    """Deterministic bounded training sample, shared by the IVF and PQ
+    trainers: survivors chosen by an xxhash64(id) fraction, truncated
+    by ORDERED (hash, id) rank — an ``orderBy().limit()`` that compiles
+    to TakeOrdered (per-partition top-n + driver merge, never a global
+    sort shuffle) — and returned sorted by id. Every step is a pure
+    function of the DATA, so the positional kmeans++ RNG picks
+    reference the same physical rows on any cluster size, partitioning,
+    or input-split layout. (Review-found: the former bare
+    ``.limit().collect()`` returned rows in input-split order, so a
+    different split layout silently trained different centroids while
+    the docstring claimed invariance — shuffle-partition-only tests
+    could never catch it.)"""
+    from crawler_spark.operators.dedup import long_id
+
+    n = df.count()
+    frac_denom = 1_000_000
+    keep = min(frac_denom, max(1, int(frac_denom * max_sample / max(n, 1))))
+    rows = (
+        df.select(long_id(df, id_col).alias("id"),
+                  V.l2_normalize(vec_col).alias("v"))
+        .filter(F.pmod(F.xxhash64("id"), F.lit(frac_denom)) < keep)
+        .orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(max_sample)
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r.id)
+
+
+def _kmeanspp_seed(x, k: int, rng):
+    """Shared kmeans++ seeding (Arthur & Vassilvitskii, SODA 2007) over
+    a driver-side sample matrix: squared-L2 D² weighting, positional
+    picks from ``rng`` — deterministic given (x row order, seed)."""
+    import numpy as np
+
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(1, min(k, len(x))):
+        d2 = np.min([np.sum((x - c) ** 2, axis=1) for c in cents], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=probs)])
+    return np.stack(cents)
 
 
 def train_ivf_centroids(
@@ -214,36 +266,18 @@ def train_ivf_centroids(
     BOUNDED deterministic hash-sample of the normalized vectors.
 
     The sample — not the table — comes to the driver (``max_sample``
-    rows hard cap, selected by xxhash64(id) so the same rows train the
-    same centroids on any cluster size or partitioning; the repo's
-    sampling queries use the same reproducibility rule). Training a
-    coarse quantizer on a sample is the standard IVF recipe (FAISS
-    trains on ~30-256 points per centroid); the full table never
-    leaves the executors."""
+    rows hard cap; see ``_bounded_hash_sample`` for why selection AND
+    order are pure functions of the data, which is what makes "the
+    same rows train the same centroids on any cluster size or
+    partitioning" actually true). Training a coarse quantizer on a
+    sample is the standard IVF recipe (FAISS trains on ~30-256 points
+    per centroid); the full table never leaves the executors."""
     import numpy as np
 
-    from crawler_spark.operators.dedup import long_id
-
-    n = df.count()
-    frac_denom = 1_000_000
-    keep = min(frac_denom, max(1, int(frac_denom * max_sample / max(n, 1))))
-    sample = (
-        df.select(long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
-        .filter(F.pmod(F.xxhash64("id"), F.lit(frac_denom)) < keep)
-        .limit(max_sample)
-        .collect()
-    )
+    sample = _bounded_hash_sample(df, vec_col, id_col, max_sample)
     x = np.stack([r.v for r in sample]).astype(np.float64)
     rng = np.random.default_rng(seed)
-    # kmeans++ seeding
-    cents = [x[rng.integers(len(x))]]
-    for _ in range(1, min(n_centroids, len(x))):
-        d2 = np.min(
-            [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
-        )
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(x[rng.choice(len(x), p=probs)])
-    c = np.stack(cents)
+    c = _kmeanspp_seed(x, n_centroids, rng)
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)  # unit vectors: max dot = min angle
         for j in range(len(c)):
@@ -354,6 +388,26 @@ def build_ivf_index(
     )
 
 
+def _probe_filter(
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    nprobe: int,
+) -> F.Column:
+    """Driver-side IVF probe selection, shared by every list-probing
+    reader (single-query IVF, IVFPQ in-plan, IVFPQ indexed): rank
+    centroids against the normalized query (a tiny C×d matmul) and
+    return the partition-pruning predicate for the ``nprobe`` nearest
+    lists — an IN on the partition column, directory-level pruning at
+    file listing, same physics as the ==-chain it replaces."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
+    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
+    return F.col("list_id").isin([int(p) for p in probe])
+
+
 def knn_topk_ivf(
     spark,
     index_path: str,
@@ -377,24 +431,14 @@ def knn_topk_ivf(
     recall beyond what nprobe already concedes — candidate count never
     caps out under a selective filter. Payload predicates also push
     down into the parquet scan of the probed lists."""
-    import functools
-    import numpy as np
-    import operator
-
-    cmat = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
-    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
-    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
-    cond = functools.reduce(
-        operator.or_, [F.col("list_id") == int(p) for p in probe]
-    )
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
-    scan = spark.read.parquet(index_path).filter(cond)
+    scan = spark.read.parquet(index_path).filter(
+        _probe_filter(centroids, query_vec, nprobe))
     if predicate is not None:
         scan = scan.filter(predicate)
     return (
         scan.select(F.col("id").alias(id_col), dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -512,7 +556,18 @@ def knn_topk_filtered(
         strategy = choose_filtered_strategy(
             selectivity, prefilter_max_selectivity)
     if strategy == "prefilter":
-        return knn_topk(df.filter(pred), query_vec, k=k, vec_col=vec_col,
+        pre = df.filter(pred)
+        if index_path is not None and centroids is not None:
+            from crawler_spark.operators.dedup import long_id
+
+            # both arms are dispatchable: cast the id to long to MATCH
+            # the IVF arm (whose index bakes in long_id), else the
+            # output schema would flip with the data-dependent
+            # selectivity estimate (review-found). The index-less path
+            # keeps the caller's column untouched — string ids are
+            # valid there and only there.
+            pre = pre.withColumn(id_col, long_id(df, id_col))
+        return knn_topk(pre, query_vec, k=k, vec_col=vec_col,
                         id_cols=(id_col,))
     return knn_topk_ivf(df.sparkSession, index_path, centroids, query_vec,
                         k=k, nprobe=nprobe, id_col=id_col, predicate=pred)
@@ -662,13 +717,13 @@ def knn_topk_sq8(
     approx = V.sq8_neg_dot("qv", "scale", query_q, F.lit(qs))
     cand = (
         norm.select(id_col, "v", approx.alias("approx_distance"))
-        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("approx_distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(max(k, k * rerank_factor))
     )
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
     return (
         cand.select(id_col, dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -732,7 +787,12 @@ def semantic_dedup_pairs(
     pairs = norm.groupBy("list_id").applyInPandas(
         _pairs, "id_a long, id_b long, cos double")
     # a pair sharing several clusters is found several times
-    return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+    # F.max, not F.first: a pair sharing several clusters has its
+    # cosine computed by different BLAS tiles (different shapes →
+    # different float summation order); if the rounded values straddle
+    # a 0.5e-6 boundary, first() returns whichever task finished first
+    # — max() is order-free, keeping the pinned oracle deterministic
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
 def semantic_dedup_keep(
@@ -774,26 +834,17 @@ def train_pq_codebooks(
     n_subspaces BYTES at n_codes ≤ 256, a 32× storage cut at d=64 —
     while ADC scoring still approximates the full inner product.
 
-    Training uses the same bounded deterministic hash-sample as
-    ``train_ivf_centroids``: ``max_sample`` rows to the driver, chosen
-    by xxhash64(id) so any cluster size/partitioning trains identical
-    codebooks; the table itself never leaves the executors.
+    Training uses the SHARED bounded deterministic hash-sample
+    (``_bounded_hash_sample`` — selection and order both pure
+    functions of the data) so any cluster size/partitioning/split
+    layout trains identical codebooks; the table itself never leaves
+    the executors.
 
     Returns codebooks[j][c] = centroid c of subspace j.
     """
     import numpy as np
 
-    from crawler_spark.operators.dedup import long_id
-
-    n = df.count()
-    frac_denom = 1_000_000
-    keep = min(frac_denom, max(1, int(frac_denom * max_sample / max(n, 1))))
-    sample = (
-        df.select(long_id(df, id_col).alias("id"), V.l2_normalize(vec_col).alias("v"))
-        .filter(F.pmod(F.xxhash64("id"), F.lit(frac_denom)) < keep)
-        .limit(max_sample)
-        .collect()
-    )
+    sample = _bounded_hash_sample(df, vec_col, id_col, max_sample)
     x = np.stack([r.v for r in sample]).astype(np.float64)
     d = x.shape[1]
     if d % n_subspaces:
@@ -804,12 +855,7 @@ def train_pq_codebooks(
     for j in range(n_subspaces):
         xj = x[:, j * sub : (j + 1) * sub]
         # kmeans++ seeding, then Lloyd with L2 on the raw subvectors
-        cents = [xj[rng.integers(len(xj))]]
-        for _ in range(1, min(n_codes, len(xj))):
-            d2 = np.min([np.sum((xj - c) ** 2, axis=1) for c in cents], axis=0)
-            probs = d2 / d2.sum() if d2.sum() > 0 else None
-            cents.append(xj[rng.choice(len(xj), p=probs)])
-        c = np.stack(cents)
+        c = _kmeanspp_seed(xj, n_codes, rng)
         for _ in range(iters):
             assign = np.argmin(
                 ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
@@ -912,13 +958,13 @@ def knn_topk_pq(
     adc = pq_adc_distance("codes", codebooks, query_vec)
     cand = (
         norm.select(id_col, "v", adc.alias("approx_distance"))
-        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("approx_distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(max(k, k * rerank_factor))
     )
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
     return (
         cand.select(id_col, dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -952,7 +998,12 @@ def random_projection(
     import numpy as np
     import pandas as pd
 
-    first = df.select(F.size(vec_col).alias("d")).first()
+    first = df.select(F.size(vec_col).alias("d")).where(
+        F.col("d").isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            "random_projection: cannot infer input dimensionality — "
+            "the frame is empty or every vector is NULL")
     d = int(first.d)
     rng = np.random.default_rng(seed)
     r = rng.standard_normal((d, out_dims)) / math.sqrt(out_dims)
@@ -990,33 +1041,21 @@ def knn_topk_ivfpq(
     deployment materializes them into the index once (build-time cost,
     like ``build_ivf_index``) so the first pass never reads floats.
     """
-    import functools
-    import operator as op
-
-    import numpy as np
-
-    cmat = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
-    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
-    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
-    cond = functools.reduce(
-        op.or_, [F.col("list_id") == int(p) for p in probe]
-    )
     probed = (
         spark.read.parquet(index_path)
-        .filter(cond)
+        .filter(_probe_filter(centroids, query_vec, nprobe))
         .withColumn("codes", pq_encode_udf(codebooks)("v"))
     )
     adc = pq_adc_distance("codes", codebooks, query_vec)
     cand = (
         probed.select(F.col("id").alias(id_col), "v", adc.alias("approx_distance"))
-        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("approx_distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(max(k, k * rerank_factor))
     )
     dist = V.neg_dot(F.col("v"), V.vector_lit(query_vec))
     return (
         cand.select(id_col, dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -1201,24 +1240,13 @@ def knn_topk_ivfpq_indexed(
     floats for just the k·rerank survivors. This is the separated
     build/probe form of ``knn_topk_ivfpq`` (which derives codes
     in-plan): same answers, serving-shaped physics."""
-    import functools
-    import operator as op
-
-    import numpy as np
-
-    cmat = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
-    qn = q / np.linalg.norm(q) if np.linalg.norm(q) > 0 else q
-    probe = np.argsort(-(cmat @ qn))[: max(1, nprobe)]
-    cond = functools.reduce(
-        op.or_, [F.col("list_id") == int(p) for p in probe]
-    )
+    cond = _probe_filter(centroids, query_vec, nprobe)
     adc = pq_adc_distance("codes", codebooks, query_vec)
     cand = (
         spark.read.parquet(index_path)
         .filter(cond)
         .select("id", adc.alias("approx_distance"))  # codes-only scan
-        .orderBy(F.col("approx_distance").asc(), F.col("id").asc())
+        .orderBy(F.col("approx_distance").asc_nulls_last(), F.col("id").asc())
         .limit(max(k, k * rerank_factor))
     )
     raw = spark.read.parquet(index_path).filter(cond).select("id", "v")
@@ -1226,7 +1254,7 @@ def knn_topk_ivfpq_indexed(
     return (
         raw.join(F.broadcast(cand.select("id")), "id")
         .select(F.col("id").alias(id_col), dist.alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -1265,7 +1293,7 @@ def mmr_rerank(
     emb = V.l2_normalize(vec_col)
     cand = (
         df.select(F.col(id_col), emb.alias("v"), V.neg_dot(emb, q).alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(fetch_k)
         .collect()
     )

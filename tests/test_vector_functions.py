@@ -741,3 +741,27 @@ def test_compact_crash_recovery_restores_displaced_bucket(spark, tmp_path):
     after = knn_topk_precomputed(spark, idx, QUERY_VEC, k=5).collect()
     assert [(r.vec_id, r.distance) for r in after] == [
         (r.vec_id, r.distance) for r in before]
+
+
+def test_knn_null_embedding_never_displaces_real_neighbors(spark):
+    """Spark's asc() is NULLS FIRST (Postgres ORDER BY ASC — the
+    reference semantics — is NULLS LAST), so a NULL embedding's NULL
+    distance used to occupy rank 1 and evict a true neighbor from the
+    top-k (review-found). All distance orderings now use
+    asc_nulls_last: NULL rows can only appear after every real
+    neighbor, and never inside a satisfied top-k."""
+    from crawler_spark.operators.similarity import knn_topk, knn_topk_lsh
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [1, 2], got
+    assert all(r.distance is not None for r in got)
+
+    # the LSH path scores candidates the same way; with k covering the
+    # full table the NULL row must still sort behind every real one
+    lsh = knn_topk_lsh(df, [1.0, 0.0], k=4).collect()
+    real = [r for r in lsh if r.distance is not None]
+    assert [r.vec_id for r in lsh[:len(real)]] == [r.vec_id for r in real]
