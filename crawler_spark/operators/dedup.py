@@ -73,6 +73,28 @@ def minhash_signatures(
     )
 
 
+def _stream_bucket_pairs(groups: DataFrame, make_pair, pair_filter=None):
+    """The in-bucket pair streamer shared by the MinHash and hamming
+    band machineries: over a packed ``rows`` array column, posexplode
+    + per-row slice emits each unordered pair exactly once, with each
+    generated row holding O(|bucket|) state instead of one
+    O(|bucket|²) flat pair array (a genuine duplicate cluster's pairs
+    are still the output, but they materialize row-at-a-time, never as
+    a single in-memory value). ``make_pair(x, y)`` builds the pair
+    struct from two packed elements; ``pair_filter`` optionally prunes
+    pairs INSIDE the per-row expression, before any row is generated."""
+    arr = F.transform(
+        F.slice("rows", F.col("i") + 2, F.size("rows") - F.col("i") - 1),
+        lambda y: make_pair(F.col("x"), y),
+    )
+    if pair_filter is not None:
+        arr = F.filter(arr, pair_filter)
+    return (
+        groups.select("rows", F.posexplode("rows").alias("i", "x"))
+        .select(F.explode(arr).alias("p"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -91,6 +113,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # cache note: the signature frame is CORPUS-sized (num_hashes longs
+    # per doc) and consumed 3× (banding + both verify sides); the cache
+    # spills to disk and is pinned for the session — a production
+    # pipeline persists the signature table to the lake once and reads
+    # it back, which releases the executor-storage pin and survives
+    # restarts. Recomputing instead would re-run the shingle fold 3×.
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).cache()
 
     # candidate generation: ONE groupBy(band, bucket) packs each
@@ -118,23 +146,17 @@ def minhash_lsh_pairs(
 
     groups = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    # pairs stream out via posexplode + per-row slice: each generated
-    # row holds O(|bucket|) state instead of one O(|bucket|²) flat
-    # array (a genuine duplicate cluster's pairs are still the output,
-    # but row-at-a-time, never as a single in-memory value)
-    pairs_for_row = F.transform(
-        F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1),
-        lambda y: F.struct(
-            F.least(F.col("x"), y).alias("id_a"),
-            F.greatest(F.col("x"), y).alias("id_b"),
-        ),
+        .agg(F.collect_list("id").alias("rows"))
+        .filter(F.size("rows") >= 2)
     )
     candidates = (
-        groups.select("ids", F.posexplode("ids").alias("i", "x"))
-        .select(F.explode(pairs_for_row).alias("p"))
+        _stream_bucket_pairs(
+            groups,
+            lambda x, y: F.struct(
+                F.least(x, y).alias("id_a"),
+                F.greatest(x, y).alias("id_b"),
+            ),
+        )
         .select("p.id_a", "p.id_b")
         .distinct()  # over surviving pairs only, not the banded blow-up
     )
@@ -206,10 +228,22 @@ def simhash_pairs(
     the default max_hamming=3) except for genuine duplicate clusters,
     whose pairs are the output anyway.
 
+    Token-less documents (empty/whitespace/NULL text) are EXCLUDED
+    before signing, mirroring the MinHash path (no shingles → no
+    signature): they would all hash to signature 0 and form one
+    corpus-wide mutual "near-dup" cluster — N·(N-1)/2 hamming-0 pairs
+    and one N-element aggregation buffer per band for what is really
+    an emptiness predicate, not similarity (review-found). Route empty
+    docs with a length filter upstream (corpus_clean) instead.
+
     ``sig`` is cached: without the materialization boundary Catalyst
     collapses the projection and re-evaluates the (large) signature
-    fold once per band bucket expression — 5× the per-row cost."""
-    sig = simhash(docs, text_col, id_col).cache()
+    fold once per band bucket expression — 5× the per-row cost. The
+    cache is corpus-sized and session-pinned; a production pipeline
+    persists the signature table instead (same note as
+    minhash_lsh_pairs)."""
+    nonempty = docs.filter(F.size(X.tokenize(text_col)) > 0)
+    sig = simhash(nonempty, text_col, id_col).cache()
     return hamming_pairs_from_signatures(sig, max_hamming)
 
 
@@ -239,14 +273,19 @@ def hamming_pairs_from_signatures(
     base, rem = divmod(64, bands)
     widths = [base + 1] * rem + [base] * (bands - rem)
     offsets = [sum(widths[:b]) for b in range(bands)]
+    def _bucket(b: int) -> F.Column:
+        col = F.shiftrightunsigned("simhash", offsets[b])
+        if widths[b] < 64:
+            col = col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        # width == 64 (max_hamming = 0, one band): no mask needed, and
+        # (1 << 64) - 1 would overflow the long literal (review-found
+        # crash on the guard's own advertised lower bound)
+        return col
+
     banded = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", offsets[b])
-                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
@@ -254,26 +293,21 @@ def hamming_pairs_from_signatures(
     groups = banded.groupBy("band", "bucket").agg(
         F.collect_list(F.struct("id", "simhash")).alias("rows")
     ).filter(F.size("rows") >= 2)
-    exploded = groups.select(
-        "rows", F.posexplode("rows").alias("i", "x"))
-    pairs_for_row = F.filter(
-        F.transform(
-            F.slice("rows", F.col("i") + 2,
-                    F.size("rows") - F.col("i") - 1),
-            lambda y: F.struct(
-                F.least(F.col("x.id"), y["id"]).alias("id_a"),
-                F.greatest(F.col("x.id"), y["id"]).alias("id_b"),
-                F.bit_count(
-                    F.col("x.simhash").bitwiseXOR(y["simhash"])
-                ).alias("hamming"),
-            ),
+    pairs = _stream_bucket_pairs(
+        groups,
+        lambda x, y: F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+            .alias("hamming"),
         ),
-        lambda p: p["hamming"] <= F.lit(max_hamming),
+        pair_filter=lambda p: p["hamming"] <= F.lit(max_hamming),
     )
     return (
-        exploded.select(F.explode(pairs_for_row).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .groupBy("id_a", "id_b")
+        # first() is safe here, unlike a float score: hamming is the
+        # SAME exact integer in every band that finds the pair
         .agg(F.first("hamming").alias("hamming"))
     )
 
@@ -399,32 +433,47 @@ def embedding_lsh_pairs(
     import pandas as pd
 
     thr = float(threshold)
-    banded = hyperplane_bands(df, vec_col, id_col, num_planes, bands, seed)
+    # NULL vectors are excluded up front: they band into the NULL
+    # bucket of every band, and ≥2 of them reach bucket_pairs where
+    # np.stack on a [None, ...] batch degrades to a 1-D object array
+    # and the nonzero unpack raises at RUNTIME, aborting the whole job
+    # (review-found). A vector-less row has no similarity semantics
+    # here — same contract as the MinHash path's shingle-less docs.
+    banded = hyperplane_bands(
+        df.filter(F.col(vec_col).isNotNull()),
+        vec_col, id_col, num_planes, bands, seed)
     _TILE = 1024
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                               "id_b": np.array([], dtype=np.int64),
                               "cosine": np.array([], dtype=np.float64)})
-        n = len(pdf)
-        if n < 2:
+        if len(pdf) < 2:
             return empty
-        ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["v"]).astype(np.float64, copy=False)
         chunks = []
-        for s0 in range(0, n, _TILE):
-            block = mat[s0:s0 + _TILE]
-            sims = block @ mat.T  # tile×n, never n×n
-            ii, jj = np.nonzero(sims >= thr)
-            gi = ii + s0
-            keep = jj > gi  # strict upper triangle in global indices
-            if not keep.any():
+        # group by dimensionality: hyperplane_bands adapts per row, so
+        # a bucket CAN mix dims — cosine across different dims is
+        # undefined and a ragged np.stack crashes; pairs are emitted
+        # within equal-dim groups only
+        for _, sub in pdf.groupby(pdf["v"].map(len), sort=True):
+            n = len(sub)
+            if n < 2:
                 continue
-            gi, jj2 = gi[keep], jj[keep]
-            ida, idb = ids[gi], ids[jj2]
-            lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-            chunks.append(pd.DataFrame(
-                {"id_a": lo, "id_b": hi, "cosine": sims[ii[keep], jj2]}))
+            ids = sub["id"].to_numpy()
+            mat = np.stack(sub["v"]).astype(np.float64, copy=False)
+            for s0 in range(0, n, _TILE):
+                block = mat[s0:s0 + _TILE]
+                sims = block @ mat.T  # tile×n, never n×n
+                ii, jj = np.nonzero(sims >= thr)
+                gi = ii + s0
+                keep = jj > gi  # strict upper triangle in global indices
+                if not keep.any():
+                    continue
+                gi, jj2 = gi[keep], jj[keep]
+                ida, idb = ids[gi], ids[jj2]
+                lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+                chunks.append(pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": sims[ii[keep], jj2]}))
         return pd.concat(chunks, ignore_index=True) if chunks else empty
 
     pairs = banded.groupBy("band", "bucket").applyInPandas(
@@ -493,6 +542,18 @@ def canonical_closure(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the rounds without convergence means a component
+        # of diameter > max_iterations: the partial labels SPLIT that
+        # component (wrong canonical ids, duplicates kept) — fail loud
+        # rather than silently under-merge (review-found); long-chain
+        # graphs should use connected_components_star (O(log d) rounds)
+        raise RuntimeError(
+            f"canonical_closure: min-label propagation did not converge "
+            f"within max_iterations={max_iterations}; the near-dup graph "
+            f"has a component of diameter > {max_iterations}. Raise "
+            f"max_iterations or use connected_components_star."
+        )
     # singletons (no edges) rejoin with their own id as the label
     return (
         all_ids.select(F.col(id_col).alias("id"))
@@ -588,6 +649,14 @@ def connected_components_star(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # log-round convergence makes this effectively unreachable at
+        # the default 25, but the same silent-split hazard as
+        # canonical_closure applies if it ever trips — fail loud
+        raise RuntimeError(
+            f"connected_components_star: edge set did not reach its "
+            f"fixed point within max_iterations={max_iterations}."
+        )
     # fixed point = stars: every non-root points at its component min
     labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("lbl"))
     return (
@@ -693,7 +762,13 @@ def dedup_repeated_spans(
             F.col(f"s.{id_col}").alias(id_col),
             F.col("s.span_idx").alias("span_idx"),
             F.col("s.span").alias("span"),
-            ((F.col(f"s.{id_col}") == F.col(f"f.fo.{id_col}"))
+            # eqNullSafe on the id: with a plain ==, a NULL doc id
+            # winning the struct-min makes `kept` NULL for EVERY row
+            # of the class, F.filter treats NULL as false, and the
+            # whole span class — first occurrence included — is
+            # silently deleted corpus-wide with n_removed = 0
+            # (review-found, destructive direction)
+            (F.col(f"s.{id_col}").eqNullSafe(F.col(f"f.fo.{id_col}"))
              & (F.col("s.span_idx") == F.col("f.fo.span_idx")))
             .alias("kept"),
         )

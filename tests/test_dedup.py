@@ -597,3 +597,95 @@ def test_hamming_bands_derive_from_max_hamming(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]
     # and the classic geometry still enforces its own bound
     assert hamming_pairs_from_signatures(sig, max_hamming=3).count() == 0
+
+
+def test_hamming_zero_exact_duplicates(spark):
+    """max_hamming=0 (exact 64-bit duplicate detection) is inside the
+    guard's advertised [0, 31] range and must work: one 64-bit band
+    needs NO mask — the former (1 << 64) - 1 literal overflowed
+    LongType and crashed plan construction (review-found)."""
+    from crawler_spark.operators.dedup import hamming_pairs_from_signatures
+
+    sig = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "id long, simhash long")
+    got = hamming_pairs_from_signatures(sig, max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_repeated_spans_null_doc_id_never_deletes_class(spark):
+    """A NULL doc id winning the first-occurrence struct-min used to
+    make `kept` NULL for the WHOLE span class — F.filter treats NULL
+    as false, silently deleting the class corpus-wide (first
+    occurrence included) with n_removed = 0 (review-found, the
+    destructive direction). eqNullSafe keeps exactly one occurrence."""
+    from crawler_spark.operators.dedup import dedup_repeated_spans
+
+    df = spark.createDataFrame(
+        [(None, "a b c d"), (1, "a b c d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup_repeated_spans(df, span_tokens=4).collect()}
+    texts = {k: v.text_clean for k, v in got.items()}
+    # exactly one of the two rows keeps the span; none lose it silently
+    kept = [t for t in texts.values() if t == "a b c d"]
+    removed = [v for v in got.values() if v.n_removed == 1]
+    assert len(kept) == 1, texts
+    assert len(removed) == 1
+
+
+def test_embedding_lsh_pairs_null_and_ragged_vectors(spark):
+    """≥2 NULL embeddings used to reach one bucket where np.stack on
+    [None, None] degrades to a 1-D object array and the nonzero unpack
+    raises mid-job; two vectors of different dimensionality in one
+    bucket hit the same ragged-stack crash (review-found). NULLs are
+    now excluded up front and pairs are emitted within equal-dim
+    groups only."""
+    from crawler_spark.operators.dedup import embedding_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (4, None),
+         (5, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_lsh_pairs(df, threshold=0.9).collect()
+    ids = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in ids
+    assert all(3 not in p and 4 not in p for p in ids), ids
+
+
+def test_simhash_pairs_empty_docs_do_not_cluster(spark):
+    """Token-less docs all hash to signature 0; they used to form one
+    corpus-wide mutual 'near-dup' cluster (N·(N-1)/2 hamming-0 pairs
+    and an N-element bucket buffer). They are excluded before signing,
+    mirroring the MinHash path's shingle-less behavior."""
+    from crawler_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None),
+         (4, "real duplicate text here"), (5, "real duplicate text here")],
+        "doc_id long, text string",
+    )
+    got = simhash_pairs(df).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(4, 5)]
+
+
+def test_canonical_closure_raises_on_non_convergence(spark):
+    """Exhausting max_iterations used to return silently SPLIT
+    components — wrong canonical ids with no signal (review-found).
+    It now fails loud; connected_components_star handles long chains
+    in O(log d) rounds instead."""
+    import pytest as _pytest
+
+    from crawler_spark.operators.dedup import (
+        canonical_closure,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        canonical_closure(chain, ids, "id", max_iterations=2)
+    # the star algorithm converges the same chain comfortably
+    star = {r.id: r.canonical_id for r in
+            connected_components_star(chain, ids, "id").collect()}
+    assert set(star.values()) == {1}
