@@ -47,6 +47,7 @@ from crawler_spark.streaming.ingest_stream import (
     _bucket_paths,
     commit_manifest,
     manifest_history,
+    read_buckets,
     read_manifest,
     table_write_lock,
 )
@@ -78,34 +79,76 @@ def commit_transaction(
     ``sync_tables=False`` skips the per-table manifest sync — used by
     tests to simulate a crash immediately after the commit point, and
     repaired by ``recover_transactions``. ``use_locks=False`` skips
-    the per-table writer locks during the sync (flock is not
-    reentrant — pass it when the caller already holds them)."""
+    taking the per-table writer locks (flock is not reentrant — pass
+    it when the caller already holds ALL of them; the fence-stability
+    argument below then rests on the caller's locks).
+
+    Concurrency: ALL participating tables' writer locks are acquired
+    (sorted order — no deadlock) BEFORE the fences are read and held
+    through commit + sync. Without this, two concurrent transactions
+    over the same table both read fence h; the link-CAS loser commits
+    a LATER txn version carrying the stale fence, its own sync (and
+    every future recovery replay) then sees the winner's mlog at h+1
+    and skips — the txn log's latest state and the live table diverge
+    PERMANENTLY (review-found). Serializing the fence-read+commit
+    window also gives write-write conflicts the per-table layer's
+    semantics: the second committer waits (brief retries), then gets
+    ConcurrentWriteError BEFORE the commit point — always safe to
+    retry with freshly staged state."""
+    if use_locks:
+        import contextlib
+        import time
+
+        tables = sorted({os.path.abspath(t) for t in states})
+        last_err: Exception | None = None
+        for attempt in range(10):
+            try:
+                with contextlib.ExitStack() as stack:
+                    for t in tables:
+                        stack.enter_context(table_write_lock(t))
+                    return _commit_transaction_locked(
+                        txn_dir, states, sync_tables)
+            except ConcurrentWriteError as e:
+                last_err = e
+                time.sleep(0.02 * (attempt + 1))
+        raise last_err
+    return _commit_transaction_locked(txn_dir, states, sync_tables)
+
+
+def _commit_transaction_locked(
+    txn_dir: str, states: dict[str, dict[int, int]], sync_tables: bool,
+) -> int:
+    """Commit body — caller holds (or has waived) every participating
+    table's writer lock, so the fences read here cannot move before
+    the sync applies them."""
     log_dir = os.path.join(txn_dir, TXNLOG_NAME)
     os.makedirs(log_dir, exist_ok=True)
+
+    def _fence(t: str) -> int:
+        # each table's per-table mlog version AT COMMIT TIME: the sync
+        # (and any later recovery replay) applies this txn's state
+        # only while the table has no NEWER per-table commit — without
+        # the fence, recover_transactions would regress a table past
+        # data a later single-table merge committed (and vacuum would
+        # then reclaim that data's directories permanently)
+        h = manifest_history(t)
+        return h[-1] if h else 0
+
     payload = {
         "tables": {
             os.path.abspath(t): {str(b): e for b, e in sorted(m.items())}
             for t, m in states.items()
         },
-        # each table's per-table mlog version AT COMMIT TIME: the sync
-        # (and any later recovery replay) applies this txn's state only
-        # while the table has no NEWER per-table commit — without the
-        # fence, recover_transactions would regress a table past data
-        # a later single-table merge committed (and vacuum would then
-        # reclaim that data's directories permanently)
-        "mlog_at_commit": {
-            os.path.abspath(t): (manifest_history(t)[-1]
-                                 if manifest_history(t) else 0)
-            for t in states
-        },
+        "mlog_at_commit": {os.path.abspath(t): _fence(t) for t in states},
     }
     # Stage once under a collision-free name, then publish via
     # hard-link compare-and-swap: os.link refuses to clobber, so two
     # concurrent committers racing for the same version get exactly one
     # winner; the loser retries with the next version instead of
     # silently overwriting a committed transaction (os.replace would
-    # last-writer-win that race — the per-table layer guards it with
-    # table_write_lock, and this is the txn-level equivalent).
+    # last-writer-win that race). Overlapping-table committers are
+    # already serialized by the writer locks above; the CAS still
+    # guards committers over DISJOINT table sets sharing one txn log.
     tmp = os.path.join(log_dir, f".stage-{os.getpid()}-{id(payload)}.tmp")
     with open(tmp, "w") as f:
         json.dump(payload, f)
@@ -123,11 +166,14 @@ def commit_transaction(
     finally:
         os.unlink(tmp)
     if sync_tables:
-        _sync_table_manifests(payload, use_locks=use_locks)
+        # locks are already held (or waived) — never re-acquire here
+        _sync_table_manifests(payload, use_locks=False)
     return ver
 
 
-def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
+def _sync_table_manifests(
+    payload: dict, use_locks: bool = True, verify_dirs: bool = False,
+) -> None:
     # Each table's manifest swap runs under that table's own writer
     # lock — the txn file is the source of truth, but the per-table
     # sync is still a read-modify-write a concurrent single-table
@@ -143,8 +189,10 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
     # sync). Found by the two-process race test (tests/test_txn.py):
     # raising ConcurrentWriteError here invited the caller to retry a
     # transaction that had already committed.
+    import logging
     import time
 
+    log = logging.getLogger("crawler_spark.txn")
     fences = payload.get("mlog_at_commit", {})
     for t, m in payload["tables"].items():
         manifest = {int(b): int(e) for b, e in m.items()}
@@ -161,10 +209,45 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
                 if history and history[-1] > int(fence):
                     return
             if manifest != read_manifest(t):
+                if verify_dirs:
+                    # vacuum guard (review-found), RECOVERY path only —
+                    # the commit-path sync publishes directories its
+                    # caller just staged, but a recovery replay of a
+                    # pre-crash txn can point at directories a
+                    # per-table vacuum (which doesn't know the txn
+                    # log) already reclaimed; publishing that manifest
+                    # BRICKS the live table (every read dies on a
+                    # missing path). Leave the live manifest on its
+                    # own consistent state instead and say so;
+                    # read_table_at_txn applies the same check on the
+                    # snapshot-read side.
+                    paths = _bucket_paths(t, manifest)
+                    gone = [p for p in paths if not os.path.isdir(p)]
+                    if gone:
+                        log.error(
+                            "txn recovery sync for %s skipped: %d/%d "
+                            "bucket dirs of the txn snapshot were "
+                            "vacuumed; live manifest left unchanged — "
+                            "retain more per-table snapshots than the "
+                            "txn horizon", t, len(gone), len(paths),
+                        )
+                        return
                 commit_manifest(t, manifest)
 
+        # the sync runs AFTER the commit point: NOTHING here may make
+        # the durable transaction look failed (review-found: only lock
+        # contention honored this; an OSError from one table's
+        # commit_manifest propagated and invited a duplicate commit on
+        # caller retry). Any failure is logged and the table converges
+        # via the next commit or recover_transactions.
         if not use_locks:
-            _sync_if_not_superseded()
+            try:
+                _sync_if_not_superseded()
+            except Exception:
+                log.exception(
+                    "txn sync failed for %s after the commit point; "
+                    "its manifest lags the txn log until the next "
+                    "sync or recover_transactions()", t)
             continue
         for attempt in range(10):
             try:
@@ -181,9 +264,7 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
                     # collapses repeats per call site, so only the
                     # FIRST skip would ever surface — every skip must
                     # be on record for the operator
-                    import logging
-
-                    logging.getLogger("crawler_spark.txn").warning(
+                    log.warning(
                         "txn sync skipped for %s: table lock held "
                         "by a live writer through 10 retries; its "
                         "manifest lags the txn log until the next "
@@ -191,6 +272,12 @@ def _sync_table_manifests(payload: dict, use_locks: bool = True) -> None:
                     )
                     break
                 time.sleep(0.02 * (attempt + 1))
+            except Exception:
+                log.exception(
+                    "txn sync failed for %s after the commit point; "
+                    "its manifest lags the txn log until the next "
+                    "sync or recover_transactions()", t)
+                break
 
 
 def read_transaction(
@@ -230,7 +317,7 @@ def recover_transactions(txn_dir: str) -> int | None:
     p = os.path.join(txn_dir, TXNLOG_NAME, f"{versions[-1]:08d}.json")
     with open(p) as f:
         payload = json.load(f)
-    _sync_table_manifests(payload)
+    _sync_table_manifests(payload, verify_dirs=True)
     return versions[-1]
 
 
@@ -249,6 +336,13 @@ def read_table_at_txn(
     it — every table read through the same ``version`` is mutually
     consistent (snapshot isolation across tables). None for a table
     the transaction recorded as empty."""
+    if version is None:
+        # resolve BEFORE building error messages: the vacuumed-data
+        # KeyError below must name the actual version, not "None"
+        versions = _txn_versions(txn_dir)
+        if not versions:
+            raise KeyError(f"no transactions committed in {txn_dir}")
+        version = versions[-1]
     state = read_transaction(txn_dir, version)
     key = os.path.abspath(table_dir)
     if key not in state:
@@ -268,9 +362,4 @@ def read_table_at_txn(
             f"transaction {version}'s data for {table_dir} was vacuumed "
             f"({len(gone)}/{len(paths)} bucket dirs missing); retain more "
             f"per-table snapshots than the txn horizon")
-    return (
-        spark.read.option("basePath", key)
-        .option("mergeSchema", "true")
-        .parquet(*paths)
-        .drop("v")
-    )
+    return read_buckets(spark, key, manifest)

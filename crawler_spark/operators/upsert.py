@@ -97,8 +97,15 @@ def scd2_apply(
         ne = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
         changed_pred = ne if changed_pred is None else (changed_pred | ne)
 
-    history = existing.filter(~F.col(is_current))
-    current = existing.filter(F.col(is_current))
+    # NULL-safe split: rows read through mergeSchema AFTER is_current
+    # was added in a later epoch carry is_current = NULL, and a plain
+    # boolean filter drops them from BOTH slices — silent row loss the
+    # next rewrite makes permanent (review-found). Pre-evolution rows
+    # were the live dimension rows when the column appeared, so NULL
+    # is treated as current; their next touch writes a concrete flag.
+    cur_flag = F.coalesce(F.col(is_current).cast("boolean"), F.lit(True))
+    history = existing.filter(~cur_flag)
+    current = existing.filter(cur_flag)
     out_cols = [key, *tracked, valid_from, valid_to, is_current]
 
     # presence flags via validity/tracked cols can be fooled by NULL
@@ -136,7 +143,10 @@ def key_bucket(key_col: str, num_buckets: int = 16):
     """Stable hash-bucket for an arbitrary merge key — the partition
     column a bucketed manifest table is laid out by. A key always
     lands in the same bucket, so a per-key merge never needs to look
-    outside its partition."""
+    outside its partition. ONE definition shared with the streaming
+    layer's ``domain_bucket`` (which delegates here): the bucket
+    function and the directory layout MUST agree, so a second copy
+    that could drift is itself the bug."""
     return F.pmod(F.xxhash64(key_col), F.lit(num_buckets)).cast("int")
 
 
@@ -167,9 +177,9 @@ def merge_into_bucketed(
     committed snapshot version; the whole read-merge-write runs under
     the table's writer lock."""
     from crawler_spark.streaming.ingest_stream import (
-        _bucket_paths,
         apply_bucket_commit,
         next_commit_epoch,
+        read_buckets,
         read_manifest,
         table_write_lock,
     )
@@ -188,15 +198,7 @@ def merge_into_bucketed(
         manifest = read_manifest(table_dir)
         live = {b: manifest[b] for b in touched if b in manifest}
         if live:
-            # mergeSchema: additive evolution means touched buckets may
-            # carry columns a one-file schema inference would drop —
-            # and a dropped column would be REWRITTEN away
-            existing = (
-                spark.read.option("basePath", table_dir)
-                .option("mergeSchema", "true")
-                .parquet(*_bucket_paths(table_dir, live))
-                .drop("v")
-            )
+            existing = read_buckets(spark, table_dir, live)
             merged = merge_by_key(existing, source, key, recency_col)
         else:
             existing = None
@@ -234,10 +236,10 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
     delete empties are dropped from the manifest. Returns the committed
     snapshot version."""
     from crawler_spark.streaming.ingest_stream import (
-        _bucket_paths,
         apply_bucket_commit,
         manifest_history,
         next_commit_epoch,
+        read_buckets,
         read_manifest,
         table_write_lock,
     )
@@ -252,12 +254,7 @@ def delete_from_bucketed(spark, table_dir: str, keys: DataFrame, key: str) -> in
         if not live:  # nothing to delete — current snapshot stands
             history = manifest_history(table_dir)
             return history[-1] if history else 0
-        existing = (
-            spark.read.option("basePath", table_dir)
-            .option("mergeSchema", "true")
-            .parquet(*_bucket_paths(table_dir, live))
-            .drop("v")
-        )
+        existing = read_buckets(spark, table_dir, live)
         kept = delete_by_key(existing, keys, key)
         epoch = next_commit_epoch(table_dir)  # see merge_into_bucketed
         return apply_bucket_commit(

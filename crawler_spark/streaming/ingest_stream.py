@@ -179,6 +179,24 @@ def _bucket_paths(pages_dir: str, manifest: dict[int, int]) -> list[str]:
     ]
 
 
+def read_buckets(spark: SparkSession, pages_dir: str,
+                 manifest: dict[int, int]) -> DataFrame:
+    """THE manifest-pruned parquet read — exactly the given
+    bucket→epoch map's live directories, shared by every reader
+    (table/snapshot/CDF/streaming merge, batch MERGE/DELETE, txn
+    snapshot reads). ``mergeSchema`` honors additive evolution: a
+    plain read infers the schema from one file and would silently
+    drop (and a rewriting consumer would then rewrite away) a column
+    only newer-epoch buckets carry. The internal ``v`` partition
+    column is dropped; ``bucket`` stays."""
+    return (
+        spark.read.option("basePath", pages_dir)
+        .option("mergeSchema", "true")
+        .parquet(*_bucket_paths(pages_dir, manifest))
+        .drop("v")
+    )
+
+
 def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
     """Manifest-aware reader: loads exactly each bucket's live version
     directory (``v``/``bucket`` come back as partition columns from the
@@ -193,12 +211,7 @@ def read_pages_table(spark: SparkSession, pages_dir: str) -> DataFrame | None:
     manifest = read_manifest(pages_dir)
     if not manifest:
         return None
-    return (
-        spark.read.option("basePath", pages_dir)
-        .option("mergeSchema", "true")
-        .parquet(*_bucket_paths(pages_dir, manifest))
-        .drop("v")
-    )
+    return read_buckets(spark, pages_dir, manifest)
 
 
 def read_pages_table_at(
@@ -215,12 +228,7 @@ def read_pages_table_at(
     manifest = read_manifest_at(pages_dir, version)
     if not manifest:
         return None
-    return (
-        spark.read.option("basePath", pages_dir)
-        .option("mergeSchema", "true")
-        .parquet(*_bucket_paths(pages_dir, manifest))
-        .drop("v")
-    )
+    return read_buckets(spark, pages_dir, manifest)
 
 
 def pages_changes(
@@ -251,12 +259,7 @@ def pages_changes(
         sub = {b: e for b, e in manifest.items() if b in changed}
         if not sub:
             return None
-        return (
-            spark.read.option("basePath", pages_dir)
-            .option("mergeSchema", "true")
-            .parquet(*_bucket_paths(pages_dir, sub))
-            .drop("v")
-        )
+        return read_buckets(spark, pages_dir, sub)
 
     old, new = side(m_from), side(m_to)
     if old is None and new is None:
@@ -550,8 +553,13 @@ def domain_bucket(domain_col: str | Column, num_buckets: int = DEFAULT_NUM_BUCKE
     """Stable partition key: hash-bucket of the page's domain. Domains
     are the natural locality key for crawl data (a recrawl touches few
     domains → few partitions) while hashing keeps bucket sizes even
-    when one domain dominates a corpus."""
-    return F.pmod(F.xxhash64(domain_col), F.lit(num_buckets)).cast("int")
+    when one domain dominates a corpus. Delegates to the single bucket
+    definition (operators/upsert.py ``key_bucket``): the bucket
+    function and the directory layout MUST stay bit-identical across
+    the batch and streaming layers, so there is exactly one copy."""
+    from crawler_spark.operators.upsert import key_bucket
+
+    return key_bucket(domain_col, num_buckets)
 
 
 def read_fetched_stream(
@@ -632,16 +640,9 @@ def make_batch_processor(
         manifest = read_manifest(pages_dir)
         live_touched = {b: manifest[b] for b in touched if b in manifest}
         if live_touched:
-            # read ONLY the touched buckets' live version directories;
-            # mergeSchema honors additive evolution — a plain read
-            # infers from one file and would silently drop (then
-            # rewrite away) a column newer-epoch buckets carry
-            existing = (
-                spark.read.option("basePath", pages_dir)
-                .option("mergeSchema", "true")
-                .parquet(*_bucket_paths(pages_dir, live_touched))
-                .drop("v")
-            )
+            # read ONLY the touched buckets' live version directories
+            # (read_buckets: mergeSchema honors additive evolution)
+            existing = read_buckets(spark, pages_dir, live_touched)
             pages = merge_by_key(existing, pages, key="url",
                                  recency_col="last_crawled")
             if any(e == epoch for e in live_touched.values()):

@@ -464,3 +464,30 @@ class TestScd2Apply:
                    .groupBy("k").count().collect())
         assert all(r["count"] == 1 for r in per_key)
         assert {r.k for r in per_key} == {1, 2, 3}
+
+
+def test_scd2_null_is_current_rows_survive(spark):
+    """Pre-evolution rows read through mergeSchema carry
+    is_current = NULL; a plain boolean filter dropped them from BOTH
+    the history and current slices — silent permanent row loss on the
+    next rewrite (review-found). NULL is treated as current (they were
+    the live rows when the column appeared) and the next touch writes
+    a concrete flag."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.upsert import scd2_apply
+
+    existing = spark.createDataFrame(
+        [(1, "old", None, None, None),
+         (2, "keep", None, None, True)],
+        "k int, a string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "new")], "k int, a string")
+    out = {(r.k, r.a, r.is_current): r
+           for r in scd2_apply(existing, updates, key="k", tracked=["a"],
+                               effective_date="2024-06-01").collect()}
+    # the NULL-flag row was treated as current: closed + new version
+    assert (1, "old", False) in out and (1, "new", True) in out
+    assert (2, "keep", True) in out
+    assert len(out) == 3, out

@@ -21,6 +21,7 @@ from crawler_spark.operators.txn import (
     transaction_history,
 )
 from crawler_spark.streaming.ingest_stream import (
+    ConcurrentWriteError,
     read_manifest,
     read_pages_table,
     stage_bucket_data,
@@ -473,3 +474,82 @@ class TestSyncSkipLogging:
         skips = [r for r in caplog.records
                  if "txn sync skipped" in r.getMessage()]
         assert len(skips) == 2, [r.getMessage() for r in caplog.records]
+
+
+class TestCommitConcurrencyAndRecoveryGuards:
+    def test_commit_conflicts_fail_before_the_commit_point(self, tmp_path):
+        """OCC semantics (review-found): two transactions over the same
+        table must serialize on its writer lock, and the loser must
+        fail BEFORE the commit point — the old code let the link-CAS
+        loser commit a LATER txn version carrying a fence read before
+        the winner's commit, permanently diverging the txn log's
+        latest state from the live table (its sync and every recovery
+        replay saw the advanced mlog and skipped)."""
+        from crawler_spark.streaming.ingest_stream import table_write_lock
+
+        txn = str(tmp_path / "txn")
+        a = str(tmp_path / "a")
+        with table_write_lock(a):
+            with pytest.raises(ConcurrentWriteError):
+                commit_transaction(txn, {a: {0: 1}})
+        # nothing committed: the failure happened pre-commit
+        assert transaction_history(txn) == []
+        # and with the lock released the same commit succeeds
+        assert commit_transaction(txn, {a: {0: 1}}) == 1
+
+    def test_recovery_never_publishes_vacuumed_directories(
+        self, spark, tmp_path, caplog
+    ):
+        """A txn committed but unsynced (crash window), whose staged
+        directories a per-table vacuum later reclaimed, must NOT be
+        replayed into the live manifest — publishing it bricks every
+        read with a raw path-not-found (review-found). Recovery leaves
+        the table on its own consistent state and logs the skip."""
+        import logging
+        import shutil
+
+        txn = str(tmp_path / "txn")
+        a = str(tmp_path / "a")
+        m0 = _stage(a, _docs(spark, "live"), 0)
+        commit_transaction(txn, {a: m0})  # synced, live
+        m1 = _stage(a, _docs(spark, "crashed"), 1)
+        commit_transaction(txn, {a: m1}, sync_tables=False)  # crash window
+        # "vacuum" reclaims the unreferenced v=1 staging
+        shutil.rmtree(os.path.join(a, "v=1"))
+        before = read_manifest(a)
+        with caplog.at_level(logging.ERROR, logger="crawler_spark.txn"):
+            recover_transactions(txn)
+        assert read_manifest(a) == before, "recovery bricked the table"
+        assert any("vacuumed" in r.getMessage() for r in caplog.records)
+        # the table still reads its consistent pre-crash state
+        assert {r.body for r in read_pages_table(spark, a).collect()} \
+            == {f"live-{i}" for i in range(20)}
+
+    def test_post_commit_sync_failure_never_fails_the_commit(
+        self, spark, tmp_path, monkeypatch, caplog
+    ):
+        """The sync runs after the commit point, so ANY failure there
+        (not just lock contention) must be logged, not raised — a
+        raising commit_transaction invites the caller to retry and
+        commit a duplicate txn version (review-found)."""
+        import logging
+
+        import crawler_spark.operators.txn as txn_mod
+
+        txn = str(tmp_path / "txn")
+        a = str(tmp_path / "a")
+        m0 = _stage(a, _docs(spark, "x"), 0)
+
+        def boom(*args, **kwargs):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(txn_mod, "commit_manifest", boom)
+        with caplog.at_level(logging.ERROR, logger="crawler_spark.txn"):
+            ver = commit_transaction(txn, {a: m0})
+        assert ver == 1 and transaction_history(txn) == [1]
+        assert any("after the commit point" in r.getMessage()
+                   for r in caplog.records)
+        monkeypatch.undo()
+        # recovery converges the lagging manifest once the fault clears
+        recover_transactions(txn)
+        assert read_manifest(a) == m0
