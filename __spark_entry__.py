@@ -60,6 +60,9 @@ _NEVER_DRIVER_VERIFIED = [
     "o3_knn_topk_lsh",              # top-k·bands-then-dedup rewrite
     "knn_topk_ivf", "knn_topk_ivfpq", "knn_probe_ivfpq",
     "o3_knn_filtered_ivf",          # probe isin + prefilter id cast
+    # --- (c) crawl durable-ordering rewrite (results materialize
+    # before visited persists; robots memo shared across waves)
+    "crawl_ingest_e2e", "pipeline_corpus_e2e",
 ]
 
 

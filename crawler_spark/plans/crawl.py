@@ -47,17 +47,46 @@ _ROBOTS_DISTRIBUTED_MIN = 1024
 
 
 def _save_state(df: DataFrame, path: str) -> None:
-    """Durable crawl state: write-then-rename so a crash mid-save keeps
-    the previous state intact (the df is eagerly checkpointed, so the
-    write never reads the path it replaces)."""
+    """Durable crawl state, crash-atomic at EVERY instant: the former
+    rmtree(path) → rename(tmp, path) sequence had a window where the
+    old state was destroyed and the new one unpublished (review-found —
+    a crash there made resume silently restart from the seeds with an
+    empty visited set). Two ordered renames close it: retire the old
+    state to ``.old`` (a complete fallback), publish the new one, then
+    sweep. ``_load_state`` prefers ``path`` and falls back to ``.old``,
+    so a crash inside the window resumes from the previous complete
+    state — at-least-once for one wave, never a silent reset. (The df
+    is eagerly checkpointed by the caller, so the write never reads the
+    path it replaces.)"""
     import os
     import shutil
 
-    tmp = path + ".tmp"
+    tmp, old = path + ".tmp", path + ".old"
+    if os.path.isdir(old):  # leftover sweep from a crash after publish
+        shutil.rmtree(old)
+    if os.path.isdir(tmp):  # half-written leftover from a crashed save
+        shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _state_path(path: str | None) -> str | None:
+    """The directory holding the newest COMPLETE state for ``path`` —
+    ``path`` itself, or its ``.old`` fallback if a crash landed between
+    ``_save_state``'s two renames; None when neither exists."""
+    import os
+
+    if path is None:
+        return None
+    if os.path.isdir(path):
+        return path
+    if os.path.isdir(path + ".old"):
+        return path + ".old"
+    return None
 
 
 def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None) -> Column:
@@ -86,6 +115,7 @@ def crawl(
     fetch_retries: int = 3,
     per_host_delay: float = 0.0,
     canonical_urls: bool = False,
+    robots_user_agent: str = "*",
 ) -> tuple[DataFrame, DataFrame]:
     """BFS-crawl from seeds; returns (items, dead_letter).
 
@@ -112,7 +142,15 @@ def crawl(
     dupefilter semantics across restarts). Resume restores FRONTIER
     state only; completed waves' items were already handed to the
     caller (or the streaming sink) — a restarted call returns items
-    from the remaining waves.
+    from the remaining waves. Durable ordering: each wave's results
+    materialize BEFORE its urls persist as visited, so a crash at any
+    point is at-least-once (the interrupted wave refetches on resume),
+    never a silent loss of the remaining crawl.
+
+    ``robots_user_agent`` is the agent token robots.txt rules match
+    against (default ``*``): pass the crawler's real token so sites'
+    bot-specific Disallow sections are honored, not just the wildcard
+    section.
     """
     import os
 
@@ -134,17 +172,26 @@ def crawl(
     allowed = domain_allowed_col("url", allowed_domains)
     visited_path = state_dir and os.path.join(state_dir, "visited")
     frontier_path = state_dir and os.path.join(state_dir, "frontier")
-    if resume and state_dir and os.path.isdir(frontier_path):
+    front_src = _state_path(frontier_path) if resume and state_dir else None
+    if front_src is not None:
+        vis_src = _state_path(visited_path)
         visited = (
-            spark.read.parquet(visited_path)
-            if os.path.isdir(visited_path)
+            spark.read.parquet(vis_src)
+            if vis_src is not None
             else spark.createDataFrame([], "url string")
         )
         # saved frontier may include urls attempted just before the
-        # crash — never refetch an attempted url
-        frontier = spark.read.parquet(frontier_path).join(
-            visited, "url", "left_anti"
+        # crash — never refetch an attempted url. Eagerly checkpointed
+        # (review-found): a lazy plan here still references the saved
+        # parquet files, which _save_state retires mid-wave — a
+        # truncated resumed wave's overflow would then scan deleted
+        # paths and abort the crawl
+        frontier = (
+            spark.read.parquet(front_src)
+            .join(visited, "url", "left_anti")
+            .localCheckpoint(eager=True)
         )
+        visited = visited.localCheckpoint(eager=True)
     else:
         # distinct() AFTER _canon: distinct raw seeds can canonicalize
         # to the same URL, and a duplicated wave-0 frontier row means a
@@ -162,6 +209,7 @@ def crawl(
         visited = spark.createDataFrame([], "url string")
     waves_items: list[DataFrame] = []
     waves_dead: list[DataFrame] = []
+    robots_parsers: dict = {}  # robots.txt memo shared across ALL waves
 
     for _depth in range(depth_limit + 1):
         # the ONE bounded driver materialization per wave: the fetcher's
@@ -188,14 +236,44 @@ def crawl(
         fetch_urls = wave_urls
         if obey_robots:
             if len(wave_urls) <= _ROBOTS_DISTRIBUTED_MIN:
-                robots_ok = robots_allowed_map(fetcher, wave_urls)
+                # ONE parsers memo for the whole crawl (review-found):
+                # a fresh dict per wave refetched every origin's
+                # robots.txt each wave, ×(retries+1) on every miss
+                robots_ok = robots_allowed_map(
+                    fetcher, wave_urls, user_agent=robots_user_agent,
+                    parsers=robots_parsers)
                 fetch_urls = [u for u in wave_urls if robots_ok[u]]
             else:
                 fetch_urls = [
                     r.url
-                    for r in robots_filter(spark, fetcher, wave_urls)
+                    for r in robots_filter(spark, fetcher, wave_urls,
+                                           user_agent=robots_user_agent)
                     .filter("allowed").collect()
                 ]
+
+        # fetch + parse FIRST — materialized when durable (review-found
+        # ordering): persisting visited before the fetch ran meant a
+        # crash mid-fetch left every wave url "visited" with no results,
+        # so resume found an empty frontier and silently abandoned the
+        # rest of the crawl. Materializing results first makes a crash
+        # anywhere at-least-once (the wave refetches on resume), never
+        # silently-lost.
+        if fetch_urls:
+            fetched = fetch_frontier(
+                spark, fetcher, fetch_urls, per_host_delay=per_host_delay
+            )
+            items = parse_stage(fetched)
+            ok, dead = split_dead_letter(items)
+            if state_dir:
+                ok = ok.localCheckpoint(eager=True)
+                dead = dead.localCheckpoint(eager=True)
+            else:
+                ok = ok.cache()  # consumed twice: results + next frontier
+            waves_items.append(ok)
+            waves_dead.append(dead)
+        else:
+            ok = None
+
         # every attempted url (robots-blocked included) is visited: never
         # retried. With durable state the checkpoint is eager so the
         # parquet save below reads materialized partitions, not the
@@ -206,20 +284,15 @@ def crawl(
         if state_dir:
             _save_state(visited, visited_path)
 
-        if fetch_urls:
-            fetched = fetch_frontier(
-                spark, fetcher, fetch_urls, per_host_delay=per_host_delay
-            )
-            items = parse_stage(fetched)
-            ok, dead = split_dead_letter(items)
-            ok = ok.cache()  # consumed twice: results + next frontier
-            waves_items.append(ok)
-            waves_dead.append(dead)
-        else:
-            ok = None
-
         last_wave = _depth == depth_limit
         if last_wave and state_dir is None:
+            if overflow is not None:
+                warnings.warn(
+                    "final crawl wave truncated and state_dir is not "
+                    "set: the overflow cannot carry anywhere and is "
+                    "DROPPED — set state_dir to persist it for a "
+                    "resumed run", stacklevel=2,
+                )
             break
         # next frontier: explode links, domain-filter, anti-join visited —
         # all distributed; overflow from this wave rejoins the frontier.

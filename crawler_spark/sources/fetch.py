@@ -93,18 +93,49 @@ def with_default_retries(fetcher: Fetcher, max_retries: int = 3) -> Fetcher:
 class HttpFetcher:
     """Real HTTP fetcher (urllib, 30 s timeout like the reference's PDF
     path — file_handler.py:17). Not used by tests; provided for
-    completeness of the S5 source."""
+    completeness of the S5 source.
 
-    def __init__(self, timeout_sec: float = 30.0, user_agent: str = "crawler-spark/0.1"):
+    Security posture (review-found, both urllib defaults):
+      * ONLY http/https URLs are fetched — urllib also ships file://,
+        ftp:// and data: handlers, so a hostile page linking
+        ``file:///etc/passwd`` would otherwise read executor-local
+        files into the corpus (SSRF/file disclosure); such links
+        dead-letter with a scheme error instead.
+      * Cross-host redirects are REFUSED by default: the crawl's
+        offsite (allowed_domains) and robots checks run against the
+        PRE-redirect URL only, so a permitted page 30x-ing to another
+        host would smuggle that host's body (and its links) past both
+        filters. Scrapy re-runs its middleware on redirected requests;
+        this fetcher's cheaper equivalent dead-letters the hop —
+        opt back in with ``allow_cross_host_redirects=True`` when the
+        frontier filter is doing the vetting some other way."""
+
+    def __init__(self, timeout_sec: float = 30.0,
+                 user_agent: str = "crawler-spark/0.1",
+                 allow_cross_host_redirects: bool = False):
         self.timeout = timeout_sec
         self.user_agent = user_agent
+        self.allow_cross_host_redirects = allow_cross_host_redirects
 
     def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        import urllib.parse
         import urllib.request
 
+        scheme = urllib.parse.urlsplit(url).scheme.lower()
+        if scheme not in ("http", "https"):
+            return None, None, f"SchemeNotAllowed: {scheme or '(none)'}"
         try:
             req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                final = resp.geturl()
+                if not self.allow_cross_host_redirects:
+                    h0 = urllib.parse.urlsplit(url).netloc.lower()
+                    h1 = urllib.parse.urlsplit(final).netloc.lower()
+                    if h1 != h0:
+                        return None, None, (
+                            f"CrossHostRedirect: {h0} -> {h1} (offsite/"
+                            "robots checks ran against the original "
+                            "host only)")
                 ctype = resp.headers.get("Content-Type", "")
                 return ctype, resp.read(), None
         except Exception as exc:

@@ -272,12 +272,15 @@ class TestCanonicalUrls:
 class TestCrashResume:
     def test_crash_mid_wave_with_overflow_resumes_unattempted_set(
             self, spark, tmp_path):
-        """Chaos: a crawl dies DURING a truncated wave's fetch (after the
-        wave was marked visited, before the next frontier was saved) with
-        overflow outstanding. The resumed crawl must fetch exactly the
-        not-yet-attempted urls: the saved frontier anti-joined with the
-        saved visited set — overflow urls included, attempted urls never
-        refetched."""
+        """Chaos: a crawl dies DURING a truncated wave's fetch with
+        overflow outstanding. Durable ordering contract (review-hardened
+        round 10): wave results materialize BEFORE the wave persists as
+        visited, so the crashed wave's urls are NOT yet visited on disk
+        — the resumed crawl refetches the interrupted wave (at-least-
+        once) and completes the rest; nothing is silently lost. (The
+        former order — visited persisted first — made a crash during a
+        NON-truncated wave's fetch leave resume with an empty frontier:
+        the whole remaining crawl silently vanished.)"""
         import pytest as _pytest
 
         wide = {
@@ -313,11 +316,13 @@ class TestCrashResume:
                    spark.read.parquet(state + "/visited").collect()}
         frontier = {r.url for r in
                     spark.read.parquet(state + "/frontier").collect()}
-        # crash landed mid-wave-1: root + the 2-url head are visited,
-        # the on-disk frontier is still the full wave-1 set
+        # crash landed mid-wave-1's FETCH, which runs before the wave
+        # persists as visited: only wave 0 (root) is durably visited,
+        # and the on-disk frontier is still the full wave-1 set
         assert "https://wide.test/" in visited
-        attempted = visited & leaves
-        assert len(attempted) == 2
+        assert visited & leaves == set(), (
+            "a wave persisted as visited before its results materialized"
+        )
         assert frontier == leaves
 
         items2, dead2 = crawl(
@@ -328,6 +333,66 @@ class TestCrashResume:
             state_dir=state, resume=True,
         )
         got = {r.url for r in items2.collect()}
-        # exactly the not-yet-attempted set: overflow urls, nothing else
-        assert got == leaves - attempted
+        # at-least-once: the interrupted wave refetches IN FULL — every
+        # leaf is crawled exactly by the resumed run, none lost
+        assert got == leaves
         assert dead2.count() == 0
+
+
+class TestDurableOrderingAndFetcherGuards:
+    def test_crash_mid_nontruncated_wave_resume_completes(
+            self, spark, tmp_path):
+        """THE review-found silent-loss case: a crash during an
+        ordinary (non-truncated) wave's fetch. Under the old
+        visited-first ordering the wave's urls were already durably
+        visited, so resume anti-joined them away, found an empty
+        frontier, and returned zero items — waves 1..N silently never
+        crawled. With results-first ordering the resumed crawl
+        refetches the interrupted wave and finishes."""
+        import pytest as _pytest
+
+        site = {
+            "https://w.test/": page("root", ["/a", "/b"]),
+            "https://w.test/a": page("a", []),
+            "https://w.test/b": page("b", []),
+        }
+
+        class CrashOn(StubFetcher):
+            def __init__(self, s, crash_urls):
+                super().__init__(s)
+                self.crash_urls = set(crash_urls)
+
+            def fetch(self, url):
+                if url in self.crash_urls:
+                    raise RuntimeError("injected crash")
+                return super().fetch(url)
+
+        state = str(tmp_path / "st")
+        with _pytest.raises(Exception):
+            crawl(spark, CrashOn(site, {"https://w.test/a"}),
+                  ["https://w.test/"], allowed_domains=["w.test"],
+                  depth_limit=1, obey_robots=False, state_dir=state)
+        items, dead = crawl(
+            spark, StubFetcher(site), ["https://w.test/ignored"],
+            allowed_domains=["w.test"], depth_limit=1,
+            obey_robots=False, state_dir=state, resume=True,
+        )
+        got = {r.url for r in items.collect()}
+        assert got == {"https://w.test/a", "https://w.test/b"}, (
+            "resume lost the interrupted wave"
+        )
+        assert dead.count() == 0
+
+    def test_http_fetcher_rejects_non_http_schemes(self):
+        """SSRF guard: urllib ships file://, ftp:// and data: handlers,
+        so a hostile page linking file:///etc/passwd would read
+        executor-local files into the corpus — such urls dead-letter
+        with a scheme error, no fetch attempted."""
+        from crawler_spark.sources.fetch import HttpFetcher
+
+        f = HttpFetcher()
+        for url in ("file:///etc/passwd", "ftp://x.test/f",
+                    "data:text/html,hi", "javascript:alert(1)", "no-scheme"):
+            ctype, body, err = f.fetch(url)
+            assert ctype is None and body is None
+            assert err and err.startswith("SchemeNotAllowed"), (url, err)
