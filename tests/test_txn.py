@@ -289,11 +289,15 @@ class TestCrossTableTxn:
         it must retry with the next version — never overwrite. Simulate
         the race by pre-claiming the version the committer will pick."""
         txn = str(tmp_path)
-        v1 = commit_transaction(txn, {"a": {0: 1}}, sync_tables=False)
+        # tmp-scoped table dirs: commit_transaction now takes each
+        # participating table's writer lock, so a bare relative name
+        # would create lock litter in the process CWD
+        ta = str(tmp_path / "a")
+        v1 = commit_transaction(txn, {ta: {0: 1}}, sync_tables=False)
         # another committer that read the same "latest" publishes first
         log = tmp_path / "_txnlog"
         (log / f"{v1 + 1:08d}.json").write_text('{"tables": {"b": {"0": 7}}}')
-        v2 = commit_transaction(txn, {"a": {0: 2}}, sync_tables=False)
+        v2 = commit_transaction(txn, {ta: {0: 2}}, sync_tables=False)
         assert v2 == v1 + 2, "loser must take the NEXT free version"
         assert transaction_history(txn) == [v1, v1 + 1, v1 + 2]
         # both committed states are intact — nothing overwritten
