@@ -61,8 +61,11 @@ _NEVER_DRIVER_VERIFIED = [
     "knn_topk_ivf", "knn_topk_ivfpq", "knn_probe_ivfpq",
     "o3_knn_filtered_ivf",          # probe isin + prefilter id cast
     # --- (c) crawl durable-ordering rewrite (results materialize
-    # before visited persists; robots memo shared across waves)
-    "crawl_ingest_e2e", "pipeline_corpus_e2e",
+    # before visited persists; robots memo shared across waves) and
+    # the ingest hardening (charset-aware decode, embed split-union,
+    # null-safe dead-letter split)
+    "crawl_ingest_e2e", "pipeline_corpus_e2e", "ingest_dead_letter",
+    "streaming_warc_ingest_e2e", "pipeline_warc_corpus_e2e",
 ]
 
 

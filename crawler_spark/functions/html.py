@@ -59,6 +59,13 @@ class _Extractor(HTMLParser):
             self.links.append(a["src"])
 
     def handle_startendtag(self, tag, attrs):
+        # a SELF-CLOSING tag never gets a matching end tag, so routing
+        # it through handle_starttag must not touch _excluded_depth —
+        # one <svg/> icon would otherwise suppress every title/body
+        # character after it for the rest of the document (review-found:
+        # such pages parsed to content=None and dead-lettered)
+        if tag in _EXCLUDED_SUBTREES:
+            return
         self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
@@ -88,7 +95,17 @@ def parse_html(html: str, base_url: str | None = None) -> ParsedPage:
     title = "".join(p.title_parts).strip() or None
     links = p.links
     if base_url:
-        links = [urljoin(base_url, l) for l in links]
+        # per-link guard: urljoin raises ValueError on garbage hrefs
+        # (e.g. "http://[" — invalid IPv6 bracket), and this runs
+        # OUTSIDE the feed() salvage above — one hostile anchor must
+        # drop that link, never fail the parse task (review-found)
+        absolutized = []
+        for l in links:
+            try:
+                absolutized.append(urljoin(base_url, l))
+            except ValueError:
+                continue
+        links = absolutized
     content = " ".join(t for t in (s.strip() for s in p.text_parts) if t) or None
     return ParsedPage(
         title=title,

@@ -49,9 +49,22 @@ def fetch_frontier(
     spread (maximum parallelism, the existing behavior).
     """
     import time as _time
-    from urllib.parse import urlparse
+    from urllib.parse import urlsplit
 
     frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def _host(url: str) -> str:
+        # ONE host key for partitioning and delay tracking alike:
+        # lowercased hostname, no port/userinfo (matching the
+        # lower(parse_url HOST) partition key below). The former
+        # netloc key disagreed with the partition key on case and
+        # userinfo, so same-host url variants skipped the delay
+        # (review-found); malformed urls ("http://[") key under "" —
+        # they dead-letter at fetch instead of crashing the stage.
+        try:
+            return (urlsplit(url).hostname or "").lower()
+        except ValueError:
+            return ""
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_hit: dict[str, float] = {}
@@ -59,7 +72,7 @@ def fetch_frontier(
             rows = []
             for url in pdf["url"]:
                 if per_host_delay > 0:
-                    host = urlparse(url).netloc
+                    host = _host(url)
                     wait = last_hit.get(host, -1e18) + per_host_delay - _time.monotonic()
                     if wait > 0:
                         _time.sleep(wait)
@@ -74,7 +87,7 @@ def fetch_frontier(
     n_parts = max(1, min(len(urls), par))
     if per_host_delay > 0:
         part = frontier.repartition(
-            n_parts, F.xxhash64(F.parse_url("url", F.lit("HOST")))
+            n_parts, F.lower(F.parse_url("url", F.lit("HOST")))
         )
     else:
         part = frontier.repartition(n_parts)
@@ -96,7 +109,14 @@ def robots_allowed_map(
         parsers = {}
     out: dict[str, bool] = {}
     for url in urls:
-        parts = urlsplit(url)
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            # malformed url ("http://["): let it through — the fetch
+            # dead-letters it with a real error instead of this check
+            # crashing the crawl driver or the whole robots stage
+            out[url] = True
+            continue
         origin = (parts.scheme, parts.netloc)
         if origin not in parsers:
             robots_url = urlunsplit((parts.scheme, parts.netloc, "/robots.txt", "", ""))
@@ -149,6 +169,25 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     """
     from crawler_spark.functions.html import parse_html
 
+    def _decode_body(body, content_type) -> str:
+        """bytes → text honoring the charset the Content-Type header
+        declares (review-found: always decoding utf-8 turned e.g. a
+        windows-1251 Cyrillic page into replacement-character runs —
+        the declared charset was in hand and discarded); unknown or
+        missing charsets fall back to utf-8, errors replaced."""
+        import codecs
+
+        enc = "utf-8"
+        if content_type and "charset=" in content_type:
+            cand = (content_type.split("charset=", 1)[1]
+                    .split(";")[0].strip().strip("\"'"))
+            try:
+                codecs.lookup(cand)
+                enc = cand
+            except LookupError:
+                pass
+        return bytes(body).decode(enc, errors="replace")
+
     def do_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -163,8 +202,16 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
                     continue
                 kind = classify_content_type(r.content_type)
                 if kind == "html":
+                    # None guard like the pdf/text branches: a NULL
+                    # body with an html content type (an external fetch
+                    # tier violating the body-xor-error convention)
+                    # must dead-letter, not TypeError the whole batch
+                    if r.body is None:
+                        rows.append({**base, "file_type": "html",
+                                     "error": "html: empty body"})
+                        continue
                     page = parse_html(
-                        bytes(r.body).decode("utf-8", errors="replace"), base_url=r.url
+                        _decode_body(r.body, r.content_type), base_url=r.url
                     )
                     rows.append({
                         **base, "file_type": "html", "title": page.title,
@@ -186,7 +233,7 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
                     # plain text: the body IS the content, newlines
                     # preserved (the line-based boilerplate classifier
                     # consumes this tier); no links to extract
-                    body = (bytes(r.body).decode("utf-8", errors="replace")
+                    body = (_decode_body(r.body, r.content_type)
                             if r.body is not None else None)
                     body = body.strip() if body else None
                     if not body:
@@ -209,7 +256,11 @@ def split_dead_letter(items: DataFrame) -> tuple[DataFrame, DataFrame]:
     invalid = (
         F.col("error").isNotNull()
         | F.col("url").isNull()
-        | ((F.col("file_type") != "image") & F.col("content").isNull())
+        # null-safe file_type test (review-found): a producer emitting
+        # file_type=NULL with content=NULL made the predicate NULL,
+        # which BOTH filters drop — the row vanished from ok AND dead
+        | (~F.col("file_type").eqNullSafe("image")
+           & F.col("content").isNull())
     )
     ok = items.filter(~invalid)
     dead = items.filter(invalid).withColumn(
@@ -240,10 +291,21 @@ def embed_stage(
 
     text_udf = text_embed_udf(embedder, dims)
     vision_udf = vision_embed_udf(embedder, dims, fetcher)
-    embedding = F.when(
-        F.col("embedding_type") == "vision", vision_udf(F.col("url"))
-    ).otherwise(text_udf(F.col("content")))
-    return items.withColumn("embedding", embedding)
+    # split-apply-union, NOT when/otherwise (review-found): Spark
+    # extracts pandas UDFs out of a CASE WHEN and evaluates BOTH
+    # branches on EVERY row, so the vision UDF — which with a fetcher
+    # HTTP-GETs its url — would re-download the entire text corpus per
+    # embed pass (and the text UDF would run on every image row), with
+    # the unused results discarded. Splitting scopes each Arrow batch
+    # to exactly its rows; NULL embedding_type keeps its old
+    # otherwise-branch (text) semantics.
+    is_vision = F.coalesce(
+        F.col("embedding_type") == F.lit("vision"), F.lit(False))
+    vis = items.filter(is_vision).withColumn(
+        "embedding", vision_udf(F.col("url")))
+    txt = items.filter(~is_vision).withColumn(
+        "embedding", text_udf(F.col("content")))
+    return txt.unionByName(vis)
 
 
 def finalize_pages(
@@ -324,8 +386,14 @@ def ingest_batch(
     fetched = fetch_frontier(spark, fetcher, urls, per_host_delay=per_host_delay)
     items = parse_stage(fetched)
     ok, dead = split_dead_letter(items)
+    # the batch fetcher also serves the vision chain's image GET (F8:
+    # fetch → base64 → vision model). Safe now that embed_stage scopes
+    # the vision UDF to image rows — the former when/otherwise plan
+    # evaluated it on EVERY row, which is why this used to hardcode
+    # fetcher=None and silently stub-embed image urls instead of
+    # running the documented reference path (review-found).
     pages = finalize_pages(
-        embed_stage(ok, embedder, dims, fetcher=None),
+        embed_stage(ok, embedder, dims, fetcher=fetcher),
         flags=flags, extraction_schema=extraction_schema, extractor=extractor,
     )
     if existing_pages is not None:

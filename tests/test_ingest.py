@@ -425,3 +425,99 @@ class TestJobsAndFlags:
         assert is_feature_enabled(flags, "chat_ui")
         assert not is_feature_enabled(flags, "structured_data_extraction")
         assert not is_feature_enabled(flags, "nonexistent")
+
+
+class TestParserAndStageHardening:
+    """Round-10 review findings: one hostile page must never fail a
+    stage, and declared charsets are honored."""
+
+    def test_self_closing_excluded_tag_does_not_eat_document(self):
+        page = parse_html(
+            "<html><head><svg/><title>T</title></head>"
+            "<body>Hello world</body></html>")
+        assert page.title == "T"
+        assert page.content == "Hello world"
+
+    def test_malformed_href_drops_link_not_parse(self):
+        page = parse_html(
+            '<a href="http://[">bad</a><a href="/ok">good</a>'
+            "<body>text here</body>",
+            base_url="https://site.test/a")
+        assert page.links == ["https://site.test/ok"]
+        assert "text" in (page.content or "")
+
+    def test_null_html_body_dead_letters_not_crashes(self, spark):
+        from crawler_spark.plans.ingest import parse_stage, split_dead_letter
+
+        fetched = spark.createDataFrame(
+            [("https://x.test/", "text/html", None, None)],
+            "url string, content_type string, body binary, "
+            "fetch_error string",
+        )
+        ok, dead = split_dead_letter(parse_stage(fetched))
+        assert ok.count() == 0
+        d = dead.collect()
+        assert len(d) == 1 and "empty body" in d[0].error
+
+    def test_declared_charset_is_honored(self, spark):
+        from crawler_spark.plans.ingest import parse_stage
+
+        body = "<title>Привет</title><body>мир</body>".encode("cp1251")
+        fetched = spark.createDataFrame(
+            [("https://x.test/", "text/html; charset=windows-1251",
+              body, None)],
+            "url string, content_type string, body binary, "
+            "fetch_error string",
+        )
+        row = parse_stage(fetched).collect()[0]
+        assert row.title == "Привет" and row.content == "мир"
+
+    def test_malformed_url_dead_letters_under_politeness_and_robots(
+            self, spark):
+        """'http://[' raises ValueError in urlsplit/urlparse — it must
+        dead-letter at fetch (SchemeNotAllowed/URLError), never crash
+        the politeness key, the robots check, or the stage."""
+        from crawler_spark.plans.ingest import (
+            fetch_frontier,
+            robots_allowed_map,
+        )
+
+        bad = "http://["
+        assert robots_allowed_map(StubFetcher({}), [bad]) == {bad: True}
+        rows = fetch_frontier(
+            spark, StubFetcher({}), [bad], per_host_delay=0.01).collect()
+        assert len(rows) == 1 and rows[0].fetch_error is not None
+
+    def test_embed_stage_scopes_udfs_to_their_rows(self, spark):
+        """The vision UDF must run ONLY on vision rows (a fetcher-backed
+        vision chain would otherwise HTTP-GET every text row's url and
+        discard the result — the CASE WHEN pandas-UDF extraction trap)."""
+        from crawler_spark.plans.ingest import embed_stage
+        from crawler_spark.sources.fetch import Fetcher
+
+        class ImageOnly(Fetcher):
+            """Raises on any non-image fetch: if the vision UDF still
+            ran on every row (the old when/otherwise plan), the text
+            row's url would hit this and fail the task."""
+
+            def fetch(self, url):
+                if not url.endswith(".png"):
+                    raise AssertionError(f"vision UDF fetched {url}")
+                return "image/png", b"img-bytes", None
+
+        items = spark.createDataFrame(
+            [("https://t.test/a", "text body", "text"),
+             ("https://t.test/img.png", None, "vision")],
+            "url string, content string, embedding_type string",
+        )
+        with_fetch = {r.url: list(r.embedding) for r in
+                      embed_stage(items, fetcher=ImageOnly()).collect()}
+        assert len(with_fetch) == 2
+        assert all(v is not None for v in with_fetch.values())
+        # and the fetcher really served the vision row: the fetched
+        # bytes→base64 chain embeds differently than the url-string stub
+        no_fetch = {r.url: list(r.embedding) for r in
+                    embed_stage(items, fetcher=None).collect()}
+        assert with_fetch["https://t.test/img.png"] \
+            != no_fetch["https://t.test/img.png"]
+        assert with_fetch["https://t.test/a"] == no_fetch["https://t.test/a"]
