@@ -31,41 +31,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no GREEN driver CORRECTNESS row yet, or whose oracle/
-# implementation changed since their last green row. Round 9 drained
-# its whole queue green (CORRECTNESS_r09: 50/50 hash-pass), so round
-# 10's queue is the 9 queries the round-9 verdict identified as
-# lacking a CURRENT green row, plus this round's new registrations
-# and rows-only → oracle conversions. Staleness classes (a) never
-# sampled and (b) oracle added after last sample are enforced by
-# tests/test_driver_queue.py against the CORRECTNESS_r*.json history;
-# class (c) plan-changed-since-last-green is maintained by hand.
+# implementation changed since their last green row. Round 10 drained
+# its whole 23-name queue green (CORRECTNESS_r10: 50/50 hash-pass, and
+# cumulatively every registered query is clean at its latest sample),
+# so round 11's queue holds ONLY this round's plan changes and new
+# registrations. Staleness classes (a) never sampled and (b) oracle
+# added after last sample are enforced by tests/test_driver_queue.py
+# against the CORRECTNESS_r*.json history; class (c) plan-changed-
+# since-last-green is enforced by the PLAN_HASHES.json ledger
+# (tests/test_plan_ledger.py): changing a query's optimized plan
+# without queueing it here fails pytest.
 _NEVER_DRIVER_VERIFIED = [
-    # --- (a) registered after the round-9 driver capture ---
-    "clf_distill_train", "clf_distill_score", "clf_distill_eval",
-    # --- (b) gained value oracles after their last driver sample ---
-    "graph_influence_ppr",          # decimal-exact + VALUES pin (r9)
-    "streaming_neardup_e2e",        # within-trigger determinism + oracle
-    # --- (c) plan changed after their last green row ---
-    "dedup_exact", "dedup_keep_best",   # skew-safe groupBy+join rewrite
-    "dedup_repeated_spans",             # skew-safe first-occurrence
-    "ev_kmv_distinct_intersect",        # bounded-state bottom-k rewrite
-    # --- new in round 10 ---
-    "curation_distilled_filter",    # distill-train → broadcast NB filter
-    "layout_zorder_build",          # regression pin (was rows-only)
-    "ev_value_percentiles_approx",  # error-bound oracle (was rows-only)
-    "ev_value_bins_approx",         # error-bound oracle (was rows-only)
-    # --- (c) ANN plan changes, round-10 review sweep (pins verified
-    # byte-identical after the deterministic-sample/NULLS-LAST/probe-
-    # isin/LSH-dedup rewrites; these rows re-confirm under the driver)
-    "o3_knn_topk_lsh",              # top-k·bands-then-dedup rewrite
-    "knn_topk_ivf", "knn_topk_ivfpq", "knn_probe_ivfpq",
-    "o3_knn_filtered_ivf",          # probe isin + prefilter id cast
-    # --- (c) crawl durable-ordering rewrite (results materialize
-    # before visited persists; robots memo shared across waves) and
-    # the ingest hardening (charset-aware decode, embed split-union,
-    # null-safe dead-letter split)
-    "crawl_ingest_e2e", "pipeline_corpus_e2e", "ingest_dead_letter",
+    # --- (c) round-11 embed_stage materialization (ADVICE fix: cache
+    # before the vision/text split so ingest lineage — live HTTP
+    # fetches — executes once, not once per branch) touches every
+    # plan that embeds through ingest
+    "crawl_ingest_e2e", "ingest_dead_letter", "pipeline_corpus_e2e",
+    "f11_extract_ingest",
+    # --- (c) streaming ingest foreachBatch embeds through the same
+    # stage; the crawl state epoch-commit rewrite (atomic
+    # visited+frontier publish) is also exercised by these paths
     "streaming_warc_ingest_e2e", "pipeline_warc_corpus_e2e",
+    "streaming_index_append_e2e",
 ]
 
 

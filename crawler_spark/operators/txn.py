@@ -70,6 +70,7 @@ def commit_transaction(
     states: dict[str, dict[int, int]],
     sync_tables: bool = True,
     use_locks: bool = True,
+    lock_timeout_sec: float = 60.0,
 ) -> int:
     """Atomically publish a consistent state across every table in
     ``states`` (table dir → bucket→epoch manifest). The atomic rename
@@ -101,7 +102,17 @@ def commit_transaction(
 
         tables = sorted({os.path.abspath(t) for t in states})
         last_err: Exception | None = None
-        for attempt in range(10):
+        # Exponential backoff against a DEADLINE, not a retry count
+        # (review-found round 11): a fixed 10×~0.1 s budget lost races
+        # against any single-table merge that holds its writer lock for
+        # the duration of a real read-merge-write Spark job (seconds to
+        # minutes) — concurrent cross-table commits spuriously died
+        # with ConcurrentWriteError. Sorted acquisition order is kept
+        # for deadlock freedom; the deadline is configurable so callers
+        # wrapping very long merges can extend it.
+        deadline = time.monotonic() + lock_timeout_sec
+        delay = 0.02
+        while True:
             try:
                 with contextlib.ExitStack() as stack:
                     for t in tables:
@@ -110,8 +121,10 @@ def commit_transaction(
                         txn_dir, states, sync_tables)
             except ConcurrentWriteError as e:
                 last_err = e
-                time.sleep(0.02 * (attempt + 1))
-        raise last_err
+                if time.monotonic() >= deadline:
+                    raise last_err
+                time.sleep(min(delay, max(0.0, deadline - time.monotonic())))
+                delay = min(delay * 2, 1.0)
     return _commit_transaction_locked(txn_dir, states, sync_tables)
 
 

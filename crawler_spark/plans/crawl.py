@@ -46,47 +46,60 @@ from crawler_spark.sources.fetch import Fetcher
 _ROBOTS_DISTRIBUTED_MIN = 1024
 
 
-def _save_state(df: DataFrame, path: str) -> None:
-    """Durable crawl state, crash-atomic at EVERY instant: the former
-    rmtree(path) → rename(tmp, path) sequence had a window where the
-    old state was destroyed and the new one unpublished (review-found —
-    a crash there made resume silently restart from the seeds with an
-    empty visited set). Two ordered renames close it: retire the old
-    state to ``.old`` (a complete fallback), publish the new one, then
-    sweep. ``_load_state`` prefers ``path`` and falls back to ``.old``,
-    so a crash inside the window resumes from the previous complete
-    state — at-least-once for one wave, never a silent reset. (The df
-    is eagerly checkpointed by the caller, so the write never reads the
-    path it replaces.)"""
+def _commit_state(
+    visited: DataFrame, frontier: DataFrame, state_dir: str, epoch: int
+) -> None:
+    """Publish (visited, frontier) as ONE atomic epoch.
+
+    Round 10 persisted the two DataFrames with separate atomic saves,
+    which left a cross-file window (review-found round 11): a crash
+    between save(visited ∪ wave N) and save(frontier = wave N+1) put a
+    STALE wave-N frontier on disk next to a visited set that already
+    contained wave N — resume anti-joined the whole frontier away and
+    silently abandoned the remaining crawl (the exact failure class the
+    per-file atomic rename was built to close, reopened one level up).
+
+    Now both DataFrames are written into one ``_epoch.tmp`` directory
+    and published with a SINGLE ``os.rename`` to ``epoch_NNNNNN`` — the
+    pair is either fully visible or not at all, and any published epoch
+    is internally consistent (its frontier was anti-joined against its
+    visited in the same wave). Older epochs are swept only AFTER the
+    new one is live, so the newest complete epoch always exists. The
+    caller eagerly checkpoints both DataFrames first, so no later plan
+    references the swept directories."""
     import os
     import shutil
 
-    tmp, old = path + ".tmp", path + ".old"
-    if os.path.isdir(old):  # leftover sweep from a crash after publish
-        shutil.rmtree(old)
+    tmp = os.path.join(state_dir, "_epoch.tmp")
     if os.path.isdir(tmp):  # half-written leftover from a crashed save
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    visited.write.mode("overwrite").parquet(os.path.join(tmp, "visited"))
+    frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
+    final = os.path.join(state_dir, f"epoch_{epoch:06d}")
+    if os.path.isdir(final):  # defensive: never rename onto a live dir
+        shutil.rmtree(final)
+    os.rename(tmp, final)  # the commit point
+    for name in os.listdir(state_dir):
+        if (name.startswith("epoch_") and name[6:].isdigit()
+                and int(name[6:]) < epoch):
+            shutil.rmtree(os.path.join(state_dir, name))
 
 
-def _state_path(path: str | None) -> str | None:
-    """The directory holding the newest COMPLETE state for ``path`` —
-    ``path`` itself, or its ``.old`` fallback if a crash landed between
-    ``_save_state``'s two renames; None when neither exists."""
+def _latest_epoch(state_dir: str | None) -> tuple[int, str] | None:
+    """(epoch number, path) of the newest COMPLETE epoch directory, or
+    None when the state dir holds none. ``_epoch.tmp`` (a crashed
+    in-flight write) never matches — publication is the rename."""
     import os
 
-    if path is None:
+    if not state_dir or not os.path.isdir(state_dir):
         return None
-    if os.path.isdir(path):
-        return path
-    if os.path.isdir(path + ".old"):
-        return path + ".old"
-    return None
+    epochs = sorted(
+        int(n[6:]) for n in os.listdir(state_dir)
+        if n.startswith("epoch_") and n[6:].isdigit()
+    )
+    if not epochs:
+        return None
+    return epochs[-1], os.path.join(state_dir, f"epoch_{epochs[-1]:06d}")
 
 
 def domain_allowed_col(url_col: str | Column, allowed_domains: list[str] | None) -> Column:
@@ -136,7 +149,9 @@ def crawl(
     always surfaced and the overflow is kept.
 
     ``state_dir`` makes the crawl crash-resumable: after every wave the
-    visited and next-frontier DataFrames persist as parquet, and
+    visited and next-frontier DataFrames publish together as ONE
+    atomically-renamed parquet epoch (``epoch_NNNNNN/{visited,frontier}``
+    — a consistent pair at every instant, see ``_commit_state``), and
     ``resume=True`` restarts from that state instead of the seeds
     (already-attempted urls are never refetched — the reference's
     dupefilter semantics across restarts). Resume restores FRONTIER
@@ -170,28 +185,23 @@ def crawl(
 
         return df.select(normalize_url("url").alias("url"))
     allowed = domain_allowed_col("url", allowed_domains)
-    visited_path = state_dir and os.path.join(state_dir, "visited")
-    frontier_path = state_dir and os.path.join(state_dir, "frontier")
-    front_src = _state_path(frontier_path) if resume and state_dir else None
-    if front_src is not None:
-        vis_src = _state_path(visited_path)
-        visited = (
-            spark.read.parquet(vis_src)
-            if vis_src is not None
-            else spark.createDataFrame([], "url string")
-        )
-        # saved frontier may include urls attempted just before the
-        # crash — never refetch an attempted url. Eagerly checkpointed
-        # (review-found): a lazy plan here still references the saved
-        # parquet files, which _save_state retires mid-wave — a
+    latest = _latest_epoch(state_dir) if resume and state_dir else None
+    epoch = latest[0] if latest is not None else 0
+    if latest is not None:
+        # an epoch is internally consistent by construction (one atomic
+        # rename published both halves, _commit_state): its frontier was
+        # already anti-joined against its visited in the wave that
+        # committed it, so no resume-time re-join is needed — attempted
+        # urls are structurally absent. Eagerly checkpointed
+        # (review-found): a lazy plan here still references the epoch's
+        # parquet files, which the next _commit_state sweeps — a
         # truncated resumed wave's overflow would then scan deleted
-        # paths and abort the crawl
-        frontier = (
-            spark.read.parquet(front_src)
-            .join(visited, "url", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.localCheckpoint(eager=True)
+        # paths and abort the crawl.
+        _, epoch_dir = latest
+        visited = spark.read.parquet(
+            os.path.join(epoch_dir, "visited")).localCheckpoint(eager=True)
+        frontier = spark.read.parquet(
+            os.path.join(epoch_dir, "frontier")).localCheckpoint(eager=True)
     else:
         # distinct() AFTER _canon: distinct raw seeds can canonicalize
         # to the same URL, and a duplicated wave-0 frontier row means a
@@ -276,13 +286,14 @@ def crawl(
 
         # every attempted url (robots-blocked included) is visited: never
         # retried. With durable state the checkpoint is eager so the
-        # parquet save below reads materialized partitions, not the
-        # state file it is about to overwrite.
+        # epoch commit below writes materialized partitions, not a lazy
+        # plan over the epoch directory it is about to sweep. Nothing
+        # persists HERE — visited and the next frontier publish together
+        # in ONE atomic epoch after the frontier is computed, so no
+        # crash can leave a visited set newer than its frontier.
         visited = visited.unionByName(wave).localCheckpoint(
             eager=state_dir is not None
         )
-        if state_dir:
-            _save_state(visited, visited_path)
 
         last_wave = _depth == depth_limit
         if last_wave and state_dir is None:
@@ -312,7 +323,8 @@ def crawl(
             eager=state_dir is not None
         )
         if state_dir:
-            _save_state(frontier, frontier_path)
+            epoch += 1
+            _commit_state(visited, frontier, state_dir, epoch)
         if last_wave:
             break
 

@@ -299,6 +299,17 @@ def embed_stage(
     # the unused results discarded. Splitting scopes each Arrow batch
     # to exactly its rows; NULL embedding_type keeps its old
     # otherwise-branch (text) semantics.
+    #
+    # Materialize BEFORE splitting (review-found round 11): the two
+    # filters each re-execute ``items``' full lineage — for ingest
+    # callers that lineage is the live-HTTP fetch mapInPandas, so an
+    # uncached input meant every url was FETCHED TWICE, and a refetch
+    # that changed content_type between the two executions landed the
+    # row in both branches (duplicate) or neither (lost). cache() is
+    # spill-safe (MEMORY_AND_DISK) and a no-op-ish pin for callers
+    # that already localCheckpointed (crawl.py).
+    if not items.is_cached:
+        items = items.cache()
     is_vision = F.coalesce(
         F.col("embedding_type") == F.lit("vision"), F.lit(False))
     vis = items.filter(is_vision).withColumn(

@@ -108,7 +108,17 @@ class HttpFetcher:
         filters. Scrapy re-runs its middleware on redirected requests;
         this fetcher's cheaper equivalent dead-letters the hop —
         opt back in with ``allow_cross_host_redirects=True`` when the
-        frontier filter is doing the vetting some other way."""
+        frontier filter is doing the vetting some other way.
+      * The refusal happens BEFORE the follow-up request is sent
+        (review-found round 11): a post-hoc geturl() comparison only
+        discarded the body AFTER urllib had already issued the GET to
+        the redirect target — a blind-SSRF side channel (the request
+        to the internal/unvetted host still fired). A
+        ``HTTPRedirectHandler`` subclass now vets the target's scheme
+        and host inside ``redirect_request`` and aborts the hop
+        without contacting the target. Redirects to non-http(s)
+        schemes are refused in ALL modes (urllib's default handler
+        would happily follow an ftp:// Location)."""
 
     def __init__(self, timeout_sec: float = 30.0,
                  user_agent: str = "crawler-spark/0.1",
@@ -118,25 +128,54 @@ class HttpFetcher:
         self.allow_cross_host_redirects = allow_cross_host_redirects
 
     def fetch(self, url: str) -> tuple[str | None, bytes | None, str | None]:
+        import urllib.error
         import urllib.parse
         import urllib.request
 
         scheme = urllib.parse.urlsplit(url).scheme.lower()
         if scheme not in ("http", "https"):
             return None, None, f"SchemeNotAllowed: {scheme or '(none)'}"
+
+        origin_host = urllib.parse.urlsplit(url).netloc.lower()
+        allow_cross = self.allow_cross_host_redirects
+
+        class _VettingRedirect(urllib.request.HTTPRedirectHandler):
+            """Refuse a bad hop BEFORE the follow-up GET is issued."""
+
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                parts = urllib.parse.urlsplit(newurl)
+                new_scheme = parts.scheme.lower()
+                # urllib's default handler follows ftp:// Locations;
+                # only ever follow into http(s), regardless of mode
+                if new_scheme not in ("http", "https"):
+                    raise _RedirectRefused(
+                        "RedirectSchemeNotAllowed: "
+                        f"{new_scheme or '(none)'} ({newurl!r})")
+                if not allow_cross and parts.netloc.lower() != origin_host:
+                    raise _RedirectRefused(
+                        f"CrossHostRedirect: {origin_host} -> "
+                        f"{parts.netloc.lower()} (offsite/robots checks "
+                        "ran against the original host only)")
+                return super().redirect_request(
+                    req, fp, code, msg, headers, newurl)
+
+        opener = urllib.request.build_opener(_VettingRedirect())
         try:
             req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                final = resp.geturl()
-                if not self.allow_cross_host_redirects:
-                    h0 = urllib.parse.urlsplit(url).netloc.lower()
-                    h1 = urllib.parse.urlsplit(final).netloc.lower()
-                    if h1 != h0:
-                        return None, None, (
-                            f"CrossHostRedirect: {h0} -> {h1} (offsite/"
-                            "robots checks ran against the original "
-                            "host only)")
+            with opener.open(req, timeout=self.timeout) as resp:
                 ctype = resp.headers.get("Content-Type", "")
                 return ctype, resp.read(), None
+        except _RedirectRefused as exc:
+            return None, None, str(exc)
+        except urllib.error.URLError as exc:
+            # a refusal raised inside redirect_request surfaces wrapped
+            # in URLError on some paths — unwrap to the refusal message
+            if isinstance(exc.reason, _RedirectRefused):
+                return None, None, str(exc.reason)
+            return None, None, f"{type(exc).__name__}: {exc}"
         except Exception as exc:
             return None, None, f"{type(exc).__name__}: {exc}"
+
+
+class _RedirectRefused(Exception):
+    """A redirect hop vetoed by HttpFetcher before it was followed."""

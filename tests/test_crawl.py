@@ -312,10 +312,13 @@ class TestCrashResume:
                   obey_robots=False, max_urls_per_wave=2,
                   on_truncate=lambda n, cap: None, state_dir=state)
 
+        from crawler_spark.plans.crawl import _latest_epoch
+
+        _, epoch_dir = _latest_epoch(state)
         visited = {r.url for r in
-                   spark.read.parquet(state + "/visited").collect()}
+                   spark.read.parquet(epoch_dir + "/visited").collect()}
         frontier = {r.url for r in
-                    spark.read.parquet(state + "/frontier").collect()}
+                    spark.read.parquet(epoch_dir + "/frontier").collect()}
         # crash landed mid-wave-1's FETCH, which runs before the wave
         # persists as visited: only wave 0 (root) is durably visited,
         # and the on-disk frontier is still the full wave-1 set
@@ -396,3 +399,153 @@ class TestDurableOrderingAndFetcherGuards:
             ctype, body, err = f.fetch(url)
             assert ctype is None and body is None
             assert err and err.startswith("SchemeNotAllowed"), (url, err)
+
+    def test_cross_host_redirect_refused_before_the_follow_up_get(self):
+        """Blind-SSRF closure (review-found round 11): the old guard
+        compared geturl() AFTER urllib had already followed the 302 —
+        the body was discarded but the GET to the unvetted host had
+        fired. The vetting now happens inside redirect_request, before
+        any request to the target: the target server must see ZERO
+        requests."""
+        import http.server
+        import threading
+
+        from crawler_spark.sources.fetch import HttpFetcher
+
+        target_hits: list[str] = []
+
+        class Target(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                target_hits.append(self.path)
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"internal secret")
+
+            def log_message(self, *a):
+                pass
+
+        target = http.server.HTTPServer(("127.0.0.1", 0), Target)
+        t_port = target.server_address[1]
+
+        class Origin(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/same":
+                    self.send_response(302)
+                    self.send_header(
+                        "Location", f"http://127.0.0.1:{self.server.server_address[1]}/landed")
+                    self.end_headers()
+                elif self.path == "/landed":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.end_headers()
+                    self.wfile.write(b"landed ok")
+                elif self.path == "/cross":
+                    self.send_response(302)
+                    self.send_header("Location", f"http://127.0.0.1:{t_port}/steal")
+                    self.end_headers()
+                elif self.path == "/scheme":
+                    # ftp:// passes urllib's own http_error_302 scheme
+                    # check (it allows ftp!) — OUR handler must refuse it
+                    self.send_response(302)
+                    self.send_header("Location", "ftp://x.test/f")
+                    self.end_headers()
+                elif self.path == "/file":
+                    self.send_response(302)
+                    self.send_header("Location", "file:///etc/passwd")
+                    self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        origin = http.server.HTTPServer(("127.0.0.1", 0), Origin)
+        o_port = origin.server_address[1]
+        threads = [threading.Thread(target=s.serve_forever, daemon=True)
+                   for s in (target, origin)]
+        for th in threads:
+            th.start()
+        try:
+            f = HttpFetcher(timeout_sec=10.0)
+            # same-host redirect: followed, body returned
+            ctype, body, err = f.fetch(f"http://127.0.0.1:{o_port}/same")
+            assert err is None and body == b"landed ok"
+            # cross-host redirect: refused, and the target NEVER saw a GET
+            ctype, body, err = f.fetch(f"http://127.0.0.1:{o_port}/cross")
+            assert ctype is None and body is None
+            assert err and err.startswith("CrossHostRedirect"), err
+            assert target_hits == [], (
+                "the follow-up GET fired before the vetting — blind SSRF")
+            # scheme-downgrade redirects: refused in all modes — ftp by
+            # our vetting handler, file by urllib's own 302 scheme check
+            ctype, body, err = f.fetch(f"http://127.0.0.1:{o_port}/scheme")
+            assert body is None
+            assert err and err.startswith("RedirectSchemeNotAllowed"), err
+            ctype, body, err = f.fetch(f"http://127.0.0.1:{o_port}/file")
+            assert body is None and err and "file" in err, err
+            # allow_cross_host_redirects=True opts back in
+            f2 = HttpFetcher(timeout_sec=10.0, allow_cross_host_redirects=True)
+            ctype, body, err = f2.fetch(f"http://127.0.0.1:{o_port}/cross")
+            assert err is None and body == b"internal secret"
+            assert target_hits == ["/steal"]
+        finally:
+            for s in (target, origin):
+                s.shutdown()
+                s.server_close()
+
+
+class TestAtomicEpochState:
+    def test_published_epoch_is_a_consistent_pair_and_old_epochs_sweep(
+            self, spark, tmp_path):
+        """The round-11 invariant that closes the ADVICE window: state
+        publishes as ONE renamed epoch, so at every instant the on-disk
+        (visited, frontier) pair is the pair ONE wave committed —
+        frontier already anti-joined against visited, never a stale
+        frontier next to a newer visited set."""
+        import os
+
+        from crawler_spark.plans.crawl import _latest_epoch
+
+        state = str(tmp_path / "st")
+        crawl(spark, StubFetcher(SITE), ["https://site.test/"],
+              allowed_domains=["site.test"], depth_limit=1,
+              obey_robots=False, state_dir=state)
+        epochs = [n for n in os.listdir(state) if n.startswith("epoch_")]
+        assert len(epochs) == 1, "older epochs must sweep after publish"
+        _, epoch_dir = _latest_epoch(state)
+        visited = {r.url for r in
+                   spark.read.parquet(epoch_dir + "/visited").collect()}
+        frontier = {r.url for r in
+                    spark.read.parquet(epoch_dir + "/frontier").collect()}
+        assert visited == {"https://site.test/", "https://site.test/a",
+                           "https://site.test/b"}
+        assert frontier & visited == set()
+
+    def test_crashed_inflight_epoch_tmp_is_ignored_and_cleaned(
+            self, spark, tmp_path):
+        """A crash DURING the epoch write leaves only ``_epoch.tmp`` —
+        never a published epoch. _latest_epoch must not resume from it,
+        and the next commit must clear the leftover."""
+        import os
+
+        from crawler_spark.plans.crawl import _latest_epoch
+
+        state = str(tmp_path / "st")
+        crawl(spark, StubFetcher(SITE), ["https://site.test/"],
+              allowed_domains=["site.test"], depth_limit=0,
+              obey_robots=False, state_dir=state)
+        good = _latest_epoch(state)
+        assert good is not None
+        # plant a half-written in-flight epoch (post-crash junk)
+        junk = os.path.join(state, "_epoch.tmp", "visited")
+        os.makedirs(junk)
+        with open(os.path.join(junk, "part-junk.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
+        assert _latest_epoch(state) == good
+        items, dead = crawl(
+            spark, StubFetcher(SITE), ["https://site.test/ignored"],
+            allowed_domains=["site.test"], depth_limit=0,
+            obey_robots=False, state_dir=state, resume=True,
+        )
+        assert {r.url for r in items.collect()} == {
+            "https://site.test/a", "https://site.test/b"}
+        assert not os.path.isdir(os.path.join(state, "_epoch.tmp"))
+        assert _latest_epoch(state)[0] > good[0]

@@ -495,11 +495,48 @@ class TestCommitConcurrencyAndRecoveryGuards:
         a = str(tmp_path / "a")
         with table_write_lock(a):
             with pytest.raises(ConcurrentWriteError):
-                commit_transaction(txn, {a: {0: 1}})
+                # short deadline: the production default (60 s of
+                # exponential backoff) exists to outlast real merges
+                commit_transaction(txn, {a: {0: 1}}, lock_timeout_sec=0.2)
         # nothing committed: the failure happened pre-commit
         assert transaction_history(txn) == []
         # and with the lock released the same commit succeeds
         assert commit_transaction(txn, {a: {0: 1}}) == 1
+
+    def test_commit_backoff_outlasts_a_long_held_writer_lock(self, tmp_path):
+        """Review-found round 11: the old fixed 10-retry/~1.1 s budget
+        spuriously failed any cross-table commit racing a single-table
+        merge that holds its writer lock for a realistic job duration.
+        The deadline-based exponential backoff must win the lock once
+        the merge releases it — here the "merge" holds the lock well
+        past the old total budget."""
+        import threading
+        import time
+
+        from crawler_spark.streaming.ingest_stream import table_write_lock
+
+        txn = str(tmp_path / "txn")
+        a = str(tmp_path / "a")
+        release = threading.Event()
+        held = threading.Event()
+
+        def merge_holder():
+            with table_write_lock(a):
+                held.set()
+                release.wait(10.0)
+
+        t = threading.Thread(target=merge_holder, daemon=True)
+        t.start()
+        assert held.wait(5.0)
+        timer = threading.Timer(2.0, release.set)  # > old ~1.1 s budget
+        timer.start()
+        try:
+            assert commit_transaction(
+                txn, {a: {0: 1}}, lock_timeout_sec=30.0) == 1
+        finally:
+            release.set()
+            timer.cancel()
+            t.join(5.0)
 
     def test_recovery_never_publishes_vacuumed_directories(
         self, spark, tmp_path, caplog

@@ -1,0 +1,123 @@
+"""Plan-fingerprint ledger: mechanize staleness class (c).
+
+tests/test_driver_queue.py derives staleness classes (a) never-sampled
+and (b) oracle-added-after-last-sample mechanically from the
+CORRECTNESS_r*.json history, but class (c) — "this query's PLAN changed
+since its last green driver row" — used to live in a hand-maintained
+comment. This module closes that gap:
+
+* ``canonical_plan(df)`` — the optimized logical plan with run-varying
+  noise (expression ids, temp fixture paths, JVM object addresses)
+  stripped, so the same query text hashes identically across runs and
+  machines.
+* ``compute_hashes(spark, sf_dir)`` — {query name: sha256 of canonical
+  plan} for every registered query.
+* ``PLAN_HASHES.json`` (repo root) — the ledger: each query's hash AS
+  OF ITS LAST DRIVER-GREEN STATE. tests/test_plan_ledger.py recomputes
+  and fails when a query's current hash differs from the ledger while
+  the query is absent from ``__spark_entry__._NEVER_DRIVER_VERIFIED``
+  — i.e. you cannot change a plan without queueing it for driver
+  re-verification.
+
+Round workflow: after a round's CORRECTNESS_r{N}.json lands green for
+the queued names, re-pin the ledger (``python tools/plan_ledger.py``)
+and drain the queue. Mid-round, any plan edit trips the test until the
+query is queued.
+
+Limits (documented, not hidden): queries whose registered callable runs
+its real work at CONSTRUCTION time (the streaming e2e family returns a
+batch read of results a stream already wrote) fingerprint only the
+final read-back plan — edits to their foreachBatch bodies are invisible
+here and stay covered by class-(a/b) plus the per-operator unit tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO, "PLAN_HASHES.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+_EXPR_ID = re.compile(r"#\d+")
+_ADDR = re.compile(r"@[0-9a-f]{6,}")
+_TMP = re.compile(r"(?:file:)?/(?:tmp|var/folders)/\S+")
+_SPARK_WH = re.compile(r"(?:file:)?\S*/spark-warehouse/\S*")
+_PLAN_ID = re.compile(r"plan_id=\d+")
+# parquet split sizes / statistics can vary with the writing session
+_SIZE_HINT = re.compile(r"Statistics\([^)]*\)")
+
+
+def canonical_plan(df) -> str:
+    """Optimized logical plan text with run-varying tokens stripped."""
+    text = df._jdf.queryExecution().optimizedPlan().toString()
+    text = _EXPR_ID.sub("#", text)
+    text = _ADDR.sub("@", text)
+    text = _TMP.sub("<TMP>", text)
+    text = _SPARK_WH.sub("<WAREHOUSE>", text)
+    text = _PLAN_ID.sub("plan_id=", text)
+    text = _SIZE_HINT.sub("Statistics(<*>)", text)
+    return text
+
+
+def plan_hash(df) -> str:
+    return hashlib.sha256(canonical_plan(df).encode()).hexdigest()[:16]
+
+
+def compute_hashes(spark, sf_dir: str = SF_DIR, names=None) -> dict:
+    """{name: hash} for every registered query (or the given subset).
+
+    A query whose construction raises is recorded as ``ERROR:<type>`` —
+    the ledger test surfaces it rather than silently skipping.
+    """
+    import __spark_entry__ as E
+
+    out: dict[str, str] = {}
+    qs = E.queries()
+    for name, fn in qs.items():
+        if names is not None and name not in names:
+            continue
+        try:
+            out[name] = plan_hash(fn(spark, sf_dir))
+        except Exception as exc:  # surfaced by the test, never hidden
+            out[name] = f"ERROR:{type(exc).__name__}"
+    return dict(sorted(out.items()))
+
+
+def load_ledger() -> dict:
+    if not os.path.exists(LEDGER_PATH):
+        return {}
+    with open(LEDGER_PATH) as fh:
+        return json.load(fh)
+
+
+def save_ledger(hashes: dict) -> None:
+    with open(LEDGER_PATH, "w") as fh:
+        json.dump(hashes, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("plan-ledger")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    hashes = compute_hashes(spark)
+    old = load_ledger()
+    changed = {n for n in hashes if old.get(n) != hashes[n]}
+    save_ledger(hashes)
+    print(f"pinned {len(hashes)} plans -> {LEDGER_PATH} "
+          f"({len(changed)} changed: {sorted(changed)[:20]})")
+
+
+if __name__ == "__main__":
+    main()
