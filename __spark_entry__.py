@@ -53,6 +53,8 @@ _NEVER_DRIVER_VERIFIED = [
     # visited+frontier publish) is also exercised by these paths
     "streaming_warc_ingest_e2e", "pipeline_warc_corpus_e2e",
     "streaming_index_append_e2e",
+    # --- (a) new registration in round 11 ---
+    "streaming_distilled_filter_e2e",   # score-at-ingest NB deployment
 ]
 
 

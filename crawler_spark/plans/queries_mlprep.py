@@ -1332,6 +1332,97 @@ def curation_distilled_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-(process, sf) stream state for the score-at-ingest deployment:
+# replay source, landed table and stream checkpoint live together so a
+# re-run resumes the same stream (no new files -> no batches) and the
+# idempotent doc_id merge keeps the landed table converged
+_DISTILL_STREAM_SRC: dict[str, str] = {}
+_DISTILL_STREAM_TBLS: dict[str, str] = {}
+_DISTILL_STREAM_CKPTS: dict[str, str] = {}
+
+
+@register("streaming_distilled_filter_e2e", oracle=f"""
+        SELECT doc_id, n_feats, score_micro
+        FROM ({_qc_score_sql("TRUE")})
+        WHERE pred_keep
+        ORDER BY doc_id
+    """)
+def streaming_distilled_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the distilled classifier AT INGEST — the streaming form
+    of ``curation_distilled_filter`` and the production deployment
+    shape (FineWeb-Edu's: judge offline, distill once, score every
+    arriving document with the cheap model): the corpus replays as a
+    parquet file stream, each micro-batch scores against the trained
+    NB model and only predicted-keep rows MERGE into the bucketed
+    landed table (foreachBatch -> operators/upsert.py — checkpoint +
+    idempotent merge, the exactly-once recipe every streaming tier
+    here shares). The LANDED TABLE is the result, so the oracle is the
+    same whole-corpus reconstruction as the batch query: a batch lost
+    by the stream, a doc mis-scored inside a micro-batch, or a merge
+    that drops/duplicates doc_ids is a hash mismatch.
+
+    Model lifecycle: trained ONCE per corpus (``_qc_model_df``,
+    clf_distill_train's exact weights) BEFORE the stream starts — in
+    production the persisted model table read back by the ingest job.
+    Inside every trigger it joins as a ≤4097-row broadcast; a doc's
+    features never leave its batch, so per-trigger cost is O(batch)
+    and the streamed result is bit-identical to the batch deployment.
+
+    Scale shape: this is scoring Common Crawl AS IT LANDS — no
+    corpus-scale state, no cross-batch shuffle; watermark-free because
+    scoring is stateless per document."""
+    from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
+    from crawler_spark.plans.queries_sources import _memo_tmpdir
+    from crawler_spark.streaming.ingest_stream import read_pages_table
+
+    def build_src(path: str) -> None:
+        (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text").repartition(6)
+         .write.mode("overwrite").parquet(path))
+
+    src = _memo_tmpdir(_DISTILL_STREAM_SRC, sf_dir, "distill_stream_src_",
+                       populate=build_src)
+    tbl = _memo_tmpdir(_DISTILL_STREAM_TBLS, sf_dir, "distill_stream_tbl_")
+    ckpt = _memo_tmpdir(_DISTILL_STREAM_CKPTS, sf_dir, "distill_stream_ckpt_")
+    model = _qc_model_df(spark, sf_dir)  # eager: trains on first call
+
+    def sink(batch: DataFrame, _id: int) -> None:
+        kept = (
+            nb_score(batch, model, materialized=True)
+            .where(F.col("pred_keep"))
+            .select("doc_id", "n_feats", "score_micro",
+                    key_bucket("doc_id", 4).alias("bucket"))
+        )
+        merge_into_bucketed(spark, tbl, kept, key="doc_id")
+
+    # per-batch jobs are tiny — size the shuffle to the stream (the
+    # documented trade every streaming e2e query here makes), restore
+    # inside finally so a construction error can't leak the clamp
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    landed = read_pages_table(spark, tbl)
+    return landed.select("doc_id", "n_feats", "score_micro").orderBy("doc_id")
+
+
 # --- BPE tokenizer: distributed training + encoding -----------------------
 _BPE_MERGES = 200
 _BPE_TOP_V = 10_000

@@ -1114,3 +1114,25 @@ class TestStreamBatchEpochCoexistence:
         # replay resolves the same base → same state, no duplicates
         process(batch, 0)
         assert read_pages_table(spark, pages_dir).count() == n_before
+
+
+class TestStreamingDistilledFilter:
+    def test_score_at_ingest_lockstep_with_batch_deployment(self, spark):
+        """The streamed distill->deploy loop must produce BIT-IDENTICAL
+        results to the batch deployment (curation_distilled_filter):
+        the model is trained once, every doc's features stay inside its
+        micro-batch, and the idempotent doc_id merge neither drops nor
+        duplicates — so streaming vs batch is a pure execution-shape
+        choice, not a semantics one. Also re-runs the stream in-process:
+        the resumed checkpoint sees no new files, runs no batches, and
+        the landed table stays converged (exactly-once)."""
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        sf = "/root/testdata/sf0.001"
+        streamed = qs["streaming_distilled_filter_e2e"](spark, sf).collect()
+        batch = qs["curation_distilled_filter"](spark, sf).collect()
+        assert len(streamed) > 0
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+        again = qs["streaming_distilled_filter_e2e"](spark, sf).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, streamed))

@@ -101,15 +101,17 @@ def save_ledger(hashes: dict) -> None:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    import sys
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .appName("plan-ledger")
-        .getOrCreate()
-    )
+    if REPO not in sys.path:  # `python tools/plan_ledger.py` puts
+        sys.path.insert(0, REPO)  # tools/ on the path, not the repo root
+    # MUST be the project session factory, not a bare builder: session
+    # configs that change optimized-plan TEXT (ANSI cast nodes, the UTC
+    # timezone on timestamp literals) would otherwise make generator
+    # and pytest hashes disagree on ~half the registry (observed)
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("plan-ledger", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     hashes = compute_hashes(spark)
     old = load_ledger()
