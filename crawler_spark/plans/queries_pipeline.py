@@ -61,14 +61,9 @@ FIXTURE_SITE = {
 def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 crawl of the fixture site → full ingest → pages table.
     Deterministic apart from last_crawled, which is dropped here."""
-    from crawler_spark.plans.crawl import crawl
     from crawler_spark.plans.ingest import embed_stage, finalize_pages
 
-    items, _dead = crawl(
-        spark, StubFetcher(FIXTURE_SITE), ["https://fixture.test/"],
-        allowed_domains=["fixture.test"], depth_limit=2, obey_robots=True,
-    )
-    pages = finalize_pages(embed_stage(items))
+    pages = finalize_pages(embed_stage(_fixture_crawl_items(spark)))
     return pages.select(
         "url", "domain", "title", "file_type", "embedding_type",
         F.size("embedding").alias("embedding_dims"),
@@ -342,9 +337,25 @@ def streaming_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIXTURE_EDGES_CACHE: list | None = None
 
 
-def _fixture_edges(spark: SparkSession) -> DataFrame:
-    global _FIXTURE_EDGES_CACHE
-    if _FIXTURE_EDGES_CACHE is None:
+_FIXTURE_CRAWL_CACHE: tuple | None = None
+
+
+def _fixture_crawl_items(spark: SparkSession) -> DataFrame:
+    """The depth-2 fixture crawl, run AT MOST ONCE per process and
+    shared by every consumer (crawl_ingest_e2e, the pagerank/HITS edge
+    fixture): the identical crawl used to run twice per full suite —
+    once for the e2e query, once for the graph fixture — at ~13 s of
+    pure BFS-wave scheduling overhead each (review-found round 11, the
+    suite's single largest fixture cost). The crawl's correctness
+    coverage is unchanged: this IS the crawl whose endpoint the
+    crawl_ingest_e2e oracle pins, plus the dedicated crash/resume and
+    politeness tests in tests/test_crawl.py.
+
+    Collected rows + schema are cached (5 fixture pages — bounded by
+    construction, the _qc_model_df pattern), so consumers get a fresh
+    local relation regardless of session restarts."""
+    global _FIXTURE_CRAWL_CACHE
+    if _FIXTURE_CRAWL_CACHE is None:
         from crawler_spark.plans.crawl import crawl
 
         # the crawl's wave joins/distincts are sized to the fixture too
@@ -361,15 +372,22 @@ def _fixture_edges(spark: SparkSession) -> DataFrame:
                 allowed_domains=["fixture.test"], depth_limit=2,
                 obey_robots=True,
             )
-            _FIXTURE_EDGES_CACHE = [
-                (r.src, r.dst)
-                for r in items.select(
-                    F.col("url").alias("src"),
-                    F.explode("links").alias("dst"),
-                ).collect()
-            ]
+            _FIXTURE_CRAWL_CACHE = (items.collect(), items.schema)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(*_FIXTURE_CRAWL_CACHE)
+
+
+def _fixture_edges(spark: SparkSession) -> DataFrame:
+    global _FIXTURE_EDGES_CACHE
+    if _FIXTURE_EDGES_CACHE is None:
+        _FIXTURE_EDGES_CACHE = [
+            (r.src, r.dst)
+            for r in _fixture_crawl_items(spark).select(
+                F.col("url").alias("src"),
+                F.explode("links").alias("dst"),
+            ).collect()
+        ]
     return spark.createDataFrame(
         _FIXTURE_EDGES_CACHE, "src string, dst string"
     )
@@ -451,9 +469,14 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enough margin past the fixed point at 6dp (the decaying hub
     # component reaches ~5e-7 by round 14 on this graph; the default
     # tol path needed all 20 rounds and 3 checkpoint jobs — measured
-    # 14.6 s → 7.3 s, the suite's former most expensive query halved).
-    # Corpus-scale graphs keep the defaults: there the per-round work
-    # amortizes the syncs and early exit genuinely saves rounds.
+    # 14.6 s → 7.3 s when the stretch landed; re-measured 7.6 s solo
+    # in round 11, figure current). The remaining bench-visible cost
+    # above the query itself was the SHARED fixture crawl, which as of
+    # round 11 runs once per process for all consumers
+    # (_fixture_crawl_items) instead of once for the e2e query plus
+    # once for the graph fixture. Corpus-scale graphs keep the
+    # defaults: there the per-round work amortizes the syncs and early
+    # exit genuinely saves rounds.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "1")

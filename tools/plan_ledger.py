@@ -43,6 +43,13 @@ LEDGER_PATH = os.path.join(REPO, "PLAN_HASHES.json")
 SF_DIR = "/root/testdata/sf0.001"
 
 _EXPR_ID = re.compile(r"#\d+")
+# NamedLambdaVariable suffixes (``lambda x_123#``) come from a
+# PROCESS-GLOBAL counter: constructing one more lambda anywhere earlier
+# in the process shifts every later query's variable names, so an
+# unrelated edit would cascade hash changes across the whole HOF-using
+# registry (observed: 14 FTS/search/crossdoc hashes moved when the
+# crawl fixture changed). Strip the counter after _EXPR_ID runs.
+_LAMBDA_SEQ = re.compile(r"_\d+#")
 _ADDR = re.compile(r"@[0-9a-f]{6,}")
 _TMP = re.compile(r"(?:file:)?/(?:tmp|var/folders)/\S+")
 _SPARK_WH = re.compile(r"(?:file:)?\S*/spark-warehouse/\S*")
@@ -55,6 +62,7 @@ def canonical_plan(df) -> str:
     """Optimized logical plan text with run-varying tokens stripped."""
     text = df._jdf.queryExecution().optimizedPlan().toString()
     text = _EXPR_ID.sub("#", text)
+    text = _LAMBDA_SEQ.sub("_#", text)
     text = _ADDR.sub("@", text)
     text = _TMP.sub("<TMP>", text)
     text = _SPARK_WH.sub("<WAREHOUSE>", text)
