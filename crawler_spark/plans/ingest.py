@@ -279,6 +279,7 @@ def embed_stage(
     embedder: StubEmbedder | None = None,
     dims: int = schemas.EMBEDDING_DIMS,
     fetcher: Fetcher | None = None,
+    materialized: bool = False,
 ) -> DataFrame:
     """V8 dispatch: text items embed content, image items embed through
     the vision chain. With a ``fetcher`` the vision chain is the full
@@ -306,9 +307,12 @@ def embed_stage(
     # uncached input meant every url was FETCHED TWICE, and a refetch
     # that changed content_type between the two executions landed the
     # row in both branches (duplicate) or neither (lost). cache() is
-    # spill-safe (MEMORY_AND_DISK) and a no-op-ish pin for callers
-    # that already localCheckpointed (crawl.py).
-    if not items.is_cached:
+    # spill-safe (MEMORY_AND_DISK). Callers whose input lineage is
+    # ALREADY side-effect-free and materialized (a localCheckpoint, a
+    # local relation) pass ``materialized=True`` to skip the pin —
+    # streaming foreachBatch in particular must not accrete one cached
+    # relation per micro-batch for the stream's lifetime.
+    if not materialized and not items.is_cached:
         items = items.cache()
     is_vision = F.coalesce(
         F.col("embedding_type") == F.lit("vision"), F.lit(False))

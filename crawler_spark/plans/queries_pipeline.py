@@ -63,7 +63,10 @@ def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic apart from last_crawled, which is dropped here."""
     from crawler_spark.plans.ingest import embed_stage, finalize_pages
 
-    pages = finalize_pages(embed_stage(_fixture_crawl_items(spark)))
+    # materialized=True: the fixture crawl items are a collected local
+    # relation — nothing to re-execute, nothing to pin
+    pages = finalize_pages(
+        embed_stage(_fixture_crawl_items(spark), materialized=True))
     return pages.select(
         "url", "domain", "title", "file_type", "embedding_type",
         F.size("embedding").alias("embedding_dims"),

@@ -631,7 +631,10 @@ def make_batch_processor(
         # and checkpointing later would run the embedding UDF (HTTP
         # calls + retries in the real path) twice per micro-batch
         pages = (
-            finalize_pages(embed_stage(ok, embedder, dims))
+            # materialized=True: `ok` filters an EAGER localCheckpoint
+            # (no side effects, no recompute risk), and a per-batch
+            # cache pin would accrete for the stream's lifetime
+            finalize_pages(embed_stage(ok, embedder, dims, materialized=True))
             .withColumn("bucket", domain_bucket("domain", num_buckets))
             .localCheckpoint(eager=True)
         )
