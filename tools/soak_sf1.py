@@ -120,6 +120,85 @@ def build_sf1(spark, copies: int = 10, rebuild: bool = False) -> None:
         fh.write("ok\n")
 
 
+DOCS_X100_DIR = "/tmp/sf10_soak_docs"
+OUT_X100 = os.path.join(REPO, "SOAK_SF10_DOCS.json")
+
+# documents-only tiers for the second decade (500k docs = 100x sf0.1):
+# everything here reads ONLY the documents table
+DOC_QUERIES = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_repeated_spans", "dedup_ngram_jaccard_capped",
+    "tok_bpe_train", "curation_funnel", "curation_distilled_filter",
+    "txt_quality_score", "txt_line_dedup",
+]
+
+
+def build_docs_x100(spark, rebuild: bool = False) -> None:
+    """×100 documents corpus: two composed 10-letter substitution rings
+    give 100 DISTINCT ciphers, so no two copies are exact or near
+    duplicates of each other — duplicate structure scales with the
+    corpus instead of degenerating into 100-dup families."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources import load_table
+
+    marker = os.path.join(DOCS_X100_DIR, "_SOAK_BUILT")
+    if os.path.exists(marker) and not rebuild:
+        print(f"x100 docs corpus already built at {DOCS_X100_DIR}", flush=True)
+        return
+    os.makedirs(DOCS_X100_DIR, exist_ok=True)
+    r1, r2 = "abcdefghij", "klmnopqrst"
+    base = load_table(spark, SRC_SF, "documents")
+    parts = []
+    for i in range(100):
+        a, b = i % 10, i // 10
+        rot = (r1[a:] + r1[:a]) + (r2[b:] + r2[:b])
+        parts.append(base.select(
+            (F.col("doc_id") + i * 10**9).alias("doc_id"),
+            F.translate("text", r1 + r2, rot).alias("text"),
+            "lang", "source", "n_chars",
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = os.path.join(DOCS_X100_DIR, "documents.parquet")
+    out.repartition(64).write.mode("overwrite").parquet(path)
+    print(f"built documents x100: {spark.read.parquet(path).count()} rows",
+          flush=True)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+def run_decade2(spark, registry) -> None:
+    build_docs_x100(spark)
+    bench_path = os.path.join(REPO, "BENCH_FULL.json")
+    sf01 = json.load(open(bench_path))["queries"] if os.path.exists(bench_path) else {}
+    results = {}
+    for name in DOC_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, DOCS_X100_DIR).write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            err = None
+        except Exception as exc:
+            sec, err = -1.0, f"{type(exc).__name__}: {exc}"
+        base = sf01.get(name)
+        entry = {"sf10_sec": sec, "sf01_sec": base,
+                 "ratio_vs_100x": (round(sec / (100 * base), 3)
+                                   if base and sec > 0 else None),
+                 "err": err}
+        results[name] = entry
+        print(f"{name}: sf10 {sec}s vs sf0.1 {base}s "
+              f"(ratio vs linear 100x: {entry['ratio_vs_100x']})", flush=True)
+    payload = {"sf": 10.0, "copies": 100, "built_from": SRC_SF,
+               "tables": ["documents"], "queries": results}
+    with open(OUT_X100, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {OUT_X100}")
+
+
 def soak_graph(spark) -> dict:
     """PageRank + PPR on a generated 10M-edge graph, fixed rounds."""
     from pyspark.sql import functions as F
@@ -162,6 +241,10 @@ def main() -> None:
     spark = get_spark("soak-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
+
+    if "--decade2" in sys.argv:  # ×100 documents-only second decade
+        run_decade2(spark, registry)
+        return
 
     build_sf1(spark, copies=copies, rebuild=rebuild)
 
