@@ -83,6 +83,68 @@ def _commit_state(
         if (name.startswith("epoch_") and name[6:].isdigit()
                 and int(name[6:]) < epoch):
             shutil.rmtree(os.path.join(state_dir, name))
+        # retire pre-epoch (round-10) layout once an epoch is live: the
+        # legacy dirs were only consulted by the resume fallback below,
+        # and leaving them would shadow nothing but confuse inspection
+        elif name in ("visited", "frontier", "visited.old",
+                      "frontier.old", "visited.tmp", "frontier.tmp"):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def _clear_state(state_dir: str) -> None:
+    """Remove every epoch (and legacy/in-flight state) from a state
+    dir. Called on a NON-resume crawl start (review-found round 11):
+    epoch numbering restarts at 0 per run, so a leftover HIGHER epoch
+    from a previous crawl would outrank every epoch the new run commits
+    and a later resume would silently restore the ABANDONED crawl's
+    frontier — the old overwrite-in-place layout reset state on reuse,
+    and this preserves that contract."""
+    import os
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    for name in os.listdir(state_dir):
+        if (name == "_epoch.tmp"
+                or (name.startswith("epoch_") and name[6:].isdigit())
+                or name in ("visited", "frontier", "visited.old",
+                            "frontier.old", "visited.tmp", "frontier.tmp")):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def _legacy_state(spark: SparkSession, state_dir: str):
+    """Resume fallback for the pre-round-11 two-file layout
+    (``visited``/``frontier`` dirs with ``.old`` crash fallbacks):
+    without this, upgrading mid-crawl would silently restart from the
+    seeds — the exact failure class the epoch rewrite closes. Returns
+    (visited, frontier) DataFrames or None. The legacy pair is NOT
+    atomic, so the frontier is re-anti-joined against visited exactly
+    as the old reader did; the first epoch commit retires the legacy
+    dirs."""
+    import os
+
+    def newest(path: str) -> str | None:
+        if os.path.isdir(path):
+            return path
+        if os.path.isdir(path + ".old"):
+            return path + ".old"
+        return None
+
+    front_src = newest(os.path.join(state_dir, "frontier"))
+    if front_src is None:
+        return None
+    vis_src = newest(os.path.join(state_dir, "visited"))
+    visited = (
+        spark.read.parquet(vis_src)
+        if vis_src is not None
+        else spark.createDataFrame([], "url string")
+    )
+    frontier = (
+        spark.read.parquet(front_src)
+        .join(visited, "url", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    return visited.localCheckpoint(eager=True), frontier
 
 
 def _latest_epoch(state_dir: str | None) -> tuple[int, str] | None:
@@ -185,9 +247,21 @@ def crawl(
 
         return df.select(normalize_url("url").alias("url"))
     allowed = domain_allowed_col("url", allowed_domains)
+    if state_dir and not resume:
+        # fresh run into a reused state dir: epoch numbering restarts,
+        # so stale higher epochs (or legacy layout) must not survive to
+        # outrank this run's commits on a later resume
+        _clear_state(state_dir)
     latest = _latest_epoch(state_dir) if resume and state_dir else None
+    legacy = (
+        _legacy_state(spark, state_dir)
+        if resume and state_dir and latest is None
+        else None
+    )
     epoch = latest[0] if latest is not None else 0
-    if latest is not None:
+    if legacy is not None:
+        visited, frontier = legacy
+    elif latest is not None:
         # an epoch is internally consistent by construction (one atomic
         # rename published both halves, _commit_state): its frontier was
         # already anti-joined against its visited in the wave that

@@ -304,16 +304,22 @@ def embed_stage(
     # Materialize BEFORE splitting (review-found round 11): the two
     # filters each re-execute ``items``' full lineage — for ingest
     # callers that lineage is the live-HTTP fetch mapInPandas, so an
-    # uncached input meant every url was FETCHED TWICE, and a refetch
-    # that changed content_type between the two executions landed the
-    # row in both branches (duplicate) or neither (lost). cache() is
-    # spill-safe (MEMORY_AND_DISK). Callers whose input lineage is
-    # ALREADY side-effect-free and materialized (a localCheckpoint, a
-    # local relation) pass ``materialized=True`` to skip the pin —
-    # streaming foreachBatch in particular must not accrete one cached
-    # relation per micro-batch for the stream's lifetime.
-    if not materialized and not items.is_cached:
-        items = items.cache()
+    # unmaterialized input meant every url was FETCHED TWICE, and a
+    # refetch that changed content_type between the two executions
+    # landed the row in both branches (duplicate) or neither (lost).
+    # EAGER localCheckpoint, not cache() (second review pass): a
+    # cache() pin lives in the session's CacheManager until an explicit
+    # unpersist that no lazy-return API can ever issue, so repeated
+    # batch ingests accreted pinned relations for the session's
+    # lifetime; a checkpointed RDD is released by the ContextCleaner as
+    # soon as the result frame is dropped. Eagerness also closes the
+    # same-job double-compute race a lazy pin leaves open. At 100 TB
+    # the equivalent is the stage-boundary table write the production
+    # notes in finalize_pages/SCALING.md already prescribe. Callers
+    # whose input is ALREADY materialized and side-effect-free pass
+    # ``materialized=True`` and skip the extra copy.
+    if not materialized:
+        items = items.localCheckpoint(eager=True)
     is_vision = F.coalesce(
         F.col("embedding_type") == F.lit("vision"), F.lit(False))
     vis = items.filter(is_vision).withColumn(

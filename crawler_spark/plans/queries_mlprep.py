@@ -1420,6 +1420,12 @@ def streaming_distilled_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFram
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     landed = read_pages_table(spark, tbl)
+    if landed is None:
+        # no batch ever committed a bucket (a corpus where nothing is
+        # predicted-keep): match the batch twin's empty frame instead
+        # of crashing on the empty manifest
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_feats bigint, score_micro bigint")
     return landed.select("doc_id", "n_feats", "score_micro").orderBy("doc_id")
 
 

@@ -549,3 +549,82 @@ class TestAtomicEpochState:
             "https://site.test/a", "https://site.test/b"}
         assert not os.path.isdir(os.path.join(state, "_epoch.tmp"))
         assert _latest_epoch(state)[0] > good[0]
+
+    def test_fresh_run_clears_stale_epochs_from_a_reused_state_dir(
+            self, spark, tmp_path):
+        """Review-found round 11: epoch numbering restarts per run, so a
+        NON-resume crawl into a reused state dir must clear leftover
+        epochs — otherwise a previous run's higher-numbered epoch
+        outranks everything the new run commits and a later resume
+        silently restores the ABANDONED crawl's state."""
+        import os
+
+        from crawler_spark.plans.crawl import _latest_epoch
+
+        state = str(tmp_path / "st")
+        # run A: depth-1 crawl leaves its epochs behind
+        crawl(spark, StubFetcher(SITE), ["https://site.test/"],
+              allowed_domains=["site.test"], depth_limit=1,
+              obey_robots=False, state_dir=state)
+        a_epoch = _latest_epoch(state)[0]
+        assert a_epoch >= 2
+        # run B: FRESH crawl (resume=False) of different seeds reuses S
+        other = {"https://o.test/": page("o-root", ["/x"]),
+                 "https://o.test/x": page("o-x", [])}
+        crawl(spark, StubFetcher(other), ["https://o.test/"],
+              allowed_domains=["o.test"], depth_limit=0,
+              obey_robots=False, state_dir=state)
+        # only run B's epoch survives; resume restores B's state, not A's
+        epochs = sorted(n for n in os.listdir(state) if n.startswith("epoch_"))
+        assert len(epochs) == 1, epochs
+        _, epoch_dir = _latest_epoch(state)
+        visited = {r.url for r in
+                   spark.read.parquet(epoch_dir + "/visited").collect()}
+        assert visited == {"https://o.test/"}
+        items, _ = crawl(spark, StubFetcher(other), ["https://o.test/ignored"],
+                         allowed_domains=["o.test"], depth_limit=0,
+                         obey_robots=False, state_dir=state, resume=True)
+        assert {r.url for r in items.collect()} == {"https://o.test/x"}
+
+    def test_resume_migrates_legacy_two_file_state_layout(
+            self, spark, tmp_path):
+        """Upgrade path: a crawl checkpointed under the pre-epoch layout
+        (visited/ + frontier/ parquet dirs) must RESUME, not silently
+        restart from the seeds; the first epoch commit retires the
+        legacy dirs."""
+        import os
+
+        state = str(tmp_path / "st")
+        os.makedirs(state)
+        spark.createDataFrame(
+            [("https://site.test/",)], "url string"
+        ).write.parquet(state + "/visited")
+        spark.createDataFrame(
+            [("https://site.test/a",), ("https://site.test/b",),
+             ("https://site.test/",)],  # attempted url present: filtered
+            "url string",
+        ).write.parquet(state + "/frontier")
+
+        class Counting(StubFetcher):
+            def __init__(self, s):
+                super().__init__(s)
+                self.fetched = []
+
+            def fetch(self, url):
+                self.fetched.append(url)
+                return super().fetch(url)
+
+        f = Counting(SITE)
+        items, dead = crawl(
+            spark, f, ["https://site.test/ignored"],
+            allowed_domains=["site.test"], depth_limit=0,
+            obey_robots=False, state_dir=state, resume=True,
+        )
+        got = {r.url for r in items.collect()}
+        assert got == {"https://site.test/a", "https://site.test/b"}
+        assert "https://site.test/" not in f.fetched, (
+            "legacy visited set was ignored — attempted url refetched")
+        # epoch published, legacy layout retired
+        assert any(n.startswith("epoch_") for n in os.listdir(state))
+        assert not os.path.isdir(state + "/visited")
+        assert not os.path.isdir(state + "/frontier")

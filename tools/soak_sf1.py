@@ -73,9 +73,14 @@ def build_sf1(spark, copies: int = 10, rebuild: bool = False) -> None:
     from crawler_spark.sources import load_table
 
     marker = os.path.join(SF1_DIR, "_SOAK_BUILT")
-    if os.path.exists(marker) and not rebuild:
-        print(f"sf1 corpus already built at {SF1_DIR}", flush=True)
-        return
+    # the marker records the copies count: a re-run with a different
+    # --copies must rebuild, or the recorded "copies" field would
+    # misdocument the corpus the ratios were measured against
+    if not rebuild and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == f"copies={copies}":
+                print(f"sf1 corpus already built at {SF1_DIR}", flush=True)
+                return
     os.makedirs(SF1_DIR, exist_ok=True)
 
     ring = "abcdefghij"
@@ -117,7 +122,7 @@ def build_sf1(spark, copies: int = 10, rebuild: bool = False) -> None:
         n = spark.read.parquet(path).count()
         print(f"built {name}: {n} rows -> {path}", flush=True)
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(f"copies={copies}\n")
 
 
 DOCS_X100_DIR = "/tmp/sf10_soak_docs"
