@@ -137,6 +137,69 @@ DOC_QUERIES = [
     "txt_quality_score", "txt_line_dedup",
 ]
 
+# second decade for the OTHER two tables: 200k vectors / 10M events
+# NOTE: dedup_semantic is soaked through the OPERATOR with its cluster
+# count scaled (see soak_semdedup_x100), not the registered query: the
+# query pins the bench corpus's centroid count, and SemDeDup's
+# per-cluster exact gram is quadratic in CLUSTER SIZE by design — the
+# documented at-scale recipe is C ∝ corpus (cluster size bounded), the
+# same knob FAISS sizes by.
+VEC_X100_QUERIES = [
+    "ivfpq_index_build", "knn_probe_ivfpq", "knn_topk_ivf",
+    "o3_knn_topk_lsh", "o3_knn_topk_sq8", "knn_topk_batch_ivf",
+    "o3_knn_topk",
+]
+EV_X100_QUERIES = [
+    "ev_quantile_merge_rollup", "ev_kmv_distinct_intersect",
+    "ev_hll_distinct_rollup", "ev_daily_funnel", "ev_weekly_retention",
+    "ev_value_percentiles_approx",
+]
+
+
+def build_vec_ev_x100(spark, rebuild: bool = False) -> None:
+    """×100 embeddings + events into the SAME corpus dir as the ×100
+    documents, reusing build_sf1's per-copy perturbations with 100
+    copies (sin-perturbed vectors stay pairwise distinct because the
+    additive term varies with both component value and copy index)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources import load_table
+
+    marker = os.path.join(DOCS_X100_DIR, "_SOAK_BUILT_VEC_EV")
+    if os.path.exists(marker) and not rebuild:
+        print("x100 embeddings/events already built", flush=True)
+        return
+
+    def emb_copy(df, i):
+        return df.select(
+            (F.col("vec_id") + i * 10**9).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + 0.01 * i * F.sin(x * (37.0 + i))).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+
+    def ev_copy(df, i):
+        return df.select(
+            (F.col("event_id") + i * 10**12).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 10**9).alias("user_id"),
+            "event_type", "value", "props",
+        )
+
+    for name, make in [("embeddings", emb_copy), ("events", ev_copy)]:
+        base = load_table(spark, SRC_SF, name)
+        out = make(base, 0)
+        for i in range(1, 100):
+            out = out.unionByName(make(base, i))
+        path = os.path.join(DOCS_X100_DIR, f"{name}.parquet")
+        out.repartition(64).write.mode("overwrite").parquet(path)
+        print(f"built {name} x100: {spark.read.parquet(path).count()} rows",
+              flush=True)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
 
 def build_docs_x100(spark, rebuild: bool = False) -> None:
     """×100 documents corpus: two composed 10-letter substitution rings
@@ -174,12 +237,36 @@ def build_docs_x100(spark, rebuild: bool = False) -> None:
         fh.write("ok\n")
 
 
+def soak_semdedup_x100(spark) -> dict:
+    """SemDeDup at ×100 with the cluster-count knob scaled the way the
+    operator's docstring prescribes (C ∝ corpus, cluster size bounded
+    ~n·n_assign/C): 160 centroids over 200k vectors keeps per-cluster
+    grams the same size as the bench corpus's 16-over-20k."""
+    from crawler_spark.operators.similarity import (
+        semantic_dedup_keep,
+        train_ivf_centroids,
+    )
+    from crawler_spark.sources import load_table
+
+    emb = load_table(spark, DOCS_X100_DIR, "embeddings")
+    t0 = time.perf_counter()
+    cents = train_ivf_centroids(emb, n_centroids=160)
+    keep = semantic_dedup_keep(emb, cents, threshold=0.95)
+    keep.write.format("noop").mode("overwrite").save()
+    return {"semdedup_x100_c160": {
+        "sf10_sec": round(time.perf_counter() - t0, 3),
+        "sf01_sec": None, "ratio_vs_100x": None, "err": None,
+        "note": "operator run, C scaled 16->160 per the at-scale recipe",
+    }}
+
+
 def run_decade2(spark, registry) -> None:
     build_docs_x100(spark)
+    build_vec_ev_x100(spark)
     bench_path = os.path.join(REPO, "BENCH_FULL.json")
     sf01 = json.load(open(bench_path))["queries"] if os.path.exists(bench_path) else {}
     results = {}
-    for name in DOC_QUERIES:
+    for name in DOC_QUERIES + VEC_X100_QUERIES + EV_X100_QUERIES:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         try:
@@ -196,8 +283,10 @@ def run_decade2(spark, registry) -> None:
         results[name] = entry
         print(f"{name}: sf10 {sec}s vs sf0.1 {base}s "
               f"(ratio vs linear 100x: {entry['ratio_vs_100x']})", flush=True)
+    results.update(soak_semdedup_x100(spark))
     payload = {"sf": 10.0, "copies": 100, "built_from": SRC_SF,
-               "tables": ["documents"], "queries": results}
+               "tables": ["documents", "embeddings", "events"],
+               "queries": results}
     with open(OUT_X100, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
