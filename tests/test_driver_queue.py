@@ -14,7 +14,10 @@ CORRECTNESS_r*.json history, so this test enforces them:
       oracle-backed must be queued.
 
 Class (c) — the plan changed since the last green row — cannot be
-derived from the history and stays hand-maintained; extra names in the
+derived from the history; since round 11 it is enforced by the
+PLAN_HASHES.json ledger (tools/plan_ledger.py + tests/
+test_plan_ledger.py: a query whose canonicalized optimized plan
+differs from its pinned hash must be queued). Extra names in the
 queue (already-green queries queued for re-verification) are allowed.
 """
 
