@@ -31,30 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no GREEN driver CORRECTNESS row yet, or whose oracle/
-# implementation changed since their last green row. Round 10 drained
-# its whole 23-name queue green (CORRECTNESS_r10: 50/50 hash-pass, and
+# implementation changed since their last green row. Round 11 drained
+# its whole 8-name queue green (CORRECTNESS_r11: 50/50 hash-pass, and
 # cumulatively every registered query is clean at its latest sample),
-# so round 11's queue holds ONLY this round's plan changes and new
+# so round 12's queue holds ONLY this round's plan changes and new
 # registrations. Staleness classes (a) never sampled and (b) oracle
 # added after last sample are enforced by tests/test_driver_queue.py
 # against the CORRECTNESS_r*.json history; class (c) plan-changed-
 # since-last-green is enforced by the PLAN_HASHES.json ledger
-# (tests/test_plan_ledger.py): changing a query's optimized plan
-# without queueing it here fails pytest.
+# (tests/test_plan_ledger.py): changing a query's analyzed plan — or,
+# for the streaming e2e family, its foreachBatch sink source — without
+# queueing it here fails pytest.
 _NEVER_DRIVER_VERIFIED = [
-    # --- (c) round-11 embed_stage materialization (ADVICE fix: cache
-    # before the vision/text split so ingest lineage — live HTTP
-    # fetches — executes once, not once per branch) touches every
-    # plan that embeds through ingest
-    "crawl_ingest_e2e", "ingest_dead_letter", "pipeline_corpus_e2e",
-    "f11_extract_ingest",
-    # --- (c) streaming ingest foreachBatch embeds through the same
-    # stage; the crawl state epoch-commit rewrite (atomic
-    # visited+frontier publish) is also exercised by these paths
-    "streaming_warc_ingest_e2e", "pipeline_warc_corpus_e2e",
-    "streaming_index_append_e2e",
-    # --- (a) new registration in round 11 ---
-    "streaming_distilled_filter_e2e",   # score-at-ingest NB deployment
 ]
 
 

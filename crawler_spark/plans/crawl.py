@@ -82,7 +82,11 @@ def _commit_state(
     for name in os.listdir(state_dir):
         if (name.startswith("epoch_") and name[6:].isdigit()
                 and int(name[6:]) < epoch):
-            shutil.rmtree(os.path.join(state_dir, name))
+            # pure cleanup past the commit point: resume always picks
+            # the max epoch, so a transient IO failure deleting a
+            # superseded epoch must not abort a wave that committed
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)
         # retire pre-epoch (round-10) layout once an epoch is live: the
         # legacy dirs were only consulted by the resume fallback below,
         # and leaving them would shadow nothing but confuse inspection

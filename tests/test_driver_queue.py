@@ -16,7 +16,7 @@ CORRECTNESS_r*.json history, so this test enforces them:
 Class (c) — the plan changed since the last green row — cannot be
 derived from the history; since round 11 it is enforced by the
 PLAN_HASHES.json ledger (tools/plan_ledger.py + tests/
-test_plan_ledger.py: a query whose canonicalized optimized plan
+test_plan_ledger.py: a query whose canonicalized analyzed plan
 differs from its pinned hash must be queued). Extra names in the
 queue (already-green queries queued for re-verification) are allowed.
 """
