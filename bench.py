@@ -38,6 +38,16 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # shared fixture builds are once-per-process costs, not any single
+    # query's: the depth-2 fixture crawl (~11 s of BFS-wave scheduling,
+    # sf-independent) used to land on its alphabetically-first consumer
+    # and made crawl_hits read as the suite's most expensive query when
+    # its own work is ~7.6 s (BASELINE.md round-11 grooming). Warm it
+    # here so per-query numbers mean what they say.
+    from crawler_spark.plans.queries_pipeline import _fixture_crawl_items
+
+    _fixture_crawl_items(spark)
+
     def run_once(name: str) -> float:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
