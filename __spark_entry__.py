@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # for the streaming e2e family, its foreachBatch sink source — without
 # queueing it here fails pytest.
 _NEVER_DRIVER_VERIFIED = [
+    # --- (a) new registration in round 12 ---
+    "streaming_semantic_dedup_e2e",   # incremental SemDeDup at ingest
 ]
 
 

@@ -308,6 +308,25 @@ def nearest_centroid_udf(centroids: Sequence[Sequence[float]]):
     return _nearest
 
 
+def top_centroids_udf(centroids: Sequence[Sequence[float]], n: int):
+    """Arrow-batched top-``n`` centroid assignment (descending dot
+    product on normalized vectors) — the multi-assign/multi-probe form
+    of ``nearest_centroid_udf``, shared by SemDeDup's boundary-recall
+    multi-assignment and the streaming semantic-dedup probe."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    n_top = max(1, min(int(n), len(cmat)))
+
+    @F.pandas_udf("array<int>")
+    def _top(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs).astype(np.float64, copy=False)
+        order = np.argsort(-(mat @ cmat.T), axis=1)[:, :n_top].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _top
+
+
 def refine_centroids(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

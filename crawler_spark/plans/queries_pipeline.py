@@ -664,3 +664,146 @@ def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# --- incremental semantic dedup at ingest (round 12) -----------------------
+# Stream-source replay dir, corpus-index dir, landed verdict table and
+# checkpoint — one memoized tmpdir each per (process, sf_dir), the
+# _memo_tmpdir shape every streaming e2e query here shares.
+_SEMDEDUP_STREAM_SRC: dict[str, str] = {}
+_SEMDEDUP_CORPUS_IDX: dict[str, str] = {}
+_SEMDEDUP_STREAM_TBLS: dict[str, str] = {}
+_SEMDEDUP_STREAM_CKPTS: dict[str, str] = {}
+
+
+@register(
+    "streaming_semantic_dedup_e2e",
+    # seeded centroids have no SQL closed form — REGRESSION pin at the
+    # driver's sf0.01 (tools/pin_oracles.py), same epistemics as
+    # dedup_semantic: the pin proves cross-session determinism and no
+    # silent drift; semantic recall floors live in tests/test_dedup.py
+    # and the batch-lockstep equality in tests/test_streaming.py.
+    **_PINS_KW("streaming_semantic_dedup_e2e"),
+)
+def streaming_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup AT INGEST — the streaming form of ``dedup_semantic``
+    and the semantic analogue of ``dedup_incremental``: arriving
+    embeddings (a 10% id-split of the table) replay as a multi-batch
+    parquet file stream; every micro-batch assigns each vector to its
+    ``nprobe`` nearest shared IVF centroids, reads ONLY those inverted
+    lists of the persisted corpus index (directory-pruned, the same
+    physics as an ANN probe), computes exact max cosine against the
+    pruned lists, and MERGES the verdict (vec_id, max_cos, is dup)
+    idempotently into a bucketed landed table (foreachBatch →
+    operators/upsert.py — checkpoint + idempotent merge, the
+    exactly-once recipe every streaming tier here shares). The LANDED
+    TABLE is the result.
+
+    Verdicts are against the FIXED corpus only (not batch-vs-batch),
+    so the result is independent of micro-batch boundaries and arrival
+    order — the property that makes it pinnable, and the same contract
+    as ``dedup_incremental``'s batch-vs-corpus report. A production
+    loop that also appends accepted uniques to the index is the
+    ``streaming_index_append_e2e`` pattern composed with this one.
+
+    Scale shape: scoring Common Crawl embeddings as they land — per
+    trigger O(batch × probed-list rows), no corpus-scale state, no
+    cross-batch shuffle, watermark-free (stateless per vector); the
+    batch side BROADCASTS into the pruned-list scan, so the corpus is
+    touched only through ``nprobe``/C of its partitions per trigger."""
+    from crawler_spark.functions import vector as V
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        top_centroids_udf,
+    )
+    from crawler_spark.operators.upsert import key_bucket, merge_into_bucketed
+    from crawler_spark.plans.queries_sources import _memo_tmpdir
+    from crawler_spark.plans.queries_vector import _ensure_ivf_centroids
+    from crawler_spark.sources import load_table
+    from crawler_spark.streaming.ingest_stream import read_pages_table
+
+    THRESHOLD, NPROBE = 0.35, 2
+    centroids = _ensure_ivf_centroids(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_arriving = F.col("vec_id") % 10 == 0
+
+    def build_src(path: str) -> None:
+        (emb.filter(is_arriving).repartition(3)
+         .write.mode("overwrite").parquet(path))
+
+    def build_idx(path: str) -> None:
+        build_ivf_index(emb.filter(~is_arriving), path, centroids)
+
+    src = _memo_tmpdir(_SEMDEDUP_STREAM_SRC, sf_dir,
+                       "semdedup_stream_src_", populate=build_src)
+    idx = _memo_tmpdir(_SEMDEDUP_CORPUS_IDX, sf_dir,
+                       "semdedup_corpus_idx_", populate=build_idx)
+    tbl = _memo_tmpdir(_SEMDEDUP_STREAM_TBLS, sf_dir, "semdedup_stream_tbl_")
+    ckpt = _memo_tmpdir(_SEMDEDUP_STREAM_CKPTS, sf_dir,
+                        "semdedup_stream_ckpt_")
+
+    _probe_lists = top_centroids_udf(centroids, NPROBE)
+
+    def sink(batch: DataFrame, _id: int) -> None:
+        probes = (
+            batch.select("vec_id", V.l2_normalize("embedding").alias("vb"))
+            .withColumn("list_id", F.explode(_probe_lists("vb")))
+        )
+        # the probed list ids are bounded by C (=16): a driver-side
+        # collect of the distinct set is a scalar frame, and the IN
+        # predicate prunes the corpus scan at directory level
+        lists = [r[0] for r in probes.select("list_id").distinct().collect()]
+        corpus = (spark.read.parquet(idx)
+                  .filter(F.col("list_id").isin(lists))
+                  .select("list_id", F.col("v").alias("vc")))
+        cos = V.dot(F.col("vb"), F.col("vc"))
+        best = (
+            corpus.join(F.broadcast(probes), "list_id")
+            .groupBy("vec_id").agg(F.max(cos).alias("mx"))
+        )
+        verdicts = (
+            batch.select("vec_id").join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                # -1.0 sentinel: no corpus vector shares a probed list
+                # (cannot collide with a real max — normalized cosines
+                # here round above it whenever any pair exists)
+                F.round(F.coalesce("mx", F.lit(-1.0)), 6).alias("max_cos"),
+                F.coalesce(F.col("mx") >= THRESHOLD, F.lit(False))
+                 .alias("is_semantic_dup"),
+                key_bucket("vec_id", 4).alias("bucket"),
+            )
+        )
+        merge_into_bucketed(spark, tbl, verdicts, key="vec_id")
+
+    # per-batch jobs are tiny — size the shuffle to the stream (the
+    # documented trade every streaming e2e query here makes), restore
+    # inside finally so a construction error can't leak the clamp
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    landed = read_pages_table(spark, tbl)
+    if landed is None:  # an sf with no vec_id % 10 == 0 rows
+        return spark.createDataFrame(
+            [], "vec_id bigint, max_cos double, is_semantic_dup boolean")
+    return (landed.select("vec_id", "max_cos", "is_semantic_dup")
+            .orderBy("vec_id"))

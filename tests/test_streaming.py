@@ -1136,3 +1136,49 @@ class TestStreamingDistilledFilter:
         assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
         again = qs["streaming_distilled_filter_e2e"](spark, sf).collect()
         assert sorted(map(tuple, again)) == sorted(map(tuple, streamed))
+
+
+class TestStreamingSemanticDedup:
+    def test_verdicts_match_numpy_reference(self, spark):
+        """The streamed incremental SemDeDup verdicts must equal an
+        INDEPENDENT single-node reference: numpy recomputes the whole
+        contract (l2-normalize, corpus top-1 list assignment, arriving
+        top-2 probes, exact max cosine over the probed lists, 0.35
+        threshold) straight from the parquet — so a bug anywhere in the
+        distributed path (stream replay, probe pruning, broadcast join,
+        idempotent merge) is a value mismatch, not just a drift. Also
+        re-runs the stream in-process: the resumed checkpoint sees no
+        new files and the landed table stays converged (exactly-once)."""
+        import numpy as np
+        import pandas as pd
+
+        import __spark_entry__ as E
+        from crawler_spark.plans.queries_vector import _ensure_ivf_centroids
+
+        sf = SF
+        qs = E.queries()
+        streamed = qs["streaming_semantic_dedup_e2e"](spark, sf).collect()
+        assert len(streamed) > 0
+
+        pdf = pd.read_parquet(os.path.join(sf, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.where(norms > 0, mat / np.where(norms == 0, 1, norms), mat)
+        ids = pdf["vec_id"].to_numpy()
+        arriving = ids % 10 == 0
+        cmat = np.asarray(_ensure_ivf_centroids(spark, sf), dtype=np.float64)
+        corpus_list = np.argmax(mat[~arriving] @ cmat.T, axis=1)
+        probe = np.argsort(-(mat[arriving] @ cmat.T), axis=1)[:, :2]
+        sims = mat[arriving] @ mat[~arriving].T
+        expected = {}
+        for i, vid in enumerate(ids[arriving]):
+            in_probed = np.isin(corpus_list, probe[i])
+            mx = float(sims[i][in_probed].max()) if in_probed.any() else -1.0
+            expected[int(vid)] = (round(mx, 6),
+                                  bool(in_probed.any() and mx >= 0.35))
+        got = {r.vec_id: (r.max_cos, r.is_semantic_dup) for r in streamed}
+        assert got == expected
+
+        again = qs["streaming_semantic_dedup_e2e"](spark, sf).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, streamed))

@@ -338,6 +338,11 @@ def main() -> None:
         # single-trigger streaming replay, deterministic since the
         # state fn sorts each group's trigger rows by doc id
         "streaming_neardup_e2e",
+        # incremental SemDeDup at ingest: verdicts are against the
+        # FIXED corpus only, so the result is independent of
+        # micro-batch boundaries and arrival order (an independent
+        # numpy reference pins the values in tests/test_streaming.py)
+        "streaming_semantic_dedup_e2e",
     ]
     # Pins must record FRESH index behavior: the IVF/banded/PQ caches
     # persist under /tmp across processes, so a code change to any

@@ -155,6 +155,13 @@ SINK_SOURCES: dict[str, tuple[str, ...]] = {
         "crawler_spark.operators.upsert:merge_into_bucketed",
         "crawler_spark.streaming.ingest_stream:read_pages_table",
     ),
+    "streaming_semantic_dedup_e2e": (
+        "crawler_spark.operators.similarity:build_ivf_index",
+        "crawler_spark.operators.similarity:top_centroids_udf",
+        "crawler_spark.operators.upsert:key_bucket",
+        "crawler_spark.operators.upsert:merge_into_bucketed",
+        "crawler_spark.streaming.ingest_stream:read_pages_table",
+    ),
 }
 
 
