@@ -72,6 +72,7 @@ def _df(spark, n: int, buckets: int, start: int = 0, tag: str = "a"):
 def soak_scale(spark, tag: str, n: int, buckets: int) -> dict:
     from pyspark.sql import functions as F
 
+    from crawler_spark.operators.layout import compact_files
     from crawler_spark.operators.upsert import merge_into_bucketed, scd2_apply
     from crawler_spark.streaming.ingest_stream import (
         compact_pages_table,
@@ -121,9 +122,23 @@ def soak_scale(spark, tag: str, n: int, buckets: int) -> dict:
     out["cdf_rows"] = feed.count()
     out["cdf_sec"] = round(time.perf_counter() - t0, 3)
 
+    # the manifest merges leave one file per bucket directory, so the
+    # manifest-level OPTIMIZE has nothing to rewrite here (recorded —
+    # it is the streaming appender that fragments); the O(data) rewrite
+    # cost is measured on compact_files over a directory fragmented the
+    # way an append pipeline fragments: file count ∝ batches ∝ data
+    out["compact_manifest_buckets"] = compact_pages_table(
+        spark, tbl, min_files=2)
+    frag = os.path.join(WORK, f"frag_{tag}")
+    shutil.rmtree(frag, ignore_errors=True)
+    _df(spark, n, buckets).repartition(10 * buckets).write.mode(
+        "overwrite").parquet(frag)
     t0 = time.perf_counter()
-    out["compact_buckets"] = compact_pages_table(spark, tbl, min_files=2)
+    stats = compact_files(spark, frag, frag + "_out",
+                          target_bytes=32 << 20)
     out["compact_sec"] = round(time.perf_counter() - t0, 3)
+    out["compact_files_before"] = stats["files_before"]
+    out["compact_files_after"] = stats["files_after"]
 
     final = read_pages_table(spark, tbl).count()
     assert final == n + 5 * (n // 100), (final, n)
