@@ -624,3 +624,53 @@ def test_rank_filter_pushes_window_group_limit(spark, name):
     )
 
 
+
+
+def test_streaming_semdedup_sink_broadcasts_and_prunes(spark):
+    """The incremental-SemDeDup sink's scoring join must keep its
+    audited shape: the (small) arriving batch BROADCASTS into the
+    directory-pruned corpus-index scan — the probed list_ids appear as
+    an INSET partition filter — and no sort-merge join or cartesian
+    product sneaks in. Built here exactly as the foreachBatch body
+    builds it (the registered query runs the stream; this locks the
+    per-trigger plan the stream executes)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions import vector as V
+    from crawler_spark.operators.similarity import (
+        build_ivf_index,
+        top_centroids_udf,
+    )
+    from crawler_spark.plans.queries_vector import _ensure_ivf_centroids
+    from crawler_spark.sources import load_table
+
+    cents = _ensure_ivf_centroids(spark, SF)
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    idx = "/tmp/plan_shape_semdedup_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), idx, cents)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).limit(20)
+    probes = (
+        batch.select("vec_id", V.l2_normalize("embedding").alias("vb"))
+        .withColumn("list_id", F.explode(top_centroids_udf(cents, 2)("vb")))
+    )
+    lists = [r[0] for r in probes.select("list_id").distinct().collect()]
+    corpus = (spark.read.parquet(idx)
+              .filter(F.col("list_id").isin(lists))
+              .select("list_id", F.col("v").alias("vc")))
+    best = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .groupBy("vec_id")
+        .agg(F.max(V.dot(F.col("vb"), F.col("vc"))).alias("mx"))
+    )
+    plan = plan_text(best)
+    assert "BroadcastHashJoin" in plan, "batch side not broadcast"
+    assert "SortMergeJoin" not in plan, "scoring join fell back to SMJ"
+    assert "CartesianProduct" not in plan
+    assert "INSET" in plan or "isin" in plan, (
+        "probed list_ids did not reach the corpus scan as a partition "
+        "filter"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
