@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_VERIFIED = [
     # --- (a) new registration in round 12 ---
     "streaming_semantic_dedup_e2e",   # incremental SemDeDup at ingest
+    "dedup_semantic_incremental",     # self-growing wave-ordered SemDeDup
 ]
 
 

@@ -1352,3 +1352,134 @@ def mmr_rerank(
              round(float(score[best]), 6))
         )
     return spark.createDataFrame(out, out_schema)
+
+
+def append_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pre_normalized: bool = False,
+) -> None:
+    """Incremental maintenance for a ``build_ivf_index`` table — the
+    IVF twin of ``append_banded_index``: assign ONLY the new batch to
+    the SAME frozen coarse quantizer and append its files into the
+    existing ``list_id`` partition directories. Each ingest wave costs
+    O(batch), never a rebuild; probes see old+new rows immediately
+    with unchanged directory pruning. (Re-training centroids is a
+    separate, rarer maintenance job — exactly FAISS's split between
+    ``add`` and re-training the coarse quantizer.)
+
+    ``pre_normalized=True`` skips the L2 normalization when ``vec_col``
+    already holds unit vectors (the incremental-dedup step normalizes
+    once and reuses the result for scoring AND appending)."""
+    from crawler_spark.operators.dedup import long_id
+
+    v = (F.col(vec_col) if pre_normalized else V.l2_normalize(vec_col))
+    norm = df.select(long_id(df, id_col).alias("id"), v.alias("v"))
+    (
+        norm.withColumn("list_id", nearest_centroid_udf(centroids)("v"))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+
+
+def semantic_dedup_ingest_step(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE ingest wave of self-growing semantic dedup — the full
+    production loop the batch-vs-fixed-corpus form
+    (``streaming_semantic_dedup_e2e``) documents as its composition
+    with index append:
+
+    1. every batch vector probes its ``nprobe`` nearest centroids and
+       takes exact max cosine against ONLY those inverted lists of the
+       accepted-so-far index (directory-pruned scan, broadcast batch);
+       ``max_cos ≥ threshold`` → duplicate of the corpus;
+    2. corpus-survivors dedup among THEMSELVES with the same
+       cluster-scoped rule (``semantic_dedup_pairs`` restricted to the
+       batch + canonical closure — min id survives a connected
+       near-dup component);
+    3. the accepted uniques APPEND into the index
+       (``append_ivf_index``), so the NEXT wave dedups against them.
+
+    Returns the batch verdict frame: (id, max_cos vs corpus rounded to
+    6, dup_of_corpus, intra_dup, accepted). Deterministic for a fixed
+    batch sequence: max over floats is order-free, the closure is
+    seeded by min-id, and the index read-back is content-stable across
+    append file layouts. Per-wave cost is O(batch × probed-list rows)
+    + O(batch-pair work inside clusters) — never O(index).
+
+    Arrival order is semantics here (earlier arrivals win), which is
+    the production contract of an ingest pipeline; the registered
+    sequential query fixes the order by vec_id ranges so the driver
+    can pin it."""
+    import os
+
+    from crawler_spark.operators.dedup import canonical_closure, long_id
+
+    norm = batch.select(
+        long_id(batch, id_col).alias("id"), V.l2_normalize(vec_col).alias("vb")
+    ).localCheckpoint(eager=True)
+
+    probes = norm.withColumn(
+        "list_id", F.explode(top_centroids_udf(centroids, nprobe)("vb")))
+    has_index = os.path.isdir(index_path) and any(
+        e.startswith("list_id=") for e in os.listdir(index_path))
+    if has_index:
+        lists = [r[0] for r in probes.select("list_id").distinct().collect()]
+        corpus = (
+            spark.read.parquet(index_path)
+            .filter(F.col("list_id").isin(lists))
+            .select("list_id", F.col("v").alias("vc"))
+        )
+        best = (
+            corpus.join(F.broadcast(probes), "list_id")
+            .groupBy("id").agg(F.max(V.dot(F.col("vb"), F.col("vc"))).alias("mx"))
+        )
+    else:
+        best = norm.select("id", F.lit(None).cast("double").alias("mx"))
+    verdicts = (
+        norm.join(best, "id", "left")
+        .select(
+            "id", "vb",
+            F.round(F.coalesce("mx", F.lit(-1.0)), 6).alias("max_cos"),
+            F.coalesce(F.col("mx") >= threshold, F.lit(False))
+             .alias("dup_of_corpus"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    survivors = verdicts.filter(~F.col("dup_of_corpus")).select("id", "vb")
+    pairs = semantic_dedup_pairs(
+        survivors, centroids, threshold, vec_col="vb", id_col="id",
+        n_assign=nprobe)
+    labels = canonical_closure(pairs, survivors.select("id"), "id")
+    keep = labels.select(
+        "id", (F.col("id") == F.col("canonical_id")).alias("keep"))
+
+    out = (
+        verdicts.join(keep, "id", "left")
+        .select(
+            "id", "vb", "max_cos", "dup_of_corpus",
+            # intra_dup only defined for corpus-survivors; corpus dups
+            # never reached the intra stage
+            F.coalesce(~F.col("keep"), F.lit(False)).alias("intra_dup"),
+            F.coalesce("keep", F.lit(False)).alias("accepted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    accepted = out.filter(F.col("accepted")).select("id", F.col("vb"))
+    append_ivf_index(accepted, index_path, centroids, vec_col="vb",
+                     id_col="id", pre_normalized=True)
+    return out.select("id", "max_cos", "dup_of_corpus", "intra_dup",
+                      "accepted")

@@ -902,3 +902,71 @@ def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tier in sorted(ids)
     ]
     return spark.createDataFrame(rows, "tier string, recall double, k long")
+
+
+@register(
+    "dedup_semantic_incremental",
+    # seeded centroids have no SQL closed form — REGRESSION pin at the
+    # driver's sf0.01 (tools/pin_oracles.py), same epistemics as
+    # dedup_semantic; an independent numpy sequential reference pins
+    # the values in tests/test_dedup.py
+    **_PINS_KW("dedup_semantic_incremental"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-GROWING semantic dedup — the full production ingest loop
+    (the composition ``streaming_semantic_dedup_e2e`` documents): the
+    embeddings table arrives in 4 deterministic waves (vec_id mod 4,
+    processed in order) against an index that starts EMPTY; each wave
+    probes its 2 nearest shared IVF centroids, takes exact max cosine
+    against only those inverted lists of the accepted-so-far index,
+    dedups the survivors among themselves with the same cluster-scoped
+    closure, and APPENDS its accepted uniques into the index
+    (operators/similarity.py semantic_dedup_ingest_step +
+    append_ivf_index) — so wave k dedups against every acceptance from
+    waves < k, exactly how a crawl pipeline accumulates its corpus.
+
+    Scale shape: per-wave cost is O(batch × probed-list rows) + the
+    C-governed intra-batch grams — never O(index); the index grows but
+    every read of it stays directory-pruned to the probed lists, and
+    appends are O(batch) file adds into the fixed list_id layout (the
+    FAISS add vs re-train split). Earlier-arrival-wins is the
+    SEMANTICS of ingest dedup; the fixed wave order is what makes this
+    registrable and pinnable where a free-running stream would not be."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.similarity import semantic_dedup_ingest_step
+    from crawler_spark.sources import load_table
+
+    centroids = _ensure_ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fresh per construction: the step APPENDS — a memoized dir would
+    # double-append when the same process constructs the query twice
+    idx = tempfile.mkdtemp(prefix="semdedup_incr_idx_")
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+
+    # the wave loop runs MANY small jobs (closure rounds, appends,
+    # probe collects) whose shuffles are a handful of rows each —
+    # size the shuffle to the wave, not the batch default (the same
+    # documented trade the streaming e2e queries and the fixture
+    # crawl make); restore inside finally so an error can't leak it
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    waves = []
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        for k in range(4):
+            batch = emb.filter(F.col("vec_id") % 4 == k)
+            waves.append(
+                semantic_dedup_ingest_step(
+                    spark, batch, idx, centroids, threshold=0.35, nprobe=2))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = waves[0]
+    for w in waves[1:]:
+        out = out.unionByName(w)
+    return out.select(
+        F.col("id").alias("vec_id"), "max_cos", "dup_of_corpus",
+        "intra_dup", "accepted",
+    ).orderBy("vec_id")

@@ -689,3 +689,106 @@ def test_canonical_closure_raises_on_non_convergence(spark):
     star = {r.id: r.canonical_id for r in
             connected_components_star(chain, ids, "id").collect()}
     assert set(star.values()) == {1}
+
+
+class TestSemanticDedupIncremental:
+    def test_waves_match_numpy_sequential_reference(self, spark):
+        """The self-growing semantic dedup must equal an INDEPENDENT
+        single-node reference: numpy replays the same 4 vec_id-mod
+        waves sequentially — per wave, top-2 probe against the shared
+        centroids, exact max cosine against the accepted-so-far set
+        restricted to the probed lists, the same cluster-scoped
+        intra-batch pair rule with min-id closure, then acceptance —
+        straight from the parquet. A bug anywhere in the distributed
+        loop (probe pruning, broadcast scoring, the closure, the index
+        append that feeds the NEXT wave) is a value mismatch."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        import __spark_entry__ as E
+        from crawler_spark.plans.queries_vector import _ensure_ivf_centroids
+
+        got_rows = E.queries()["dedup_semantic_incremental"](
+            spark, SF).collect()
+        got = {r.vec_id: (r.max_cos, r.dup_of_corpus, r.intra_dup,
+                          r.accepted) for r in got_rows}
+
+        pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        vn = np.where(norms > 0, mat / np.where(norms == 0, 1, norms), mat)
+        ids = pdf["vec_id"].to_numpy()
+        cmat = np.asarray(_ensure_ivf_centroids(spark, SF),
+                          dtype=np.float64)
+        THR = 0.35
+
+        def components(pairs, nodes):
+            lbl = {n: n for n in nodes}
+            changed = True
+            while changed:
+                changed = False
+                for a, b in pairs:
+                    m = min(lbl[a], lbl[b])
+                    for x in (a, b):
+                        if lbl[x] > m:
+                            lbl[x] = m
+                            changed = True
+            return lbl
+
+        expected = {}
+        acc_v: list[np.ndarray] = []   # accepted unit vectors so far
+        acc_list: list[int] = []       # their top-1 list assignment
+        for k in range(4):
+            sel = ids % 4 == k
+            bids, bv = ids[sel], vn[sel]
+            probe = np.argsort(-(bv @ cmat.T), axis=1)[:, :2]
+            # stage 1: vs accepted-so-far, probed lists only
+            surv_idx = []
+            for i, vid in enumerate(bids):
+                if acc_v:
+                    am = np.stack(acc_v)
+                    al = np.asarray(acc_list)
+                    in_probed = np.isin(al, probe[i])
+                    if in_probed.any():
+                        mx = float((bv[i] @ am.T)[in_probed].max())
+                        dup = mx >= THR
+                        expected[int(vid)] = [round(mx, 6), dup]
+                    else:
+                        expected[int(vid)] = [-1.0, False]
+                        dup = False
+                else:
+                    expected[int(vid)] = [-1.0, False]
+                    dup = False
+                if not dup:
+                    surv_idx.append(i)
+            # stage 2: intra-batch pairs among survivors, cluster-scoped
+            # (semantic_dedup_pairs re-normalizes — mirror it)
+            sv = bv[surv_idx]
+            sn = np.linalg.norm(sv, axis=1, keepdims=True)
+            sv2 = np.where(sn > 0, sv / np.where(sn == 0, 1, sn), sv)
+            stop = np.argsort(-(sv2 @ cmat.T), axis=1)[:, :2]
+            sims = sv2 @ sv2.T
+            pairs = set()
+            for a in range(len(surv_idx)):
+                for b in range(a + 1, len(surv_idx)):
+                    if sims[a, b] >= THR and (
+                            set(stop[a]) & set(stop[b])):
+                        ia, ib = int(bids[surv_idx[a]]), int(bids[surv_idx[b]])
+                        pairs.add((min(ia, ib), max(ia, ib)))
+            nodes = [int(bids[i]) for i in surv_idx]
+            lbl = components(pairs, nodes)
+            for i in surv_idx:
+                vid = int(bids[i])
+                keep = lbl[vid] == vid
+                expected[vid] += [not keep, keep]
+                if keep:
+                    acc_v.append(bv[i])
+                    acc_list.append(int(np.argmax(bv[i] @ cmat.T)))
+            for i, vid in enumerate(bids):
+                if i not in surv_idx:
+                    expected[int(vid)] += [False, False]
+        expected = {v: tuple(row) for v, row in expected.items()}
+        assert got == expected

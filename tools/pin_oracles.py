@@ -343,6 +343,11 @@ def main() -> None:
         # micro-batch boundaries and arrival order (an independent
         # numpy reference pins the values in tests/test_streaming.py)
         "streaming_semantic_dedup_e2e",
+        # self-growing semantic dedup: the wave order is FIXED by
+        # vec_id ranges, so the earlier-arrival-wins loop is
+        # deterministic (independent numpy sequential reference in
+        # tests/test_dedup.py)
+        "dedup_semantic_incremental",
     ]
     # Pins must record FRESH index behavior: the IVF/banded/PQ caches
     # persist under /tmp across processes, so a code change to any

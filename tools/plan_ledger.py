@@ -162,6 +162,17 @@ SINK_SOURCES: dict[str, tuple[str, ...]] = {
         "crawler_spark.operators.upsert:merge_into_bucketed",
         "crawler_spark.streaming.ingest_stream:read_pages_table",
     ),
+    # not streaming, but the same blind-spot class: the wave loop runs
+    # at construction time and the returned union is built from
+    # eagerly-checkpointed frames, so the analyzed plan is opaque
+    # LogicalRDD nodes — fingerprint the loop's real work instead
+    "dedup_semantic_incremental": (
+        "crawler_spark.operators.similarity:semantic_dedup_ingest_step",
+        "crawler_spark.operators.similarity:append_ivf_index",
+        "crawler_spark.operators.similarity:semantic_dedup_pairs",
+        "crawler_spark.operators.similarity:top_centroids_udf",
+        "crawler_spark.operators.dedup:canonical_closure",
+    ),
 }
 
 
