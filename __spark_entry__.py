@@ -46,6 +46,32 @@ _NEVER_DRIVER_VERIFIED = [
     # --- (a) new registration in round 12 ---
     "streaming_semantic_dedup_e2e",   # incremental SemDeDup at ingest
     "dedup_semantic_incremental",     # self-growing wave-ordered SemDeDup
+    # --- (c) plan-hash drift found on a fresh machine (round 12) ---
+    # The PQ tier's ledger hashes were pinned on a box whose
+    # /tmp/crawler_spark_ann_index cache predated the final training
+    # code; a fresh machine retrains deterministically and hashes
+    # differently. VALUES are unchanged (sf0.01 oracle parity
+    # re-verified), but the plan-as-computed-fresh was never the one a
+    # driver row sampled — queue for an honest re-sample.
+    "knn_probe_ivfpq",
+    "knn_topk_ivfpq",
+    "o3_knn_topk_pq",
+    # --- (c) round-12 OPTIMIZATION plan changes (value-identical,
+    # sf0.01 oracle parity re-verified before queueing; see
+    # OPTIMIZATION_r12.md) ---
+    "dedup_canonical",          # closure: pointer-jump + fused chg flag
+    "dedup_canonical_capped",   # same closure change
+    "dedup_semantic",           # same closure change
+    "graph_cooccur_degree",     # co-occurrence pair gen: self-join → HOF
+    "graph_triangle_stats",     # same projection change
+    # these three materialize their loops at construction, so the
+    # analyzed-plan hash cannot see the loop restructure (pre-joined
+    # degrees, precomputed dangling set, scale-adaptive partitions,
+    # fewer delta syncs / stretch+codegen trade) — queued explicitly
+    # for the same honest driver re-sample
+    "graph_influence_ppr",
+    "crawl_pagerank",
+    "crawl_hits",
 ]
 
 

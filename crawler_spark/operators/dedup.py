@@ -493,15 +493,28 @@ def canonical_closure(
     connected component in the near-dup pair graph — the complete
     union-find, not the 1-hop approximation below.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (duplicate clusters are shallow in
-    practice — a handful of rounds). Per-round ``localCheckpoint``
-    truncates lineage so the plan stays flat; the convergence check is
-    one count per round over a changed-rows anti-pattern join. This is
-    the simplified form of the large-star/small-star connected-
-    components algorithm and shuffles only (edges + labels) per round —
-    no driver-side graph state.
+    Iterative min-label propagation ACCELERATED with a pointer-jump
+    (path-halving) step: each round every node takes the min of its own
+    label and its neighbors' labels (the propagate step), then
+    additionally adopts the CURRENT label of the node its new label
+    points at (the jump step — labels are always node ids inside the
+    same component, so the lookup never leaves the component and the
+    value only decreases toward the component minimum). Propagation
+    alone moves a component's minimum one hop per round — O(diameter)
+    rounds; the jump shortcuts along already-discovered label paths and
+    roughly halves the remaining distance, the classic union-find
+    path-halving trade (measured on the sf0.1 semantic dup graph:
+    17 rounds → 8, identical labels — round-12 optimization, guide
+    §1.2: fix the distributed algorithm's round structure first).
+    Same fixed point either way: labels decrease monotonically within
+    the component and stop exactly at the component minimum.
+
+    Per-round ``localCheckpoint`` truncates lineage so the plan stays
+    flat; the convergence flag is computed IN the same plan (a ``chg``
+    column comparing new to old label), so the per-round driver sync is
+    a trivial limit-1 scan of the just-checkpointed frame instead of a
+    separate join job (round-12: the old join-per-round convergence
+    check re-shuffled both label frames every round).
 
     The iteration runs over the NEAR-DUP SUBGRAPH only — nodes that
     appear in no pair are singleton components by definition and join
@@ -522,27 +535,80 @@ def canonical_closure(
         .select("id", F.least("id", "nb_min").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    for _round in range(max_iterations):
-        nb = edges.join(labels, edges.v == labels.id).select(
-            F.col("u").alias("id"), "lbl"
-        )
-        new_labels = (
-            labels.unionByName(nb)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+    # the SEED checkpoint above executed the (possibly heavy) upstream
+    # pair generation at the ambient parallelism; the ROUND loop below
+    # shuffles only the two-long-column label/edge frames, so size its
+    # partitions to the measured edge count (guide §2 scale-adaptive —
+    # a few-thousand-edge dup graph gets 1 partition instead of the
+    # session default; min aggregations keep labels identical at any
+    # partition count). Restore in finally so an error can't leak it.
+    from crawler_spark.session import loop_shuffle_partitions
+
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    loop_parts = loop_shuffle_partitions(spark, edges.count())
+    converged = False
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts == 1 or loop_parts < int(prev_parts):
+            # the derivation shrank the loop below the session default:
+            # the per-partition row bound already did AQE's coalescing
+            # job, and skew cannot matter inside a bounded small loop —
+            # while AQE still materializes every exchange as its own
+            # job (measured round 12: the per-round JOB count is most
+            # of these loops' cost). Full-scale loops (loop_parts ==
+            # session default) keep AQE and its skew handling.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # same regime: each shrunk-loop round is a fresh throwaway
+            # plan over tiny frames — whole-stage codegen COMPILES more
+            # code per round than the round executes (the crawl_hits
+            # finding, measured again here: ~0.5 s/round → ~0.2 s).
+            # Full-scale loops keep codegen.
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for _round in range(max_iterations):
+            # propagate: min over own + neighbor labels
+            nb_min = (
+                edges.join(labels, edges.v == labels.id)
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbm"))
+            )
+            stepped = (
+                labels.join(nb_min, labels.id == nb_min.u, "left")
+                .select(
+                    labels.id.alias("id"),
+                    F.col("lbl").alias("old"),
+                    F.least("lbl", F.coalesce("nbm", "lbl")).alias("mid"),
+                )
+            )
+            # jump: adopt the current label OF the node the new label
+            # names (mid is a node id in the same component; its label
+            # is ≤ mid)
+            hop = labels.select(
+                F.col("id").alias("mid_id"), F.col("lbl").alias("mid_lbl")
+            )
+            new_labels = (
+                stepped.join(hop, stepped.mid == hop.mid_id, "left")
+                .select(
+                    "id", "old",
+                    F.least("mid", F.coalesce("mid_lbl", "mid")).alias("lbl"),
+                )
+                .select(
+                    "id", "lbl", (F.col("lbl") != F.col("old")).alias("chg")
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter("chg").limit(1).count()
+            labels = new_labels.select("id", "lbl")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+    if not converged:
         # exhausting the rounds without convergence means a component
         # of diameter > max_iterations: the partial labels SPLIT that
         # component (wrong canonical ids, duplicates kept) — fail loud

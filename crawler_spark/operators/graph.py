@@ -60,6 +60,7 @@ def pagerank(
     tol: float = 1e-7,
     stats: dict | None = None,
     init_ranks: DataFrame | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank. ``edges`` rows are directed links;
     duplicate edges are collapsed (a page linking twice votes once,
@@ -117,7 +118,21 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
+    # Round-12 loop restructure (guide §2.4 — remove per-round
+    # recomputation): degrees are joined into the edge list ONCE and
+    # checkpointed, instead of re-aggregating out_deg from e inside
+    # every iteration's contribs subtree AND its dangling anti-join;
+    # the dangling-node set is likewise computed once — when it is
+    # empty (e.g. any symmetrized graph) the per-round dangling-mass
+    # aggregate + broadcast disappear entirely (dmass is exactly 0.0
+    # either way, so ranks are bit-identical).
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(out_deg, "src").localCheckpoint(eager=True)
+    dang_ids = (
+        nodes.join(out_deg, nodes.id == out_deg.src, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_dang = dang_ids.count()
     base = (1.0 - damping) / n
 
     if init_ranks is None:
@@ -161,50 +176,99 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     iters_run = 0
-    check_every = 2
-    for _ in range(iterations):
-        prev = ranks
-        iters_run += 1
-        # dangling mass (nodes with no out-links) stays IN the plan as a
-        # broadcast 1-row frame — a driver-side .first() here would add
-        # a synchronizing job per iteration
-        dang = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
-        contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(_exact_sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0))
-                       + F.col("dmass") / n)
-                ).alias("rank"),
+    check_every = max(1, int(check_every))
+    # loop shuffles carry node/edge-cardinality frames of two narrow
+    # columns: size them to the measured edge count, not a constant
+    # (guide §2 — scale-adaptive; decimal-exact sums keep every rank
+    # bit-identical under ANY partitioning, so this is value-free)
+    from crawler_spark.session import loop_shuffle_partitions
+
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    loop_parts = loop_shuffle_partitions(spark, ed.count())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts == 1 or loop_parts < int(prev_parts):
+            # the derivation shrank the loop below the session default:
+            # the per-partition row bound already did AQE's coalescing
+            # job, and skew cannot matter inside a bounded small loop —
+            # while AQE still materializes every exchange as its own
+            # job (measured round 12: the per-round JOB count is most
+            # of these loops' cost). Full-scale loops (loop_parts ==
+            # session default) keep AQE and its skew handling.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # same regime: each shrunk-loop round is a fresh throwaway
+            # plan over tiny frames — whole-stage codegen COMPILES more
+            # code per round than the round executes (the crawl_hits
+            # finding, measured again here: ~0.5 s/round → ~0.2 s).
+            # Full-scale loops keep codegen.
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for _ in range(iterations):
+            prev = ranks
+            iters_run += 1
+            contribs = (
+                ed.join(ranks.withColumnRenamed("id", "src"), "src")
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(_exact_sum("c").alias("in_mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-        if tol > 0 and (
-            iters_run % check_every == 0 or iters_run == iterations
-        ):
-            delta = (
-                ranks.join(
-                    prev.withColumnRenamed("rank", "prev_rank"), "id")
-                .agg(_exact_sum(F.abs(F.col("rank") - F.col("prev_rank")))
-                     .alias("d"))
-                .first()["d"]
-            )
-            if delta is not None and delta < tol:
-                break
+            new_ranks = nodes.join(
+                contribs, nodes.id == contribs.dst, "left")
+            if n_dang:
+                # dangling mass stays IN the plan as a broadcast 1-row
+                # frame — a driver-side .first() here would add a
+                # synchronizing job per iteration; the semi-join
+                # against the precomputed dangling set selects exactly
+                # the rows the old per-round anti-join did
+                dang = (
+                    ranks.join(dang_ids, "id", "semi")
+                    .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0))
+                         .alias("dmass"))
+                )
+                new_ranks = (
+                    new_ranks.crossJoin(F.broadcast(dang))
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("in_mass"), F.lit(0.0))
+                               + F.col("dmass") / n)
+                        ).alias("rank"),
+                    )
+                )
+            else:
+                new_ranks = new_ranks.select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            ranks = new_ranks.localCheckpoint(eager=True)
+            # no delta on the FINAL round: the loop ends either way,
+            # so the check's only effect would be one wasted
+            # synchronizing join job (round-12)
+            if tol > 0 and iters_run < iterations and (
+                iters_run % check_every == 0
+            ):
+                delta = (
+                    ranks.join(
+                        prev.withColumnRenamed("rank", "prev_rank"), "id")
+                    .agg(_exact_sum(
+                        F.abs(F.col("rank") - F.col("prev_rank")))
+                        .alias("d"))
+                    .first()["d"]
+                )
+                if delta is not None and delta < tol:
+                    break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if stats is not None:
         stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -389,8 +453,18 @@ def cooccurrence_edges(
     bucket membership — the same cap-the-hot-key move as
     ``ngram_jaccard_pairs(cap=...)``.
 
-    One shuffle keyed on the bucket (the self-join), one on the edge
-    (the distinct). Emits each undirected edge once as (u, v), u < v.
+    One shuffle keyed on the bucket (the cap window — the groupBy that
+    follows is keyed identically and reuses its partitioning, guide
+    §2.4), one on the edge (the distinct). Pair expansion happens
+    INSIDE the bucket row: the ≤cap member ids are collected (bounded
+    by the cap, so the aggregation buffer can never blow up on a hot
+    bucket — the window above already absorbed the skew with spilling)
+    and the ≤cap·(cap−1)/2 pairs are generated by a higher-order
+    array expression in whole-stage codegen. Round 12 replaced the
+    former per-bucket SELF-JOIN with this: the join re-shuffled and
+    sorted the capped table twice to produce the same ≤28 rows per
+    bucket (guide §3 — don't join when an array expression already
+    has both sides). Emits each undirected edge once as (u, v), u < v.
     """
     b = df.select(F.col(id_col).alias("id"), *bucket_cols).distinct()
     w = Window.partitionBy(*bucket_cols).orderBy(
@@ -401,13 +475,29 @@ def cooccurrence_edges(
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
-    other = capped.withColumnRenamed("id", "id2")
-    return (
-        capped.join(other, bucket_cols)
-        .filter(F.col("id") < F.col("id2"))
-        .select(F.col("id").alias("u"), F.col("id2").alias("v"))
-        .distinct()
+    members = capped.groupBy(*bucket_cols).agg(
+        F.collect_list("id").alias("ids")  # ≤ cap ids by construction
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        # elements strictly after position i (1-based
+                        # slice start i+2); length `cap` overshoots
+                        # safely — slice returns what exists
+                        F.slice("ids", i + F.lit(2), F.lit(cap)),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("u"),
+                            F.greatest(x, y).alias("v"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    return pairs.select("e.u", "e.v").distinct()
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -488,6 +578,7 @@ def personalized_pagerank(
     dst_col: str = "dst",
     tol: float = 1e-7,
     stats: dict | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Topic-sensitive PageRank (Haveliwala, WWW 2002): the random
     walk teleports to the SEED set instead of uniformly, so rank
@@ -529,51 +620,107 @@ def personalized_pagerank(
     )
     if p.count() == 0 or p.agg(F.sum("p")).first()[0] is None:
         return p.select("id", F.lit(0.0).alias("rank"))
+    # same round-12 loop restructure as ``pagerank`` (guide §2.4):
+    # degrees pre-joined into the edge list once, dangling set
+    # computed once (a symmetrized graph has none, so the per-round
+    # dangling aggregate + broadcast vanish — dmass is exactly 0.0
+    # either way), loop shuffles sized to the measured edge count
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(out_deg, "src").localCheckpoint(eager=True)
+    dang_ids = (
+        p.select("id").join(out_deg, F.col("id") == out_deg.src, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_dang = dang_ids.count()
 
     ranks = p.select("id", F.col("p").alias("rank"))
     iters_run = 0
-    check_every = 2
-    for _ in range(iterations):
-        prev = ranks
-        iters_run += 1
-        dang = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
-        contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(_exact_sum("c").alias("in_mass"))
-        )
-        ranks = (
-            p.join(contribs, p.id == contribs.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) * F.col("p")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0))
-                       + F.col("dmass") * F.col("p"))
-                ).alias("rank"),
+    check_every = max(1, int(check_every))
+    from crawler_spark.session import loop_shuffle_partitions
+
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    loop_parts = loop_shuffle_partitions(spark, ed.count())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts == 1 or loop_parts < int(prev_parts):
+            # the derivation shrank the loop below the session default:
+            # the per-partition row bound already did AQE's coalescing
+            # job, and skew cannot matter inside a bounded small loop —
+            # while AQE still materializes every exchange as its own
+            # job (measured round 12: the per-round JOB count is most
+            # of these loops' cost). Full-scale loops (loop_parts ==
+            # session default) keep AQE and its skew handling.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # same regime: each shrunk-loop round is a fresh throwaway
+            # plan over tiny frames — whole-stage codegen COMPILES more
+            # code per round than the round executes (the crawl_hits
+            # finding, measured again here: ~0.5 s/round → ~0.2 s).
+            # Full-scale loops keep codegen.
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for _ in range(iterations):
+            prev = ranks
+            iters_run += 1
+            contribs = (
+                ed.join(ranks.withColumnRenamed("id", "src"), "src")
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(_exact_sum("c").alias("in_mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-        if tol > 0 and (
-            iters_run % check_every == 0 or iters_run == iterations
-        ):
-            delta = (
-                ranks.join(
-                    prev.withColumnRenamed("rank", "prev_rank"), "id")
-                .agg(_exact_sum(F.abs(F.col("rank") - F.col("prev_rank")))
-                     .alias("d"))
-                .first()["d"]
-            )
-            if delta is not None and delta < tol:
-                break
+            joined = p.join(contribs, p.id == contribs.dst, "left")
+            if n_dang:
+                dang = (
+                    ranks.join(dang_ids, "id", "semi")
+                    .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0))
+                         .alias("dmass"))
+                )
+                ranks = (
+                    joined.crossJoin(F.broadcast(dang))
+                    .select(
+                        "id",
+                        (
+                            F.lit(1.0 - damping) * F.col("p")
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("in_mass"), F.lit(0.0))
+                               + F.col("dmass") * F.col("p"))
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                ranks = (
+                    joined.select(
+                        "id",
+                        (
+                            F.lit(1.0 - damping) * F.col("p")
+                            + F.lit(damping)
+                            * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            # no delta on the FINAL round: the loop ends either way,
+            # so the check's only effect would be one wasted
+            # synchronizing join job (round-12)
+            if tol > 0 and iters_run < iterations and (
+                iters_run % check_every == 0
+            ):
+                delta = (
+                    ranks.join(
+                        prev.withColumnRenamed("rank", "prev_rank"), "id")
+                    .agg(_exact_sum(
+                        F.abs(F.col("rank") - F.col("prev_rank")))
+                        .alias("d"))
+                    .first()["d"]
+                )
+                if delta is not None and delta < tol:
+                    break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if stats is not None:
         stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))

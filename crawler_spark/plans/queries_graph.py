@@ -156,7 +156,14 @@ def graph_influence_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % 50 == 0)
         .distinct()
     )
+    # check_every=8: measured at sf0.01 AND sf0.1 the walk never
+    # early-exits (iterations_run == 8 at both), so the mid-loop delta
+    # checks were 3 wasted synchronizing join jobs (round-12; the
+    # final-round check is skipped inside the operator as a no-op).
+    # Were a scale ever to converge sooner, tol=1e-7 sits an order
+    # below the 6-decimal output rounding, so early-exit and
+    # fixed-count outputs are identical after rounding by design.
     ranks = personalized_pagerank(
-        edges, seeds, src_col="u", dst_col="v", iterations=8
+        edges, seeds, src_col="u", dst_col="v", iterations=8, check_every=8
     )
     return ranks.orderBy(F.col("rank").desc(), "id").limit(100)

@@ -948,14 +948,28 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the wave loop runs MANY small jobs (closure rounds, appends,
     # probe collects) whose shuffles are a handful of rows each —
-    # size the shuffle to the wave, not the batch default (the same
-    # documented trade the streaming e2e queries and the fixture
-    # crawl make); restore inside finally so an error can't leak it
+    # size the shuffle to the MEASURED wave, not a constant (round-12:
+    # derived from the row count per guide §2's scale-adaptive rule;
+    # embedding rows are ~0.5 KB so ~100k rows ≈ a 50 MB partition).
+    # Identical values at any partition count (max/min aggregations
+    # only — measured hash-identical at 1/2/8 partitions); restore
+    # inside finally so an error can't leak it
+    from crawler_spark.session import loop_shuffle_partitions
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    wave_parts = loop_shuffle_partitions(
+        spark, emb.count() // 4, rows_per_partition=100_000)
     waves = []
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(wave_parts))
+        if wave_parts == 1:
+            # sized-down waves: every per-wave job (normalize, probe,
+            # verdict, closure round, append) is a fresh small plan —
+            # whole-stage codegen compiles more than it executes
+            # (measured round 12: ~16 s → ~12.7 s for the 4-wave loop,
+            # hash-identical output). Production-sized waves keep it.
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
         for k in range(4):
             batch = emb.filter(F.col("vec_id") % 4 == k)
             waves.append(
@@ -963,6 +977,7 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, batch, idx, centroids, threshold=0.35, nprobe=2))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     out = waves[0]
     for w in waves[1:]:
         out = out.unionByName(w)

@@ -18,6 +18,33 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Partition sizing for the narrow (two-long-column) frames iterative
+# loops shuffle every round. 50k rows/partition is deliberately far
+# below the guide's byte-oriented 100 MB-1 GB target (§2.2): these
+# loops are CPU-bound on DECIMAL(38,18)-exact aggregation, not
+# shuffle-byte-bound, and a 393k-edge round measured fastest near 8
+# partitions (0.6 s vs 1.1-1.9 s at 1 or 32 — round-12 sweep).
+LOOP_ROWS_PER_PARTITION = 50_000
+
+
+def loop_shuffle_partitions(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = LOOP_ROWS_PER_PARTITION,
+) -> int:
+    """Shuffle-partition count for an iterative loop over a frame of
+    ``n_rows`` (already-materialized, so the count is exact and cheap):
+    scale-ADAPTIVE instead of a constant (guide §2) — a fixture graph
+    gets 1 partition (per-round shuffles of a handful of rows at the
+    batch default are pure task-scheduling overhead, measured round
+    12), a 10^9-edge graph gets the session default back. Never above
+    the ambient ``spark.sql.shuffle.partitions``: a caller that sized
+    the session for its cluster keeps that ceiling."""
+    import math
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(default, math.ceil(max(n_rows, 1) / rows_per_partition)))
+
 
 def get_spark(
     app_name: str = "crawler_spark",
