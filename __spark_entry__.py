@@ -61,6 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     # OPTIMIZATION_r12.md) ---
     "dedup_canonical",          # closure: pointer-jump + fused chg flag
     "dedup_canonical_capped",   # same closure change
+    "dedup_canonical_star",     # star loop: sized-down conf regime
     "dedup_semantic",           # same closure change
     "graph_cooccur_degree",     # co-occurrence pair gen: self-join → HOF
     "graph_triangle_stats",     # same projection change

@@ -567,34 +567,53 @@ def canonical_closure(
             # finding, measured again here: ~0.5 s/round → ~0.2 s).
             # Full-scale loops keep codegen.
             spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        for _round in range(max_iterations):
+
+        def one_round(lbls: DataFrame) -> DataFrame:
+            # lbls: (id, lbl, old) — old is the stretch-start label,
+            # carried through so the convergence flag needs no extra
+            # join at materialization time.
             # propagate: min over own + neighbor labels
             nb_min = (
-                edges.join(labels, edges.v == labels.id)
+                edges.join(lbls, edges.v == lbls.id)
                 .groupBy("u")
                 .agg(F.min("lbl").alias("nbm"))
             )
             stepped = (
-                labels.join(nb_min, labels.id == nb_min.u, "left")
+                lbls.join(nb_min, lbls.id == nb_min.u, "left")
                 .select(
-                    labels.id.alias("id"),
-                    F.col("lbl").alias("old"),
+                    lbls.id.alias("id"),
+                    F.col("old").alias("old"),
                     F.least("lbl", F.coalesce("nbm", "lbl")).alias("mid"),
                 )
             )
             # jump: adopt the current label OF the node the new label
             # names (mid is a node id in the same component; its label
             # is ≤ mid)
-            hop = labels.select(
+            hop = lbls.select(
                 F.col("id").alias("mid_id"), F.col("lbl").alias("mid_lbl")
             )
+            return stepped.join(hop, stepped.mid == hop.mid_id, "left").select(
+                "id", "old",
+                F.least("mid", F.coalesce("mid_lbl", "mid")).alias("lbl"),
+            )
+
+        # a SHRUNK loop composes 2 rounds lazily per materialization:
+        # the sync (checkpoint + changed-scan) dominates a tiny round,
+        # and the worst case is one extra all-no-op stretch before
+        # convergence is detected — labels are already at the fixed
+        # point, so the extra lazy rounds change nothing. Full-scale
+        # loops keep stretch 1: there an extra round is a real shuffle
+        # pass, and the sync is amortized by genuine work.
+        stretch = 2 if loop_parts < int(prev_parts) or loop_parts == 1 else 1
+        rounds_run = 0
+        while rounds_run < max_iterations:
+            steps = min(stretch, max_iterations - rounds_run)
+            new = labels.select("id", "lbl", F.col("lbl").alias("old"))
+            for _ in range(steps):
+                new = one_round(new)
+            rounds_run += steps
             new_labels = (
-                stepped.join(hop, stepped.mid == hop.mid_id, "left")
-                .select(
-                    "id", "old",
-                    F.least("mid", F.coalesce("mid_lbl", "mid")).alias("lbl"),
-                )
-                .select(
+                new.select(
                     "id", "lbl", (F.col("lbl") != F.col("old")).alias("chg")
                 )
                 .localCheckpoint(eager=True)
@@ -683,39 +702,66 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
+    # same round-12 loop regime as canonical_closure: star rounds
+    # shuffle only the two-long-column edge set, so size the loop to
+    # the measured edge count, and a shrunk loop drops AQE + codegen
+    # (per-round throwaway plans over tiny frames). The XOR-signature
+    # convergence check is partitioning-independent, and every star
+    # operation is a min/distinct — labels are identical at any
+    # partition count.
+    from crawler_spark.session import loop_shuffle_partitions
+
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    loop_parts = loop_shuffle_partitions(spark, edges.count())
+    converged = False
     sig = signature(edges)
-    for _round in range(max_iterations):
-        # large-star: symmetric view; larger neighbors re-link to the min
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        lmin = sym.groupBy("u").agg(
-            F.least(F.col("u"), F.min("v")).alias("m")
-        )
-        large = (
-            sym.join(lmin, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star: u and its smaller neighbors all re-link to their min
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            smin.select("u", F.col("m").alias("v"))
-            .unionByName(
-                large.join(smin, "u")
-                .filter(F.col("v") != F.col("m"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts == 1 or loop_parts < int(prev_parts):
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for _round in range(max_iterations):
+            # large-star: symmetric view; larger neighbors re-link to
+            # the min
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        edges = small
-        new_sig = signature(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
-    else:
+            lmin = sym.groupBy("u").agg(
+                F.least(F.col("u"), F.min("v")).alias("m")
+            )
+            large = (
+                sym.join(lmin, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star: u and its smaller neighbors all re-link to
+            # their min
+            smin = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                smin.select("u", F.col("m").alias("v"))
+                .unionByName(
+                    large.join(smin, "u")
+                    .filter(F.col("v") != F.col("m"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            edges = small
+            new_sig = signature(edges)
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+    if not converged:
         # log-round convergence makes this effectively unreachable at
         # the default 25, but the same silent-split hazard as
         # canonical_closure applies if it ever trips — fail loud
