@@ -524,11 +524,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     UNDIRECTED degrees (orientation-independent), computed from the
     node-cardinality degree frame — never from the wedge join.
     """
+    # materialize the (possibly expensive) caller-supplied edge frame
+    # once and the node-cardinality degree frame once: deg feeds BOTH
+    # the orientation keys and the final cardinality aggregate, and
+    # edges feeds BOTH deg and the orientation join — composed lazily,
+    # an edge projection like cooccurrence_edges re-ran once per
+    # consumer (round-12, guide §2.4 / §5: cut recomputation, not just
+    # shuffles). Checkpointed state is O(m) + O(n) — within the
+    # operator's documented O(m^1.5) wedge budget.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # total order by (degree, id) as a struct — struct comparison is
     # lexicographic, so this is collision-free for ANY id type

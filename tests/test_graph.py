@@ -223,6 +223,40 @@ def test_cooccurrence_cap_bounds_fanout_deterministically(spark):
     assert set(map(tuple, e1.collect())) == set(map(tuple, e2.collect()))
 
 
+def test_cooccurrence_pairs_match_brute_force_on_random_buckets(spark):
+    """Round-12 lock for the pair-expansion rewrite (per-bucket
+    self-join → bounded collect_list + higher-order array expansion):
+    on a seeded random membership table, the emitted edge set must
+    equal the brute-force definition — every unordered pair of
+    distinct members sharing a bucket, capped to the `cap` smallest
+    md5(id) per bucket, emitted once as (u, v) with u < v."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(60), f"b{rng.randrange(12)}") for _ in range(400)
+    ]
+    cap = 6
+    df = spark.createDataFrame(rows, "uid long, bucket string")
+    got = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(df, "uid", ["bucket"], cap=cap).collect()
+    }
+    # brute force in plain python
+    members: dict = {}
+    for uid, b in set(rows):
+        members.setdefault(b, set()).add(uid)
+    expect = set()
+    for b, ids in members.items():
+        capped = sorted(
+            ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )[:cap]
+        for a, c in combinations(sorted(capped), 2):
+            expect.add((a, c))
+    assert got == expect
+
+
 def _brute_triangle_stats(edges):
     nodes = sorted({x for e in edges for x in e})
     es = {tuple(sorted(e)) for e in edges}
