@@ -43,36 +43,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # for the streaming e2e family, its foreachBatch sink source — without
 # queueing it here fails pytest.
 _NEVER_DRIVER_VERIFIED = [
-    # --- (a) new registration in round 12 ---
-    "streaming_semantic_dedup_e2e",   # incremental SemDeDup at ingest
-    "dedup_semantic_incremental",     # self-growing wave-ordered SemDeDup
-    # --- (c) plan-hash drift found on a fresh machine (round 12) ---
-    # The PQ tier's ledger hashes were pinned on a box whose
-    # /tmp/crawler_spark_ann_index cache predated the final training
-    # code; a fresh machine retrains deterministically and hashes
-    # differently. VALUES are unchanged (sf0.01 oracle parity
-    # re-verified), but the plan-as-computed-fresh was never the one a
-    # driver row sampled — queue for an honest re-sample.
-    "knn_probe_ivfpq",
-    "knn_topk_ivfpq",
-    "o3_knn_topk_pq",
-    # --- (c) round-12 OPTIMIZATION plan changes (value-identical,
-    # sf0.01 oracle parity re-verified before queueing; see
-    # OPTIMIZATION_r12.md) ---
-    "dedup_canonical",          # closure: pointer-jump + fused chg flag
-    "dedup_canonical_capped",   # same closure change
-    "dedup_canonical_star",     # star loop: sized-down conf regime
-    "dedup_semantic",           # same closure change
-    "graph_cooccur_degree",     # co-occurrence pair gen: self-join → HOF
-    "graph_triangle_stats",     # same projection change
-    # these three materialize their loops at construction, so the
-    # analyzed-plan hash cannot see the loop restructure (pre-joined
-    # degrees, precomputed dangling set, scale-adaptive partitions,
-    # fewer delta syncs / stretch+codegen trade) — queued explicitly
-    # for the same honest driver re-sample
-    "graph_influence_ppr",
-    "crawl_pagerank",
-    "crawl_hits",
+    # Round 12's whole 14-name queue drained green (CORRECTNESS_r12:
+    # 50/50 hash-pass, every queued name freshly sampled), so round
+    # 13's queue holds ONLY this round's optimization plan changes —
+    # all value-identical, sf0.01 oracle parity re-verified locally
+    # before queueing (see OPTIMIZATION_r13.md).
+    # --- (c) Arrow shingle kernel (operators/shingles.py): the
+    # tokenize→k-shingle→distinct projection moved from the JVM
+    # expression chain to one mapInArrow kernel; xxhash64 and every
+    # downstream shuffle/aggregate are untouched, and
+    # tests/test_shingles.py locks the kernel row-identical to the old
+    # expression. Analyzed-plan drift detected by the ledger:
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment",
+    "decontaminate_eval_overlap",
+    "dedup_incremental",
+    "curation_funnel",
+    # these materialize loops/checkpoints at construction, so the
+    # analyzed-plan hash cannot see the kernel swap upstream of the
+    # checkpoint — queued explicitly for the same honest re-sample
+    "dedup_ngram_jaccard_prefix",
+    "dedup_canonical",
+    "dedup_canonical_capped",
+    "dedup_canonical_star",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
+from crawler_spark.operators.shingles import shingle_rows
 
 
 def decontaminate(
@@ -52,21 +53,23 @@ def decontaminate(
     collision only ever flags a FALSE POSITIVE (safe direction for a
     filter that deletes training data).
     """
+    # both sides' tokenize→shingle→distinct projections run in the
+    # Arrow kernel (operators/shingles.py, guide §4.2) — row-identical
+    # to the old explode/explode_outer expression forms
+    # (tests/test_shingles.py); hashing stays JVM-side
     eval_grams = (
-        eval_set.select(
-            F.explode(F.array_distinct(X.word_shingles(text_col, shingle_k))).alias("s")
-        )
+        shingle_rows(eval_set, text_col=text_col, id_col=id_col, k=shingle_k)
         .select(F.xxhash64("s").alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    grams = train.select(
-        F.col(id_col),
-        F.explode_outer(F.array_distinct(X.word_shingles(text_col, shingle_k))).alias("s"),
+    grams = shingle_rows(
+        train, text_col=text_col, id_col=id_col, k=shingle_k, keep_empty=True
     ).select(
         id_col,
-        # xxhash64(NULL) is the seed, not NULL — guard so the
-        # explode_outer placeholder row can never match an eval gram
+        # keep_empty mirrors explode_outer: a sub-k doc contributes one
+        # (id, NULL) row; xxhash64(NULL) is the seed, not NULL — guard
+        # so the placeholder row can never match an eval gram
         F.when(F.col("s").isNotNull(), F.xxhash64("s")).alias("g"),
     )
     marked = grams.join(F.broadcast(eval_grams), "g", "left")

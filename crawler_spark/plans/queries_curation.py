@@ -292,15 +292,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(~is_batch).select("doc_id", "text")
 
     def grams(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col("doc_id").alias(out),
-            F.explode(
-                F.transform(
-                    F.array_distinct(X.word_shingles("text", 3)),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("g"),
-        )
+        # round-13 Arrow shingle kernel (operators/shingles.py, guide
+        # §4.2) — row-identical to the old expression form
+        from crawler_spark.operators.shingles import shingle_hashes
+
+        return shingle_hashes(df, k=3, out_id=out)
 
     gb, gc = grams(batch, "id_b"), grams(corpus, "id_c")
     sb = gb.groupBy("id_b").agg(F.count(F.lit(1)).alias("nb"))

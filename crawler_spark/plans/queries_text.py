@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
+from crawler_spark.operators.shingles import shingle_hashes
 from crawler_spark.plans.registry import register
 from crawler_spark.sources import load_table
 
@@ -160,16 +161,13 @@ def ngram_jaccard_pairs(
     """
     # shingles join/shuffle on their xxhash64, not the string — longs
     # shuffle and compare far cheaper than 20-30 byte shingle strings,
-    # and a 64-bit collision (≈(distinct shingles)²/2⁶⁵) is negligible
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(X.word_shingles("text", shingle_k)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("g"),
-    )
+    # and a 64-bit collision (≈(distinct shingles)²/2⁶⁵) is negligible.
+    # The tokenize→shingle→distinct projection is the round-13 Arrow
+    # kernel (operators/shingles.py, guide §4.2) — bit-identical rows
+    # to the old explode(array_distinct(word_shingles)) expression
+    # (tests/test_shingles.py), an order of magnitude cheaper per task
+    # and a far smaller plan to compile; xxhash64 stays JVM-side.
+    grams = shingle_hashes(docs, k=shingle_k)
     # Pack each shingle's doc list with ONE shuffle, then a double
     # explode emits the d(d-1)/2 in-group pairs with O(d) per-row memory
     # (no d²-element array, unlike a one-shot flatten; no second
@@ -301,14 +299,8 @@ def jaccard_pairs_prefix_filtered(
     for boundedness, prefix filtering keeps exactness and bounds the
     join by rarity instead.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                F.array_distinct(X.word_shingles(text_col, shingle_k)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("g"),
+    grams = shingle_hashes(
+        docs, text_col=text_col, id_col=id_col, k=shingle_k, out_id="doc_id"
     )
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # pack each doc's set SORTED by (df, g): the shared global order the
