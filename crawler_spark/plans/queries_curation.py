@@ -634,13 +634,11 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
     add-one-smoothed bigram LM — the plan behind ``txt_bigram_logprob``
     and the score feeding ``sample_perplexity_buckets``."""
     toks = X.tokenize("text")
-    # adjacent pairs via two slices + zip_with over a ONCE-bound token
-    # array (X.bind_once), NOT transform-with-element_at: a lambda that
-    # indexes back into an unbound `toks` re-evaluates the tokenizer
-    # expression PER POSITION (Catalyst inlines the alias), turning an
-    # O(len) parse into O(len²) per document — measured 17.7 s → 1.4 s
-    # at sf0.1. Binding cuts the remaining constant ~6 tokenizer evals
-    # per row (2 slices + 2 sizes + guard) to exactly 1.
+    # adjacent pairs via two slices + zip_with over the token array,
+    # NOT transform-with-element_at: a lambda that indexes back into
+    # an unbound `toks` re-evaluates the tokenizer expression PER
+    # POSITION (Catalyst inlines the alias), turning an O(len) parse
+    # into O(len²) per document — measured 17.7 s → 1.4 s at sf0.1.
 
     def _pairs(arr: F.Column) -> F.Column:
         n = F.size(arr)
@@ -653,13 +651,24 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    grams = docs.select(
-        "doc_id",
-        F.explode(X.bind_once(toks, _pairs)).alias("g"),
+    # tokenize ONCE (round 13, guide §2.4): the old shape re-ran the
+    # tokenizer+pair-explode for each of its three consumers (cbg,
+    # cleft, the scored join-back) plus a fourth scan for vocab — the
+    # plan printed four Generate-over-tokenize subtrees. The token
+    # arrays are materialized here and everything derives from them;
+    # `_pairs` slices a plain column reference, which is free of the
+    # per-position re-evaluation trap above (the char_ngrams rule).
+    toks_df = docs.select("doc_id", toks.alias("ts")).localCheckpoint(
+        eager=True)
+    grams = toks_df.select(
+        "doc_id", F.explode(_pairs(F.col("ts"))).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     cbg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    cleft = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+    # c1 ≡ Σ_w2 c12: derive the left-word counts from the already
+    # vocab²-bounded bigram counts instead of a second corpus-wide
+    # gram shuffle (§2.4 — aggregate the aggregate)
+    cleft = cbg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks_df.select(F.explode("ts").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     lnp = F.round(

@@ -745,11 +745,23 @@ def txt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cms_token_counts(docs: DataFrame, d: int, w: int) -> DataFrame:
     """The CMS plan behind ``txt_heavy_hitters_cms``, parameterized so
     tests can shrink ``w`` to force collisions and check the
-    one-sided-error guarantee."""
+    one-sided-error guarantee.
+
+    Round-13 restructure (guide §2.4): the sketch is built from the
+    EXACT per-token counts instead of the raw occurrence stream. A
+    bucket's count is Σ over tokens of count(tok)·[h(tok,seed)=bucket],
+    so aggregating occurrences to (tok, count) FIRST — one map-side-
+    combined shuffle the query needs anyway for its `exact_count`
+    column — and then summing counts into buckets yields the identical
+    sketch while hashing each DISTINCT token d times instead of each
+    OCCURRENCE d times (the old plan md5'd the token stream ×d and
+    paid a dropDuplicates shuffle over it to de-dup estimates; both
+    are gone — 4 shuffles → 2, both vocab-bounded)."""
     tok = docs.select(F.explode(X.tokenize("text")).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
-    hashed = tok.select("tok", seeds).select(
-        "tok", "seed",
+    hashed = exact.select("tok", "exact_count", seeds).select(
+        "tok", "exact_count", "seed",
         F.pmod(
             F.conv(
                 F.substring(
@@ -759,17 +771,14 @@ def cms_token_counts(docs: DataFrame, d: int, w: int) -> DataFrame:
         ).alias("bucket"),
     )
     cms = hashed.groupBy("seed", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.sum("exact_count").alias("cnt"))
     est = (
-        hashed.dropDuplicates(["tok", "seed", "bucket"])
-        .join(F.broadcast(cms), ["seed", "bucket"])
-        .groupBy("tok")
+        hashed.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("tok", "exact_count")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
-    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     return (
-        est.join(exact, "tok")
-        .select(
+        est.select(
             "tok", "cms_estimate", "exact_count",
             (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
         )
