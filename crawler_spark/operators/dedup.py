@@ -542,31 +542,14 @@ def canonical_closure(
     # a few-thousand-edge dup graph gets 1 partition instead of the
     # session default; min aggregations keep labels identical at any
     # partition count). Restore in finally so an error can't leak it.
-    from crawler_spark.session import loop_shuffle_partitions
+    from crawler_spark.session import loop_conf
 
     spark = pairs.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
-    loop_parts = loop_shuffle_partitions(spark, edges.count())
     converged = False
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        if loop_parts == 1 or loop_parts < int(prev_parts):
-            # the derivation shrank the loop below the session default:
-            # the per-partition row bound already did AQE's coalescing
-            # job, and skew cannot matter inside a bounded small loop —
-            # while AQE still materializes every exchange as its own
-            # job (measured round 12: the per-round JOB count is most
-            # of these loops' cost). Full-scale loops (loop_parts ==
-            # session default) keep AQE and its skew handling.
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            # same regime: each shrunk-loop round is a fresh throwaway
-            # plan over tiny frames — whole-stage codegen COMPILES more
-            # code per round than the round executes (the crawl_hits
-            # finding, measured again here: ~0.5 s/round → ~0.2 s).
-            # Full-scale loops keep codegen.
-            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # shrunk-regime decision + conf save/restore centralized in
+    # session.loop_conf (round 13 — see its docstring for the regime
+    # rationale and the single-threaded-session assumption)
+    with loop_conf(spark, edges.count()) as (_loop_parts, shrunk):
 
         def one_round(lbls: DataFrame) -> DataFrame:
             # lbls: (id, lbl, old) — old is the stretch-start label,
@@ -604,7 +587,7 @@ def canonical_closure(
         # point, so the extra lazy rounds change nothing. Full-scale
         # loops keep stretch 1: there an extra round is a real shuffle
         # pass, and the sync is amortized by genuine work.
-        stretch = 2 if loop_parts < int(prev_parts) or loop_parts == 1 else 1
+        stretch = 2 if shrunk else 1
         rounds_run = 0
         while rounds_run < max_iterations:
             steps = min(stretch, max_iterations - rounds_run)
@@ -623,10 +606,6 @@ def canonical_closure(
             if changed == 0:
                 converged = True
                 break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if not converged:
         # exhausting the rounds without convergence means a component
         # of diameter > max_iterations: the partial labels SPLIT that
@@ -709,20 +688,12 @@ def connected_components_star(
     # convergence check is partitioning-independent, and every star
     # operation is a min/distinct — labels are identical at any
     # partition count.
-    from crawler_spark.session import loop_shuffle_partitions
+    from crawler_spark.session import loop_conf
 
     spark = pairs.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
-    loop_parts = loop_shuffle_partitions(spark, edges.count())
     converged = False
     sig = signature(edges)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        if loop_parts == 1 or loop_parts < int(prev_parts):
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    with loop_conf(spark, edges.count()):
         for _round in range(max_iterations):
             # large-star: symmetric view; larger neighbors re-link to
             # the min
@@ -757,10 +728,6 @@ def connected_components_star(
                 converged = True
                 break
             sig = new_sig
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if not converged:
         # log-round convergence makes this effectively unreachable at
         # the default 25, but the same silent-split hazard as

@@ -74,9 +74,15 @@ def pagerank(
     ``iterations`` is a CEILING, not a schedule: iteration stops early
     once the L1 delta between consecutive rank vectors drops below
     ``tol`` (set ``tol=0`` to force the fixed count). The delta is
-    checked every 2nd round — each check is a synchronizing driver
-    job, and a one-round overshoot is cheaper than a scalar collect
-    per round. ``tol=1e-7`` is an order below the 6-decimal output
+    checked every ``check_every`` rounds — each check is a
+    synchronizing driver job, and a one-round overshoot is cheaper
+    than a scalar collect per round. NOTE the interaction with the
+    skip-final-round rule: the delta is never checked on the LAST
+    round (an exit decision there saves nothing), so ``check_every >=
+    iterations`` disables the tol early-exit entirely — callers that
+    pin ``check_every = iterations`` (the fixture-scale graph queries,
+    which provably never converge early at either SF) are choosing
+    exactly that. ``tol=1e-7`` is an order below the 6-decimal output
     rounding, so converged-early and fixed-count results are identical
     after rounding. Pass a dict as ``stats`` to receive
     ``{"iterations_run": k}`` back (observability for the early exit;
@@ -181,30 +187,13 @@ def pagerank(
     # columns: size them to the measured edge count, not a constant
     # (guide §2 — scale-adaptive; decimal-exact sums keep every rank
     # bit-identical under ANY partitioning, so this is value-free)
-    from crawler_spark.session import loop_shuffle_partitions
+    from crawler_spark.session import loop_conf
 
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
-    loop_parts = loop_shuffle_partitions(spark, ed.count())
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        if loop_parts == 1 or loop_parts < int(prev_parts):
-            # the derivation shrank the loop below the session default:
-            # the per-partition row bound already did AQE's coalescing
-            # job, and skew cannot matter inside a bounded small loop —
-            # while AQE still materializes every exchange as its own
-            # job (measured round 12: the per-round JOB count is most
-            # of these loops' cost). Full-scale loops (loop_parts ==
-            # session default) keep AQE and its skew handling.
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            # same regime: each shrunk-loop round is a fresh throwaway
-            # plan over tiny frames — whole-stage codegen COMPILES more
-            # code per round than the round executes (the crawl_hits
-            # finding, measured again here: ~0.5 s/round → ~0.2 s).
-            # Full-scale loops keep codegen.
-            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # shrunk-regime decision + conf save/restore centralized in
+    # session.loop_conf (round 13 — see its docstring for the regime
+    # rationale and the single-threaded-session assumption)
+    with loop_conf(spark, ed.count()):
         for _ in range(iterations):
             prev = ranks
             iters_run += 1
@@ -265,10 +254,6 @@ def pagerank(
                 )
                 if delta is not None and delta < tol:
                     break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if stats is not None:
         stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -485,9 +470,13 @@ def cooccurrence_edges(
                     "ids",
                     lambda x, i: F.transform(
                         # elements strictly after position i (1-based
-                        # slice start i+2); length `cap` overshoots
-                        # safely — slice returns what exists
-                        F.slice("ids", i + F.lit(2), F.lit(cap)),
+                        # slice start i+2); size("ids") as the length
+                        # overshoots safely — slice returns what
+                        # exists — and keeps the expansion complete
+                        # even if the upstream cap window is ever
+                        # changed (round-13 ADVICE: don't couple the
+                        # slice bound to the window invariant)
+                        F.slice("ids", i + F.lit(2), F.size("ids")),
                         lambda y: F.struct(
                             F.least(x, y).alias("u"),
                             F.greatest(x, y).alias("v"),
@@ -550,11 +539,47 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         edges.join(keyed.withColumnRenamed("id", "u").withColumnRenamed("k", "ku"), "u")
         .join(keyed.withColumnRenamed("id", "v").withColumnRenamed("k", "kv"), "v")
     )
-    oriented = e.select(
+    # materialize `oriented` ALREADY partitioned (and sorted) by src:
+    # a localCheckpoint keeps the physical plan's outputPartitioning/
+    # outputOrdering on the LogicalRDD, so the wedge self-join below
+    # starts from two co-partitioned, pre-sorted scans of the SAME
+    # checkpointed rows — zero Exchange, zero Sort on either side
+    # (round 13, guide §2.4/§3: one sort order serving both sides of
+    # the self-join; the r12 plan paid 2 Exchange + 2 Sort here).
+    # AQE must be OFF while the checkpoint materializes: under an
+    # AdaptiveSparkPlan the captured partitioning is
+    # UnknownPartitioning and the join re-shuffles both sides
+    # (measured round 13) — same single-threaded-session caveat as
+    # session.loop_conf. Partition count sized to the measured edge
+    # count (scale-adaptive, guide §2): the count scans the
+    # just-materialized deg/edges checkpoints, not the raw projection.
+    # FLOOR OF 2: repartition(1, src) plans as SinglePartition, not
+    # hashpartitioning(src, 1), and a captured SinglePartition does NOT
+    # satisfy the self-join's co-partitioning check — both sides
+    # re-shuffle to the session default (measured round 13: the whole
+    # win silently vanished at fixture scale). Two partitions of a
+    # sub-50k-row frame cost nothing; real-scale counts clear the
+    # floor anyway. Partition count never changes values here — every
+    # downstream op is an aggregate/join on content, not position.
+    from crawler_spark.session import loop_shuffle_partitions
+
+    spark = edges.sparkSession
+    wedge_parts = max(2, loop_shuffle_partitions(spark, edges.count()))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    oriented_lazy = e.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("dk"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
+    )
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        oriented = (
+            oriented_lazy.repartition(wedge_parts, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     a, c = oriented.alias("a"), oriented.alias("c")
     wedges = a.join(c, "src").filter(F.col("a.dk") < F.col("c.dk")).select(
         F.col("a.dst").alias("wu"), F.col("c.dst").alias("wv")
@@ -605,6 +630,11 @@ def personalized_pagerank(
     frame, not a literal — dangling and teleport mass flow to the
     seeds, so mass conservation holds and unreachable nodes converge
     to exactly 0.
+
+    ``check_every``/``tol`` behave exactly as in ``pagerank``,
+    including the caveat there: the delta is never checked on the
+    final round, so ``check_every >= iterations`` disables the tol
+    early-exit entirely (deliberate for the fixture-scale callers).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -646,30 +676,13 @@ def personalized_pagerank(
     ranks = p.select("id", F.col("p").alias("rank"))
     iters_run = 0
     check_every = max(1, int(check_every))
-    from crawler_spark.session import loop_shuffle_partitions
+    from crawler_spark.session import loop_conf
 
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
-    loop_parts = loop_shuffle_partitions(spark, ed.count())
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        if loop_parts == 1 or loop_parts < int(prev_parts):
-            # the derivation shrank the loop below the session default:
-            # the per-partition row bound already did AQE's coalescing
-            # job, and skew cannot matter inside a bounded small loop —
-            # while AQE still materializes every exchange as its own
-            # job (measured round 12: the per-round JOB count is most
-            # of these loops' cost). Full-scale loops (loop_parts ==
-            # session default) keep AQE and its skew handling.
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            # same regime: each shrunk-loop round is a fresh throwaway
-            # plan over tiny frames — whole-stage codegen COMPILES more
-            # code per round than the round executes (the crawl_hits
-            # finding, measured again here: ~0.5 s/round → ~0.2 s).
-            # Full-scale loops keep codegen.
-            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # shrunk-regime decision + conf save/restore centralized in
+    # session.loop_conf (round 13 — see its docstring for the regime
+    # rationale and the single-threaded-session assumption)
+    with loop_conf(spark, ed.count()):
         for _ in range(iterations):
             prev = ranks
             iters_run += 1
@@ -727,10 +740,6 @@ def personalized_pagerank(
                 )
                 if delta is not None and delta < tol:
                     break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if stats is not None:
         stats["iterations_run"] = iters_run
     return ranks.select("id", F.round("rank", 6).alias("rank"))

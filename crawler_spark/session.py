@@ -12,6 +12,7 @@ deployments should raise it alongside AQE's coalescing).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -44,6 +45,57 @@ def loop_shuffle_partitions(
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(1, min(default, math.ceil(max(n_rows, 1) / rows_per_partition)))
+
+
+@contextlib.contextmanager
+def loop_conf(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = LOOP_ROWS_PER_PARTITION,
+):
+    """Session-conf regime for an iterative loop over a frame of
+    ``n_rows`` — THE one place the shrunk-loop trade lives (round 13,
+    centralizing five copy-pasted save/set/restore blocks per the
+    round-12 ADVICE):
+
+    * shuffle partitions sized by ``loop_shuffle_partitions`` (scale-
+      adaptive — a fixture graph loops at 1 partition, a 10⁹-edge
+      graph keeps the session default);
+    * when the derivation SHRANK the loop below the session default,
+      AQE and whole-stage codegen are disabled for the loop's
+      duration: the row bound already did AQE's coalescing job, AQE
+      otherwise materializes every exchange as its own job (round-12:
+      job count is most of a tiny loop's cost), and codegen COMPILES
+      more code per throwaway round than the round executes. Full-
+      scale loops keep both, including AQE's skew handling.
+
+    Yields ``(loop_parts, shrunk)``; restores all three confs on exit,
+    error included.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (documented, not enforced):
+    ``spark.conf.set`` is session-global, so any CONCURRENT work on
+    the same SparkSession (a streaming micro-batch, a parallel query
+    thread) would execute under the loop's shrunk regime, and two
+    overlapping save/restore pairs could persist the wrong value.
+    Every caller in this repo runs its loop on a driver thread that
+    owns the session for the duration; a deployment that shares one
+    session across threads should clone the session (newSession()) or
+    scope these via SQLConf.withExistingConf instead."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    loop_parts = loop_shuffle_partitions(spark, n_rows, rows_per_partition)
+    shrunk = loop_parts == 1 or loop_parts < int(prev_parts)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if shrunk:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        yield loop_parts, shrunk
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
 
 
 def get_spark(

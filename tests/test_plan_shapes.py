@@ -448,6 +448,48 @@ def test_triangle_wedge_count_not_from_wedge_join(spark):
     assert row.n_triangles == 0
 
 
+def test_triangle_wedge_selfjoin_reuses_checkpoint_partitioning(spark):
+    """Round-13 lock: the wedge self-join must consume the oriented
+    edge checkpoint's OWN hashpartitioning(src)+ordering — no Exchange
+    and no Sort between the two ExistingRDD scans and their
+    SortMergeJoin (the r12 shape paid 2 Exchange + 2 Sort there). The
+    checkpoint is materialized with AQE off precisely so the captured
+    partitioning is not UnknownPartitioning; if this regresses, the
+    join subtree grows Exchange/Sort nodes again."""
+    import re
+
+    from crawler_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)
+         if (i + j) % 3 != 0],
+        "u long, v long",
+    )
+    plan = plan_text(triangle_stats(edges))
+    # the wedge join is the INNERMOST SMJ (both inputs are checkpoint
+    # scans); between it and its two Scan ExistingRDD children at most
+    # a partitioning-preserving isnotnull Filter may appear —
+    # critically NO Exchange and NO Sort on either side
+    ok = False
+    for m in re.finditer(r"SortMergeJoin[^\n]*\n", plan):
+        seg, scans = [], 0
+        for line in plan[m.end():].splitlines():
+            seg.append(line)
+            if "Scan ExistingRDD" in line:
+                scans += 1
+                if scans == 2:
+                    break
+            elif not re.search(r"Filter \(\d+\)", line):
+                break  # any non-Filter node between SMJ and its scans
+        if scans == 2 and not any(
+                re.search(r"Exchange|Sort \(", s) for s in seg):
+            ok = True
+            break
+    assert ok, (
+        "wedge self-join no longer reads the src-partitioned "
+        "checkpoint directly:\n" + plan[:2000])
+
+
 def test_bm25_one_scalar_agg_no_doc_join(spark):
     """search_bm25_topk: corpus stats come back via a BROADCAST nested
     loop over the 1-row aggregate (never a doc_id join), tf/dl from one
