@@ -67,6 +67,26 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_canonical",
     "dedup_canonical_capped",
     "dedup_canonical_star",
+    # --- (c) round-13 shuffle/recompute removals (guide §2.4), all
+    # sf0.01 oracle parity re-verified before queueing ---
+    "txt_bigram_logprob",        # tokenize once; c1 derived from c12
+    "sample_perplexity_buckets", # same bigram-LM restructure upstream
+    "txt_heavy_hitters_cms",     # sketch built from exact counts
+    "graph_cooccur_degree",      # slice bound decoupled from cap window
+    # oriented edge frame materialized pre-partitioned/sorted by src,
+    # so the wedge self-join drops both Exchange+Sort pairs — the
+    # checkpoint hides it from the analyzed-plan hash, queue explicitly
+    "graph_triangle_stats",
+    # canonical_closure's conf save/set/restore moved into
+    # session.loop_conf (same values, same rounds) — queued because the
+    # ledger's source fingerprint for this name covers that function
+    "dedup_semantic_incremental",
+    # maxFilesPerTrigger 1→2 (guide §2.2, fewer-larger micro-batches:
+    # ~95% of each trigger was fixed commit-protocol cost) — the landed
+    # table is batching-invariant (idempotent merge, deterministic
+    # endpoint) and the sf0.001+sf0.01 oracles re-verified green, but
+    # the sink-source fingerprint changed so the driver re-samples it
+    "streaming_warc_ingest_e2e",
 ]
 
 

@@ -625,12 +625,18 @@ _WARC_STREAM_CKPTS: dict[str, str] = {}
 def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous WARC ingest end-to-end — segments LANDING OVER TIME
     instead of a batch backfill: the on-disk fixture segments replay
-    as a ``binaryFile`` file stream (one segment per micro-batch),
-    each batch parses with the generic WARC+HTTP parser and MERGES
-    idempotently into a bucketed pages table (foreachBatch →
-    operators/upsert.py — checkpoint + idempotent merge = the
-    exactly-once recipe every streaming tier here uses), and the
-    LANDED TABLE is the result. Unlike the session/window streaming
+    as a ``binaryFile`` file stream (two segments per micro-batch —
+    round 13 applied guide §2.2's fewer-larger-batches rule after
+    profiling put ~95% of each trigger in the fixed commit-protocol
+    cost (materialize-merge + clustered write + manifest swap,
+    ~1.0-1.5 s/trigger) rather than in per-row work; four incremental
+    merges still prove the across-batch idempotent-merge contract the
+    query exists for, and a production tail sizes this knob to its
+    arrival rate), each batch parses with the generic WARC+HTTP
+    parser and MERGES idempotently into a bucketed pages table
+    (foreachBatch → operators/upsert.py — checkpoint + idempotent
+    merge = the exactly-once recipe every streaming tier here uses),
+    and the LANDED TABLE is the result. Unlike the session/window streaming
     queries, the endpoint is deterministic, so this one is fully
     ORACLE-BACKED: a batch lost by the stream, a record lost by the
     parse, or a merge that drops/duplicates keys is a hash mismatch
@@ -673,7 +679,7 @@ def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema("path string, modificationTime timestamp, "
                     "length long, content binary")
             .option("pathGlobFilter", "*.warc*")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .load(src)
             # the glob is prefix-loose — same exact-suffix rule as the
             # batch readers (a .warcx decoy must not reach the table)
