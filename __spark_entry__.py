@@ -87,6 +87,20 @@ _NEVER_DRIVER_VERIFIED = [
     # endpoint) and the sf0.001+sf0.01 oracles re-verified green, but
     # the sink-source fingerprint changed so the driver re-samples it
     "streaming_warc_ingest_e2e",
+    # --- (c) small-graph fast path in canonical_closure /
+    # connected_components_star (operators/dedup.py): a sub-100k-edge
+    # dup graph resolves with one driver-side union-find instead of
+    # the iterative loop — labels provably identical (union-by-minimum
+    # ≡ the min-label fixed point, locked by
+    # tests/test_dedup.py::test_small_graph_fast_path_matches_distributed),
+    # sf0.01 oracle parity green for every consumer. dedup_canonical*
+    # and dedup_semantic_incremental were already queued above; the
+    # ledger additionally caught:
+    "dedup_semantic",
+    # executes the same closure inside its foreachBatch sink — the
+    # sink-source fingerprint cannot see a dedup.py change, so queued
+    # explicitly for the honest driver re-sample (r12 precedent)
+    "streaming_semantic_dedup_e2e",
 ]
 
 

@@ -483,11 +483,68 @@ def embedding_lsh_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
+# Edge-count gate for the driver-side small-graph fast path shared by
+# canonical_closure and connected_components_star: at or below this
+# many (two-column) edge rows the component labels are computed with a
+# single union-find on the driver instead of the iterative distributed
+# loop. 100k edge rows is a few MB collected — the same size class the
+# engine already ships driver-ward for a broadcast side — while a
+# corpus-scale dup graph (millions+ edges) takes the distributed loop
+# exactly as before. The labels are identical by construction (union
+# by minimum root ≡ min-label fixed point), locked by
+# tests/test_dedup.py::test_small_graph_fast_path_matches_distributed.
+SMALL_GRAPH_EDGE_LIMIT = 100_000
+
+
+def _driver_component_labels(edges: DataFrame) -> DataFrame:
+    """Union-find (path compression + union-by-minimum) over a BOUNDED
+    collected edge list — the small-graph fast path. Attaching the
+    larger root under the smaller makes every root its component's
+    minimum, so ``find`` yields exactly the min-label fixed point the
+    distributed loops converge to. Returns (id, lbl) for every node
+    that occurs in some edge; duplicate and symmetric edge rows are
+    harmless (union is idempotent). The measured row count is the
+    caller's responsibility (SMALL_GRAPH_EDGE_LIMIT)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    u_type = edges.schema[0].dataType
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        if u is None or v is None:
+            continue
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in parent]
+    schema = StructType([
+        StructField("id", u_type, True), StructField("lbl", u_type, True),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def canonical_closure(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str,
     max_iterations: int = 50,
+    small_graph_limit: int | None = None,
 ) -> DataFrame:
     """Full transitive closure: every id maps to the MINIMUM id of its
     connected component in the near-dup pair graph — the complete
@@ -520,13 +577,50 @@ def canonical_closure(
     appear in no pair are singleton components by definition and join
     back (label = own id) after convergence. At corpus scale the dup
     subgraph is orders of magnitude smaller than the corpus, so each
-    round shuffles O(edges) instead of O(all ids)."""
+    round shuffles O(edges) instead of O(all ids).
+
+    When the measured edge count is at or below ``small_graph_limit``
+    the loop is skipped entirely for a driver-side union-find over the
+    collected (bounded) edge list — identical labels, one job instead
+    of a scheduler round-trip per stretch (round 13; see
+    ``SMALL_GRAPH_EDGE_LIMIT``). Pass ``small_graph_limit=0`` to force
+    the distributed path (tests do, to prove label equality)."""
     edges_fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = (
         edges_fwd.unionByName(
             edges_fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=False)
     )
+    # the count below materializes the lazy checkpoint, executing the
+    # (possibly heavy) upstream pair generation ONCE at the ambient
+    # parallelism; everything after reads the checkpointed two-column
+    # edge frame
+    n_edges = edges.count()
+    if small_graph_limit is None:
+        small_graph_limit = SMALL_GRAPH_EDGE_LIMIT
+    if n_edges <= small_graph_limit:
+        # small-graph fast path (round 13, guide §1/§5): the measured
+        # dup subgraph fits the driver comfortably, and the iterative
+        # loop's per-round sync jobs (checkpoint + changed-scan, ~6-10
+        # scheduler round-trips even on a 3-round graph) dominate its
+        # actual work — one bounded collect + a driver union-find
+        # replaces the whole loop with identical labels
+        labels = _driver_component_labels(edges)
+    else:
+        labels = _closure_distributed(edges, max_iterations)
+    # singletons (no edges) rejoin with their own id as the label
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("lbl", F.col("id")).alias("canonical_id"))
+    )
+
+
+def _closure_distributed(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """The distributed min-label-propagation loop of
+    ``canonical_closure`` (see its docstring) — the path taken when the
+    measured edge count exceeds ``small_graph_limit``. Returns the
+    (id, lbl) label frame over edge-touched nodes."""
     # seed labels with the 1-hop minimum (saves a full propagation
     # round) over ONLY the nodes that occur in some edge
     labels = (
@@ -535,16 +629,14 @@ def canonical_closure(
         .select("id", F.least("id", "nb_min").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    # the SEED checkpoint above executed the (possibly heavy) upstream
-    # pair generation at the ambient parallelism; the ROUND loop below
-    # shuffles only the two-long-column label/edge frames, so size its
-    # partitions to the measured edge count (guide §2 scale-adaptive —
-    # a few-thousand-edge dup graph gets 1 partition instead of the
-    # session default; min aggregations keep labels identical at any
-    # partition count). Restore in finally so an error can't leak it.
+    # the ROUND loop below shuffles only the two-long-column
+    # label/edge frames, so size its partitions to the measured edge
+    # count (guide §2 scale-adaptive); min aggregations keep labels
+    # identical at any partition count. Restore in finally so an error
+    # can't leak it.
     from crawler_spark.session import loop_conf
 
-    spark = pairs.sparkSession
+    spark = edges.sparkSession
     converged = False
     # shrunk-regime decision + conf save/restore centralized in
     # session.loop_conf (round 13 — see its docstring for the regime
@@ -618,12 +710,7 @@ def canonical_closure(
             f"has a component of diameter > {max_iterations}. Raise "
             f"max_iterations or use connected_components_star."
         )
-    # singletons (no edges) rejoin with their own id as the label
-    return (
-        all_ids.select(F.col(id_col).alias("id"))
-        .join(labels, "id", "left")
-        .select("id", F.coalesce("lbl", F.col("id")).alias("canonical_id"))
-    )
+    return labels
 
 
 def connected_components_star(
@@ -631,6 +718,7 @@ def connected_components_star(
     all_ids: DataFrame,
     id_col: str,
     max_iterations: int = 25,
+    small_graph_limit: int | None = None,
 ) -> DataFrame:
     """Connected components by the alternating large-star / small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -671,6 +759,25 @@ def connected_components_star(
         F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
     edges = base.distinct().localCheckpoint(eager=True)
+
+    # same small-graph fast path as canonical_closure (round 13): a
+    # sub-limit dup graph resolves with one driver union-find instead
+    # of O(log d) star rounds of ~3 jobs each — identical labels (the
+    # star fixed point IS every node pointing at its component min)
+    if small_graph_limit is None:
+        small_graph_limit = SMALL_GRAPH_EDGE_LIMIT
+    if edges.count() <= small_graph_limit:
+        labels = _driver_component_labels(edges)
+        return (
+            all_ids.select(F.col(id_col).alias("id"))
+            .join(labels, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("id"), F.coalesce("lbl", F.col("id"))).alias(
+                    "canonical_id"
+                ),
+            )
+        )
 
     def signature(ed: DataFrame) -> tuple:
         # XOR fold: order-independent over the (distinct) edge set and,

@@ -186,6 +186,34 @@ class TestStarClosure:
                for r in connected_components_star(pairs, ids, "vec_id").collect()}
         assert got == {3: 3, 8: 8}
 
+    def test_small_graph_fast_path_matches_distributed(self, spark):
+        """Round-13 lock for the driver-side union-find fast path: on a
+        seeded random graph (chains, cycles, duplicate + symmetric edge
+        rows, singletons) BOTH operators produce identical labels with
+        the fast path engaged (default limit) and forced OFF
+        (small_graph_limit=0 → the distributed loops of record)."""
+        import random
+
+        from crawler_spark.operators.dedup import (
+            canonical_closure,
+            connected_components_star,
+        )
+
+        rng = random.Random(13)
+        nodes = list(range(1, 150))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+        edges = [(a, b) for a, b in edges if a != b]
+        edges += [(b, a) for a, b in edges[:20]] + edges[:10]  # dups/sym
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ids = spark.createDataFrame([(n,) for n in nodes], "vec_id long")
+        for op in (canonical_closure, connected_components_star):
+            fast = {r.id: r.canonical_id
+                    for r in op(pairs, ids, "vec_id").collect()}
+            dist = {r.id: r.canonical_id
+                    for r in op(pairs, ids, "vec_id",
+                                small_graph_limit=0).collect()}
+            assert fast == dist, op.__name__
+
 
 class TestHotShingleCap:
     def test_cap_identity_when_no_hot_shingles(self, spark):
@@ -684,7 +712,10 @@ def test_canonical_closure_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
     ids = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        canonical_closure(chain, ids, "id", max_iterations=2)
+        # small_graph_limit=0 forces the distributed loop — the fast
+        # path would resolve this chain driver-side without iterating
+        canonical_closure(chain, ids, "id", max_iterations=2,
+                          small_graph_limit=0)
     # the star algorithm converges the same chain comfortably
     star = {r.id: r.canonical_id for r in
             connected_components_star(chain, ids, "id").collect()}
