@@ -101,6 +101,14 @@ _NEVER_DRIVER_VERIFIED = [
     # sink-source fingerprint cannot see a dedup.py change, so queued
     # explicitly for the honest driver re-sample (r12 precedent)
     "streaming_semantic_dedup_e2e",
+    # --- (c) pagerank/ppr shrunk loops now compose 2 rounds per eager
+    # checkpoint when the tol check is provably dead (the fixture
+    # configuration) — identical arithmetic (sequential composition),
+    # half the schedule syncs; the loop materializes at construction so
+    # the ledger hash cannot see it, queued explicitly (sf0.01 oracle
+    # parity re-verified green before queueing)
+    "crawl_pagerank",
+    "graph_influence_ppr",
 ]
 
 

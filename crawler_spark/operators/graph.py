@@ -193,18 +193,16 @@ def pagerank(
     # shrunk-regime decision + conf save/restore centralized in
     # session.loop_conf (round 13 — see its docstring for the regime
     # rationale and the single-threaded-session assumption)
-    with loop_conf(spark, ed.count()):
-        for _ in range(iterations):
-            prev = ranks
-            iters_run += 1
+    with loop_conf(spark, ed.count()) as (_loop_parts, shrunk):
+
+        def one_round(r: DataFrame) -> DataFrame:
             contribs = (
-                ed.join(ranks.withColumnRenamed("id", "src"), "src")
+                ed.join(r.withColumnRenamed("id", "src"), "src")
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(_exact_sum("c").alias("in_mass"))
             )
-            new_ranks = nodes.join(
-                contribs, nodes.id == contribs.dst, "left")
+            nr = nodes.join(contribs, nodes.id == contribs.dst, "left")
             if n_dang:
                 # dangling mass stays IN the plan as a broadcast 1-row
                 # frame — a driver-side .first() here would add a
@@ -212,12 +210,12 @@ def pagerank(
                 # against the precomputed dangling set selects exactly
                 # the rows the old per-round anti-join did
                 dang = (
-                    ranks.join(dang_ids, "id", "semi")
+                    r.join(dang_ids, "id", "semi")
                     .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0))
                          .alias("dmass"))
                 )
-                new_ranks = (
-                    new_ranks.crossJoin(F.broadcast(dang))
+                return (
+                    nr.crossJoin(F.broadcast(dang))
                     .select(
                         "id",
                         (
@@ -228,16 +226,36 @@ def pagerank(
                         ).alias("rank"),
                     )
                 )
-            else:
-                new_ranks = new_ranks.select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            return nr.select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+
+        # a SHRUNK loop composes 2 rounds lazily per eager checkpoint
+        # (the canonical_closure stretch trade, round 13): the
+        # checkpoint+schedule sync dominates a tiny round, and the
+        # composed plan is exactly the sequential arithmetic — ONLY
+        # when the tol check is provably dead for this run (tol<=0, or
+        # check_every >= iterations which the skip-final-round rule
+        # already disables — the fixture callers' configuration), so
+        # the delta-check cadence and early-exit semantics of
+        # tol-driven callers are untouched. Full-scale loops keep
+        # stretch 1: there each round is a real shuffle pass.
+        stretch = (
+            2 if shrunk and (tol <= 0 or check_every >= iterations) else 1
+        )
+        while iters_run < iterations:
+            prev = ranks
+            steps = min(stretch, iterations - iters_run)
+            new_ranks = ranks
+            for _ in range(steps):
+                new_ranks = one_round(new_ranks)
             ranks = new_ranks.localCheckpoint(eager=True)
+            iters_run += steps
             # no delta on the FINAL round: the loop ends either way,
             # so the check's only effect would be one wasted
             # synchronizing join job (round-12)
@@ -682,12 +700,11 @@ def personalized_pagerank(
     # shrunk-regime decision + conf save/restore centralized in
     # session.loop_conf (round 13 — see its docstring for the regime
     # rationale and the single-threaded-session assumption)
-    with loop_conf(spark, ed.count()):
-        for _ in range(iterations):
-            prev = ranks
-            iters_run += 1
+    with loop_conf(spark, ed.count()) as (_loop_parts, shrunk):
+
+        def one_round(r: DataFrame) -> DataFrame:
             contribs = (
-                ed.join(ranks.withColumnRenamed("id", "src"), "src")
+                ed.join(r.withColumnRenamed("id", "src"), "src")
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(_exact_sum("c").alias("in_mass"))
@@ -695,11 +712,11 @@ def personalized_pagerank(
             joined = p.join(contribs, p.id == contribs.dst, "left")
             if n_dang:
                 dang = (
-                    ranks.join(dang_ids, "id", "semi")
+                    r.join(dang_ids, "id", "semi")
                     .agg(F.coalesce(_exact_sum("rank"), F.lit(0.0))
                          .alias("dmass"))
                 )
-                ranks = (
+                return (
                     joined.crossJoin(F.broadcast(dang))
                     .select(
                         "id",
@@ -710,20 +727,32 @@ def personalized_pagerank(
                                + F.col("dmass") * F.col("p"))
                         ).alias("rank"),
                     )
-                    .localCheckpoint(eager=True)
                 )
-            else:
-                ranks = (
-                    joined.select(
-                        "id",
-                        (
-                            F.lit(1.0 - damping) * F.col("p")
-                            + F.lit(damping)
-                            * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        ).alias("rank"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
+            return joined.select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+
+        # same guarded stretch as ``pagerank`` (round 13): compose 2
+        # rounds per eager checkpoint only when the loop is shrunk AND
+        # the tol check is provably dead for this run — identical
+        # arithmetic, half the schedule syncs; tol-driven callers keep
+        # the per-round cadence
+        stretch = (
+            2 if shrunk and (tol <= 0 or check_every >= iterations) else 1
+        )
+        while iters_run < iterations:
+            prev = ranks
+            steps = min(stretch, iterations - iters_run)
+            new_ranks = ranks
+            for _ in range(steps):
+                new_ranks = one_round(new_ranks)
+            ranks = new_ranks.localCheckpoint(eager=True)
+            iters_run += steps
             # no delta on the FINAL round: the loop ends either way,
             # so the check's only effect would be one wasted
             # synchronizing join job (round-12)
