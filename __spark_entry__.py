@@ -109,6 +109,22 @@ _NEVER_DRIVER_VERIFIED = [
     # parity re-verified green before queueing)
     "crawl_pagerank",
     "graph_influence_ppr",
+    # --- (c) hyperplane banding kernel (operators/dedup.py
+    # hyperplane_projections): the 17 interpreted HOF folds per row
+    # (l2 norm + 16 plane projections) became ONE Arrow kernel with a
+    # bit-exact murmur3/cumsum replica (lock test proves float-exact
+    # equality incl. NULL/ragged/zero-norm), and the banded/IVF index
+    # writes repartition by their partition columns (parallel writers).
+    # Ledger caught the two per-query banding plans + the streaming
+    # sink; the index builders/probes band at construction (hidden by
+    # the parquet boundary) and are queued explicitly:
+    "o3_knn_topk_lsh",
+    "simsearch_lsh_pairs",
+    "streaming_index_append_e2e",
+    "knn_index_build",
+    "knn_index_append",
+    "knn_probe_precomputed",
+    "diag_ann_recall",
 ]
 
 

@@ -313,6 +313,50 @@ def hamming_pairs_from_signatures(
 
 
 # ------------------------------------------------- Embedding LSH (ANN path)
+def _murmur3_int32(value: int, seed: int) -> int:
+    """Spark's Murmur3_x86_32.hashInt — bit-exact Python replica
+    (mixK1 → mixH1 → fmix with length 4), returning the SIGNED int32
+    Spark's ``hash`` expression yields. Locked against F.hash by
+    tests/test_dedup.py::test_murmur3_matches_spark_hash; exists so the
+    Arrow projection kernel below can derive the SAME pseudo-random
+    plane components as the original in-expression
+    ``hash(seed, plane, j)`` without a JVM round-trip."""
+    M = 0xFFFFFFFF
+    k1 = (value * 0xCC9E2D51) & M
+    k1 = ((k1 << 15) | (k1 >> 17)) & M
+    k1 = (k1 * 0x1B873593) & M
+    h1 = (seed ^ k1) & M
+    h1 = ((h1 << 13) | (h1 >> 19)) & M
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h = h1 ^ 4  # fmix(h1 ^ len), len = 4 bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+# (num_planes, dims, seed) → matrix; heavyweight-init-once per task
+# (guide §4.3) — the murmur replica is pure Python, ~1k calls per build
+_PLANE_MATRIX_CACHE: dict = {}
+
+
+def _plane_matrix(num_planes: int, dims: int, seed: int):
+    """The (num_planes × dims) hyperplane component matrix, each entry
+    exactly ``hash(seed, plane, j) / 2^31`` as the in-expression form
+    computes it (F.hash seeds murmur3 at 42 and folds the three ints
+    left to right)."""
+    import numpy as np
+
+    out = np.empty((num_planes, dims), dtype=np.float64)
+    for p in range(num_planes):
+        hp = _murmur3_int32(p, _murmur3_int32(seed, 42))
+        for j in range(dims):
+            out[p, j] = _murmur3_int32(j, hp) / 2147483648.0
+    return out
+
+
 def hyperplane_projections(
     df: DataFrame,
     vec_col: str,
@@ -325,27 +369,79 @@ def hyperplane_projections(
     rank bit flips by |projection| (margin): a projection near zero
     means that sign bit is unreliable, making its flipped bucket the
     best next probe. Plane components derive from hash(seed, plane,
-    dim-index) — symmetric pseudo-random in [-1, 1) computed INSIDE the
-    expression (no dims probe, no numpy matrix, no broadcast)."""
+    dim-index) — symmetric pseudo-random in [-1, 1), still adapting to
+    whatever dimensionality each row has (no dims probe, no driver
+    matrix, no broadcast).
+
+    Round 13 (guide §4): the normalization + 16 projections used to be
+    17 ``aggregate``/``transform`` higher-order folds per row —
+    CodegenFallback, so every element of every plane paid the
+    expression interpreter (~100 µs/row measured at 64 dims; the
+    dominant cost of every banded-index build/append and per-query LSH
+    banding). They are now ONE Arrow kernel over the raw (cast-only)
+    vector: the plane matrix is the bit-exact murmur3 replica above
+    (``_plane_matrix``, locked against F.hash), norm and projections
+    fold via ``np.cumsum`` — sequential left-to-right addition, the
+    exact summation order of the old folds — and the per-element
+    multiplies/divides are the same IEEE-double ops, so the normalized
+    vector, every projection, sign bit, bucket, and pinned histogram
+    downstream are bit-identical (locked by
+    tests/test_dedup.py::test_hyperplane_projection_kernel_bit_identical).
+    The UDF's input is a bare cast (no lambda in its child), so
+    Python-UDF extraction works in every consumer, including the
+    1-row query-banding probe. NULL semantics reproduced exactly: a
+    NULL vector yields NULL v and all-NULL projections; any NULL
+    element yields an all-NULL v of the same length and all-NULL
+    projections; an empty vector passes through with projections at
+    the 0.0 fold seed; a zero-norm vector passes through unscaled."""
+    import pandas as pd
+
     from crawler_spark.functions import vector as V
 
-    def plane_component(plane: int, j: F.Column) -> F.Column:
-        h = F.hash(F.lit(seed), F.lit(plane), j)  # murmur3 over ints — cheap
-        return h.cast("double") / F.lit(2147483648.0)
+    @F.pandas_udf("struct<v: array<double>, proj: array<double>>")
+    def _norm_proj_kernel(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
 
-    def projection(plane: int) -> F.Column:
-        return F.aggregate(
-            F.transform("v", lambda x, j: x * plane_component(plane, j)),
-            F.lit(0.0).cast("double"),
-            lambda a, x: a + x,
-        )
+        n = len(vs)
+        v_out: list = [None] * n
+        p_out: list = [None] * n
+        by_d: dict[int, list[int]] = {}
+        vals = list(vs)
+        for i, v in enumerate(vals):
+            if v is None:
+                p_out[i] = [None] * num_planes
+            elif len(v) == 0:
+                v_out[i] = []
+                p_out[i] = [0.0] * num_planes
+            elif any(e is None for e in v):
+                v_out[i] = [None] * len(v)
+                p_out[i] = [None] * num_planes
+            else:
+                by_d.setdefault(len(v), []).append(i)
+        for d, idxs in by_d.items():
+            key = (num_planes, d, seed)
+            M = _PLANE_MATRIX_CACHE.get(key)
+            if M is None:
+                M = _PLANE_MATRIX_CACHE[key] = _plane_matrix(
+                    num_planes, d, seed)
+            mat = np.asarray([vals[i] for i in idxs], dtype=np.float64)
+            # ||v||: sequential sum of squares (cumsum ≡ the old fold),
+            # zero-norm passthrough exactly as l2_normalize
+            nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            zero = nrm == 0.0
+            denom = np.where(zero, 1.0, nrm)[:, None]
+            vn = np.where(zero[:, None], mat, mat / denom)
+            prod = vn[:, None, :] * M[None, :, :]
+            proj = np.cumsum(prod, axis=2)[:, :, -1]
+            for k, i in enumerate(idxs):
+                v_out[i] = vn[k].tolist()
+                p_out[i] = proj[k].tolist()
+        return pd.DataFrame({"v": v_out, "proj": p_out})
 
-    norm = df.select(long_id(df, id_col).alias("id"),
-                     V.l2_normalize(vec_col).alias("v"))
-    return norm.select(
-        "id", "v",
-        F.array(*[projection(i) for i in range(num_planes)]).alias("proj"),
-    )
+    raw = df.select(long_id(df, id_col).alias("id"),
+                    V.to_double_array(vec_col).alias("r"))
+    return raw.select("id", _norm_proj_kernel("r").alias("s")).select(
+        "id", F.col("s.v").alias("v"), F.col("s.proj").alias("proj"))
 
 
 def hyperplane_bands(

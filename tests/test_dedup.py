@@ -113,6 +113,76 @@ class TestEmbeddingLSH:
             recall = len(approx & exact) / len(exact)
             assert recall >= 0.3, f"LSH ANN recall {recall} (tune planes/bands)"
 
+    def test_murmur3_matches_spark_hash(self, spark):
+        """The pure-Python murmur3 replica behind the Arrow projection
+        kernel must equal F.hash's 3-int chain bit-for-bit — the plane
+        matrix (and every bucket downstream) derives from it."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.dedup import _murmur3_int32
+
+        probes = [(s, p, j) for s in (42, 7) for p in (0, 3, 15)
+                  for j in (0, 1, 63, 511)]
+        row = spark.range(1).select(*[
+            F.hash(F.lit(s), F.lit(p), F.lit(j)).alias(f"h{i}")
+            for i, (s, p, j) in enumerate(probes)]).first()
+        for i, (s, p, j) in enumerate(probes):
+            got = _murmur3_int32(j, _murmur3_int32(p, _murmur3_int32(s, 42)))
+            assert got == row[f"h{i}"], (s, p, j)
+
+    def test_hyperplane_projection_kernel_bit_identical(self, spark):
+        """Round-13 lock: the Arrow projection kernel must reproduce
+        the old aggregate(transform(...)) expression fold BIT-FOR-BIT —
+        projections, sign bits, and (band, bucket) assignments all
+        flow from it, and the ANN pins downstream tolerate zero drift.
+        Covers the real embeddings table plus NULL vector, NULL
+        element, empty vector, and a ragged dimensionality."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions import vector as V
+        from crawler_spark.operators.dedup import (
+            hyperplane_projections,
+            long_id,
+        )
+        from crawler_spark.sources import load_table
+
+        def expression_form(df, vec_col, id_col, num_planes, seed):
+            # the pre-round-13 in-expression fold, verbatim
+            def plane_component(plane, j):
+                h = F.hash(F.lit(seed), F.lit(plane), j)
+                return h.cast("double") / F.lit(2147483648.0)
+
+            def projection(plane):
+                return F.aggregate(
+                    F.transform("v", lambda x, j: x * plane_component(plane, j)),
+                    F.lit(0.0).cast("double"),
+                    lambda a, x: a + x,
+                )
+
+            norm = df.select(long_id(df, id_col).alias("id"),
+                             V.l2_normalize(vec_col).alias("v"))
+            return norm.select(
+                "id", "v",
+                F.array(*[projection(i) for i in range(num_planes)])
+                .alias("proj"),
+            )
+
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        weird = spark.createDataFrame(
+            [(9000001, None),
+             (9000002, [1.0, None, 0.5]),
+             (9000003, []),
+             (9000004, [0.25, -0.75]),
+             (9000005, [0.0, 0.0, 0.0]),  # zero norm: passthrough arm
+             (9000006, [1e-18, -1e-18, 1e-18, 2.0])],
+            "vec_id long, embedding array<double>")
+        for df in (emb, weird):
+            want = {r.id: (r.v, r.proj) for r in expression_form(
+                df, "embedding", "vec_id", 16, 42).collect()}
+            got = {r.id: (r.v, r.proj) for r in hyperplane_projections(
+                df, "embedding", "vec_id", 16, 42).collect()}
+            assert got == want  # exact float equality, no tolerance
+
     def test_canonical_assignment(self, spark):
         from crawler_spark.operators.dedup import canonical_assignment
 
