@@ -424,18 +424,26 @@ def hyperplane_projections(
             if M is None:
                 M = _PLANE_MATRIX_CACHE[key] = _plane_matrix(
                     num_planes, d, seed)
-            mat = np.asarray([vals[i] for i in idxs], dtype=np.float64)
-            # ||v||: sequential sum of squares (cumsum ≡ the old fold),
-            # zero-norm passthrough exactly as l2_normalize
-            nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-            zero = nrm == 0.0
-            denom = np.where(zero, 1.0, nrm)[:, None]
-            vn = np.where(zero[:, None], mat, mat / denom)
-            prod = vn[:, None, :] * M[None, :, :]
-            proj = np.cumsum(prod, axis=2)[:, :, -1]
-            for k, i in enumerate(idxs):
-                v_out[i] = vn[k].tolist()
-                p_out[i] = proj[k].tolist()
+            # bound the (rows × planes × dims) cumsum intermediate to
+            # ~16 MB regardless of batch size or dimensionality (guide
+            # §5 — executor memory; chunking across ROWS cannot change
+            # any per-row result)
+            chunk = max(1, 2_000_000 // max(1, num_planes * d))
+            for lo in range(0, len(idxs), chunk):
+                part = idxs[lo:lo + chunk]
+                mat = np.asarray([vals[i] for i in part],
+                                 dtype=np.float64)
+                # ||v||: sequential sum of squares (cumsum ≡ the old
+                # fold), zero-norm passthrough exactly as l2_normalize
+                nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                zero = nrm == 0.0
+                denom = np.where(zero, 1.0, nrm)[:, None]
+                vn = np.where(zero[:, None], mat, mat / denom)
+                prod = vn[:, None, :] * M[None, :, :]
+                proj = np.cumsum(prod, axis=2)[:, :, -1]
+                for k, i in enumerate(part):
+                    v_out[i] = vn[k].tolist()
+                    p_out[i] = proj[k].tolist()
         return pd.DataFrame({"v": v_out, "proj": p_out})
 
     raw = df.select(long_id(df, id_col).alias("id"),
